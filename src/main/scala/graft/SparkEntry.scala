@@ -2,9 +2,16 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship query: the full extraction pipeline over a deterministic
+    * 1k-conversation synthetic transcript table (≈4k turns) — salted
+    * repartition + fused per-turn extraction + stable ordering.
+    * Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = graft.pipeline.Pipeline.synthTurns(spark, 1000L, 8)
+    graft.pipeline.Pipeline
+      .ordered(graft.pipeline.Pipeline.extractTurnsSalted(turns, 32))
+      .toDF()
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

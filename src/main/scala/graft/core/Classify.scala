@@ -1,0 +1,54 @@
+package graft.core
+
+/** Deterministic cell/glyph classifier — replaces the reference's MNIST
+  * CNNs (app.py:45-46; cnn_train/mnist_train_ext.py) with a rule-based
+  * classifier over glyph spans, per the graft mandate (SURVEY.md §2.9).
+  *
+  * Class convention is the serve-side one (app.py:219, authoritative):
+  * 0..9 digits, 10 = '-', 11 = 'x'. Confidence is the glyph span's own
+  * legibility score (the analog of the CNN softmax max).
+  */
+object Classify {
+
+  /** Glyph text → class 0..11; None = unreadable, the analog of
+    * preprocess_image returning None (utils/table_rec.py:63-65) — the
+    * caller silently skips such cells, as the reference does. */
+  def glyphClass(txt: String): Option[Int] = {
+    val t = txt.trim
+    if (t.length == 1 && t.charAt(0).isDigit) Some(t.charAt(0) - '0')
+    else t match {
+      case "-" | "—" => Some(10)             // dash / em-dash → class 10
+      case "x" | "X" | "х" | "Х" => Some(11) // latin or cyrillic kha → class 11
+      case _ => None
+    }
+  }
+
+  /** Classify the content of one detected cell box: pick the glyph span
+    * whose center is nearest the cell center (the analog of the
+    * nearest-center contour selection in
+    * utils/mnist_preprocess_cell.py:10-37), then classify it.
+    *
+    * Returns None when the cell is empty or its glyph unreadable — the
+    * reference skips those cells without error (utils/table_rec.py:58-65).
+    */
+  def classifyCell(glyphs: IndexedSeq[Span], cell: Cell): Option[(Int, Double)] = {
+    val cx = cell.xCenter; val cy = cell.yCenter
+    var best: Span = null
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < glyphs.length) {
+      val g = glyphs(i)
+      // fully inside the (int-truncated) cell crop, as image[y1:y2, x1:x2]
+      // with map(int, cell) does in utils/table_rec.py:54-56
+      if (g.x1 >= cell.x1.toInt && g.y1 >= cell.y1.toInt &&
+          g.x2 <= cell.x2.toInt && g.y2 <= cell.y2.toInt) {
+        val dx = g.xCenter - cx; val dy = g.yCenter - cy
+        val d = dx * dx + dy * dy
+        if (d < bestD) { bestD = d; best = g }
+      }
+      i += 1
+    }
+    if (best == null) None
+    else glyphClass(best.text).map(c => (c, best.conf))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.core
+
+import java.math.RoundingMode
+
+/** The fused per-turn extraction pipeline — a faithful port of the
+  * /recognize request lifecycle (app.py:150-240), §3.1 of SURVEY.md,
+  * re-expressed over the span grid:
+  *
+  *   tokenize → boilerplate strip → hat parse (+ reserve-region retry)
+  *   → config lookup → code recognition → table recognition
+  *   (config path → no-config fallback → extra-detector fallback)
+  *   → score assembly.
+  *
+  * Pure function: one payload string in, one ExtractedTurn out. Runs
+  * inside a single typed mapPartitions on the cluster (one encoder
+  * boundary, whole pipeline JVM-fused — SURVEY.md §4 item 4).
+  */
+object Extractor {
+
+  def extractOne(convId: String, turnIdx: Int, payload: String): ExtractedTurn = {
+    val errors   = Vector.newBuilder[String]
+    val warnings = Vector.newBuilder[String]
+
+    // Tokenize + boilerplate strip (S4/S5 + §2.10)
+    val blocks  = Tokenizer.tokenize(payload)
+    val content = Boiler.contentSpans(blocks)
+    val page0   = content.filter(_.page == 0)
+    val glyphs  = page0.filter(_.kind == "g")
+
+    // Hat extraction with reserve-region retry (app.py:162-174)
+    var (subjOpt, gradeOpt, varOpt, _) = Header.recognizeHat(page0, Layouts.Hat)
+    if (isMissing(subjOpt) || isMissing(gradeOpt)) {
+      val retry = Header.recognizeHat(page0, Layouts.HatReserve)
+      subjOpt = retry._1; gradeOpt = retry._2; varOpt = retry._3
+    }
+    if (isMissing(subjOpt) || isMissing(gradeOpt)) {
+      errors += Messages.HeaderError
+    }
+
+    // Config lookup (app.py:177-183). NOTE the reference mutates
+    // `subject` here: output subject is lowercased AND space-stripped.
+    var subject = subjOpt
+    var key: Option[String] = None
+    if (!isMissing(subjOpt) && !isMissing(gradeOpt)) {
+      subject = subjOpt.map(_.replace(" ", ""))
+      val k = s"${subject.get} ${gradeOpt.get}"
+      if (Layouts.configs.contains(k)) key = Some(k)
+      else warnings += Messages.ConfigMissWarning
+    }
+
+    // Participant code (app.py:186-191)
+    val codeSpans = content.filter(s => s.page == 0 && Layouts.Code.containsFully(s))
+    val code: Option[String] = CodeRec.recognizeCode(codeSpans) match {
+      case Left(_)  => errors += Messages.CodeError; None
+      case Right(c) => c
+    }
+
+    // Table recognition: config path → noconf → extra detector
+    // (app.py:193-201)
+    var taskNumbers: List[String] = Nil
+    var digits: List[(Int, Double)] = Nil
+    key.foreach { k =>
+      val cfg = Layouts.configs(k)
+      TableDetect.recognizeTable(page0, glyphs, cfg, TableDetect.MainDetector) match {
+        case Some(d) =>
+          digits = d
+          taskNumbers = splitTasks(cfg.taskNumbers)
+        case None => ()
+      }
+    }
+    if (key.isEmpty || digits.isEmpty) {
+      val all = TableDetect.recognizeTableAll(page0, glyphs, TableDetect.MainDetector)
+        .filter(_._2.nonEmpty)
+        .orElse(TableDetect.recognizeTableAll(page0, glyphs, TableDetect.ExtraDetector))
+      all match {
+        case Some((t, d)) => taskNumbers = t; digits = d
+        case None         => taskNumbers = Nil; digits = Nil
+      }
+    }
+
+    // Assembly (app.py:204-229)
+    val scores = Vector.newBuilder[ScoreEntry]
+    var total = 0
+    if (digits.isEmpty) {
+      errors += Messages.TableError
+    } else {
+      val lowConf = Vector.newBuilder[String]
+      var anyLow = false
+      var i = 0
+      for ((digit, prob0) <- digits) {
+        val prob = bround2(prob0)
+        if (i < taskNumbers.length) {
+          val task = taskNumbers(i)
+          val display =
+            if (digit == 10) "-" else if (digit == 11) "x" else digit.toString
+          scores += ScoreEntry(task, display, prob)
+          if (prob < 0.6) { lowConf += task; anyLow = true }
+          if (digit != 10 && digit != 11) total += digit
+        }
+        i += 1
+      }
+      if (anyLow)
+        warnings += Messages.LowConfPrefix + lowConf.result().mkString(", ")
+    }
+
+    // extracted_text + span_offsets (north star): reading-order
+    // serialization of the surviving content text spans. First-page-only
+    // rule (O4, app.py:62): page>0 spans are invisible; page 9 is the
+    // off-grid home of kept flow text.
+    val (extractedText, offsets) =
+      serializeContent(content.filter(s => s.page == 0 || s.page == 9))
+
+    val errs  = errors.result()
+    val warns = warnings.result()
+    ExtractedTurn(
+      conv_id = convId,
+      turn_idx = turnIdx,
+      // Python None → null, but a matched-empty capture group stays ""
+      // in the response — preserved verbatim (no empty-to-null cleanup).
+      subject = subject,
+      grade = gradeOpt,
+      variant = varOpt,
+      participant_code = code,
+      total_score = total,
+      scores = scores.result(),
+      extracted_text = extractedText,
+      span_offsets = offsets,
+      errors = if (errs.nonEmpty) Some(errs) else None,
+      warnings = if (warns.nonEmpty) Some(warns) else None)
+  }
+
+  /** Python truthiness: None and "" are both "missing" (app.py:168,173). */
+  private def isMissing(o: Option[String]): Boolean = o.forall(_.isEmpty)
+
+  /** Python str.split() — whitespace-delimited, empties dropped
+    * (app.py:197). */
+  def splitTasks(s: String): List[String] =
+    s.split("\\s+").iterator.filter(_.nonEmpty).toList
+
+  /** Python round(float, 2) is round-half-even on the exact binary
+    * double — matched by BigDecimal's exact-double constructor +
+    * HALF_EVEN (NOT Spark's `round`, which is HALF_UP; SURVEY.md F7). */
+  def bround2(v: Double): Double =
+    new java.math.BigDecimal(v).setScale(2, RoundingMode.HALF_EVEN).doubleValue
+
+  /** Reading-order serialization of content spans that carry text:
+    * order by (page, y1, x1); words on one line joined by ' ', lines by
+    * '\n'. Offsets into the original payload for every serialized span
+    * that has them. */
+  def serializeContent(spans: Vector[Span]): (String, Vector[SpanOffset]) = {
+    val textSpans = spans
+      .filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty)
+      .sortBy(s => (s.page, s.y1, s.x1))
+    if (textSpans.isEmpty) return ("", Vector.empty)
+    val sb = new StringBuilder
+    val offs = Vector.newBuilder[SpanOffset]
+    var prevPage = Integer.MIN_VALUE
+    var prevY = Integer.MIN_VALUE
+    for (s <- textSpans) {
+      if (prevY == Integer.MIN_VALUE) ()
+      else if (s.page != prevPage || s.y1 != prevY) sb.append('\n')
+      else sb.append(' ')
+      sb.append(s.text)
+      if (s.start >= 0) offs += SpanOffset(s.start, s.end)
+      prevPage = s.page; prevY = s.y1
+    }
+    (sb.result(), offs.result())
+  }
+}

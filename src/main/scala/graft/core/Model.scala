@@ -1,0 +1,115 @@
+package graft.core
+
+/** Core data model — pure Scala, no Spark imports, so every extraction
+  * stage is unit-testable without a SparkSession and the whole per-turn
+  * pipeline compiles into ONE fused typed map (single encoder boundary).
+  *
+  * Shapes mirror the reference's abstractions (see SURVEY.md §1):
+  *  - `Span`  ≈ a positioned text fragment on the canonical 2480×3505
+  *    virtual grid (the analog of the reference's canonical raster,
+  *    app.py:88-90), plus byte offsets into the original payload.
+  *  - `Cell`  ≈ a detection box `[x1,y1,x2,y2] + conf`
+  *    (utils/Yolo_cell_rec.py:34,44).
+  *  - `ExtractedTurn` ≈ the response record (app.py:231-240) keyed by
+  *    (conv_id, turn_idx), extended with extracted_text + span_offsets
+  *    (north-star requirement).
+  */
+object Grid {
+  /** Canonical page size — reference resizes every input to exactly this
+    * (app.py:88-90, A4 @ 300 DPI). All bbox configs assume it. */
+  val Width  = 2480
+  val Height = 3505
+}
+
+/** Axis-aligned box, pixel coords on the canonical grid. */
+final case class Bbox(x1: Int, y1: Int, x2: Int, y2: Int) {
+  def width: Int  = x2 - x1
+  def height: Int = y2 - y1
+  def area: Long  = width.toLong * height.toLong
+  /** Full containment — a span partially outside a pixel crop would be
+    * garbled glyphs in the reference (app.py:93-96), so our semantic is
+    * "readable iff fully inside". */
+  def containsFully(s: Span): Boolean =
+    s.x1 >= x1 && s.y1 >= y1 && s.x2 <= x2 && s.y2 <= y2
+}
+
+/** One positioned text fragment emitted by the tokenizer.
+  *
+  * kind: "w" word (hat/prose), "g" glyph (handwritten digit/mark),
+  *       "cell" table-cell detection box (text empty),
+  *       "box"  code-frame box (text empty).
+  * conf: detection/legibility confidence in [0,1] — plays the role of
+  *       YOLO box conf (kind=cell/box) or classifier softmax max
+  *       (kind=g), both of which the reference gets from its models.
+  * (start,end): char offsets of `text` in the original payload (for the
+  *       span_offsets output; -1,-1 when the span carries no text). */
+final case class Span(
+    page: Int,
+    x1: Int, y1: Int, x2: Int, y2: Int,
+    kind: String,
+    text: String,
+    conf: Double,
+    start: Int,
+    end: Int) {
+  def yCenter: Double = (y1 + y2) / 2.0
+  def xCenter: Double = (x1 + x2) / 2.0
+  def area: Long      = (x2 - x1).toLong * (y2 - y1).toLong
+}
+
+/** Detection box, float coords — mirrors YOLO xyxy output
+  * (utils/Yolo_cell_rec.py:44). */
+final case class Cell(x1: Double, y1: Double, x2: Double, y2: Double, conf: Double) {
+  def yCenter: Double = (y1 + y2) / 2.0
+  def xCenter: Double = (x1 + x2) / 2.0
+  def width: Double   = x2 - x1
+}
+
+/** One table layout entry of config.json (keyed "{subject} {grade}"). */
+final case class TableLayout(
+    table: Bbox,
+    totalCells: Int,
+    rows: Int,
+    taskNumbers: String)
+
+/** One scored task — score kept as string to carry '-' / 'x'
+  * (app.py:219) without a union type; order in the Seq IS the task
+  * order (Python dict insertion order in the reference response). */
+final case class ScoreEntry(task: String, score: String, prob: Double)
+
+/** (start,end) char offsets into the original turn payload. */
+final case class SpanOffset(start: Int, end: Int)
+
+/** Input row — exactly the driver input_hint shape. */
+final case class TurnInput(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp)
+
+/** Output row ≈ reference response record (app.py:231-240) +
+  * extracted_text/span_offsets. errors/warnings are None when empty,
+  * mirroring `errors if errors else None` (app.py:238-239). */
+final case class ExtractedTurn(
+    conv_id: String,
+    turn_idx: Int,
+    subject: Option[String],
+    grade: Option[String],
+    variant: Option[String],
+    participant_code: Option[String],
+    total_score: Int,
+    scores: Seq[ScoreEntry],
+    extracted_text: String,
+    span_offsets: Seq[SpanOffset],
+    errors: Option[Seq[String]],
+    warnings: Option[Seq[String]])
+
+object Messages {
+  // Byte-for-byte the reference's user-facing strings (app.py).
+  val HeaderError  = "Не удалось определить предмет, класс или вариант" // app.py:174
+  val CodeError    = "Не удалось распознать код участника"              // app.py:191
+  val TableError   = "Не удалось распознать таблицу"                    // app.py:208
+  val ConfigMissWarning = "Не найдена существующая конфигурация для таблиц" // app.py:183
+  val LowConfPrefix = "Низкая уверенность в заданиях: "                 // app.py:229
+}

@@ -1,0 +1,412 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** A tokenized block: a group of spans that the boilerplate classifier
+  * scores as a unit (Boilerpipe-style). linkChars counts characters
+  * inside anchor tags (html dialect only). */
+final case class Block(
+    spans: Vector[Span],
+    totalChars: Int,
+    linkChars: Int,
+    nWords: Int) {
+  def linkDensity: Double =
+    if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars
+  def structural: Boolean = spans.exists(s => s.kind != "w")
+}
+
+/** Payload tokenizers — one per dialect, all emitting positioned spans
+  * on the canonical 2480×3505 grid (the analog of decode_image +
+  * resize_to_target, app.py:74-90, which canonicalizes every input to
+  * the same pixel space so config.json bboxes apply verbatim).
+  *
+  * All three are single-pass, index-tracking scanners (no regex, no
+  * split) so the per-turn hot path stays allocation-light — the
+  * "batched byte-stream/DOM tokenizer" stage of the north star.
+  *
+  * Dialect sniffing mirrors is_pdf's magic-byte check (app.py:54-56).
+  */
+object Tokenizer {
+
+  sealed trait Dialect
+  case object Pdf   extends Dialect
+  case object Html  extends Dialect
+  case object Plain extends Dialect
+
+  val PdfMagic = "%GPDF1"
+
+  /** Format sniff (S3): magic bytes first, markup second, plain last. */
+  def sniff(payload: String): Dialect =
+    if (payload.startsWith(PdfMagic)) Pdf
+    else {
+      var i = 0
+      while (i < payload.length && Character.isWhitespace(payload.charAt(i))) i += 1
+      if (i < payload.length && payload.charAt(i) == '<') Html else Plain
+    }
+
+  def tokenize(payload: String): Vector[Block] = sniff(payload) match {
+    case Pdf   => tokenizePdf(payload)
+    case Html  => tokenizeHtml(payload)
+    case Plain => tokenizePlain(payload)
+  }
+
+  // ------------------------------------------------------------------
+  // PDF-span dump dialect
+  //
+  //   %GPDF1
+  //   P <page> <width> <height>
+  //   S <x1> <y1> <x2> <y2> <kind> <conf> <text…to end of line>
+  //
+  // The layout-parser analog of pdf_to_image (app.py:59-71): spans
+  // arrive pre-positioned; we keep page indices (the first-page-only
+  // rule O4 is applied downstream by the page==0 filters).
+  // ------------------------------------------------------------------
+  private def tokenizePdf(payload: String): Vector[Block] = {
+    val spans = new ArrayBuffer[Span](64)
+    var page = 0
+    var i = 0
+    val n = payload.length
+    while (i < n) {
+      val eol0 = payload.indexOf('\n', i)
+      val eol = if (eol0 < 0) n else eol0
+      if (i < eol) {
+        val c0 = payload.charAt(i)
+        if (c0 == 'P' && i + 1 < eol && payload.charAt(i + 1) == ' ') {
+          // P <page> <w> <h>
+          val f = new FieldScanner(payload, i + 2, eol)
+          page = f.nextInt()
+        } else if (c0 == 'S' && i + 1 < eol && payload.charAt(i + 1) == ' ') {
+          val f = new FieldScanner(payload, i + 2, eol)
+          val x1 = f.nextInt(); val y1 = f.nextInt()
+          val x2 = f.nextInt(); val y2 = f.nextInt()
+          val kind = f.nextToken()
+          val conf = f.nextDouble()
+          val (txt, s0, e0) = f.rest()
+          spans += Span(page, x1, y1, x2, y2, kind, txt, conf, s0, e0)
+        }
+        // other lines (magic, comments) ignored
+      }
+      i = eol + 1
+    }
+    groupByLineGap(spans.toVector)
+  }
+
+  /** Space-separated field scanner over a [from, to) slice. */
+  private final class FieldScanner(s: String, from: Int, to: Int) {
+    private var p = from
+    private def skipSpaces(): Unit = { while (p < to && s.charAt(p) == ' ') p += 1 }
+    def nextToken(): String = {
+      skipSpaces(); val st = p
+      while (p < to && s.charAt(p) != ' ') p += 1
+      s.substring(st, p)
+    }
+    def nextInt(): Int = {
+      skipSpaces()
+      var v = 0; var neg = false
+      if (p < to && s.charAt(p) == '-') { neg = true; p += 1 }
+      while (p < to && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+        v = v * 10 + (s.charAt(p) - '0'); p += 1
+      }
+      if (neg) -v else v
+    }
+    def nextDouble(): Double = java.lang.Double.parseDouble(nextToken())
+    /** Rest of the slice after one separating space: (text, start, end);
+      * empty text → offsets (-1,-1). */
+    def rest(): (String, Int, Int) = {
+      if (p < to && s.charAt(p) == ' ') p += 1
+      if (p >= to) ("", -1, -1) else (s.substring(p, to), p, to)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // HTML-ish dialect — lightweight DOM scan. Blocks are the direct
+  // children of <body>; positioned spans carry
+  //   class="w|g|cell|box" style="left:..px;top:..px;width:..px;height:..px"
+  //   data-conf="0.97" data-page="0"
+  // Anchor text inside a block accrues linkChars for the Boilerpipe
+  // scoring. Generator payloads contain no HTML entities (documented
+  // contract), so no entity decoding here.
+  // ------------------------------------------------------------------
+  private def tokenizeHtml(payload: String): Vector[Block] = {
+    val blocks = Vector.newBuilder[Block]
+    var spans = new ArrayBuffer[Span](16)
+    var totalChars = 0; var linkChars = 0; var nWords = 0
+    var depth = 0          // depth relative to <body>; 1 = inside a top-level block
+    var inBody = false
+    var inAnchor = false
+    var blockOpen = false
+    // pending positioned attrs for the current element (depth>=1)
+    var pKind: String = null; var pX = -1; var pY = -1; var pW = -1; var pH = -1
+    var pConf = 1.0; var pPage = 0
+
+    def flushBlock(): Unit = {
+      if (blockOpen && (spans.nonEmpty || totalChars > 0)) {
+        blocks += Block(spans.toVector, totalChars, linkChars, nWords)
+      }
+      spans = new ArrayBuffer[Span](16)
+      totalChars = 0; linkChars = 0; nWords = 0
+      blockOpen = false
+    }
+
+    val n = payload.length
+    var i = 0
+    while (i < n) {
+      val c = payload.charAt(i)
+      if (c == '<') {
+        val close = payload.indexOf('>', i + 1)
+        if (close < 0) { i = n }
+        else {
+          val isEnd = i + 1 < n && payload.charAt(i + 1) == '/'
+          val nameStart = if (isEnd) i + 2 else i + 1
+          var ne = nameStart
+          while (ne < close && payload.charAt(ne) != ' ' && payload.charAt(ne) != '/' && payload.charAt(ne) != '>') ne += 1
+          val tag = payload.substring(nameStart, ne).toLowerCase(java.util.Locale.ROOT)
+          val selfClosing = payload.charAt(close - 1) == '/' ||
+            tag == "br" || tag == "hr" || tag == "img" || tag == "meta" || tag == "link"
+          if (!isEnd) {
+            if (tag == "body") { inBody = true; depth = 0 }
+            else if (inBody && !selfClosing) {
+              depth += 1
+              if (depth == 1) { flushBlock(); blockOpen = true }
+              if (tag == "a") inAnchor = true
+              // positioned element? read class/style/data-conf/data-page
+              val attrs = payload.substring(ne, close)
+              val cls = attrValue(attrs, "class")
+              if (cls == "w" || cls == "g" || cls == "cell" || cls == "box") {
+                val style = attrValue(attrs, "style")
+                pKind = cls
+                pX = stylePx(style, "left"); pY = stylePx(style, "top")
+                pW = stylePx(style, "width"); pH = stylePx(style, "height")
+                val dc = attrValue(attrs, "data-conf")
+                pConf = if (dc == null) 1.0 else java.lang.Double.parseDouble(dc)
+                val dp = attrValue(attrs, "data-page")
+                pPage = if (dp == null) 0 else Integer.parseInt(dp)
+                if (cls == "cell" || cls == "box") {
+                  // no text node required; emit immediately
+                  if (pX >= 0 && pY >= 0)
+                    spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, "", pConf, -1, -1)
+                  pKind = null
+                }
+              }
+            }
+          } else { // end tag
+            if (tag == "body") inBody = false
+            else if (inBody) {
+              if (tag == "a") inAnchor = false
+              if (depth == 1) flushBlock()
+              if (depth > 0) depth -= 1
+              pKind = null
+            }
+          }
+          i = close + 1
+        }
+      } else {
+        // text node up to next '<'
+        val lt0 = payload.indexOf('<', i)
+        val lt = if (lt0 < 0) n else lt0
+        if (inBody && depth >= 1) {
+          // trim the node
+          var s0 = i; var e0 = lt
+          while (s0 < e0 && Character.isWhitespace(payload.charAt(s0))) s0 += 1
+          while (e0 > s0 && Character.isWhitespace(payload.charAt(e0 - 1))) e0 -= 1
+          if (e0 > s0) {
+            val txt = payload.substring(s0, e0)
+            totalChars += txt.length
+            if (inAnchor) linkChars += txt.length
+            nWords += countWords(txt)
+            if (pKind != null && pX >= 0 && pY >= 0) {
+              spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, txt, pConf, s0, e0)
+              pKind = null
+            } else if (!inAnchor) {
+              // flow text without position: off-grid page 9 so it never
+              // enters page-0 region ops but can survive as content
+              spans += Span(9, 0, 0, 0, 0, "w", txt, 1.0, s0, e0)
+            }
+          }
+        }
+        i = lt
+      }
+    }
+    flushBlock()
+    blocks.result()
+  }
+
+  private def attrValue(attrs: String, name: String): String = {
+    val needle = name + "=\""
+    val at = attrs.indexOf(needle)
+    if (at < 0) return null
+    val st = at + needle.length
+    val en = attrs.indexOf('"', st)
+    if (en < 0) null else attrs.substring(st, en)
+  }
+
+  /** Parse `key:<int>px` out of a style attribute; -1 when absent. */
+  private def stylePx(style: String, key: String): Int = {
+    if (style == null) return -1
+    val needle = key + ":"
+    var at = style.indexOf(needle)
+    // avoid matching "width" inside "min-width" etc. — our generator
+    // emits only the four plain keys, so a direct find is enough, but
+    // guard against "left" matching inside "padding-left"
+    while (at > 0 && style.charAt(at - 1) != ';' && style.charAt(at - 1) != ' ') {
+      at = style.indexOf(needle, at + 1)
+    }
+    if (at < 0) return -1
+    var p = at + needle.length
+    var v = 0; var any = false
+    while (p < style.length && style.charAt(p) >= '0' && style.charAt(p) <= '9') {
+      v = v * 10 + (style.charAt(p) - '0'); p += 1; any = true
+    }
+    if (any) v else -1
+  }
+
+  private def countWords(s: String): Int = {
+    var c = 0; var inWord = false; var i = 0
+    while (i < s.length) {
+      val w = !Character.isWhitespace(s.charAt(i))
+      if (w && !inWord) c += 1
+      inWord = w
+      i += 1
+    }
+    c
+  }
+
+  // ------------------------------------------------------------------
+  // Plain-text dialect — fixed char grid: column → x = col*CellW,
+  // row → y = row*CellH (page fits 124 × 100 cells of 20×35 px on the
+  // canonical 2480×3505 grid). Structure markers:
+  //   '|' table row separators  → cell boxes + inner glyphs
+  //   '+' ruling lines          → ignored
+  //   '#' box borders/edges     → code-frame box + inner glyphs
+  // Everything else → word spans.
+  // ------------------------------------------------------------------
+  val CellW = 20
+  val CellH = 35
+
+  private def tokenizePlain(payload: String): Vector[Block] = {
+    val spans = new ArrayBuffer[Span](64)
+    // open '#' boxes keyed by (colStart, colEnd): top border row + glyph buffer
+    var boxTop = -1; var boxC0 = -1; var boxC1 = -1
+    val boxGlyphs = new ArrayBuffer[(Int, Int, Int, String, Int, Int)]() // row,c0,c1,txt,start,end
+
+    var row = 0
+    var i = 0
+    val n = payload.length
+    while (i < n) {
+      val eol0 = payload.indexOf('\n', i)
+      val eol = if (eol0 < 0) n else eol0
+      val lineStart = i
+      var hasPipe = false; var hashRun = 0; var maxHashRun = 0
+      var firstHash = -1; var lastHash = -1
+      var j = i
+      while (j < eol) {
+        val ch = payload.charAt(j)
+        if (ch == '|') hasPipe = true
+        if (ch == '#') {
+          if (firstHash < 0) firstHash = j - lineStart
+          lastHash = j - lineStart
+          hashRun += 1; if (hashRun > maxHashRun) maxHashRun = hashRun
+        } else hashRun = 0
+        j += 1
+      }
+      if (maxHashRun >= 5) {
+        // box border line
+        if (boxTop < 0) { boxTop = row; boxC0 = firstHash; boxC1 = lastHash }
+        else {
+          // closing border → emit box + its glyphs
+          spans += Span(0, boxC0 * CellW, boxTop * CellH,
+            (boxC1 + 1) * CellW, (row + 1) * CellH, "box", "", 1.0, -1, -1)
+          for ((r, c0, c1, txt, s0, e0) <- boxGlyphs)
+            spans += Span(0, c0 * CellW, r * CellH, (c1 + 1) * CellW, (r + 1) * CellH,
+              "g", txt, 1.0, s0, e0)
+          boxGlyphs.clear()
+          boxTop = -1
+        }
+      } else if (boxTop >= 0 && firstHash >= 0 && lastHash > firstHash) {
+        // box content row: tokens between the edge '#'s are glyphs
+        emitTokens(payload, lineStart, eol, row, firstHash + 1, lastHash - 1) {
+          (c0, c1, txt, s0, e0) => boxGlyphs += ((row, c0, c1, txt, s0, e0))
+        }
+        // text left of the box on the same physical line → words
+        emitTokens(payload, lineStart, eol, row, 0, firstHash - 1) {
+          (c0, c1, txt, s0, e0) =>
+            spans += wordSpan(row, c0, c1, txt, s0, e0)
+        }
+      } else if (hasPipe) {
+        // table row: segments between pipes are cells
+        var k = lineStart; var prevPipe = -1
+        while (k <= eol) {
+          val isPipe = k < eol && payload.charAt(k) == '|'
+          if (isPipe) {
+            val col = k - lineStart
+            if (prevPipe >= 0) {
+              val c0 = prevPipe; val c1 = col
+              spans += Span(0, c0 * CellW, row * CellH,
+                (c1 + 1) * CellW, (row + 1) * CellH, "cell", "", 1.0, -1, -1)
+              emitTokens(payload, lineStart, eol, row, c0 + 1, c1 - 1) {
+                (g0, g1, txt, s0, e0) =>
+                  spans += Span(0, g0 * CellW, row * CellH, (g1 + 1) * CellW,
+                    (row + 1) * CellH, "g", txt, 1.0, s0, e0)
+              }
+            }
+            prevPipe = col
+          }
+          k += 1
+        }
+      } else if (eol > lineStart && payload.charAt(lineStart) == '+') {
+        // ruling line — ignored
+      } else {
+        emitTokens(payload, lineStart, eol, row, 0, Int.MaxValue) {
+          (c0, c1, txt, s0, e0) => spans += wordSpan(row, c0, c1, txt, s0, e0)
+        }
+      }
+      row += 1
+      i = eol + 1
+    }
+    groupByLineGap(spans.toVector)
+  }
+
+  private def wordSpan(row: Int, c0: Int, c1: Int, txt: String, s0: Int, e0: Int): Span =
+    Span(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH, "w", txt, 1.0, s0, e0)
+
+  /** Emit whitespace-delimited tokens of a line restricted to columns
+    * [colFrom, colTo]. Callback gets (colStart, colEnd, text, start, end). */
+  private def emitTokens(s: String, lineStart: Int, eol: Int, row: Int,
+      colFrom: Int, colTo: Int)(f: (Int, Int, String, Int, Int) => Unit): Unit = {
+    var j = lineStart + math.max(0, colFrom)
+    val jEnd = if (colTo == Int.MaxValue) eol else math.min(eol, lineStart + colTo + 1)
+    while (j < jEnd) {
+      while (j < jEnd && s.charAt(j) == ' ') j += 1
+      if (j < jEnd) {
+        val st = j
+        while (j < jEnd && s.charAt(j) != ' ') j += 1
+        f(st - lineStart, j - 1 - lineStart, s.substring(st, j), st, j)
+      }
+    }
+  }
+
+  /** Group a flat span list into line blocks by vertical gap — the
+    * block builder for positioned dialects (pdf/plain): consecutive
+    * spans (sorted by y1) whose y1 gap ≤ 70px share a block. */
+  private def groupByLineGap(spans: Vector[Span]): Vector[Block] = {
+    if (spans.isEmpty) return Vector.empty
+    val sorted = spans.sortBy(s => (s.page, s.y1, s.x1))
+    val blocks = Vector.newBuilder[Block]
+    var cur = Vector.newBuilder[Span]
+    var curWords = 0; var curChars = 0
+    var prevY = Integer.MIN_VALUE; var prevPage = Integer.MIN_VALUE
+    var any = false
+    def close(): Unit = {
+      if (any) blocks += Block(cur.result(), curChars, 0, curWords)
+      cur = Vector.newBuilder[Span]; curWords = 0; curChars = 0; any = false
+    }
+    for (s <- sorted) {
+      if (any && (s.page != prevPage || s.y1 - prevY > 70)) close()
+      cur += s; any = true
+      if (s.kind == "w" || s.kind == "g") { curWords += 1; curChars += s.text.length }
+      prevY = s.y1; prevPage = s.page
+    }
+    close()
+    blocks.result()
+  }
+}

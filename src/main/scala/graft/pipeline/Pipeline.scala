@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.synth.TurnGen
+
+/** The distributed shape of the engine (SURVEY.md §3.4, §7.2 step 9):
+  *
+  *   scan/generate turns → explicit salted repartition on
+  *   pmod(xxhash64(conv_id, turn_idx), S) → ONE fused typed
+  *   mapPartitions running the whole per-turn extraction → ordered
+  *   write / downstream relational ops.
+  *
+  * Per-turn work is independent, so (conv_id, turn_idx) salting is an
+  * exact skew killer for heavy-tailed conversations (north rule). The
+  * single mapPartitions keeps one encoder boundary around the pure-JVM
+  * core — no Column↔typed alternation, no per-stage ser/de
+  * (SURVEY.md §4 item 4).
+  */
+object Pipeline {
+
+  /** The one public transform: turns in, extracted records out. */
+  def extractTurns(ds: Dataset[TurnInput]): Dataset[ExtractedTurn] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.map(t => Extractor.extractOne(t.conv_id, t.turn_idx, t.text))
+    }
+  }
+
+  /** extractTurns with the explicit salt repartition in front — use at
+    * scale where input partitioning follows conv_id buckets and long
+    * conversations skew partition sizes. `salt` should be ≥ 4× total
+    * cores (SURVEY.md §7.5 item 6). */
+  def extractTurnsSalted(ds: Dataset[TurnInput], salt: Int): Dataset[ExtractedTurn] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val salted = ds
+      .repartition(salt, pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt)))
+      .as[TurnInput]
+    extractTurns(salted)
+  }
+
+  /** Deterministic synthetic transcript table: `nConvs` conversations,
+    * heavy-tailed turns per conversation (~3.9 avg). Generation is
+    * distributed (spark.range) and pure per key — any partition can be
+    * regenerated independently; no driver-side loops. */
+  def synthTurns(spark: SparkSession, nConvs: Long, parallelism: Int): Dataset[TurnInput] = {
+    import spark.implicits._
+    spark.range(0, nConvs, 1, parallelism).flatMap { i =>
+      val convId = f"conv-$i%09d"
+      val n = TurnGen.turnsPerConv(convId)
+      (0 until n).iterator.map(t => TurnGen.genTurn(convId, t).input)
+    }
+  }
+
+  /** Same table with the ground-truth sidecar (tests / golden checks). */
+  def synthWithExpected(spark: SparkSession, nConvs: Long, parallelism: Int)
+      : Dataset[(TurnInput, ExtractedTurn)] = {
+    import spark.implicits._
+    spark.range(0, nConvs, 1, parallelism).flatMap { i =>
+      val convId = f"conv-$i%09d"
+      val n = TurnGen.turnsPerConv(convId)
+      (0 until n).iterator.map { t =>
+        val g = TurnGen.genTurn(convId, t); (g.input, g.expected)
+      }
+    }
+  }
+
+  /** Stable-ordered output view (north rule: stable (conv_id, turn_idx)
+    * ordering for golden/byte equality). */
+  def ordered(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] =
+    ds.orderBy(col("conv_id"), col("turn_idx"))
+}
