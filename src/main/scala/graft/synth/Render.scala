@@ -52,7 +52,9 @@ object Render {
     val subjWords = spec.displaySubject.split(' ').toSeq
     spec.headerStyle match {
       case 0 =>
-        val lead = Seq("ВПР.") ++ subjWords.init ++ Seq(subjWords.last + ".") ++
+        // subject-first line → regex #1 path (app.py:123-132): the
+        // pattern's ([^.]*) group must be the subject segment itself
+        val lead = subjWords.init ++ Seq(subjWords.last + ".") ++
           Seq(spec.grade, "класс.", "Вариант")
         words(lead, 40, 190, 40, boiler = false)
         if (spec.hatOverflow)
@@ -267,9 +269,9 @@ object Render {
     spec.headerStyle match {
       case 0 =>
         if (spec.hatOverflow) {
-          put(10, 0, s"ВПР. $subj. ${spec.grade} класс. Вариант")
+          put(10, 0, s"$subj. ${spec.grade} класс. Вариант")
           put(10, 75, spec.variant) // x1 = 1500 > hat x2, ≤ reserve x2
-        } else put(10, 0, s"ВПР. $subj. ${spec.grade} класс. Вариант ${spec.variant}")
+        } else put(10, 0, s"$subj. ${spec.grade} класс. Вариант ${spec.variant}")
       case 1 =>
         put(10, 0, s"Проверочная работа. $subj. ${spec.grade} класс Вариант ${spec.variant} осень")
       case _ =>
