@@ -12,9 +12,12 @@ object SparkEntry {
       .ordered(graft.pipeline.Pipeline.extractTurnsSalted(turns, 32))
       .toDF()
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * training-data ops). DuckDB-checkable ones in queries.Relational,
+    * engine-specific ones rows-only in queries.TrainingData. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Relational.queries ++ graft.queries.TrainingData.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = graft.queries.Relational.oracleSql
 }

@@ -1,0 +1,559 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator suite over the driver's testdata tables — one
+  * entry per SURVEY.md §2 operator family, each with a DuckDB oracle in
+  * Oracles.sql. Written Spark-first: broadcast hints on dims, window
+  * functions for ordered ops, higher-order functions for array work —
+  * everything whole-stage-codegen friendly (no UDFs anywhere).
+  *
+  * Cross-engine determinism rules (so value hashes match DuckDB):
+  *  - money/measures are integerized (×100 → BIGINT) before SUM — exact
+  *    integer aggregation is order-independent; raw double sums differ
+  *    in low bits between engines;
+  *  - every ratio is ONE double division of exact integers, rounded;
+  *  - every output gets a deterministic total ORDER BY on its keys;
+  *  - aggregate types pinned with explicit casts (DuckDB SUM(BIGINT)
+  *    is HUGEINT otherwise).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
+    "q_scan_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.02)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // A1 — classic grouped aggregation, integerized money
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(cents(col("l_discount"))).as("sum_disc_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A3 — request-stats analog: per-priority counts + exact-int avg
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("sum_c"))
+        .withColumn("avg_price", round(col("sum_c") / (col("n") * 100.0), 4))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // A4 — histogram (np.histogram analog, stat_app.py:47-58)
+    "q_agg_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // A5 — quality binning (stats.py:24-34 analog)
+    "q_agg_bins" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(when(col("value") >= 100, "high")
+          .when(col("value") >= 50, "good")
+          .when(col("value") >= 10, "ok")
+          .otherwise("low").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+        .orderBy(col("bin"))
+    }),
+
+    // A6 — recognized-vs-not split (stat_app.py:29-33 analog)
+    "q_agg_split" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("n_chars") >= 200, 1L).otherwise(0L)).as("n_long"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+        .orderBy(col("lang"))
+    }),
+
+    // P2 — band filter (conf/y-band analog)
+    "q_band_filter" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("value") >= 0.5 && col("value") <= 50 && col("event_type") =!= "error")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+        .orderBy(col("event_type"))
+    }),
+
+    // J1 — broadcast dim lookup chain (config-lookup analog)
+    "q_join_lookup" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left_outer")
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left_outer")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("c_acctbal"))).as("bal_c"))
+        .orderBy(col("r_name"))
+    }),
+
+    // J2 — fuzzy theta join (difflib close-match analog, broadcast NL)
+    "q_join_fuzzy" -> ((s, dir) => {
+      val a = t(s, dir, "nation").select(col("n_name").as("a_name"))
+      val b = t(s, dir, "nation").select(col("n_name").as("b_name"))
+      a.join(broadcast(b), levenshtein(col("a_name"), col("b_name")) <= 1 &&
+          col("a_name") < col("b_name"))
+        .orderBy(col("a_name"), col("b_name"))
+    }),
+
+    // J3 — anti join (golden-diff / missing-rows analog)
+    "q_join_anti" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // J4 — semi join
+    "q_join_semi" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val l = t(s, dir, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // O2/O3 — top-k with total order
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+        .orderBy(col("price_c").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // W1/O2 — per-group top-1 via window rank
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("value_c"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W2 — gap sessionization (the row-grouping analog, 30-min gap)
+    "q_window_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("cur_ms", unix_millis(col("ts").cast("timestamp"))) // ts is NTZ; session TZ is UTC
+        .withColumn("prev_ms", lag(col("cur_ms"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ms").isNull || col("cur_ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // W2b — running sum frame (restricted users to keep output small)
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .withColumn("running_c", sum(cents(col("value"))).over(w))
+        .select(col("user_id"), col("event_id"), col("running_c"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // O4 — first-element-per-group (first-page analog)
+    "q_first_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // set ops — except over distinct key sets
+    "q_set_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "purchase" && col("value") >= 300).select(col("user_id")).distinct()
+        .except(e.filter(col("event_type") === "error" && col("value") >= 300).select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
+    // W6 — reading-order serialization analog: deterministic ordered concat
+    "q_order_concat" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("user_id") < 30)
+        .groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          "->").as("path"))
+        .orderBy(col("user_id"))
+    }),
+
+    // F1 — char-repair translate
+    "q_translate" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          translate(substring(col("text"), 1, 50), "aeiou", "41015").as("repaired"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F2/F3 — regex extraction + replace
+    "q_regex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "(join|merge|sort) (\\w+)", 2).as("after_op"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).as("consonant_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F5 — whitespace split token counts
+    "q_split_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").as("n_re"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // F6 — display mapping CASE chain
+    "q_case_map" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(when(col("l_quantity") >= 40, "x")
+          .when(col("l_quantity") >= 20, "-")
+          .otherwise(col("l_quantity").cast("int").cast("string")).as("display"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("display"))
+    }),
+
+    // dedup 1 — exact hash-group dedupe
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy(col("h"))
+    }),
+
+    // dedup 2 — token-set jaccard near-dup pairs (capped for bench scale;
+    // the cap is a no-op at the verify SF)
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("a")
+        .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .withColumn("jac", round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 6))
+        .filter(col("jac") >= 0.9)
+        .select(col("ia"), col("ib"), col("jac"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // dedup 3 — MinHash + LSH band buckets (md5-based, engine-portable)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sigs = toks
+        .withColumn("band", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("tok")))).as("sig"))
+      sigs.groupBy(col("band").cast("long").as("band"), col("sig"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n") >= 2)
+        .orderBy(col("band"), col("sig"))
+    }),
+
+    // text 1 — document fingerprint (normalize + hash)
+    "q_text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text 2 — token stats + stopword ratio quality score
+    "q_text_quality" -> ((s, dir) => {
+      val toks = size(split(col("text"), " ")).cast("long")
+      val stops = size(expr(
+        "filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')")).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("n_tokens"), stops.as("n_stop"),
+          round(stops / toks.cast("double"), 6).as("stop_ratio"))
+        .withColumn("quality",
+          when(col("stop_ratio") >= 0.12, "high")
+            .when(col("stop_ratio") >= 0.05, "mid").otherwise("low"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text 3 — n-gram language-id heuristic (stopword evidence votes)
+    "q_text_langid" -> ((s, dir) => {
+      def hits(word: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$word\\b", ""))) /
+          word.length).cast("long")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          hits("the").as("s_en"), hits("le").as("s_fr"), hits("der").as("s_de"))
+        .withColumn("lang_guess",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_fr") > col("s_de"), "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("unk"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // similarity 1 — near-dup pairs by quantized cosine (exact-int dot)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val q = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+      val pairs = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L, (acc, p) -> acc + p)").as("dot"),
+          expr("aggregate(transform(a.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("na"),
+          expr("aggregate(transform(b.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("nb"))
+      pairs
+        .withColumn("cos", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("ia"), col("ib"), col("cos"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // similarity 2 — brute-force cosine top-k ANN baseline
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = q.join(broadcast(e).as("c"), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          expr("aggregate(zip_with(qv, c.v, (x, y) -> x * y), 0L, (acc, p) -> acc + p)").as("dot"),
+          expr("aggregate(transform(qv, x -> x * x), 0L, (acc, p) -> acc + p)").as("na"),
+          expr("aggregate(transform(c.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("nb2"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+  )
+
+  /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.02
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_stats" ->
+      """SELECT o_orderpriority, n, sum_c, round(sum_c / (n * 100.0), 4) AS avg_price FROM (
+           SELECT o_orderpriority, count(*) AS n,
+                  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c
+           FROM orders GROUP BY o_orderpriority) ORDER BY o_orderpriority""",
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(value/10) AS BIGINT) AS bucket, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY bucket""",
+    "q_agg_bins" ->
+      """SELECT CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'good'
+                     WHEN value >= 10 THEN 'ok' ELSE 'low' END AS bin,
+                count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+         FROM events GROUP BY 1 ORDER BY bin""",
+    "q_agg_split" ->
+      """SELECT lang,
+                CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+                CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_band_filter" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+         FROM events WHERE value >= 0.5 AND value <= 50 AND event_type <> 'error'
+         GROUP BY event_type ORDER BY event_type""",
+    "q_join_lookup" ->
+      """SELECT r_name, count(*) AS n,
+                CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+                       LEFT JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_join_fuzzy" ->
+      """SELECT a.n_name AS a_name, b.n_name AS b_name
+         FROM nation a JOIN nation b
+           ON levenshtein(a.n_name, b.n_name) <= 1 AND a.n_name < b.n_name
+         ORDER BY a_name, b_name""",
+    "q_join_anti" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_semi" ->
+      """SELECT p_brand, count(*) AS n FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_topk" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+         FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10""",
+    "q_window_rank" ->
+      """SELECT user_id, event_id, CAST(round(value*100) AS BIGINT) AS value_c FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_window_sessions" ->
+      """SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+           SELECT user_id,
+                  CASE WHEN prev_ms IS NULL OR cur_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+           FROM (SELECT user_id, epoch_ms(ts) AS cur_ms,
+                        lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+                 FROM events))
+         GROUP BY user_id ORDER BY user_id""",
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+                CAST(sum(CAST(round(value*100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+         FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_first_per_group" ->
+      """SELECT user_id, event_type AS first_type FROM (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value >= 300
+         EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value >= 300
+         ORDER BY user_id""",
+    "q_order_concat" ->
+      """SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+         FROM events WHERE user_id < 30 GROUP BY user_id ORDER BY user_id""",
+    "q_translate" ->
+      """SELECT doc_id, translate(substr(text, 1, 50), 'aeiou', '41015') AS repaired
+         FROM documents ORDER BY doc_id""",
+    "q_regex" ->
+      """SELECT doc_id,
+                regexp_extract(text, '(join|merge|sort) (\w+)', 2) AS after_op,
+                CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INTEGER) AS consonant_len
+         FROM documents ORDER BY doc_id""",
+    "q_split_tokens" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re
+         FROM documents ORDER BY doc_id""",
+    "q_case_map" ->
+      """SELECT CASE WHEN l_quantity >= 40 THEN 'x' WHEN l_quantity >= 20 THEN '-'
+                     ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS display,
+                count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY display""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY h""",
+    "q_dedup_jaccard" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents WHERE doc_id < 1000),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT ia, ib, round(inter / (sa.sz + sb.sz - inter), 6) AS jac
+         FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.9
+         ORDER BY ia, ib""",
+    "q_dedup_minhash" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            sigs AS (SELECT doc_id, band,
+                            min(md5(CAST(band AS VARCHAR) || ':' || tok)) AS sig
+                     FROM toks, (SELECT unnest(range(8)) AS band) b GROUP BY doc_id, band)
+         SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
+                CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id, n_tokens, n_stop, stop_ratio,
+                CASE WHEN stop_ratio >= 0.12 THEN 'high'
+                     WHEN stop_ratio >= 0.05 THEN 'mid' ELSE 'low' END AS quality
+         FROM (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(text, ' '),
+                        w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS BIGINT) AS n_stop,
+                  round(CAST(len(list_filter(string_split(text, ' '),
+                        w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS BIGINT)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+           FROM documents) ORDER BY doc_id""",
+    "q_text_langid" ->
+      """SELECT doc_id, s_en, s_fr, s_de,
+                CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                     WHEN s_fr > s_de THEN 'fr'
+                     WHEN s_de > 0 THEN 'de' ELSE 'unk' END AS lang_guess
+         FROM (
+           SELECT doc_id,
+                  CAST((length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3 AS BIGINT) AS s_en,
+                  CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
+                  CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
+           FROM documents) ORDER BY doc_id""",
+    "q_dedup_embedding" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+                    FROM embeddings WHERE vec_id < 500),
+            pairs AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), (x, y) -> x + y) AS dot,
+                     list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y) AS na,
+                     list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y) AS nb
+              FROM q a JOIN q b ON a.vec_id < b.vec_id)
+         SELECT ia, ib, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
+         FROM pairs WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35
+         ORDER BY ia, ib""",
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nb,
+                     list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos
+              FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT qid, nb, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb) AS rank
+              FROM scored)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+  )
+}
