@@ -25,7 +25,12 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
+  // collector choice is measured per-workload (see GraftSession
+  // scaladoc + BASELINE.md); env-overridable for experiments
+  sys.env.getOrElse("GRAFT_GC", "-XX:+UseParallelGC"),
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: big enough for 32-thread extraction churn, below the
+  // 32g compressed-oops cliff (box has 128 GiB)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

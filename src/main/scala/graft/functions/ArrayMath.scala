@@ -1,0 +1,66 @@
+package org.apache.spark.sql.graftx
+
+// Lives under org.apache.spark.sql because AbstractDataType and the
+// Column↔Expression bridge (classic.ExpressionUtils) are private[sql] —
+// the standard extension-point placement for third-party Catalyst
+// expressions. Public API is re-exported as graft.functions.ArrayMath.
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expression for the similarity-search hot path.
+  *
+  * Spark's higher-order functions (zip_with/aggregate) are
+  * CodegenFallback — interpreted per row — which made the pairwise
+  * cosine queries lambda-bound (measured 72s at sf0.1). This generates
+  * a tight primitive loop inside whole-stage codegen instead
+  * (SURVEY.md §7.3: custom Expression only where profiling shows a
+  * win — this is that case).
+  */
+case class LongArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArrayDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftArrayMath {
+  def dotL(a: Column, b: Column): Column =
+    ExpressionUtils.column(LongArrayDot(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

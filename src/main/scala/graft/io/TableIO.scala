@@ -1,0 +1,175 @@
+package graft.io
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.ExtractedTurn
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-lite table layout over a plain parquet directory — the
+  * sandbox stand-in for the Iceberg contract the north rule names
+  * (no Iceberg runtime jar ships with this image; SURVEY.md §7.1).
+  * A real `format("iceberg")` catalog is a drop-in replacement behind
+  * this object's API.
+  *
+  * Layout:
+  *   root/bucket=<b>/…parquet        data, b = pmod(xxhash64(conv_id), B)
+  *   root/_snapshots/snap-<k>.json   committed buckets + lineage rows
+  *
+  * Guarantees:
+  *  - waves of buckets commit atomically: data written under
+  *    root/_staging/<b>, renamed into place, THEN the snapshot is
+  *    written via temp+rename — a crash leaves either a fully
+  *    committed wave (snapshot present) or replayable staging garbage;
+  *  - resume skips buckets named in the latest snapshot and rewrites
+  *    any partially-written uncommitted bucket from scratch
+  *    (idempotent: per-turn extraction is a pure function);
+  *  - per-bucket lineage (rows, key range, error rows, wall ms) is
+  *    computed from the DURABLE files (read-back after rename), not
+  *    from in-flight data.
+  */
+object TableIO {
+
+  final case class BucketLineage(
+      bucket: Int, rows: Long, minKey: String, maxKey: String,
+      errorRows: Long, wallMs: Long, snapshotId: Int)
+
+  def bucketOf(convIdCol: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(convIdCol), lit(buckets)).cast("int")
+
+  private def snapDir(root: String) = Paths.get(root, "_snapshots")
+
+  /** Buckets recorded committed by the latest snapshot (with its id). */
+  def committed(root: String): (Int, Set[Int]) = {
+    val d = snapDir(root)
+    if (!Files.isDirectory(d)) return (-1, Set.empty)
+    val snaps = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      .toSeq
+    if (snaps.isEmpty) return (-1, Set.empty)
+    val latest = snaps.max
+    val json = Files.readString(d.resolve(s"snap-$latest.json"))
+    val ids = "\"bucket\":\\s*(\\d+)".r.findAllMatchIn(json).map(_.group(1).toInt).toSet
+    (latest, ids)
+  }
+
+  /** Lineage from the LATEST snapshot — each snapshot is a full
+    * manifest (one row per live bucket), Iceberg-style. */
+  def lineage(root: String): Seq[BucketLineage] = {
+    val d = snapDir(root)
+    if (!Files.isDirectory(d)) return Nil
+    val ids = Files.list(d).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      .toSeq
+    if (ids.isEmpty) return Nil
+    val latest = ids.max
+    val entry = ("\\{\"bucket\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+),\\s*\"minKey\":\\s*\"([^\"]*)\"," +
+      "\\s*\"maxKey\":\\s*\"([^\"]*)\",\\s*\"errorRows\":\\s*(\\d+),\\s*\"wallMs\":\\s*(\\d+)\\}").r
+    entry.findAllMatchIn(Files.readString(d.resolve(s"snap-$latest.json"))).map(m =>
+      BucketLineage(m.group(1).toInt, m.group(2).toLong, m.group(3), m.group(4),
+        m.group(5).toLong, m.group(6).toLong, latest)).toSeq
+  }
+
+  /** Write (or resume writing) the extracted table in `waves` groups of
+    * conv_id-hash buckets. Returns lineage rows for the buckets written
+    * in THIS invocation. */
+  def writeExtracted(
+      ds: Dataset[ExtractedTurn],
+      root: String,
+      buckets: Int = 32,
+      waves: Int = 4,
+      stopAfterWaves: Int = Int.MaxValue): Seq[BucketLineage] = {
+    val spark = ds.sparkSession
+    Files.createDirectories(snapDir(root))
+    val (lastSnap, done) = committed(root)
+    var snapId = lastSnap
+    val written = Seq.newBuilder[BucketLineage]
+    val withBucket = ds.withColumn("bucket", bucketOf(col("conv_id"), buckets))
+
+    for (wave <- 0 until math.min(waves, stopAfterWaves)) {
+      val waveBuckets = (0 until buckets).filter(b => b % waves == wave && !done.contains(b))
+      if (waveBuckets.nonEmpty) {
+        val t0 = System.currentTimeMillis()
+        // clean any partial leftovers from a crashed run (idempotence)
+        for (b <- waveBuckets) {
+          deleteRecursively(Paths.get(root, s"bucket=$b"))
+          deleteRecursively(Paths.get(root, "_staging", b.toString))
+        }
+        val staged = s"$root/_staging/wave-$wave"
+        deleteRecursively(Paths.get(staged))
+        withBucket
+          .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
+          .repartition(waveBuckets.length, col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(staged)
+        // atomic-ish publish: rename each bucket dir into place
+        for (b <- waveBuckets) {
+          val src = Paths.get(staged, s"bucket=$b")
+          if (Files.isDirectory(src)) {
+            Files.move(src, Paths.get(root, s"bucket=$b"), StandardCopyOption.ATOMIC_MOVE)
+          } else {
+            Files.createDirectories(Paths.get(root, s"bucket=$b")) // empty bucket
+          }
+        }
+        deleteRecursively(Paths.get(staged))
+        val wallMs = System.currentTimeMillis() - t0
+        // lineage from durable files (skip buckets that landed empty —
+        // an empty dir has no schema to read)
+        val nonEmpty = waveBuckets.filter { b =>
+          val dir = Paths.get(root, s"bucket=$b")
+          Files.isDirectory(dir) && Files.list(dir).iterator().asScala
+            .exists(_.getFileName.toString.endsWith(".parquet"))
+        }
+        val rows: Map[Int, (Long, String, String, Long)] =
+          if (nonEmpty.isEmpty) Map.empty
+          else spark.read.option("basePath", root)
+            .parquet(nonEmpty.map(b => s"$root/bucket=$b"): _*)
+            .groupBy(col("bucket")).agg(
+              count(lit(1)).as("rows"),
+              min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+              sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+            .collect()
+            .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+            .toMap
+        snapId += 1
+        val lin = waveBuckets.map { b =>
+          val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+          BucketLineage(b, n, lo, hi, e, wallMs, snapId)
+        }
+        written ++= lin
+        publishSnapshot(root, snapId, lin)
+      }
+    }
+    written.result()
+  }
+
+  private def publishSnapshot(root: String, id: Int,
+      newLineage: Seq[BucketLineage]): Unit = {
+    // snapshot = previous lineage ∪ this wave's (full manifest each time,
+    // like an Iceberg snapshot referencing all live manifests)
+    val prev = lineage(root).filter(l => !newLineage.exists(_.bucket == l.bucket))
+    val all = (prev ++ newLineage).sortBy(_.bucket)
+    val body = all.map(l =>
+      s"""{"bucket": ${l.bucket}, "rows": ${l.rows}, "minKey": "${l.minKey}", "maxKey": "${l.maxKey}", "errorRows": ${l.errorRows}, "wallMs": ${l.wallMs}}""")
+      .mkString("[\n  ", ",\n  ", "\n]")
+    val tmp = snapDir(root).resolve(s".snap-$id.json.tmp")
+    Files.writeString(tmp, s"""{"snapshot": $id, "committed": $body}""")
+    Files.move(tmp, snapDir(root).resolve(s"snap-$id.json"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    spark.read.option("basePath", root).parquet(root)
+      .drop("bucket")
+      .as[ExtractedTurn]
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}

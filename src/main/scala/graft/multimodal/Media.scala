@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing for a training-data pipeline: media
+  * payloads ride as opaque `binary` columns with typed metadata; decode
+  * / feature-extract / resize / frame-sample run as BATCHED
+  * per-partition transforms (the Scala analog of `mapInPandas` — same
+  * batch shape, same partitioning story).
+  *
+  * !! The codec step is a STUB: no image/audio libraries ship in this
+  * container. `decodeStub` produces a deterministic fake raster/pcm
+  * from the payload bytes so the Spark-side plumbing (schema, batch
+  * iteration, scratch-buffer reuse, partition sizing) is real and
+  * tested; swap `decodeStub` for an actual codec on a real cluster. */
+object Media {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRateHz: Int,
+      durationMs: Int, codec: String)
+  final case class MediaRow(media_id: Long, kind: String,
+      payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      luma_hist: Array[Long], mean_luma: Double, frames_sampled: Int,
+      thumb_w: Int, thumb_h: Int)
+
+  /** Deterministic synthetic media table derived from the documents
+    * table (payload = utf-8 bytes standing in for encoded media). */
+  def synthMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        val kind = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        val meta = kind match {
+          case "image" => MediaMeta(640 + (id % 4).toInt * 160, 480, 0, 0, "fake-jpeg")
+          case "audio" => MediaMeta(0, 0, 16000, (n * 10).toInt, "fake-pcm")
+          case _       => MediaMeta(1280, 720, 0, (n * 40).toInt, "fake-h264")
+        }
+        MediaRow(id, kind, text.getBytes("UTF-8"), meta)
+      }
+  }
+
+  /** STUB decode: deterministic fake "raster" = the payload bytes
+    * themselves; real impl would call the codec here. */
+  private def decodeStub(payload: Array[Byte], scratch: Array[Long]): Unit = {
+    java.util.Arrays.fill(scratch, 0L)
+    var i = 0
+    while (i < payload.length) { scratch(payload(i) & 0xff) += 1; i += 1 }
+  }
+
+  /** Frame-sampling rule: one frame per 10s of video, min 1; images
+    * sample 1; audio samples one window per 30s. */
+  def framesToSample(kind: String, meta: MediaMeta): Int = kind match {
+    case "video" => math.max(1, meta.durationMs / 10000)
+    case "audio" => math.max(1, meta.durationMs / 30000)
+    case _       => 1
+  }
+
+  /** Thumbnail (resize) rule: fit into 128×128 preserving aspect. */
+  def thumbSize(meta: MediaMeta): (Int, Int) =
+    if (meta.width <= 0 || meta.height <= 0) (0, 0)
+    else if (meta.width >= meta.height) (128, math.max(1, 128 * meta.height / meta.width))
+    else (math.max(1, 128 * meta.width / meta.height), 128)
+
+  /** Batched feature extraction — iterates each partition in fixed-size
+    * batches with a REUSED scratch histogram (the mapInPandas batch
+    * shape: amortized per-batch setup, bounded memory per task). */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val scratch = new Array[Long](256)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          decodeStub(m.payload, scratch)
+          val hist = java.util.Arrays.copyOf(scratch, 256)
+          var sum = 0L; var n = 0L; var b = 0
+          while (b < 256) { sum += hist(b) * b; n += hist(b); b += 1 }
+          val (tw, th) = thumbSize(m.meta)
+          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, hist,
+            if (n == 0) 0.0 else sum.toDouble / n,
+            framesToSample(m.kind, m.meta), tw, th)
+        }
+      }
+    }
+  }
+
+  /** Registered query surface (rows-only — stub decode has no SQL
+    * oracle): per-kind feature aggregates. */
+  def mediaFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(synthMedia(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(col("mean_luma")), 4).as("avg_luma"),
+        sum(col("frames_sampled").cast("long")).as("frames"))
+      .orderBy(col("kind"))
+  }
+}

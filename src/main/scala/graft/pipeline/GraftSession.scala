@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned local session factory — every main/test goes through this so
+  * the engine's measured configuration is in one place.
+  *
+  * Why these settings (measured on this image, see BASELINE.md):
+  *  - columnarReaderBatchSize=512: the transcript table's `text` column
+  *    averages ~3 KB/row; the default 4096-row columnar batch makes
+  *    12 MB+ OnHeapColumnVector byte arrays whose growth copies (and,
+  *    under G1 with a large heap, humongous allocations) dominated the
+  *    scan — 25× measured slowdown on object materialization. 512 rows
+  *    keeps vectors ~1.5 MB.  On a real cluster this is the same knob.
+  *  - ParallelGC: throughput collector suits batchy scan/extract work;
+  *    measured ~3× over G1 on the deserialization-heavy path.
+  *  - maxPartitionBytes=16m / openCostInBytes=1m: payload rows are fat,
+  *    so default 128 MB splits yield too few partitions to use the
+  *    cores (measured: flat scaling 8→32); smaller splits restore
+  *    bytes-balanced parallelism WITHOUT a pre-map shuffle (a salt
+  *    repartition of the raw corpus would shuffle the whole input —
+  *    measured 2-4× slower than scan-parallel at both 8 and 32 cores).
+  *  - shuffle.partitions = cores (local), AQE on (coalescing + skew).
+  */
+object GraftSession {
+  def build(cores: Int, name: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(name)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -331,17 +331,20 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
-    // similarity 1 — near-dup pairs by quantized cosine (exact-int dot)
+    // similarity 1 — near-dup pairs by quantized cosine. Per-vector
+    // quantization + norm run ONCE per row (interpreted HOF, cheap);
+    // the O(n²) pair loop uses the custom codegen'd LongArrayDot
+    // (graft.functions) — measured 10×+ over zip_with/aggregate HOFs.
     "q_dedup_embedding" -> ((s, dir) => {
       val q = t(s, dir, "embeddings")
         .filter(col("vec_id") < 500)
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
       val pairs = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
-          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L, (acc, p) -> acc + p)").as("dot"),
-          expr("aggregate(transform(a.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("na"),
-          expr("aggregate(transform(b.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("nb"))
+          graft.functions.ArrayMath.dotL(col("a.v"), col("b.v")).as("dot"),
+          col("a.norm2").as("na"), col("b.norm2").as("nb"))
       pairs
         .withColumn("cos", round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6))
         .filter(col("cos") >= 0.35)
@@ -354,13 +357,13 @@ object Relational {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"),
           expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
       val scored = q.join(broadcast(e).as("c"), col("qid") =!= col("c.vec_id"))
         .select(col("qid"), col("c.vec_id").as("nb"),
-          expr("aggregate(zip_with(qv, c.v, (x, y) -> x * y), 0L, (acc, p) -> acc + p)").as("dot"),
-          expr("aggregate(transform(qv, x -> x * x), 0L, (acc, p) -> acc + p)").as("na"),
-          expr("aggregate(transform(c.v, x -> x * x), 0L, (acc, p) -> acc + p)").as("nb2"))
+          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+          col("qn").as("na"), col("c.norm2").as("nb2"))
         .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
       val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
       scored.withColumn("rank", row_number().over(w))

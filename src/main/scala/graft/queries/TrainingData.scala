@@ -41,6 +41,9 @@ object TrainingData {
           col("variant"), col("participant_code"), col("total_score"))
     }),
 
+    // multimodal plumbing (stubbed codec; real batch/partition shape)
+    "q_media_features" -> ((s, dir) => graft.multimodal.Media.mediaFeatureQuery(s, dir)),
+
     // S9 — error-subset sink analog: rows whose extraction failed
     "q_extract_errors" -> ((s, dir) => {
       val turns = graft.pipeline.Pipeline.synthTurns(s, 500L, 8)

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.core._
+
+/** Structured Streaming face of the engine. The reference is a
+  * request/response service (one doc per HTTP call, app.py:150) — its
+  * natural distributed-streaming shape is a file/Iceberg stream of
+  * transcript turns flowing through the SAME fused per-turn transform,
+  * plus watermarked windowed quality metrics (the RequestStats analog,
+  * scripts/app_interaction/test_app_all.py:18-85) and a stateful
+  * per-conversation sessionizer (mapGroupsWithState).
+  */
+object StreamExtract {
+
+  /** File-source stream of turns (an Iceberg streaming read stands in
+    * the same spot on a real cluster). */
+  def readTurnStream(spark: SparkSession, dir: String, schemaFrom: String): Dataset[TurnInput] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(schemaFrom).schema
+    spark.readStream.schema(schema).parquet(dir).as[TurnInput]
+  }
+
+  /** The per-turn extraction as a streaming transform — identical core
+    * function, streaming-safe (pure, no shuffle). */
+  def extractStream(turns: Dataset[TurnInput]): Dataset[ExtractedTurn] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions(it =>
+      it.map(t => Extractor.extractOne(t.conv_id, t.turn_idx, t.text)))
+  }
+
+  /** Watermarked per-minute extraction quality metrics (A3 analog):
+    * counts, error rows, avg total_score. */
+  def qualityByWindow(turns: Dataset[TurnInput]): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val extracted = turns.mapPartitions { it =>
+      it.map { t =>
+        val e = Extractor.extractOne(t.conv_id, t.turn_idx, t.text)
+        (t.ts, e.errors.isDefined, e.warnings.isDefined, e.total_score)
+      }
+    }.toDF("ts", "has_error", "has_warning", "total_score")
+    extracted
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("has_error"), 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("has_warning"), 1L).otherwise(0L)).as("n_warning"),
+        sum(col("total_score").cast("long")).as("sum_score"))
+  }
+
+  final case class ConvState(nTurns: Long, nErrors: Long, sumScore: Long)
+  final case class ConvSummary(conv_id: String, nTurns: Long, nErrors: Long, sumScore: Long)
+
+  /** Custom streaming state: running per-conversation extraction
+    * summary via mapGroupsWithState (the KeyValueGroupedDataset custom
+    * state surface). */
+  def conversationState(turns: Dataset[TurnInput]): Dataset[ConvSummary] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    extractStream(turns)
+      .groupByKey(_.conv_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (convId: String, rows: Iterator[ExtractedTurn], state: GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
+          rows.foreach { e =>
+            s = ConvState(s.nTurns + 1,
+              s.nErrors + (if (e.errors.isDefined) 1 else 0),
+              s.sumScore + e.total_score)
+          }
+          state.update(s)
+          ConvSummary(convId, s.nTurns, s.nErrors, s.sumScore)
+      }
+  }
+
+  /** Drive a stream to completion over already-present files (test &
+    * demo harness): processAllAvailable then stop. */
+  def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -14,15 +14,7 @@ object RunExtract {
     val nConvs = if (args.length > 0) args(0).toLong else 1000L
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-extract-out"
     val cores  = if (args.length > 2) args(2) else "8"
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName("graft-extract")
-      .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.pipeline.GraftSession.build(cores.toInt, "graft-extract")
     import spark.implicits._
 
     val t0 = System.nanoTime()

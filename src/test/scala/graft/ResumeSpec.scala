@@ -1,0 +1,72 @@
+package graft
+
+import graft.core._
+import graft.io.TableIO
+import java.nio.file.{Files, Paths}
+
+/** Checkpoint/resume semantics (SURVEY.md §5 item 5): kill after wave
+  * k, resume from the snapshot, byte-equal final table + lineage rows
+  * covering every bucket exactly once. */
+class ResumeSpec extends SparkSuite {
+
+  private def freshDir(name: String): String = {
+    val d = Files.createTempDirectory(name).toString
+    d
+  }
+
+  private def extracted() = {
+    val turns = graft.pipeline.Pipeline.synthTurns(spark, 150L, 8)
+    graft.pipeline.Pipeline.extractTurns(turns)
+  }
+
+  private def dump(root: String): Seq[String] = {
+    TableIO.readExtracted(spark, root)
+      .orderBy("conv_id", "turn_idx")
+      .collect()
+      .map(Json.turnJson)
+      .toSeq
+  }
+
+  test("one-shot write: lineage covers every bucket exactly once, counts add up") {
+    val root = freshDir("graft-oneshot")
+    val lin = TableIO.writeExtracted(extracted(), root, buckets = 16, waves = 4)
+    assert(lin.map(_.bucket).sorted == (0 until 16).toVector)
+    assert(TableIO.lineage(root).map(_.bucket).sorted == (0 until 16).toVector)
+    val total = TableIO.readExtracted(spark, root).count()
+    assert(lin.map(_.rows).sum == total && total > 0)
+    // key ranges are real
+    assert(lin.filter(_.rows > 0).forall(l => l.minKey <= l.maxKey))
+  }
+
+  test("kill after wave 2 → resume → byte-equal to one-shot write") {
+    val rootA = freshDir("graft-full")
+    val rootB = freshDir("graft-resumed")
+    TableIO.writeExtracted(extracted(), rootA, buckets = 16, waves = 4)
+
+    // crash: only 2 of 4 waves commit
+    val firstLin = TableIO.writeExtracted(extracted(), rootB, buckets = 16, waves = 4,
+      stopAfterWaves = 2)
+    assert(firstLin.map(_.bucket).toSet.size == 8)
+    val (snap1, done1) = TableIO.committed(rootB)
+    assert(done1.size == 8 && snap1 >= 0)
+
+    // simulate a partially-written uncommitted bucket left by the crash
+    val partial = (0 until 16).find(b => !done1.contains(b)).get
+    Files.createDirectories(Paths.get(rootB, s"bucket=$partial"))
+    Files.writeString(Paths.get(rootB, s"bucket=$partial", "garbage.parquet"), "not parquet")
+
+    // resume: writes only the remaining buckets, replacing the partial
+    val secondLin = TableIO.writeExtracted(extracted(), rootB, buckets = 16, waves = 4)
+    assert(secondLin.map(_.bucket).toSet == (0 until 16).toSet -- done1)
+    assert(TableIO.lineage(rootB).map(_.bucket).sorted == (0 until 16).toVector)
+
+    assert(dump(rootB) == dump(rootA))
+  }
+
+  test("resume on a fully-committed table is a no-op") {
+    val root = freshDir("graft-noop")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val again = TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    assert(again.isEmpty)
+  }
+}
