@@ -31,6 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 24g default: big enough for 32-thread extraction churn, below the
-  // 32g compressed-oops cliff (box has 128 GiB)
+  // 32g compressed-oops cliff (box has 128 GiB). Deliberately NOT
+  // pinning -Xms: measured (2x alternating runs) that a pre-sized
+  // 24g heap makes ParallelGC scavenges 5-7x slower on this workload —
+  // adaptive sizing from a small initial heap wins.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

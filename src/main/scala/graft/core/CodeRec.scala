@@ -42,7 +42,7 @@ object CodeRec {
     // Digit components: glyph spans fully inside the crop, big enough.
     val inside = spans.filter(s =>
       s.kind == "g" && crop.containsFully(s) && s.area > MinGlyphArea)
-    val sorted  = inside.sortBy(_.x1)
+    val sorted  = Sorts.sorted(inside, Sorts.spanByX1)
     val dropped = sorted.drop(3) // 3 leftmost = label noise (:69-72)
     if (dropped.isEmpty) return Right(None) // :74-75, no error
     val sb = new StringBuilder

@@ -148,9 +148,9 @@ object Extractor {
     * '\n'. Offsets into the original payload for every serialized span
     * that has them. */
   def serializeContent(spans: Vector[Span]): (String, Vector[SpanOffset]) = {
-    val textSpans = spans
-      .filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty)
-      .sortBy(s => (s.page, s.y1, s.x1))
+    val textSpans = Sorts.sorted(
+      spans.filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty),
+      Sorts.spanReadingOrder)
     if (textSpans.isEmpty) return ("", Vector.empty)
     val sb = new StringBuilder
     val offs = Vector.newBuilder[SpanOffset]

@@ -15,9 +15,9 @@ object Header {
     * .strip() at app.py:113).
     */
   def serializeRegion(spans: IndexedSeq[Span], region: Bbox): String = {
-    val words = spans
-      .filter(s => s.kind == "w" && s.page == 0 && region.containsFully(s))
-      .sortBy(s => (s.y1, s.x1))
+    val words = Sorts.sorted(
+      spans.filter(s => s.kind == "w" && s.page == 0 && region.containsFully(s)),
+      Sorts.spanByYX)
     if (words.isEmpty) return ""
     val sb = new StringBuilder
     var prevY = Integer.MIN_VALUE

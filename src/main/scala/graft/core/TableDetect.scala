@@ -47,7 +47,9 @@ object TableDetect {
     val filtered = cells.filter(c =>
       c.conf >= ConfThreshold && c.y1 >= MinY && c.y1 <= MaxY)
     if (filtered.isEmpty) return Vector.empty
-    val sorted = filtered.sortBy(_.yCenter)
+    val sorted = Sorts.sorted(filtered, Sorts.cellByYCenter)
+    def closeRow(row: Vector[Cell]): Vector[Cell] =
+      Sorts.sorted(row, Sorts.cellByXCenter).toVector
     val rows = Vector.newBuilder[Vector[Cell]]
     var current = Vector.newBuilder[Cell]
     var currentSize = 0
@@ -55,7 +57,7 @@ object TableDetect {
     for (c <- sorted) {
       val yc = c.yCenter
       if (!yPrev.isNaN && math.abs(yc - yPrev) > RowThreshold) {
-        rows += current.result().sortBy(_.xCenter)
+        rows += closeRow(current.result())
         current = Vector.newBuilder[Cell]
         currentSize = 0
       }
@@ -63,7 +65,7 @@ object TableDetect {
       currentSize += 1
       yPrev = yc
     }
-    if (currentSize > 0) rows += current.result().sortBy(_.xCenter)
+    if (currentSize > 0) rows += closeRow(current.result())
     rows.result()
   }
 

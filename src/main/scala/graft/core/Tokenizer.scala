@@ -390,7 +390,7 @@ object Tokenizer {
     * spans (sorted by y1) whose y1 gap ≤ 70px share a block. */
   private def groupByLineGap(spans: Vector[Span]): Vector[Block] = {
     if (spans.isEmpty) return Vector.empty
-    val sorted = spans.sortBy(s => (s.page, s.y1, s.x1))
+    val sorted = Sorts.sorted(spans, Sorts.spanReadingOrder)
     val blocks = Vector.newBuilder[Block]
     var cur = Vector.newBuilder[Span]
     var curWords = 0; var curChars = 0

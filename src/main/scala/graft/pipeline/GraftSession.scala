@@ -30,8 +30,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")
-      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
-      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (512L << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -352,6 +352,54 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // S2/F10 — base64 decode/encode round trip
+    "q_base64" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), base64(col("text").cast("binary")).as("b64"))
+        .select(col("doc_id"), substring(col("b64"), 1, 64).as("b64_prefix"),
+          length(unbase64(col("b64")).cast("string")).cast("long").as("decoded_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // text 4 — rolling polynomial fingerprint (Karp-Rabin style);
+    // fold semantics aligned with DuckDB list_reduce (first element is
+    // the accumulator seed)
+    "q_text_rollhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """aggregate(
+             |  slice(regexp_extract_all(text, '.', 0), 2, length(text)),
+             |  cast(ascii(substring(text, 1, 1)) as bigint),
+             |  (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007L))""".stripMargin)
+          .as("rollhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // similarity 3 — IVF-style ANN: the `label` column is the coarse
+    // quantizer (inverted list id); candidates are restricted to the
+    // query's list — the scale path vs the brute-force baseline below
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("norm2").as("qn"))
+      val scored = q.join(broadcast(e).as("c"),
+          col("qlabel") === col("c.label") && col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+          col("qn").as("na"), col("c.norm2").as("nb2"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // similarity 2 — brute-force cosine top-k ANN baseline
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -543,6 +591,32 @@ object Relational {
          SELECT ia, ib, round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos
          FROM pairs WHERE round(dot / (sqrt(na) * sqrt(nb)), 6) >= 0.35
          ORDER BY ia, ib""",
+    "q_base64" ->
+      """SELECT doc_id, substr(to_base64(CAST(text AS BLOB)), 1, 64) AS b64_prefix,
+                CAST(length(CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR)) AS BIGINT) AS decoded_len
+         FROM documents ORDER BY doc_id""",
+    "q_text_rollhash" ->
+      """SELECT doc_id,
+                list_reduce(list_transform(regexp_extract_all(text, '.'),
+                    c -> CAST(ascii(c) AS BIGINT)),
+                  (a, b) -> (a * 31 + b) % 1000000007) AS rollhash
+         FROM documents ORDER BY doc_id""",
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nb,
+                     list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos
+              FROM e q JOIN e c ON q.vec_id < 10 AND c.label = q.label AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT qid, nb, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb) AS rank
+              FROM scored)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
                     FROM embeddings),

@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Relational
+
+/** Physical-plan quality gates (SURVEY.md §4): these assertions pin the
+  * plan shapes that matter at 100 TB — filter/projection pushdown to
+  * the parquet scan, broadcast joins for dims, no shuffle in front of
+  * the per-turn map, whole-stage codegen over the scan. A regression
+  * here is a performance bug even when results stay correct. */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Relational.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("scan+filter pushes predicates and prunes columns at the source") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"),
+      s"no pushed filters in:\n$p")
+    // projection pruning: the scan must not read l_extendedprice etc.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_partkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dim lookups broadcast (no shuffle join on small sides)") {
+    val p = plan("q_join_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("semi/anti joins use join strategies, not subquery re-scans") {
+    assert(plan("q_join_semi").contains("Semi"), plan("q_join_semi"))
+    assert(plan("q_join_anti").contains("Anti"), plan("q_join_anti"))
+  }
+
+  test("grouped aggregation is partial+final hash agg (map-side combine)") {
+    val p = plan("q_agg_pricing")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("extraction pipeline has no pre-map shuffle and codegens the scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("plan-turns").toString
+    graft.pipeline.Pipeline.synthTurns(spark, 20L, 2).write.mode("overwrite").parquet(tmp)
+    val turns = spark.read.parquet(tmp).as[graft.core.TurnInput]
+    val p = graft.pipeline.Pipeline.extractTurns(turns)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"unexpected shuffle before per-turn map:\n$p")
+    assert(p.contains("*(1)"), s"no whole-stage-codegen span over the scan:\n$p")
+    // the salted variant DOES have exactly its one explicit exchange
+    val ps = graft.pipeline.Pipeline.extractTurnsSalted(turns, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(ps).size >= 1, ps)
+  }
+
+  test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
+    val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
+    assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
+      p.toLowerCase.contains("long_array_dot"), p.take(2000))
+  }
+}
