@@ -17,7 +17,22 @@ import java.math.RoundingMode
   */
 object Extractor {
 
-  def extractOne(convId: String, turnIdx: Int, payload: String): ExtractedTurn = {
+  /** Total function over arbitrary payloads: any parse/geometry failure
+    * becomes an error ROW (the row-level analog of the reference's
+    * HTTP-500 catch-all, app.py:242-245) — a malformed turn must never
+    * fail a task on a 10^12-turn corpus. The error string carries only
+    * the exception class, keeping output deterministic. */
+  def extractOne(convId: String, turnIdx: Int, payload: String): ExtractedTurn =
+    try extractOneUnsafe(convId, turnIdx, payload)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        ExtractedTurn(convId, turnIdx, None, None, None, None, 0, Vector.empty,
+          "", Vector.empty,
+          Some(Vector(Messages.ProcessingErrorPrefix + e.getClass.getSimpleName)),
+          None)
+    }
+
+  private def extractOneUnsafe(convId: String, turnIdx: Int, payload: String): ExtractedTurn = {
     val errors   = Vector.newBuilder[String]
     val warnings = Vector.newBuilder[String]
 

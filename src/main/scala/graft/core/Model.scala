@@ -112,4 +112,6 @@ object Messages {
   val TableError   = "Не удалось распознать таблицу"                    // app.py:208
   val ConfigMissWarning = "Не найдена существующая конфигурация для таблиц" // app.py:183
   val LowConfPrefix = "Низкая уверенность в заданиях: "                 // app.py:229
+  // Row-level analog of the reference's HTTP-500 catch-all (app.py:242-245)
+  val ProcessingErrorPrefix = "Не удалось обработать документ: "
 }

@@ -251,6 +251,51 @@ object Relational {
         .orderBy(col("display"))
     }),
 
+    // rollup — hierarchical aggregation (grouping-set surface)
+    "q_agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // distinct aggregation
+    "q_distinct_users" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // pivot-shaped wide aggregation (fixed column set for determinism)
+    "q_pivot_types" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy((col("user_id") / 10).cast("long").as("cohort"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("cohort"))
+    }),
+
+    // as-of join: for every error event, the most recent prior click by
+    // the same user (carry-forward window form — identical semantics in
+    // both engines, no engine-specific ASOF syntax)
+    "q_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("last_click_ms",
+          max(when(col("event_type") === "click",
+            unix_millis(col("ts").cast("timestamp")))).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("last_click_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // dedup 1 — exact hash-group dedupe
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -529,6 +574,30 @@ object Relational {
                      ELSE CAST(CAST(l_quantity AS INTEGER) AS VARCHAR) END AS display,
                 count(*) AS n
          FROM lineitem GROUP BY 1 ORDER BY display""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf, coalesce(l_linestatus, '(all)') AS ls,
+                count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_distinct_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot_types" ->
+      """SELECT CAST(user_id // 10 AS BIGINT) AS cohort,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+         FROM events GROUP BY 1 ORDER BY cohort""",
+    "q_asof_join" ->
+      """SELECT event_id, user_id, last_click_ms FROM (
+           SELECT event_id, user_id, event_type,
+                  max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
+           FROM events)
+         WHERE event_type = 'error' ORDER BY event_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY h""",

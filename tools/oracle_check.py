@@ -15,12 +15,11 @@ for tbl in ["region","nation","customer","supplier","part","orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def norm(v):
-    if v is None: return None
+    # everything becomes a string so rows sort even with NULLs mixed in
+    if v is None: return "\x00NULL"
     if isinstance(v, float):
         if math.isnan(v): return "nan"
-        return round(v, 9)
-    if isinstance(v, bool): return v
-    if isinstance(v, int): return v
+        return repr(round(v, 9))
     return str(v)
 
 fails = []
