@@ -76,24 +76,31 @@ object Bench {
       s.stop()
       secs
     }
+    // Three parallelism levels, giving two N→4N pairs (2→8 and 8→32).
     // This sandbox shows noisy-neighbor interference (identical runs
-    // vary up to 4×), so the 8-vs-32 pair is measured INTERLEAVED and
-    // best-of-N is reported — best-of reflects machine capability, and
-    // interleaving keeps the pair under comparable external load.
+    // vary up to 4×), so levels are measured INTERLEAVED and best-of-N
+    // is reported — best-of reflects machine capability, interleaving
+    // keeps the pairs under comparable external load. The 8→32 pair
+    // additionally saturates the single socket's memory/GC bandwidth
+    // (see BASELINE.md analysis) — a cross-machine effect a real 4×
+    // executor cluster does not share.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    var sec8 = Double.MaxValue; var sec32 = Double.MaxValue
-    for (_ <- 0 until reps) {
+    var sec2 = Double.MaxValue; var sec8 = Double.MaxValue; var sec32 = Double.MaxValue
+    for (r <- 0 until reps) {
+      if (r < 2) sec2 = math.min(sec2, runExtract(2, salted = false))
       sec8 = math.min(sec8, runExtract(8, salted = false))
       sec32 = math.min(sec32, runExtract(32, salted = false))
     }
     val secSalted32 = runExtract(32, salted = true)
+    val tps2  = nTurns / sec2
     val tps8  = nTurns / sec8
     val tps32 = nTurns / sec32
-    val eff   = tps32 / (4.0 * tps8)
+    val eff28  = tps8 / (4.0 * tps2)
+    val eff832 = tps32 / (4.0 * tps8)
 
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = qTimes.values.sum
     println(
-      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local8_sec":$sec8%.3f,"local8_tps":$tps8%.1f,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"scaling_efficiency":$eff%.3f,"salted32_sec":$secSalted32%.3f},"queries_total_sec":$totalQ%.3f}""")
+      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local2_sec":$sec2%.3f,"local2_tps":$tps2%.1f,"local8_sec":$sec8%.3f,"local8_tps":$tps8%.1f,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"scaling_efficiency_2_8":$eff28%.3f,"scaling_efficiency_8_32":$eff832%.3f,"salted32_sec":$secSalted32%.3f},"queries_total_sec":$totalQ%.3f}""")
   }
 }

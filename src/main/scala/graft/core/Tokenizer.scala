@@ -79,10 +79,11 @@ object Tokenizer {
           val f = new FieldScanner(payload, i + 2, eol)
           val x1 = f.nextInt(); val y1 = f.nextInt()
           val x2 = f.nextInt(); val y2 = f.nextInt()
-          val kind = f.nextToken()
+          val kind = f.nextKind()
           val conf = f.nextDouble()
-          val (txt, s0, e0) = f.rest()
-          spans += Span(page, x1, y1, x2, y2, kind, txt, conf, s0, e0)
+          f.rest()
+          val txt = if (f.restStart < 0) "" else payload.substring(f.restStart, f.restEnd)
+          spans += Span(page, x1, y1, x2, y2, kind, txt, conf, f.restStart, f.restEnd)
         }
         // other lines (magic, comments) ignored
       }
@@ -91,14 +92,35 @@ object Tokenizer {
     groupByLineGap(spans.toVector)
   }
 
-  /** Space-separated field scanner over a [from, to) slice. */
+  /** Space-separated field scanner over a [from, to) slice. Allocation-
+    * free: kinds are interned constants, doubles hand-parsed in place,
+    * the rest-of-line exposed as fields instead of a tuple. */
   private final class FieldScanner(s: String, from: Int, to: Int) {
     private var p = from
+    var restStart: Int = -1
+    var restEnd: Int = -1
     private def skipSpaces(): Unit = { while (p < to && s.charAt(p) == ' ') p += 1 }
-    def nextToken(): String = {
-      skipSpaces(); val st = p
-      while (p < to && s.charAt(p) != ' ') p += 1
-      s.substring(st, p)
+    private def tokenEnd(): Int = {
+      var q = p
+      while (q < to && s.charAt(q) != ' ') q += 1
+      q
+    }
+    /** Known span kinds come back interned; unknown kinds substring. */
+    def nextKind(): String = {
+      skipSpaces(); val st = p; val en = tokenEnd(); p = en
+      val len = en - st
+      if (len == 1) {
+        s.charAt(st) match {
+          case 'w' => return "w"
+          case 'g' => return "g"
+          case _   => ()
+        }
+      } else if (len == 4) {
+        if (s.regionMatches(st, "cell", 0, 4)) return "cell"
+      } else if (len == 3) {
+        if (s.regionMatches(st, "box", 0, 3)) return "box"
+      }
+      s.substring(st, en)
     }
     def nextInt(): Int = {
       skipSpaces()
@@ -109,12 +131,35 @@ object Tokenizer {
       }
       if (neg) -v else v
     }
-    def nextDouble(): Double = java.lang.Double.parseDouble(nextToken())
-    /** Rest of the slice after one separating space: (text, start, end);
-      * empty text → offsets (-1,-1). */
-    def rest(): (String, Int, Int) = {
+    /** Hand-parsed [-]digits[.digits]; anything fancier falls back to
+      * Double.parseDouble on a substring. */
+    def nextDouble(): Double = {
+      skipSpaces(); val st = p; val en = tokenEnd(); p = en
+      var q = st
+      var neg = false
+      if (q < en && s.charAt(q) == '-') { neg = true; q += 1 }
+      var intPart = 0L; var any = false
+      while (q < en && s.charAt(q) >= '0' && s.charAt(q) <= '9') {
+        intPart = intPart * 10 + (s.charAt(q) - '0'); q += 1; any = true
+      }
+      var value = intPart.toDouble
+      if (q < en && s.charAt(q) == '.') {
+        q += 1
+        var frac = 0L; var scale = 1L
+        while (q < en && s.charAt(q) >= '0' && s.charAt(q) <= '9' && scale < 1000000000000000L) {
+          frac = frac * 10 + (s.charAt(q) - '0'); scale *= 10; q += 1; any = true
+        }
+        value += frac.toDouble / scale.toDouble
+      }
+      if (q != en || !any) return java.lang.Double.parseDouble(s.substring(st, en))
+      if (neg) -value else value
+    }
+    /** Rest of the slice after one separating space → restStart/restEnd
+      * fields; empty → (-1,-1). */
+    def rest(): Unit = {
       if (p < to && s.charAt(p) == ' ') p += 1
-      if (p >= to) ("", -1, -1) else (s.substring(p, to), p, to)
+      if (p >= to) { restStart = -1; restEnd = -1 }
+      else { restStart = p; restEnd = to }
     }
   }
 
@@ -138,6 +183,7 @@ object Tokenizer {
     // pending positioned attrs for the current element (depth>=1)
     var pKind: String = null; var pX = -1; var pY = -1; var pW = -1; var pH = -1
     var pConf = 1.0; var pPage = 0
+    val attrSweep = new AttrSweep
 
     def flushBlock(): Unit = {
       if (blockOpen && (spans.nonEmpty || totalChars > 0)) {
@@ -160,28 +206,28 @@ object Tokenizer {
           val nameStart = if (isEnd) i + 2 else i + 1
           var ne = nameStart
           while (ne < close && payload.charAt(ne) != ' ' && payload.charAt(ne) != '/' && payload.charAt(ne) != '>') ne += 1
-          val tag = payload.substring(nameStart, ne).toLowerCase(java.util.Locale.ROOT)
+          // in-place, case-insensitive tag checks (no substring/lowercase)
+          def tagIs(t: String): Boolean =
+            ne - nameStart == t.length && payload.regionMatches(true, nameStart, t, 0, t.length)
           val selfClosing = payload.charAt(close - 1) == '/' ||
-            tag == "br" || tag == "hr" || tag == "img" || tag == "meta" || tag == "link"
+            tagIs("br") || tagIs("hr") || tagIs("img") || tagIs("meta") || tagIs("link")
           if (!isEnd) {
-            if (tag == "body") { inBody = true; depth = 0 }
+            if (tagIs("body")) { inBody = true; depth = 0 }
             else if (inBody && !selfClosing) {
               depth += 1
               if (depth == 1) { flushBlock(); blockOpen = true }
-              if (tag == "a") inAnchor = true
-              // positioned element? read class/style/data-conf/data-page
-              val attrs = payload.substring(ne, close)
-              val cls = attrValue(attrs, "class")
-              if (cls == "w" || cls == "g" || cls == "cell" || cls == "box") {
-                val style = attrValue(attrs, "style")
-                pKind = cls
-                pX = stylePx(style, "left"); pY = stylePx(style, "top")
-                pW = stylePx(style, "width"); pH = stylePx(style, "height")
-                val dc = attrValue(attrs, "data-conf")
-                pConf = if (dc == null) 1.0 else java.lang.Double.parseDouble(dc)
-                val dp = attrValue(attrs, "data-page")
-                pPage = if (dp == null) 0 else Integer.parseInt(dp)
-                if (cls == "cell" || cls == "box") {
+              if (tagIs("a")) inAnchor = true
+              // positioned element? one in-place sweep over the
+              // attribute region [ne, close)
+              attrSweep.reset()
+              attrSweep.parse(payload, ne, close)
+              if (attrSweep.kind != null) {
+                pKind = attrSweep.kind
+                pX = attrSweep.x; pY = attrSweep.y
+                pW = attrSweep.w; pH = attrSweep.h
+                pConf = attrSweep.conf
+                pPage = attrSweep.page
+                if (pKind == "cell" || pKind == "box") {
                   // no text node required; emit immediately
                   if (pX >= 0 && pY >= 0)
                     spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, "", pConf, -1, -1)
@@ -190,9 +236,9 @@ object Tokenizer {
               }
             }
           } else { // end tag
-            if (tag == "body") inBody = false
+            if (tagIs("body")) inBody = false
             else if (inBody) {
-              if (tag == "a") inAnchor = false
+              if (tagIs("a")) inAnchor = false
               if (depth == 1) flushBlock()
               if (depth > 0) depth -= 1
               pKind = null
@@ -231,33 +277,101 @@ object Tokenizer {
     blocks.result()
   }
 
-  private def attrValue(attrs: String, name: String): String = {
-    val needle = name + "=\""
-    val at = attrs.indexOf(needle)
-    if (at < 0) return null
-    val st = at + needle.length
-    val en = attrs.indexOf('"', st)
-    if (en < 0) null else attrs.substring(st, en)
+  /** One-pass attribute scanner for a tag's [from, to) region —
+    * extracts class kind, style px geometry, data-conf, data-page
+    * without substrings or repeated needle probes. */
+  private final class AttrSweep {
+    var kind: String = null
+    var x: Int = -1; var y: Int = -1; var w: Int = -1; var h: Int = -1
+    var conf: Double = 1.0
+    var page: Int = 0
+
+    def reset(): Unit = { kind = null; x = -1; y = -1; w = -1; h = -1; conf = 1.0; page = 0 }
+
+    def parse(s: String, from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        while (i < to && (s.charAt(i) == ' ' || s.charAt(i) == '/')) i += 1
+        val ns = i
+        while (i < to && s.charAt(i) != '=' && s.charAt(i) != ' ') i += 1
+        if (i < to && s.charAt(i) == '=' && i + 1 < to && s.charAt(i + 1) == '"') {
+          val vs = i + 2
+          var ve = vs
+          while (ve < to && s.charAt(ve) != '"') ve += 1
+          val nLen = i - ns
+          if (nLen == 5 && s.regionMatches(ns, "class", 0, 5)) {
+            kind = (ve - vs) match {
+              case 1 if s.charAt(vs) == 'w' => "w"
+              case 1 if s.charAt(vs) == 'g' => "g"
+              case 4 if s.regionMatches(vs, "cell", 0, 4) => "cell"
+              case 3 if s.regionMatches(vs, "box", 0, 3)  => "box"
+              case _ => null
+            }
+          } else if (nLen == 5 && s.regionMatches(ns, "style", 0, 5)) {
+            parseStyle(s, vs, ve)
+          } else if (nLen == 9 && s.regionMatches(ns, "data-conf", 0, 9)) {
+            conf = parseDoubleIn(s, vs, ve, 1.0)
+          } else if (nLen == 9 && s.regionMatches(ns, "data-page", 0, 9)) {
+            page = parseIntIn(s, vs, ve, 0)
+          }
+          i = ve + 1
+        } else if (i < to) i += 1
+      }
+    }
+
+    /** key:value; pairs — keys compared in place. */
+    private def parseStyle(s: String, from: Int, to: Int): Unit = {
+      var i = from
+      while (i < to) {
+        while (i < to && (s.charAt(i) == ' ' || s.charAt(i) == ';')) i += 1
+        val ks = i
+        while (i < to && s.charAt(i) != ':' && s.charAt(i) != ';') i += 1
+        if (i < to && s.charAt(i) == ':') {
+          val kLen = i - ks
+          i += 1
+          val vs = i
+          while (i < to && s.charAt(i) != ';') i += 1
+          val v = parseIntIn(s, vs, i, -1)
+          if (kLen == 4 && s.regionMatches(ks, "left", 0, 4)) x = v
+          else if (kLen == 3 && s.regionMatches(ks, "top", 0, 3)) y = v
+          else if (kLen == 5 && s.regionMatches(ks, "width", 0, 5)) w = v
+          else if (kLen == 6 && s.regionMatches(ks, "height", 0, 6)) h = v
+        }
+      }
+    }
   }
 
-  /** Parse `key:<int>px` out of a style attribute; -1 when absent. */
-  private def stylePx(style: String, key: String): Int = {
-    if (style == null) return -1
-    val needle = key + ":"
-    var at = style.indexOf(needle)
-    // avoid matching "width" inside "min-width" etc. — our generator
-    // emits only the four plain keys, so a direct find is enough, but
-    // guard against "left" matching inside "padding-left"
-    while (at > 0 && style.charAt(at - 1) != ';' && style.charAt(at - 1) != ' ') {
-      at = style.indexOf(needle, at + 1)
-    }
-    if (at < 0) return -1
-    var p = at + needle.length
+  private def parseIntIn(s: String, from: Int, to: Int, dflt: Int): Int = {
+    var p = from
     var v = 0; var any = false
-    while (p < style.length && style.charAt(p) >= '0' && style.charAt(p) <= '9') {
-      v = v * 10 + (style.charAt(p) - '0'); p += 1; any = true
+    while (p < to && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
+      v = v * 10 + (s.charAt(p) - '0'); p += 1; any = true
     }
-    if (any) v else -1
+    if (any) v else dflt
+  }
+
+  /** Simple [-]digits[.digits] parsed in place; exotic forms fall back
+    * to Double.parseDouble on a substring. */
+  private def parseDoubleIn(s: String, from: Int, to: Int, dflt: Double): Double = {
+    if (to <= from) return dflt
+    var q = from
+    var neg = false
+    if (s.charAt(q) == '-') { neg = true; q += 1 }
+    var intPart = 0L; var any = false
+    while (q < to && s.charAt(q) >= '0' && s.charAt(q) <= '9') {
+      intPart = intPart * 10 + (s.charAt(q) - '0'); q += 1; any = true
+    }
+    var value = intPart.toDouble
+    if (q < to && s.charAt(q) == '.') {
+      q += 1
+      var frac = 0L; var scale = 1L
+      while (q < to && s.charAt(q) >= '0' && s.charAt(q) <= '9' && scale < 1000000000000000L) {
+        frac = frac * 10 + (s.charAt(q) - '0'); scale *= 10; q += 1; any = true
+      }
+      value += frac.toDouble / scale.toDouble
+    }
+    if (q != to || !any) return java.lang.Double.parseDouble(s.substring(from, to))
+    if (neg) -value else value
   }
 
   private def countWords(s: String): Int = {
