@@ -38,7 +38,25 @@ object Boiler {
   }
 
   /** Strip boilerplate blocks; returns the surviving content spans in
-    * input order. */
-  def contentSpans(blocks: Vector[Block]): Vector[Span] =
-    blocks.iterator.filter(isContent).flatMap(_.spans).toVector
+    * input order (two-pass exact-size array — hot path). */
+  def contentSpans(blocks: Vector[Block]): Array[Span] = {
+    var n = 0
+    var bi = 0
+    while (bi < blocks.length) {
+      if (isContent(blocks(bi))) n += blocks(bi).spans.length
+      bi += 1
+    }
+    val out = new Array[Span](n)
+    var o = 0
+    bi = 0
+    while (bi < blocks.length) {
+      val b = blocks(bi)
+      if (isContent(b)) {
+        var j = 0
+        while (j < b.spans.length) { out(o) = b.spans(j); o += 1; j += 1 }
+      }
+      bi += 1
+    }
+    out
+  }
 }

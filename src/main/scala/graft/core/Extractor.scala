@@ -36,16 +36,29 @@ object Extractor {
     val errors   = Vector.newBuilder[String]
     val warnings = Vector.newBuilder[String]
 
-    // Tokenize + boilerplate strip (S4/S5 + §2.10)
+    // Tokenize + boilerplate strip (S4/S5 + §2.10). One exact-size
+    // array of surviving spans; consumers filter in place (their
+    // predicates all carry the page==0 check), so no intermediate
+    // per-stage collections are materialized.
     val blocks  = Tokenizer.tokenize(payload)
-    val content = Boiler.contentSpans(blocks)
-    val page0   = content.filter(_.page == 0)
-    val glyphs  = page0.filter(_.kind == "g")
+    val contentArr = Boiler.contentSpans(blocks)
+    val content = scala.collection.immutable.ArraySeq.unsafeWrapArray(contentArr)
+    val glyphs  = {
+      var n = 0; var i = 0
+      while (i < contentArr.length) {
+        val s = contentArr(i); if (s.kind == "g" && s.page == 0) n += 1; i += 1
+      }
+      val a = new Array[Span](n); var o = 0; i = 0
+      while (i < contentArr.length) {
+        val s = contentArr(i); if (s.kind == "g" && s.page == 0) { a(o) = s; o += 1 }; i += 1
+      }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
 
     // Hat extraction with reserve-region retry (app.py:162-174)
-    var (subjOpt, gradeOpt, varOpt, _) = Header.recognizeHat(page0, Layouts.Hat)
+    var (subjOpt, gradeOpt, varOpt, _) = Header.recognizeHat(content, Layouts.Hat)
     if (isMissing(subjOpt) || isMissing(gradeOpt)) {
-      val retry = Header.recognizeHat(page0, Layouts.HatReserve)
+      val retry = Header.recognizeHat(content, Layouts.HatReserve)
       subjOpt = retry._1; gradeOpt = retry._2; varOpt = retry._3
     }
     if (isMissing(subjOpt) || isMissing(gradeOpt)) {
@@ -76,7 +89,7 @@ object Extractor {
     var digits: List[(Int, Double)] = Nil
     key.foreach { k =>
       val cfg = Layouts.configs(k)
-      TableDetect.recognizeTable(page0, glyphs, cfg, TableDetect.MainDetector) match {
+      TableDetect.recognizeTable(content, glyphs, cfg, TableDetect.MainDetector) match {
         case Some(d) =>
           digits = d
           taskNumbers = splitTasks(cfg.taskNumbers)
@@ -84,9 +97,9 @@ object Extractor {
       }
     }
     if (key.isEmpty || digits.isEmpty) {
-      val all = TableDetect.recognizeTableAll(page0, glyphs, TableDetect.MainDetector)
+      val all = TableDetect.recognizeTableAll(content, glyphs, TableDetect.MainDetector)
         .filter(_._2.nonEmpty)
-        .orElse(TableDetect.recognizeTableAll(page0, glyphs, TableDetect.ExtraDetector))
+        .orElse(TableDetect.recognizeTableAll(content, glyphs, TableDetect.ExtraDetector))
       all match {
         case Some((t, d)) => taskNumbers = t; digits = d
         case None         => taskNumbers = Nil; digits = Nil
@@ -122,8 +135,7 @@ object Extractor {
     // serialization of the surviving content text spans. First-page-only
     // rule (O4, app.py:62): page>0 spans are invisible; page 9 is the
     // off-grid home of kept flow text.
-    val (extractedText, offsets) =
-      serializeContent(content.filter(s => s.page == 0 || s.page == 9))
+    val (extractedText, offsets) = serializeContent(content)
 
     val errs  = errors.result()
     val warns = warnings.result()
@@ -160,11 +172,14 @@ object Extractor {
 
   /** Reading-order serialization of content spans that carry text:
     * order by (page, y1, x1); words on one line joined by ' ', lines by
-    * '\n'. Offsets into the original payload for every serialized span
-    * that has them. */
-  def serializeContent(spans: Vector[Span]): (String, Vector[SpanOffset]) = {
+    * '\n'. First-page-only rule (O4, app.py:62) folded in: page>0 spans
+    * are invisible, page 9 is the off-grid home of kept flow text.
+    * Offsets into the original payload for every serialized span that
+    * has them. */
+  def serializeContent(spans: IndexedSeq[Span]): (String, Vector[SpanOffset]) = {
     val textSpans = Sorts.sorted(
-      spans.filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty),
+      spans.filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty &&
+        (s.page == 0 || s.page == 9)),
       Sorts.spanReadingOrder)
     if (textSpans.isEmpty) return ("", Vector.empty)
     val sb = new StringBuilder
