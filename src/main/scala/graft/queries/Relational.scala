@@ -296,6 +296,23 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // W3 — cascade dedupe as a relational fold: per user, sorted event
+    // values deduped with the reference's pops-cascade semantics
+    // (survivor count). Fold seeded with the first element so the
+    // Spark `aggregate` matches DuckDB `list_reduce` exactly.
+    "q_cascade_dedupe" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(round(col("value") * 100).cast("long"))).as("vs"))
+        .select(col("user_id"), expr(
+          """aggregate(
+             |  slice(transform(vs, x -> struct(x as last, 1L as n)), 2, size(vs)),
+             |  struct(element_at(vs, 1) as last, 1L as n),
+             |  (a, b) -> if(b.last - a.last > 50, struct(b.last as last, a.n + 1L as n), a)
+             |).n""".stripMargin).as("survivors"))
+        .orderBy(col("user_id"))
+    }),
+
     // dedup 1 — exact hash-group dedupe
     "q_dedup_exact" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -598,6 +615,22 @@ object Relational {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ms
            FROM events)
          WHERE event_type = 'error' ORDER BY event_id""",
+    // NB: formulated as a recursive greedy chain, NOT list_reduce —
+    // DuckDB 1.0's list_reduce with struct accumulators returns
+    // nondeterministic results across grouped rows (verified: same
+    // list, different fold results run to run).
+    "q_cascade_dedupe" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id, CAST(round(value*100) AS BIGINT) AS v FROM events),
+         surv AS (
+           SELECT user_id, min(v) AS last, CAST(1 AS BIGINT) AS n FROM ev GROUP BY user_id
+           UNION ALL
+           SELECT s.user_id,
+                  (SELECT min(e.v) FROM ev e WHERE e.user_id = s.user_id AND e.v > s.last + 50),
+                  s.n + 1
+           FROM surv s
+           WHERE EXISTS (SELECT 1 FROM ev e WHERE e.user_id = s.user_id AND e.v > s.last + 50))
+         SELECT user_id, max(n) AS survivors FROM surv GROUP BY user_id ORDER BY user_id""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY h""",
