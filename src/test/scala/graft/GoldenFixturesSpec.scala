@@ -63,6 +63,24 @@ class GoldenFixturesSpec extends AnyFunSuite {
     }
   }
 
+  test("golden plain-dialect page byte-equal (unit-confidence fixture)") {
+    // plain char-grid payloads carry no confidence metadata (all 1.0),
+    // so this fixture is synthetic rather than reference-derived
+    val spec = PageSpec(
+      displaySubject = "История", grade = "5", variant = "2",
+      headerStyle = 0, hatOverflow = false,
+      code = Some("314"), codeMissingBox = false,
+      layoutKey = Some("история 5"), tableKind = ConfigClean,
+      cells = Vector(fx(2, 1), fx(0, 1), fx(X, 1), fx(3, 1), fx(10, 1), fx(1, 1), fx(2, 1)),
+      nBandA = 4, dialect = "plain",
+      dupCell = false, faintCells = false, specks = false, extraPage = false)
+    val (payload, _, _) = Render.payload(spec)
+    val got = Extractor.extractOne("conv-plain", 0, payload)
+    assert(Json.responseJson(got) ==
+      """{"subject": "история", "grade": "5", "variant": "2", "participant_code": "314", "total_score": 8, "scores": {"1": [2, 1.0], "2": [0, 1.0], "3": ["x", 1.0], "4": [3, 1.0], "5": ["-", 1.0], "6": [1, 1.0], "7": [2, 1.0]}, "errors": null, "warnings": null}""",
+      s"\npayload:\n$payload\n got: ${Json.responseJson(got)}")
+  }
+
   test("golden serialization is stable under payload dialect") {
     for (f <- fixtures) {
       val jsons = Seq("pdf", "html").map { d =>
