@@ -27,6 +27,43 @@ object Relational {
   private def cents(c: org.apache.spark.sql.Column) =
     round(c * 100).cast("long")
 
+  /** 32-bit majority-vote SimHash per document over md5-derived token
+    * hashes (first 8 md5 hex chars → bigint — portable across engines,
+    * unlike xxhash64). One partial+final hash agg with 32 vote columns;
+    * no 32× bit-explode row blowup, so the shuffle stays O(tokens). */
+  private def simhashes(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).cast("long").as(s"v$b"))
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** DuckDB CTE computing the identical per-doc simhash (generated from
+    * the same bit range so both engines stay in lockstep). */
+  private def simhashCte(where: String): String = {
+    val votes = (0 until 32)
+      .map(b => s"CAST(sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+      .mkString(", ")
+    val hash = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents$where
+       |), h AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h FROM toks
+       |), votes AS (
+       |  SELECT doc_id, $votes FROM h GROUP BY doc_id
+       |), sims AS (
+       |  SELECT doc_id, $hash AS simhash FROM votes
+       |)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -355,6 +392,37 @@ object Relational {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // dedup 4 — SimHash fingerprint histogram (majority-vote bits)
+    "q_dedup_simhash" -> ((s, dir) => {
+      simhashes(t(s, dir, "documents"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("min_doc"))
+        .orderBy(col("simhash"))
+    }),
+
+    // dedup 5 — SimHash near-dup pairs via 4×8-bit LSH band buckets: a
+    // pair within hamming ≤ 3 shares ≥1 intact band (pigeonhole), so the
+    // band-bucket equi-join finds exactly the brute-force pair set while
+    // replacing the O(n²) cross join with a shuffle join on (band, key)
+    // — the 100 TB scale path. Cap mirrors q_dedup_jaccard (no-op at the
+    // verify SF).
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val bands = simhashes(t(s, dir, "documents").filter(col("doc_id") < 1000))
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").cast("long").as("ia"),
+          col("b.doc_id").cast("long").as("ib"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
+        .filter(col("ham") <= 3)
+        .distinct()
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // text 1 — document fingerprint (normalize + hash)
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -654,6 +722,20 @@ object Relational {
          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                 CAST(min(doc_id) AS BIGINT) AS min_doc
          FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_dedup_simhash" -> (simhashCte("") + """
+       SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
+       FROM sims GROUP BY simhash ORDER BY simhash"""),
+    "q_dedup_simhash_pairs" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       )
+       SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib,
+              CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+       FROM bands a JOIN bands b
+         ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ORDER BY ia, ib"""),
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",

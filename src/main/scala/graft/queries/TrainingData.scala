@@ -11,26 +11,6 @@ object TrainingData {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // SimHash near-dup: 32-bit majority-vote fingerprint over token
-    // xxhash64s, then bucket histogram. xxhash64 is Spark-native
-    // (engine-specific → no cross-engine oracle).
-    "q_dedup_simhash" -> ((s, dir) => {
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bits = toks
-        .withColumn("bit", explode(sequence(lit(0), lit(31))))
-        .groupBy(col("doc_id"), col("bit"))
-        .agg(sum(when(expr("(h >> bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      val sims = bits
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("vote") > 0, expr("shiftleft(1L, cast(bit as int))"))
-          .otherwise(0L)).as("simhash"))
-      sims.groupBy(col("simhash")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
-        .orderBy(col("simhash"))
-    }),
-
     // The extraction pipeline itself as a registered query (flagship
     // operator; correctness gated by the sbt golden suites instead).
     "q_extract_pipeline" -> ((s, dir) => {
