@@ -392,6 +392,45 @@ object Relational {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // range join — non-equi interval join of a fact table against a
+    // small band dimension. The right 100 TB shape: broadcast the tiny
+    // interval dim (BroadcastNestedLoopJoin); large×large range joins
+    // instead bucketize into an equi-join (see q_asof_join and
+    // q_dedup_simhash_pairs for that pattern).
+    "q_range_join" -> ((s, dir) => {
+      val bands = s.createDataFrame(Seq(
+        ("p0", 0.0, 25.0), ("p25", 25.0, 50.0), ("p50", 50.0, 75.0),
+        ("p75", 75.0, 1e18))).toDF("band", "lo", "hi")
+      t(s, dir, "events").as("e")
+        .join(broadcast(bands).as("b"),
+          col("e.value") >= col("b.lo") && col("e.value") < col("b.hi"))
+        .groupBy(col("b.band"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("e.value"))).cast("long").as("sum_cents"))
+        .orderBy(col("band"))
+    }),
+
+    // cube — all grouping-set combinations in one partial+final agg
+    "q_agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // ntile — quartile assignment per user (tie-broken on event_id so
+    // both engines agree on a total order)
+    "q_window_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // dedup 4 — SimHash fingerprint histogram (majority-vote bits)
     "q_dedup_simhash" -> ((s, dir) => {
       simhashes(t(s, dir, "documents"))
@@ -722,6 +761,22 @@ object Relational {
          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                 CAST(min(doc_id) AS BIGINT) AS min_doc
          FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES ('p0', 0.0, 25.0), ('p25', 25.0, 50.0),
+                                             ('p50', 50.0, 75.0), ('p75', 75.0, 1e18))
+         SELECT band, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+         GROUP BY band ORDER BY band""",
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+                count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_window_ntile" ->
+      """SELECT user_id, event_id,
+                CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+                  AS quartile
+         FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
     "q_dedup_simhash" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
        FROM sims GROUP BY simhash ORDER BY simhash"""),
