@@ -76,6 +76,55 @@ object StreamExtract {
       }
   }
 
+  /** Streaming exact dedupe on the natural key — the streaming analog
+    * of q_dedup_exact. State is bounded by the watermark horizon
+    * (dropDuplicatesWithinWatermark evicts keys once they age out), so
+    * it holds at unbounded stream length, unlike dropDuplicates. */
+  def dedupedTurns(turns: Dataset[TurnInput]): Dataset[TurnInput] = {
+    import turns.sparkSession.implicits._
+    turns.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("conv_id", "turn_idx")
+      .as[TurnInput]
+  }
+
+  final case class ErrorAlert(conv_id: String, nErrors: Long)
+
+  /** Error-burst alerts via flatMapGroupsWithState (the 0..n-rows-per-
+    * group surface): one alert each time a conversation's cumulative
+    * extraction-error count crosses a multiple of `every`. Crossing
+    * counts are order- and batching-independent (floor(total/every)),
+    * so the emitted set reconciles exactly with batch truth. */
+  def errorAlerts(turns: Dataset[TurnInput], every: Long = 3L): Dataset[ErrorAlert] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    extractStream(turns)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (convId: String, rows: Iterator[ExtractedTurn], state: GroupState[ConvState]) =>
+          var s = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
+          val alerts = Vector.newBuilder[ErrorAlert]
+          rows.foreach { e =>
+            if (e.errors.isDefined) {
+              val n = s.nErrors + 1
+              if (n % every == 0) alerts += ErrorAlert(convId, n)
+              s = ConvState(s.nTurns + 1, n, s.sumScore + e.total_score)
+            } else s = ConvState(s.nTurns + 1, s.nErrors, s.sumScore + e.total_score)
+          }
+          state.update(s)
+          alerts.result().iterator
+      }
+  }
+
+  /** Event-time gap sessionization with the built-in session_window —
+    * per-conversation sessions split on >gap idle time, finalized as
+    * the watermark passes (W2's y-gap grouping transposed to time). */
+  def sessionWindows(turns: Dataset[TurnInput], gap: String = "1 hour"): DataFrame =
+    turns.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), gap).as("session"), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("conv_id"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_turns"))
+
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
   def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {

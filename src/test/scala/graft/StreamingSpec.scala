@@ -41,6 +41,54 @@ class StreamingSpec extends SparkSuite {
     assert(winN <= batchN && winN >= 0)
   }
 
+  private lazy val dupDir: String = {
+    val d = Files.createTempDirectory("graft-stream-dup").toString
+    val once = graft.pipeline.Pipeline.synthTurns(spark, 60L, 2)
+    once.union(once).write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("dropDuplicatesWithinWatermark removes the duplicated rows") {
+    import spark.implicits._
+    val deduped = StreamExtract.runOnce(
+      StreamExtract.dedupedTurns(StreamExtract.readTurnStream(spark, dupDir, dupDir)).toDF(),
+      "stream_dedup", OutputMode.Append())
+    val batchDistinct = spark.read.parquet(dupDir)
+      .select("conv_id", "turn_idx").distinct().count()
+    assert(spark.read.parquet(dupDir).count() == 2 * batchDistinct)
+    assert(deduped.count() == batchDistinct)
+  }
+
+  test("flatMapGroupsWithState error alerts reconcile exactly with batch truth") {
+    import spark.implicits._
+    val alerts = StreamExtract.runOnce(
+      StreamExtract.errorAlerts(StreamExtract.readTurnStream(spark, dir, dir), 2L).toDF(),
+      "stream_alerts", OutputMode.Append())
+    val batch = graft.pipeline.Pipeline.extractTurns(
+        spark.read.parquet(dir).as[graft.core.TurnInput])
+      .filter(_.errors.isDefined)
+      .groupByKey(_.conv_id).count()
+      .map { case (conv, n) => (conv, n / 2L) } // crossings of multiples of 2
+      .filter(_._2 > 0L).toDF("conv_id", "n_alerts")
+    val got = alerts.groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+        .as("n_alerts"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("session_window streaming sessions are a subset of batch sessions") {
+    import spark.implicits._
+    val streamed = StreamExtract.runOnce(
+      StreamExtract.sessionWindows(StreamExtract.readTurnStream(spark, dir, dir)),
+      "stream_sessions", OutputMode.Append())
+    // batch truth: identical session_window aggregation over the same data
+    val batch = StreamExtract.sessionWindows(
+      spark.read.parquet(dir).as[graft.core.TurnInput])
+    // append mode only finalizes sessions the watermark has passed
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty)
+  }
+
   test("mapGroupsWithState conversation summaries match batch group-by") {
     import spark.implicits._
     val st = StreamExtract.runOnce(
