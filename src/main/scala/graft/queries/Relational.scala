@@ -439,6 +439,21 @@ object Relational {
         .orderBy(col("simhash"))
     }),
 
+    // dedup 4b — the same fingerprint through the typed-Aggregator UDAF
+    // surface (functions.SimhashAgg: 32-vote buffer, partial+final via
+    // reduce/merge) — checked against the identical oracle
+    "q_dedup_simhash_agg" -> ((s, dir) => {
+      val simhash = udaf(graft.functions.SimhashAgg)
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+        .groupBy(col("doc_id"))
+        .agg(simhash(col("h")).as("simhash"))
+        .groupBy(col("simhash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("min_doc"))
+        .orderBy(col("simhash"))
+    }),
+
     // dedup 5 — SimHash near-dup pairs via 4×8-bit LSH band buckets: a
     // pair within hamming ≤ 3 shares ≥1 intact band (pigeonhole), so the
     // band-bucket equi-join finds exactly the brute-force pair set while
@@ -778,6 +793,9 @@ object Relational {
                   AS quartile
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
     "q_dedup_simhash" -> (simhashCte("") + """
+       SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
+       FROM sims GROUP BY simhash ORDER BY simhash"""),
+    "q_dedup_simhash_agg" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
        FROM sims GROUP BY simhash ORDER BY simhash"""),
     "q_dedup_simhash_pairs" -> (simhashCte(" WHERE doc_id < 1000") + """,
