@@ -515,6 +515,18 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // text 3b — BPE-ish token counting: whitespace count plus a GPT-2-
+    // style pretokenizer regex (contractions / letter runs / digit runs
+    // / punctuation runs, no lookahead so RE2 and Java regex agree)
+    "q_text_tokens_bpe" -> ((s, dir) => {
+      val pat = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     // similarity 1 — near-dup pairs by quantized cosine. Per-vector
     // quantization + norm run ONCE per row (interpreted HOF, cheap);
     // the O(n²) pair loop uses the custom codegen'd LongArrayDot
@@ -792,6 +804,13 @@ object Relational {
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
                   AS quartile
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                CAST(len(regexp_extract_all(text,
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
+                  AS n_bpe
+         FROM documents ORDER BY doc_id""",
     "q_dedup_simhash" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
        FROM sims GROUP BY simhash ORDER BY simhash"""),
