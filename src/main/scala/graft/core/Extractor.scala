@@ -87,17 +87,21 @@ object Extractor {
     // (app.py:193-201)
     var taskNumbers: List[String] = Nil
     var digits: List[(Int, Double)] = Nil
+    // Detect+group once for the main detector — the config path and the
+    // first fallback run on identical detections (same rescore).
+    val mainRows = TableDetect.extractTableRows(
+      TableDetect.detectCells(content, TableDetect.MainDetector))
     key.foreach { k =>
       val cfg = Layouts.configs(k)
-      TableDetect.recognizeTable(content, glyphs, cfg, TableDetect.MainDetector) match {
+      TableDetect.recognizeTableFromRows(mainRows, glyphs, cfg) match {
         case Some(d) =>
           digits = d
-          taskNumbers = splitTasks(cfg.taskNumbers)
+          taskNumbers = Layouts.taskLists(k)
         case None => ()
       }
     }
     if (key.isEmpty || digits.isEmpty) {
-      val all = TableDetect.recognizeTableAll(content, glyphs, TableDetect.MainDetector)
+      val all = TableDetect.recognizeTableAllFromRows(mainRows, glyphs)
         .filter(_._2.nonEmpty)
         .orElse(TableDetect.recognizeTableAll(content, glyphs, TableDetect.ExtraDetector))
       all match {
@@ -166,9 +170,22 @@ object Extractor {
 
   /** Python round(float, 2) is round-half-even on the exact binary
     * double — matched by BigDecimal's exact-double constructor +
-    * HALF_EVEN (NOT Spark's `round`, which is HALF_UP; SURVEY.md F7). */
-  def bround2(v: Double): Double =
-    new java.math.BigDecimal(v).setScale(2, RoundingMode.HALF_EVEN).doubleValue
+    * HALF_EVEN (NOT Spark's `round`, which is HALF_UP; SURVEY.md F7).
+    *
+    * Fast path: v*100 carries ≤ |v|*100*2⁻⁵² relative error, so when its
+    * fractional part is farther than 1e-9 from the 0.5 tie the rounding
+    * direction of the exact decimal expansion is already decided and no
+    * BigDecimal is needed (the per-score BigDecimal pair was measured
+    * GC churn). Only near-ties take the exact slow path. */
+  def bround2(v: Double): Double = {
+    val scaled = v * 100.0
+    val fl = Math.floor(scaled)
+    val frac = scaled - fl
+    if (Math.abs(frac - 0.5) > 1e-9)
+      (if (frac > 0.5) fl + 1.0 else fl) / 100.0
+    else
+      new java.math.BigDecimal(v).setScale(2, RoundingMode.HALF_EVEN).doubleValue
+  }
 
   /** Reading-order serialization of content spans that carry text:
     * order by (page, y1, x1); words on one line joined by ' ', lines by
@@ -177,23 +194,38 @@ object Extractor {
     * Offsets into the original payload for every serialized span that
     * has them. */
   def serializeContent(spans: IndexedSeq[Span]): (String, Vector[SpanOffset]) = {
-    val textSpans = Sorts.sorted(
-      spans.filter(s => (s.kind == "w" || s.kind == "g") && s.text.nonEmpty &&
-        (s.page == 0 || s.page == 9)),
-      Sorts.spanReadingOrder)
-    if (textSpans.isEmpty) return ("", Vector.empty)
-    val sb = new StringBuilder
+    @inline def keep(s: Span): Boolean =
+      (s.kind == "w" || s.kind == "g") && s.text.nonEmpty &&
+        (s.page == 0 || s.page == 9)
+    // single counting pass → exact-size span array and builder capacity
+    // (no filter-builder garbage, no StringBuilder growth copies)
+    var n = 0; var cap = 0; var i = 0
+    while (i < spans.length) {
+      val s = spans(i); if (keep(s)) { n += 1; cap += s.text.length + 1 }
+      i += 1
+    }
+    if (n == 0) return ("", Vector.empty)
+    val arr = new Array[Span](n); var o = 0; i = 0
+    while (i < spans.length) {
+      val s = spans(i); if (keep(s)) { arr(o) = s; o += 1 }
+      i += 1
+    }
+    java.util.Arrays.sort(arr, Sorts.spanReadingOrder)
+    val sb = new java.lang.StringBuilder(cap)
     val offs = Vector.newBuilder[SpanOffset]
-    var prevPage = Integer.MIN_VALUE
-    var prevY = Integer.MIN_VALUE
-    for (s <- textSpans) {
-      if (prevY == Integer.MIN_VALUE) ()
-      else if (s.page != prevPage || s.y1 != prevY) sb.append('\n')
-      else sb.append(' ')
+    var prevPage = 0
+    var prevY = 0
+    i = 0
+    while (i < n) {
+      val s = arr(i)
+      if (i > 0) {
+        if (s.page != prevPage || s.y1 != prevY) sb.append('\n') else sb.append(' ')
+      }
       sb.append(s.text)
       if (s.start >= 0) offs += SpanOffset(s.start, s.end)
       prevPage = s.page; prevY = s.y1
+      i += 1
     }
-    (sb.result(), offs.result())
+    (sb.toString, offs.result())
   }
 }

@@ -46,4 +46,22 @@ object Layouts {
     "химия 8" -> TableLayout(Bbox(180, 259, 2400, 3250), 23, 2,
       "1.1 1.2 2.1 2.2 3.1 3.2 4.1 4.2 4.3 4.4 5.1 5.2 6.1 6.2 6.3 6.4 6.5 7.1 7.2 7.3(1) 7.3(2) 8 9"),
   )
+
+  /** Pre-split task-number lists (F5) — splitting per turn allocated a
+    * regex pass + array + list for every config-path turn. */
+  val taskLists: Map[String, List[String]] =
+    configs.map { case (k, c) => k -> Extractor.splitTasks(c.taskNumbers) }
+
+  /** Positional task names "1".."n" for the no-config path
+    * (table_rec_noconf.py:119) — one shared list per length. */
+  private val maxPositional = 64
+  private val positional: Array[List[String]] = {
+    val a = new Array[List[String]](maxPositional + 1)
+    a(0) = Nil
+    var n = 1
+    while (n <= maxPositional) { a(n) = (1 to n).map(_.toString).toList; n += 1 }
+    a
+  }
+  def positionalTasks(n: Int): List[String] =
+    if (n <= maxPositional) positional(n) else (1 to n).map(_.toString).toList
 }

@@ -114,8 +114,16 @@ object TableDetect {
       spans: IndexedSeq[Span],
       glyphs: IndexedSeq[Span],
       cfg: TableLayout,
-      det: Detector): Option[List[(Int, Double)]] = {
-    val rows = extractTableRows(detectCells(spans, det))
+      det: Detector): Option[List[(Int, Double)]] =
+    recognizeTableFromRows(extractTableRows(detectCells(spans, det)), glyphs, cfg)
+
+  /** Same, over pre-grouped rows — lets the caller detect+group once and
+    * share the result between the config path and the same-detector
+    * fallback (they run on identical detections). */
+  def recognizeTableFromRows(
+      rows: Vector[Vector[Cell]],
+      glyphs: IndexedSeq[Span],
+      cfg: TableLayout): Option[List[(Int, Double)]] = {
     val selected: Vector[Cell] =
       if (cfg.rows == 1 && rows.length == 2)
         rows(1).slice(1, rows(1).length - 2)
@@ -171,8 +179,13 @@ object TableDetect {
   def recognizeTableAll(
       spans: IndexedSeq[Span],
       glyphs: IndexedSeq[Span],
-      det: Detector): Option[(List[String], List[(Int, Double)])] = {
-    val rows = extractTableRows(detectCells(spans, det))
+      det: Detector): Option[(List[String], List[(Int, Double)])] =
+    recognizeTableAllFromRows(extractTableRows(detectCells(spans, det)), glyphs)
+
+  /** Same, over pre-grouped rows (see recognizeTableFromRows). */
+  def recognizeTableAllFromRows(
+      rows: Vector[Vector[Cell]],
+      glyphs: IndexedSeq[Span]): Option[(List[String], List[(Int, Double)])] = {
     filterCells(rows).flatMap { case (taskCells, mnistCells0) =>
       if (taskCells.isEmpty || mnistCells0.isEmpty) None // falsy gate (:100-101)
       else {
@@ -181,7 +194,7 @@ object TableDetect {
           else mnistCells0
         if (mnistCells.length != taskCells.length) None
         else {
-          val tasks  = (1 to taskCells.length).map(_.toString).toList
+          val tasks  = Layouts.positionalTasks(taskCells.length)
           val scores = mnistCells.flatMap(Classify.classifyCell(glyphs, _)).toList
           Some((tasks, scores))
         }

@@ -35,11 +35,34 @@ object MicroAlloc {
         f"ns/turn=${dt / math.max(1, sel.length)}%8d " +
         f"alloc/turn=${da / math.max(1, sel.length)}%8d bytes")
     }
+    import graft.core._
+    def content(p: String): IndexedSeq[Span] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Boiler.contentSpans(Tokenizer.tokenize(p)))
+    def glyphs(c: IndexedSeq[Span]): IndexedSeq[Span] =
+      c.filter(s => s.kind == "g" && s.page == 0)
     for (dialect <- Seq("pdf", "html", "plain", "ALL")) {
-      measure("tokenize", dialect)(p => graft.core.Tokenizer.tokenize(p).length)
-      measure("tok+boiler", dialect)(p =>
-        graft.core.Boiler.contentSpans(graft.core.Tokenizer.tokenize(p)).length)
-      measure("full", dialect)(p => graft.core.Extractor.extractOne("c", 0, p).total_score)
+      measure("tokenize", dialect)(p => Tokenizer.tokenize(p).length)
+      measure("tok+boiler", dialect)(p => content(p).length)
+      measure("+hat", dialect) { p =>
+        val c = content(p)
+        Header.recognizeHat(c, Layouts.Hat)._1.map(_.length).getOrElse(0)
+      }
+      measure("+code", dialect) { p =>
+        val c = content(p)
+        val cs = c.filter(s => s.page == 0 && Layouts.Code.containsFully(s))
+        CodeRec.recognizeCode(cs).toOption.flatten.map(_.length).getOrElse(0)
+      }
+      measure("+tableall", dialect) { p =>
+        val c = content(p)
+        TableDetect.recognizeTableAll(c, glyphs(c), TableDetect.MainDetector)
+          .map(_._2.length).getOrElse(0)
+      }
+      measure("+serialize", dialect) { p =>
+        val c = content(p)
+        Extractor.serializeContent(c)._1.length
+      }
+      measure("full", dialect)(p => Extractor.extractOne("c", 0, p).total_score)
     }
     if (sink == 42) println("") // keep sink live
   }

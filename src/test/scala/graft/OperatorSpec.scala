@@ -57,6 +57,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(Extractor.bround2(1.0) == 1.0)
   }
 
+  test("F7 bround2 fast path agrees with exact BigDecimal HALF_EVEN everywhere") {
+    def exact(v: Double): Double =
+      new java.math.BigDecimal(v)
+        .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue
+    // dense grid, the x.xx5 near-tie family, and seeded random doubles
+    var i = 0
+    while (i <= 100000) {
+      val v = i / 100000.0
+      assert(Extractor.bround2(v) == exact(v), s"grid v=$v")
+      i += 1
+    }
+    i = 0
+    while (i <= 9995) {
+      val v = (i * 10 + 5) / 10000.0 // 0.0005, 0.0015, ... tie candidates
+      assert(Extractor.bround2(v) == exact(v), s"tie v=$v")
+      val w = i / 1000.0 + 0.005
+      assert(Extractor.bround2(w) == exact(w), s"tie w=$w")
+      i += 1
+    }
+    val rng = new java.util.Random(42)
+    i = 0
+    while (i < 100000) {
+      val v = rng.nextDouble()
+      assert(Extractor.bround2(v) == exact(v), s"rand v=$v")
+      i += 1
+    }
+  }
+
   // ---- W1/W2: y-sort + gap grouping fold ---------------------------
   private def cell(x: Double, y: Double, w: Double = 100, h: Double = 80, conf: Double = 0.9) =
     Cell(x, y, x + w, y + h, conf)
