@@ -548,6 +548,23 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // F9 — JSON response build + reparse round trip (to_json/from_json):
+    // serialize a struct per row, parse it back, project the fields —
+    // the JSON sink/source surface under the oracle gate
+    "q_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("typ", StringType),
+        StructField("cents", LongType)))
+      t(s, dir, "events")
+        .select(col("event_id"),
+          to_json(struct(col("event_id").as("id"), col("event_type").as("typ"),
+            cents(col("value")).as("cents"))).as("js"))
+        .select(col("event_id"), from_json(col("js"), schema).as("r"))
+        .select(col("event_id"), col("r.typ").as("typ"), col("r.cents").as("cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // S2/F10 — base64 decode/encode round trip
     "q_base64" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -804,6 +821,10 @@ object Relational {
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
                   AS quartile
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_json_roundtrip" ->
+      """SELECT event_id, event_type AS typ,
+                CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events ORDER BY event_id""",
     "q_text_tokens_bpe" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
