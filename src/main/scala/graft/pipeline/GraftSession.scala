@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   *    keeps vectors ~1.5 MB.  On a real cluster this is the same knob.
   *  - ParallelGC: throughput collector suits batchy scan/extract work;
   *    measured ~3× over G1 on the deserialization-heavy path.
-  *  - maxPartitionBytes=16m / openCostInBytes=1m: payload rows are fat,
+  *  - maxPartitionBytes=8m / openCostInBytes=512k: payload rows are fat,
   *    so default 128 MB splits yield too few partitions to use the
   *    cores (measured: flat scaling 8→32); smaller splits restore
   *    bytes-balanced parallelism WITHOUT a pre-map shuffle (a salt
