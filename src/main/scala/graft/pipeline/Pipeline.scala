@@ -20,27 +20,34 @@ import graft.synth.TurnGen
   */
 object Pipeline {
 
-  /** The one public transform: turns in, extracted records out. */
-  def extractTurns(ds: Dataset[TurnInput]): Dataset[ExtractedTurn] = {
-    val spark = ds.sparkSession
+  /** The one public transform: turns in, extracted records out.
+    * Projects to the three columns the extractor reads BEFORE the typed
+    * boundary — a full `as[TurnInput]` would force the scan to read and
+    * materialize role/tool/ts too (the encoder defeats column pruning);
+    * the explicit select keeps ReadSchema at conv_id/turn_idx/text. */
+  def extractTurns(ds: Dataset[TurnInput]): Dataset[ExtractedTurn] =
+    extractProjected(ds.toDF())
+
+  private def extractProjected(df: org.apache.spark.sql.DataFrame): Dataset[ExtractedTurn] = {
+    val spark = df.sparkSession
     import spark.implicits._
-    ds.mapPartitions { it =>
-      it.map(t => Extractor.extractOne(t.conv_id, t.turn_idx, t.text))
-    }
+    df.select(col("conv_id"), col("turn_idx"), col("text"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (c, i, p) => Extractor.extractOne(c, i, p) }
+      }
   }
 
   /** extractTurns with the explicit salt repartition in front — use at
     * scale where input partitioning follows conv_id buckets and long
     * conversations skew partition sizes. `salt` should be ≥ 4× total
-    * cores (SURVEY.md §7.5 item 6). */
-  def extractTurnsSalted(ds: Dataset[TurnInput], salt: Int): Dataset[ExtractedTurn] = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    val salted = ds
-      .repartition(salt, pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt)))
-      .as[TurnInput]
-    extractTurns(salted)
-  }
+    * cores (SURVEY.md §7.5 item 6). The projection happens before the
+    * exchange so the shuffle carries only the three live columns. */
+  def extractTurnsSalted(ds: Dataset[TurnInput], salt: Int): Dataset[ExtractedTurn] =
+    extractProjected(
+      ds.toDF()
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .repartition(salt, pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(salt))))
 
   /** Deterministic synthetic transcript table: `nConvs` conversations,
     * heavy-tailed turns per conversation (~3.9 avg). Generation is
