@@ -49,6 +49,12 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"unexpected shuffle before per-turn map:\n$p")
     assert(p.contains("*(1)"), s"no whole-stage-codegen span over the scan:\n$p")
+    // scan reads ONLY the three live columns — the typed boundary must
+    // not drag role/tool/ts through the parquet reader
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("conv_id") && read.contains("text") &&
+      !read.contains("role") && !read.contains("tool") && !read.contains("ts:"),
+      s"scan not pruned to live columns: $read")
     // the salted variant DOES have exactly its one explicit exchange
     val ps = graft.pipeline.Pipeline.extractTurnsSalted(turns, 8)
       .queryExecution.executedPlan.toString
