@@ -61,6 +61,23 @@ class PlanSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(ps).size >= 1, ps)
   }
 
+  test("ordered output is invariant to input partitioning and the salt shuffle") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("plan-inv").toString
+    graft.pipeline.Pipeline.synthTurns(spark, 200L, 7).write.mode("overwrite").parquet(tmp)
+    def json(ds: org.apache.spark.sql.Dataset[graft.core.ExtractedTurn]): Seq[String] =
+      graft.pipeline.Pipeline.ordered(ds)
+        .collect().map(graft.core.Json.responseJson).toSeq
+    val turns1 = spark.read.parquet(tmp).as[graft.core.TurnInput]
+    val turns2 = spark.read.parquet(tmp).repartition(13).as[graft.core.TurnInput]
+    val a = json(graft.pipeline.Pipeline.extractTurns(turns1))
+    val b = json(graft.pipeline.Pipeline.extractTurns(turns2))
+    val c = json(graft.pipeline.Pipeline.extractTurnsSalted(turns1, 11))
+    assert(a == b, "repartitioned input changed the ordered output")
+    assert(a == c, "salted variant changed the ordered output")
+    assert(a.nonEmpty)
+  }
+
   test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
     val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
