@@ -28,13 +28,19 @@ object Boiler {
   def isContent(b: Block): Boolean = {
     if (b.structural) return true
     if (b.linkDensity > MaxLinkDensity) return false
-    val positioned = b.spans.filter(_.page != 9)
-    if (positioned.nonEmpty) {
-      val marginal = positioned.forall(s => s.y2 <= MarginTopY || s.y1 >= MarginBottomY)
-      !(marginal && b.nWords <= MarginMaxWords)
-    } else {
-      b.nWords >= FlowMinWords
+    var anyPositioned = false
+    var allMarginal = true
+    var i = 0
+    while (i < b.spans.length) {
+      val s = b.spans(i)
+      if (s.page != 9) {
+        anyPositioned = true
+        if (!(s.y2 <= MarginTopY || s.y1 >= MarginBottomY)) allMarginal = false
+      }
+      i += 1
     }
+    if (anyPositioned) !(allMarginal && b.nWords <= MarginMaxWords)
+    else b.nWords >= FlowMinWords
   }
 
   /** Strip boilerplate blocks; returns the surviving content spans in

@@ -42,7 +42,7 @@ object Sorts {
   }
 
   /** Stable sort of an IndexedSeq via a scratch array. */
-  def sorted[T <: AnyRef](xs: IndexedSeq[T], cmp: Comparator[T])(
+  def sorted[T <: AnyRef](xs: scala.collection.IndexedSeq[T], cmp: Comparator[T])(
       implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
     val arr = new Array[T](xs.length)
     var i = 0

@@ -6,7 +6,7 @@ import scala.collection.mutable.ArrayBuffer
   * scores as a unit (Boilerpipe-style). linkChars counts characters
   * inside anchor tags (html dialect only). */
 final case class Block(
-    spans: Vector[Span],
+    spans: IndexedSeq[Span],
     totalChars: Int,
     linkChars: Int,
     nWords: Int) {
@@ -89,7 +89,7 @@ object Tokenizer {
       }
       i = eol + 1
     }
-    groupByLineGap(spans.toVector)
+    groupByLineGap(spans)
   }
 
   /** Space-separated field scanner over a [from, to) slice. Allocation-
@@ -187,9 +187,10 @@ object Tokenizer {
 
     def flushBlock(): Unit = {
       if (blockOpen && (spans.nonEmpty || totalChars > 0)) {
-        blocks += Block(spans.toVector, totalChars, linkChars, nWords)
+        blocks += Block(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          spans.toArray), totalChars, linkChars, nWords)
       }
-      spans = new ArrayBuffer[Span](16)
+      spans.clear()
       totalChars = 0; linkChars = 0; nWords = 0
       blockOpen = false
     }
@@ -477,7 +478,7 @@ object Tokenizer {
       row += 1
       i = eol + 1
     }
-    groupByLineGap(spans.toVector)
+    groupByLineGap(spans)
   }
 
   private def wordSpan(row: Int, c0: Int, c1: Int, txt: String, s0: Int, e0: Int): Span =
@@ -502,25 +503,31 @@ object Tokenizer {
   /** Group a flat span list into line blocks by vertical gap — the
     * block builder for positioned dialects (pdf/plain): consecutive
     * spans (sorted by y1) whose y1 gap ≤ 70px share a block. */
-  private def groupByLineGap(spans: Vector[Span]): Vector[Block] = {
+  private def groupByLineGap(spans: scala.collection.IndexedSeq[Span]): Vector[Block] = {
     if (spans.isEmpty) return Vector.empty
     val sorted = Sorts.sorted(spans, Sorts.spanReadingOrder)
     val blocks = Vector.newBuilder[Block]
-    var cur = Vector.newBuilder[Span]
+    // blocks are contiguous runs of the sorted array → emit slices
+    // instead of per-block builder churn
+    var from = 0
     var curWords = 0; var curChars = 0
-    var prevY = Integer.MIN_VALUE; var prevPage = Integer.MIN_VALUE
-    var any = false
-    def close(): Unit = {
-      if (any) blocks += Block(cur.result(), curChars, 0, curWords)
-      cur = Vector.newBuilder[Span]; curWords = 0; curChars = 0; any = false
+    var prevY = 0; var prevPage = 0
+    var i = 0
+    def close(until: Int): Unit = {
+      if (until > from) {
+        blocks += Block(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(sorted, from, until)), curChars, 0, curWords)
+      }
+      from = until; curWords = 0; curChars = 0
     }
-    for (s <- sorted) {
-      if (any && (s.page != prevPage || s.y1 - prevY > 70)) close()
-      cur += s; any = true
+    while (i < sorted.length) {
+      val s = sorted(i)
+      if (i > from && (s.page != prevPage || s.y1 - prevY > 70)) close(i)
       if (s.kind == "w" || s.kind == "g") { curWords += 1; curChars += s.text.length }
       prevY = s.y1; prevPage = s.page
+      i += 1
     }
-    close()
+    close(sorted.length)
     blocks.result()
   }
 }
