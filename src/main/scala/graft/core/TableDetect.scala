@@ -43,29 +43,35 @@ object TableDetect {
     *    where prev_yc updates at EVERY element (a fold, not a
     *    lag-vs-anchor window — SURVEY.md W2 correctness trap);
     * 4. each closed row sorted by x-center. */
-  def extractTableRows(cells: IndexedSeq[Cell]): Vector[Vector[Cell]] = {
-    val filtered = cells.filter(c =>
-      c.conf >= ConfThreshold && c.y1 >= MinY && c.y1 <= MaxY)
-    if (filtered.isEmpty) return Vector.empty
-    val sorted = Sorts.sorted(filtered, Sorts.cellByYCenter)
-    def closeRow(row: Vector[Cell]): Vector[Cell] =
-      Sorts.sorted(row, Sorts.cellByXCenter).toVector
-    val rows = Vector.newBuilder[Vector[Cell]]
-    var current = Vector.newBuilder[Cell]
-    var currentSize = 0
-    var yPrev = Double.NaN
-    for (c <- sorted) {
-      val yc = c.yCenter
-      if (!yPrev.isNaN && math.abs(yc - yPrev) > RowThreshold) {
-        rows += closeRow(current.result())
-        current = Vector.newBuilder[Cell]
-        currentSize = 0
-      }
-      current += c
-      currentSize += 1
-      yPrev = yc
+  def extractTableRows(cells: scala.collection.IndexedSeq[Cell]): IndexedSeq[IndexedSeq[Cell]] = {
+    @inline def gate(c: Cell): Boolean =
+      c.conf >= ConfThreshold && c.y1 >= MinY && c.y1 <= MaxY
+    // exact-size gate pass; rows are contiguous runs of the y-sorted
+    // array, each x-sorted in place and emitted as a slice
+    var n = 0; var i = 0
+    while (i < cells.length) { if (gate(cells(i))) n += 1; i += 1 }
+    if (n == 0) return Vector.empty
+    val arr = new Array[Cell](n); var o = 0; i = 0
+    while (i < cells.length) { val c = cells(i); if (gate(c)) { arr(o) = c; o += 1 }; i += 1 }
+    java.util.Arrays.sort(arr, Sorts.cellByYCenter)
+    val rows = Vector.newBuilder[IndexedSeq[Cell]]
+    var from = 0
+    def close(until: Int): Unit = {
+      java.util.Arrays.sort(arr, from, until, Sorts.cellByXCenter)
+      rows += scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.util.Arrays.copyOfRange(arr, from, until))
+      from = until
     }
-    if (currentSize > 0) rows += closeRow(current.result())
+    // prev-element gap semantics: yPrev updates at EVERY element (W2)
+    var yPrev = arr(0).yCenter
+    i = 1
+    while (i < arr.length) {
+      val yc = arr(i).yCenter
+      if (math.abs(yc - yPrev) > RowThreshold) close(i)
+      yPrev = yc
+      i += 1
+    }
+    close(arr.length)
     rows.result()
   }
 
@@ -74,7 +80,7 @@ object TableDetect {
     * cell when next.x1 - cur.x1 ≤ 50, and after a pop the SAME `cur` is
     * compared against the new next (pops cascade). NOT expressible as a
     * lag filter; must be this fold (SURVEY.md W3 trap). */
-  def cascadeDedupe(cells: Vector[Cell]): Vector[Cell] = {
+  def cascadeDedupe(cells: IndexedSeq[Cell]): IndexedSeq[Cell] = {
     if (cells.length < 2) return cells
     val out = Vector.newBuilder[Cell]
     var cur = cells(0)
@@ -121,10 +127,10 @@ object TableDetect {
     * share the result between the config path and the same-detector
     * fallback (they run on identical detections). */
   def recognizeTableFromRows(
-      rows: Vector[Vector[Cell]],
+      rows: IndexedSeq[IndexedSeq[Cell]],
       glyphs: IndexedSeq[Span],
       cfg: TableLayout): Option[List[(Int, Double)]] = {
-    val selected: Vector[Cell] =
+    val selected: IndexedSeq[Cell] =
       if (cfg.rows == 1 && rows.length == 2)
         rows(1).slice(1, rows(1).length - 2)
       else if (cfg.rows == 2 && rows.length == 4)
@@ -142,7 +148,8 @@ object TableDetect {
   /** Port of filter_cells (utils/table_rec_noconf.py:25-65): split the
     * detected rows into (task-name cells, score cells) without a config.
     * Returns None when the shape is unusable. */
-  def filterCells(rowsIn: Vector[Vector[Cell]]): Option[(Vector[Cell], Vector[Cell])] = {
+  def filterCells(rowsIn: IndexedSeq[IndexedSeq[Cell]])
+      : Option[(IndexedSeq[Cell], IndexedSeq[Cell])] = {
     var rows = rowsIn
     if (rows.length % 2 != 0) {
       rows = rows.filter(_.length > 3) // drop stray short rows (:46)
@@ -184,7 +191,7 @@ object TableDetect {
 
   /** Same, over pre-grouped rows (see recognizeTableFromRows). */
   def recognizeTableAllFromRows(
-      rows: Vector[Vector[Cell]],
+      rows: IndexedSeq[IndexedSeq[Cell]],
       glyphs: IndexedSeq[Span]): Option[(List[String], List[(Int, Double)])] = {
     filterCells(rows).flatMap { case (taskCells, mnistCells0) =>
       if (taskCells.isEmpty || mnistCells0.isEmpty) None // falsy gate (:100-101)
