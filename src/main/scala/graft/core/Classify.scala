@@ -14,13 +14,20 @@ object Classify {
     * preprocess_image returning None (utils/table_rec.py:63-65) — the
     * caller silently skips such cells, as the reference does. */
   def glyphClass(txt: String): Option[Int] = {
+    val c = glyphClassId(txt)
+    if (c < 0) None else Some(c)
+  }
+
+  /** Allocation-free form: class 0..11, or -1 = unreadable. */
+  def glyphClassId(txt: String): Int = {
     val t = txt.trim
-    if (t.length == 1 && t.charAt(0).isDigit) Some(t.charAt(0) - '0')
-    else t match {
-      case "-" | "—" => Some(10)             // dash / em-dash → class 10
-      case "x" | "X" | "х" | "Х" => Some(11) // latin or cyrillic kha → class 11
-      case _ => None
-    }
+    if (t.length == 1) {
+      val c = t.charAt(0)
+      if (c.isDigit) return c - '0'
+      if (c == '-' || c == '—') return 10            // dash / em-dash
+      if (c == 'x' || c == 'X' || c == 'х' || c == 'Х') return 11 // latin/cyrillic kha
+      -1
+    } else -1
   }
 
   /** Classify the content of one detected cell box: pick the glyph span
@@ -32,6 +39,17 @@ object Classify {
     * reference skips those cells without error (utils/table_rec.py:58-65).
     */
   def classifyCell(glyphs: IndexedSeq[Span], cell: Cell): Option[(Int, Double)] = {
+    val g = bestGlyph(glyphs, cell)
+    if (g == null) None
+    else {
+      val c = glyphClassId(g.text)
+      if (c < 0) None else Some((c, g.conf))
+    }
+  }
+
+  /** The nearest-center glyph fully inside the cell, or null — the
+    * allocation-free core of classifyCell for the hot loop. */
+  def bestGlyph(glyphs: IndexedSeq[Span], cell: Cell): Span = {
     val cx = cell.xCenter; val cy = cell.yCenter
     var best: Span = null
     var bestD = Double.MaxValue
@@ -48,7 +66,23 @@ object Classify {
       }
       i += 1
     }
-    if (best == null) None
-    else glyphClass(best.text).map(c => (c, best.conf))
+    best
+  }
+
+  /** Classify every cell of a selection right-to-left into a List,
+    * silently skipping empty/unreadable cells (utils/table_rec.py:58-65)
+    * — one cons cell per readable glyph, no Option/Vector intermediates. */
+  def classifyCells(glyphs: IndexedSeq[Span], cells: IndexedSeq[Cell]): List[(Int, Double)] = {
+    var lst = List.empty[(Int, Double)]
+    var i = cells.length - 1
+    while (i >= 0) {
+      val g = bestGlyph(glyphs, cells(i))
+      if (g != null) {
+        val c = glyphClassId(g.text)
+        if (c >= 0) lst = (c, g.conf) :: lst
+      }
+      i -= 1
+    }
+    lst
   }
 }

@@ -29,11 +29,21 @@ object TableDetect {
 
   /** Span grid → detection boxes: every kind=="cell" span on page 0 is a
     * candidate cell (the detector "model call", Yolo_cell_rec.py:23). */
-  def detectCells(spans: IndexedSeq[Span], det: Detector): IndexedSeq[Cell] =
-    spans.collect {
-      case s if s.kind == "cell" && s.page == 0 =>
-        Cell(s.x1, s.y1, s.x2, s.y2, det.rescore(s.conf))
+  def detectCells(spans: IndexedSeq[Span], det: Detector): IndexedSeq[Cell] = {
+    var n = 0; var i = 0
+    while (i < spans.length) {
+      val s = spans(i); if (s.kind == "cell" && s.page == 0) n += 1; i += 1
     }
+    val a = new Array[Cell](n); var o = 0; i = 0
+    while (i < spans.length) {
+      val s = spans(i)
+      if (s.kind == "cell" && s.page == 0) {
+        a(o) = Cell(s.x1, s.y1, s.x2, s.y2, det.rescore(s.conf)); o += 1
+      }
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+  }
 
   /** Port of extract_table_rows (utils/Yolo_cell_rec.py:23-78):
     * 1. gate conf ≥ 0.5 AND 1500 ≤ y1 ≤ 3300 (the y-band is over the
@@ -142,7 +152,7 @@ object TableDetect {
     if (deduped.length != cfg.totalCells) return None
     // Per-cell classification; empty/unreadable cells silently skipped
     // (table_rec.py:58-65).
-    Some(deduped.flatMap(Classify.classifyCell(glyphs, _)).toList)
+    Some(Classify.classifyCells(glyphs, deduped))
   }
 
   /** Port of filter_cells (utils/table_rec_noconf.py:25-65): split the
@@ -202,7 +212,7 @@ object TableDetect {
         if (mnistCells.length != taskCells.length) None
         else {
           val tasks  = Layouts.positionalTasks(taskCells.length)
-          val scores = mnistCells.flatMap(Classify.classifyCell(glyphs, _)).toList
+          val scores = Classify.classifyCells(glyphs, mnistCells)
           Some((tasks, scores))
         }
       }
