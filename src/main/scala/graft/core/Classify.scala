@@ -69,20 +69,32 @@ object Classify {
     best
   }
 
-  /** Classify every cell of a selection right-to-left into a List,
-    * silently skipping empty/unreadable cells (utils/table_rec.py:58-65)
-    * — one cons cell per readable glyph, no Option/Vector intermediates. */
-  def classifyCells(glyphs: IndexedSeq[Span], cells: IndexedSeq[Cell]): List[(Int, Double)] = {
-    var lst = List.empty[(Int, Double)]
-    var i = cells.length - 1
-    while (i >= 0) {
+  /** Packed per-cell classification results — primitive parallel arrays,
+    * no per-score boxing (a List[(Int, Double)] was ~100 B/score of
+    * tuple + box + cons garbage on the hot path). */
+  final class ScoreBuf(val digits: Array[Int], val probs: Array[Double], val n: Int) {
+    def isEmpty: Boolean = n == 0
+    def nonEmpty: Boolean = n != 0
+  }
+  object ScoreBuf {
+    val empty = new ScoreBuf(Array.emptyIntArray, Array.emptyDoubleArray, 0)
+  }
+
+  /** Classify every cell of a selection in order, silently skipping
+    * empty/unreadable cells (utils/table_rec.py:58-65). */
+  def classifyCells(glyphs: IndexedSeq[Span], cells: IndexedSeq[Cell]): ScoreBuf = {
+    val ds = new Array[Int](cells.length)
+    val ps = new Array[Double](cells.length)
+    var n = 0
+    var i = 0
+    while (i < cells.length) {
       val g = bestGlyph(glyphs, cells(i))
       if (g != null) {
         val c = glyphClassId(g.text)
-        if (c >= 0) lst = (c, g.conf) :: lst
+        if (c >= 0) { ds(n) = c; ps(n) = g.conf; n += 1 }
       }
-      i -= 1
+      i += 1
     }
-    lst
+    new ScoreBuf(ds, ps, n)
   }
 }

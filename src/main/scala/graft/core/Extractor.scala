@@ -86,7 +86,7 @@ object Extractor {
     // Table recognition: config path → noconf → extra detector
     // (app.py:193-201)
     var taskNumbers: List[String] = Nil
-    var digits: List[(Int, Double)] = Nil
+    var digits: Classify.ScoreBuf = Classify.ScoreBuf.empty
     // Detect+group once for the main detector — the config path and the
     // first fallback run on identical detections (same rescore).
     val mainRows = TableDetect.extractTableRows(
@@ -106,7 +106,7 @@ object Extractor {
         .orElse(TableDetect.recognizeTableAll(content, glyphs, TableDetect.ExtraDetector))
       all match {
         case Some((t, d)) => taskNumbers = t; digits = d
-        case None         => taskNumbers = Nil; digits = Nil
+        case None         => taskNumbers = Nil; digits = Classify.ScoreBuf.empty
       }
     }
 
@@ -118,17 +118,19 @@ object Extractor {
     } else {
       val lowConf = Vector.newBuilder[String]
       var anyLow = false
+      // positional zip truncated to the shorter side (app.py:213-220)
+      var rem = taskNumbers
       var i = 0
-      for ((digit, prob0) <- digits) {
-        val prob = bround2(prob0)
-        if (i < taskNumbers.length) {
-          val task = taskNumbers(i)
-          val display =
-            if (digit == 10) "-" else if (digit == 11) "x" else digit.toString
-          scores += ScoreEntry(task, display, prob)
-          if (prob < 0.6) { lowConf += task; anyLow = true }
-          if (digit != 10 && digit != 11) total += digit
-        }
+      while (i < digits.n && rem.nonEmpty) {
+        val digit = digits.digits(i)
+        val prob = bround2(digits.probs(i))
+        val task = rem.head
+        val display =
+          if (digit == 10) "-" else if (digit == 11) "x" else digit.toString
+        scores += ScoreEntry(task, display, prob)
+        if (prob < 0.6) { lowConf += task; anyLow = true }
+        if (digit != 10 && digit != 11) total += digit
+        rem = rem.tail
         i += 1
       }
       if (anyLow)

@@ -130,7 +130,7 @@ object TableDetect {
       spans: IndexedSeq[Span],
       glyphs: IndexedSeq[Span],
       cfg: TableLayout,
-      det: Detector): Option[List[(Int, Double)]] =
+      det: Detector): Option[Classify.ScoreBuf] =
     recognizeTableFromRows(extractTableRows(detectCells(spans, det)), glyphs, cfg)
 
   /** Same, over pre-grouped rows — lets the caller detect+group once and
@@ -139,7 +139,7 @@ object TableDetect {
   def recognizeTableFromRows(
       rows: IndexedSeq[IndexedSeq[Cell]],
       glyphs: IndexedSeq[Span],
-      cfg: TableLayout): Option[List[(Int, Double)]] = {
+      cfg: TableLayout): Option[Classify.ScoreBuf] = {
     val selected: IndexedSeq[Cell] =
       if (cfg.rows == 1 && rows.length == 2)
         rows(1).slice(1, rows(1).length - 2)
@@ -196,13 +196,13 @@ object TableDetect {
   def recognizeTableAll(
       spans: IndexedSeq[Span],
       glyphs: IndexedSeq[Span],
-      det: Detector): Option[(List[String], List[(Int, Double)])] =
+      det: Detector): Option[(List[String], Classify.ScoreBuf)] =
     recognizeTableAllFromRows(extractTableRows(detectCells(spans, det)), glyphs)
 
   /** Same, over pre-grouped rows (see recognizeTableFromRows). */
   def recognizeTableAllFromRows(
       rows: IndexedSeq[IndexedSeq[Cell]],
-      glyphs: IndexedSeq[Span]): Option[(List[String], List[(Int, Double)])] = {
+      glyphs: IndexedSeq[Span]): Option[(List[String], Classify.ScoreBuf)] = {
     filterCells(rows).flatMap { case (taskCells, mnistCells0) =>
       if (taskCells.isEmpty || mnistCells0.isEmpty) None // falsy gate (:100-101)
       else {

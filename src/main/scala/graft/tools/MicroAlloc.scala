@@ -56,7 +56,7 @@ object MicroAlloc {
       measure("+tableall", dialect) { p =>
         val c = content(p)
         TableDetect.recognizeTableAll(c, glyphs(c), TableDetect.MainDetector)
-          .map(_._2.length).getOrElse(0)
+          .map(_._2.n).getOrElse(0)
       }
       measure("+serialize", dialect) { p =>
         val c = content(p)
