@@ -61,6 +61,13 @@ class PlanSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(ps).size >= 1, ps)
   }
 
+  test("driver contract: SparkEntry.entry returns rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).limit(5).count() > 0)
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql keys without a query: $orphans")
+  }
+
   test("ordered output is invariant to input partitioning and the salt shuffle") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("plan-inv").toString
