@@ -187,6 +187,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(Classify.glyphClass("").isEmpty)
   }
 
+  test("M3 classifyCells: in-order, unreadable and empty cells skipped silently") {
+    def glyphAt(x: Int, y: Int, t: String, conf: Double) =
+      Span(0, x, y, x + 30, y + 40, "g", t, conf, -1, -1)
+    def cellAt(x: Int, y: Int) = Cell(x - 10, y - 10, x + 40, y + 50, 0.9)
+    val glyphs = Vector(
+      glyphAt(100, 2000, "5", 0.97), glyphAt(300, 2000, "Ы", 0.9),
+      glyphAt(500, 2000, "-", 0.8), glyphAt(700, 2000, "x", 0.75))
+    val cells = Vector(
+      cellAt(100, 2000), cellAt(300, 2000), // second is unreadable → skipped
+      cellAt(900, 2000),                    // empty cell → skipped
+      cellAt(500, 2000), cellAt(700, 2000))
+    val r = Classify.classifyCells(glyphs, cells)
+    assert(r.n == 3)
+    assert(r.digits.take(3).toSeq == Seq(5, 10, 11))
+    assert(r.probs.take(3).toSeq == Seq(0.97, 0.8, 0.75))
+  }
+
   // ---- code path ----------------------------------------------------
   private def g(x: Int, y: Int, w: Int, h: Int, t: String) =
     Span(0, x, y, x + w, y + h, "g", t, 1.0, -1, -1)
