@@ -63,6 +63,26 @@ class ResumeSpec extends SparkSuite {
     assert(dump(rootB) == dump(rootA))
   }
 
+  test("crash, resume, crash again mid-resume, resume → byte-equal") {
+    val rootA = freshDir("graft-full2")
+    val rootB = freshDir("graft-doublecrash")
+    TableIO.writeExtracted(extracted(), rootA, buckets = 16, waves = 4)
+
+    TableIO.writeExtracted(extracted(), rootB, buckets = 16, waves = 4, stopAfterWaves = 1)
+    val (_, done1) = TableIO.committed(rootB)
+    assert(done1.size == 4)
+    // resume crashes again after one more wave (snapshots accumulate;
+    // stopAfterWaves counts wave INDICES, and wave 0 is already done)
+    TableIO.writeExtracted(extracted(), rootB, buckets = 16, waves = 4, stopAfterWaves = 2)
+    val (_, done2) = TableIO.committed(rootB)
+    assert(done2.size == 8 && done1.subsetOf(done2))
+    // final resume completes the remaining buckets exactly once
+    val lin = TableIO.writeExtracted(extracted(), rootB, buckets = 16, waves = 4)
+    assert(lin.map(_.bucket).toSet == (0 until 16).toSet -- done2)
+    assert(TableIO.lineage(rootB).map(_.bucket).sorted == (0 until 16).toVector)
+    assert(dump(rootB) == dump(rootA))
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
