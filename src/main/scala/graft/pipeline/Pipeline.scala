@@ -79,4 +79,15 @@ object Pipeline {
     * ordering for golden/byte equality). */
   def ordered(ds: Dataset[ExtractedTurn]): Dataset[ExtractedTurn] =
     ds.orderBy(col("conv_id"), col("turn_idx"))
+
+  /** S8 analog — the reference's per-document `response.json` sink
+    * (test_app_all.py:113-132) as a distributed JSON-lines write: one
+    * canonical-serializer line per turn, (conv_id, turn_idx)-ordered
+    * across files (orderBy range-partitions, so file k's lines all sort
+    * before file k+1's). */
+  def writeJsonLines(ds: Dataset[ExtractedTurn], path: String): Unit = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ordered(ds).map(Json.turnJson(_)).write.mode("overwrite").text(path)
+  }
 }

@@ -83,6 +83,15 @@ class ResumeSpec extends SparkSuite {
     assert(dump(rootB) == dump(rootA))
   }
 
+  test("JSON-lines sink (S8): ordered canonical lines equal to the in-memory dump") {
+    val root = freshDir("graft-jsonl")
+    val ds = extracted()
+    graft.pipeline.Pipeline.writeJsonLines(ds, root)
+    val back = spark.read.textFile(root).collect().sorted.toSeq
+    val expect = graft.pipeline.Pipeline.ordered(ds).collect().map(Json.turnJson).sorted.toSeq
+    assert(back == expect && back.nonEmpty)
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
