@@ -64,3 +64,22 @@ object GraftArrayMath {
     ExpressionUtils.column(LongArrayDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
+
+/** SQL-surface registration for the engine's custom expressions. */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  val longArrayDot: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("long_array_dot"),
+    new ExpressionInfo(classOf[LongArrayDot].getName, "long_array_dot"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "long_array_dot(arrayA, arrayB) takes exactly 2 arguments")
+      LongArrayDot(args(0), args(1))
+    })
+
+  /** Register on a live session (tests / spark-shell). Builder-time
+    * registration goes through graft.functions.GraftExtensions. */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(longArrayDot._1, longArrayDot._2, longArrayDot._3)
+}

@@ -1,0 +1,17 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions injector — registers the engine's custom
+  * Catalyst expressions as SQL functions at session-build time:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * or `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * For an already-built session (tests, spark-shell) use
+  * `org.apache.spark.sql.graftx.GraftFunctions.install(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.longArrayDot)
+}

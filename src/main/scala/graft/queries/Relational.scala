@@ -392,6 +392,23 @@ object Relational {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // the spark.sql(...) surface: a query authored as SQL text over a
+    // registered view, with the engine's custom expression installed as
+    // a SQL function (SparkSessionExtensions path: GraftExtensions)
+    "q_sql_surface" -> ((s, dir) => {
+      org.apache.spark.sql.graftx.GraftFunctions.install(s)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+          |       CAST(month(l_shipdate) AS BIGINT) AS m,
+          |       count(*) AS n,
+          |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |       long_array_dot(array(count(*), 2L), array(3L, 5L)) AS dot_check
+          |FROM lineitem_v
+          |WHERE l_discount > 0.05
+          |GROUP BY 1, 2 ORDER BY y, m""".stripMargin)
+    }),
+
     // range join — non-equi interval join of a fact table against a
     // small band dimension. The right 100 TB shape: broadcast the tiny
     // interval dim (BroadcastNestedLoopJoin); large×large range joins
@@ -805,6 +822,14 @@ object Relational {
          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                 CAST(min(doc_id) AS BIGINT) AS min_doc
          FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_sql_surface" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+                CAST(month(l_shipdate) AS BIGINT) AS m,
+                count(*) AS n,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                count(*) * 3 + 2 * 5 AS dot_check
+         FROM lineitem WHERE l_discount > 0.05
+         GROUP BY 1, 2 ORDER BY y, m""",
     "q_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES ('p0', 0.0, 25.0), ('p25', 25.0, 50.0),
                                              ('p50', 50.0, 75.0), ('p75', 75.0, 1e18))

@@ -85,6 +85,16 @@ class PlanSpec extends SparkSuite {
     assert(a.nonEmpty)
   }
 
+  test("SparkSessionExtensions path: long_array_dot callable from spark.sql") {
+    org.apache.spark.sql.graftx.GraftFunctions.install(spark)
+    val d = spark.sql("SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .collect()(0).getLong(0)
+    assert(d == 4L + 10L + 18L)
+    // the builder-time injector wires the same description
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
     val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
