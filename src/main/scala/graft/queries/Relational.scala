@@ -392,6 +392,18 @@ object Relational {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // ordered-statistic aggregate — exact continuous-interpolation
+    // median over integerized values (same interpolation rule as
+    // DuckDB quantile_cont)
+    "q_agg_median" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(expr("percentile(cast(round(value * 100) as bigint), 0.5)"), 4)
+            .as("median_cents"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // the spark.sql(...) surface: a query authored as SQL text over a
     // registered view, with the engine's custom expression installed as
     // a SQL function (SparkSessionExtensions path: GraftExtensions)
@@ -822,6 +834,12 @@ object Relational {
          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                 CAST(min(doc_id) AS BIGINT) AS min_doc
          FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_agg_median" ->
+      """SELECT event_type,
+                round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4)
+                  AS median_cents,
+                count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_sql_surface" ->
       """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
                 CAST(month(l_shipdate) AS BIGINT) AS m,
