@@ -546,9 +546,12 @@ object Relational {
 
     // text 3b — BPE-ish token counting: whitespace count plus a GPT-2-
     // style pretokenizer regex (contractions / letter runs / digit runs
-    // / punctuation runs, no lookahead so RE2 and Java regex agree)
+    // / punctuation runs). No lookahead, and whitespace is an EXPLICIT
+    // class — Java's \s includes \x0B where RE2's does not, so \s would
+    // be a latent Spark-vs-DuckDB divergence on vertical-tab input.
     "q_text_tokens_bpe" -> ((s, dir) => {
-      val pat = """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+      val ws = """ \t\n\r\f"""
+      val pat = s"""'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"""
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_ws"),
@@ -872,8 +875,8 @@ object Relational {
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
                 CAST(len(regexp_extract_all(text,
-                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT)
-                  AS n_bpe
+                  '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'))
+                  AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
     "q_dedup_simhash" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc

@@ -93,25 +93,52 @@ object StreamExtract {
     * group surface): one alert each time a conversation's cumulative
     * extraction-error count crosses a multiple of `every`. Crossing
     * counts are order- and batching-independent (floor(total/every)),
-    * so the emitted set reconciles exactly with batch truth. */
-  def errorAlerts(turns: Dataset[TurnInput], every: Long = 3L): Dataset[ErrorAlert] = {
+    * so the emitted set reconciles exactly with batch truth. State for
+    * conversations idle past `idleEvictionMs` of EVENT time is evicted
+    * as the watermark passes (event-time timeout — data-driven, no
+    * busy no-data batches) — unbounded streams must not grow state
+    * linearly in distinct conv_id. */
+  def errorAlerts(turns: Dataset[TurnInput], every: Long = 3L,
+      idleEvictionMs: Long = 30L * 60 * 1000): Dataset[ErrorAlert] = {
     val spark = turns.sparkSession
     import spark.implicits._
-    extractStream(turns)
-      .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (convId: String, rows: Iterator[ExtractedTurn], state: GroupState[ConvState]) =>
-          var s = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
-          val alerts = Vector.newBuilder[ErrorAlert]
-          rows.foreach { e =>
-            if (e.errors.isDefined) {
-              val n = s.nErrors + 1
-              if (n % every == 0) alerts += ErrorAlert(convId, n)
-              s = ConvState(s.nTurns + 1, n, s.sumScore + e.total_score)
-            } else s = ConvState(s.nTurns + 1, s.nErrors, s.sumScore + e.total_score)
+    turns
+      .mapPartitions { it =>
+        it.map { t =>
+          val e = Extractor.extractOne(t.conv_id, t.turn_idx, t.text)
+          (t.conv_id, t.ts, e.errors.isDefined, e.total_score)
+        }
+      }
+      .toDF("conv_id", "ts", "has_error", "total_score")
+      .withWatermark("ts", "10 minutes")
+      .as[(String, java.sql.Timestamp, Boolean, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (convId: String,
+         rows: Iterator[(String, java.sql.Timestamp, Boolean, Int)],
+         state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(ConvState(0L, 0L, 0L))
+            val alerts = Vector.newBuilder[ErrorAlert]
+            var maxTs = Long.MinValue
+            rows.foreach { case (_, ts, hasError, score) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              if (hasError) {
+                val n = s.nErrors + 1
+                if (n % every == 0) alerts += ErrorAlert(convId, n)
+                s = ConvState(s.nTurns + 1, n, s.sumScore + score)
+              } else s = ConvState(s.nTurns + 1, s.nErrors, s.sumScore + score)
+            }
+            state.update(s)
+            // rows survive the watermark filter, so maxTs + eviction is
+            // always ahead of the current watermark
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs + idleEvictionMs)
+            alerts.result().iterator
           }
-          state.update(s)
-          alerts.result().iterator
       }
   }
 

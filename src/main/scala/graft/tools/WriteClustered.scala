@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object WriteClustered {
   def main(args: Array[String]): Unit = {
+    if (args.length < 3 || !args(2).forall(_.isDigit)) {
+      System.err.println("usage: WriteClustered <inParquetDir> <outDir> <nFiles:int>")
+      sys.exit(2)
+    }
     val Array(in, out, nFiles) = args.take(3)
     val s = SparkSession.builder()
       .master("local[8]").appName("write-clustered")
