@@ -392,6 +392,65 @@ object Relational {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // lead/lag window — next-event delta per user (tie-safe ordering)
+    "q_window_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("cents"),
+          lead(cents(col("value")), 1).over(w).as("next_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // set ops 2/3 — intersect and union (q_set_except covers except)
+    "q_set_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "click").select(col("user_id")).distinct()
+        .intersect(
+          e.filter(col("event_type") === "purchase").select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+    "q_set_union" -> ((s, dir) => {
+      t(s, dir, "events").select(col("user_id").as("id"))
+        .union(t(s, dir, "orders")
+          .filter(col("o_totalprice") > 50000).select(col("o_custkey").as("id")))
+        .distinct()
+        .orderBy(col("id"))
+    }),
+
+    // full outer join — activity union of two fact tables per key
+    "q_join_outer" -> ((s, dir) => {
+      val e = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      e.join(o, col("user_id") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("id"))
+    }),
+
+    // grouping sets — explicit set list (rollup/cube are the other two)
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql("""SELECT coalesce(l_returnflag, '*') AS rf,
+              |       coalesce(l_linestatus, '*') AS ls, count(*) AS n
+              |FROM lineitem_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // UDTF shape — posexplode over split tokens (S6 per-page expansion
+    // analog; pos is the within-document ordinal)
+    "q_tokens_explode" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ordered-statistic aggregate — exact continuous-interpolation
     // median over integerized values (same interpolation rule as
     // DuckDB quantile_cont)
@@ -837,6 +896,41 @@ object Relational {
          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                 CAST(min(doc_id) AS BIGINT) AS min_doc
          FROM sigs GROUP BY band, sig HAVING count(*) >= 2 ORDER BY band, sig""",
+    "q_window_lead" ->
+      """SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+                lead(CAST(round(value * 100) AS BIGINT))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_cents
+         FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_set_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+         ORDER BY user_id""",
+    "q_set_union" ->
+      """SELECT user_id AS id FROM events
+         UNION
+         SELECT o_custkey AS id FROM orders WHERE o_totalprice > 50000
+         ORDER BY id""",
+    "q_join_outer" ->
+      """SELECT coalesce(e.user_id, o.o_custkey) AS id,
+                coalesce(e.n_events, 0) AS n_events,
+                coalesce(o.n_orders, 0) AS n_orders
+         FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) e
+         FULL OUTER JOIN
+              (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+           ON e.user_id = o.o_custkey
+         ORDER BY id""",
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '*') AS rf,
+                coalesce(l_linestatus, '*') AS ls, count(*) AS n
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY rf, ls""",
+    "q_tokens_explode" ->
+      """SELECT d.doc_id, CAST(t.i - 1 AS BIGINT) AS pos, d.parts[t.i] AS tok
+         FROM (SELECT doc_id, string_split(text, ' ') AS parts
+               FROM documents WHERE doc_id < 50) d,
+              unnest(range(1, len(d.parts) + 1)) AS t(i)
+         ORDER BY doc_id, pos""",
     "q_agg_median" ->
       """SELECT event_type,
                 round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5), 4)
