@@ -565,6 +565,27 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // text 0 — benchmark decontamination: 5-gram overlap of the corpus
+    // against a held-out probe set (docs 0..9 stand in for the
+    // benchmark). The overlap test is a broadcast-able semi-join on the
+    // gram hash at scale; here the full inner join + distinct count
+    // keeps it oracle-checkable.
+    "q_text_contamination" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          """case when size(split(text, ' ')) >= 5 then
+            |  transform(sequence(1, size(split(text, ' ')) - 4),
+            |            i -> concat_ws(' ', slice(split(text, ' '), i, 5)))
+            |else array() end""".stripMargin)).as("gram"))
+      val bench = grams.filter(col("doc_id") < 10).select(col("gram")).distinct()
+      grams.filter(col("doc_id") >= 10)
+        .join(bench, "gram")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gram")).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") >= 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // text 1 — document fingerprint (normalize + hash)
     "q_text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -989,6 +1010,18 @@ object Relational {
          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ORDER BY ia, ib"""),
+    "q_text_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+              FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+            ),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared,
+                count(DISTINCT g.gram) >= 3 AS contaminated
+         FROM grams g JOIN bench b USING (gram)
+         WHERE g.doc_id >= 10
+         GROUP BY 1 ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
