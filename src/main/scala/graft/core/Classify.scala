@@ -21,13 +21,24 @@ object Classify {
   /** Allocation-free form: class 0..11, or -1 = unreadable. */
   def glyphClassId(txt: String): Int = {
     val t = txt.trim
-    if (t.length == 1) {
-      val c = t.charAt(0)
-      if (c.isDigit) return c - '0'
-      if (c == '-' || c == '—') return 10            // dash / em-dash
-      if (c == 'x' || c == 'X' || c == 'х' || c == 'Х') return 11 // latin/cyrillic kha
-      -1
-    } else -1
+    if (t.length == 1) classOfChar(t.charAt(0)) else -1
+  }
+
+  /** Same, over the span's (possibly deferred) text — no String
+    * materialization; trim uses String.trim's <= ' ' rule. */
+  def glyphClassIdOf(s: Span): Int = {
+    var a = 0
+    var b = s.textLen
+    while (a < b && s.charAtText(a) <= ' ') a += 1
+    while (b > a && s.charAtText(b - 1) <= ' ') b -= 1
+    if (b - a == 1) classOfChar(s.charAtText(a)) else -1
+  }
+
+  private def classOfChar(c: Char): Int = {
+    if (c.isDigit) return c - '0'
+    if (c == '-' || c == '—') return 10            // dash / em-dash
+    if (c == 'x' || c == 'X' || c == 'х' || c == 'Х') return 11 // latin/cyrillic kha
+    -1
   }
 
   /** Classify the content of one detected cell box: pick the glyph span
@@ -42,7 +53,7 @@ object Classify {
     val g = bestGlyph(glyphs, cell)
     if (g == null) None
     else {
-      val c = glyphClassId(g.text)
+      val c = glyphClassIdOf(g)
       if (c < 0) None else Some((c, g.conf))
     }
   }
@@ -90,7 +101,7 @@ object Classify {
     while (i < cells.length) {
       val g = bestGlyph(glyphs, cells(i))
       if (g != null) {
-        val c = glyphClassId(g.text)
+        val c = glyphClassIdOf(g)
         if (c >= 0) { ds(n) = c; ps(n) = g.conf; n += 1 }
       }
       i += 1

@@ -48,7 +48,8 @@ object CodeRec {
     val sb = new StringBuilder
     for (g <- dropped) {
       // preprocess failure → silently skipped (:94-97 via :91-92)
-      Classify.glyphClass(g.text).foreach(c => sb.append(c.toString))
+      val c = Classify.glyphClassIdOf(g)
+      if (c >= 0) sb.append(c.toString)
     }
     Right(Some(sb.toString))
   }

@@ -197,13 +197,13 @@ object Extractor {
     * has them. */
   def serializeContent(spans: IndexedSeq[Span]): (String, Vector[SpanOffset]) = {
     @inline def keep(s: Span): Boolean =
-      (s.kind == "w" || s.kind == "g") && s.text.nonEmpty &&
+      (s.kind == "w" || s.kind == "g") && s.textLen > 0 &&
         (s.page == 0 || s.page == 9)
     // single counting pass → exact-size span array and builder capacity
     // (no filter-builder garbage, no StringBuilder growth copies)
     var n = 0; var cap = 0; var i = 0
     while (i < spans.length) {
-      val s = spans(i); if (keep(s)) { n += 1; cap += s.text.length + 1 }
+      val s = spans(i); if (keep(s)) { n += 1; cap += s.textLen + 1 }
       i += 1
     }
     if (n == 0) return ("", Vector.empty)
@@ -223,7 +223,7 @@ object Extractor {
       if (i > 0) {
         if (s.page != prevPage || s.y1 != prevY) sb.append('\n') else sb.append(' ')
       }
-      sb.append(s.text)
+      s.appendTo(sb)
       if (s.start >= 0) offs += SpanOffset(s.start, s.end)
       prevPage = s.page; prevY = s.y1
       i += 1

@@ -19,16 +19,16 @@ object Header {
       spans.filter(s => s.kind == "w" && s.page == 0 && region.containsFully(s)),
       Sorts.spanByYX)
     if (words.isEmpty) return ""
-    val sb = new StringBuilder
+    val sb = new java.lang.StringBuilder
     var prevY = Integer.MIN_VALUE
     for (w <- words) {
       if (prevY == Integer.MIN_VALUE) ()
       else if (w.y1 != prevY) sb.append('\n')
       else sb.append(' ')
-      sb.append(w.text)
+      w.appendTo(sb)
       prevY = w.y1
     }
-    sb.result().trim
+    sb.toString.trim
   }
 
   /** OCR character repair (app.py:99-106,115-117). All source chars are

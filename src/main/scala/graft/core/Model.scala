@@ -50,10 +50,23 @@ final case class Span(
     text: String,
     conf: Double,
     start: Int,
-    end: Int) {
+    end: Int,
+    src: String = null) {
   def yCenter: Double = (y1 + y2) / 2.0
   def xCenter: Double = (x1 + x2) / 2.0
   def area: Long      = (x2 - x1).toLong * (y2 - y1).toLong
+
+  // Deferred text: tokenizers emitting payload-verbatim fragments pass
+  // text = null and a shared `src` payload reference — the per-span
+  // String (header + char copy) was measured GC churn at 32 threads.
+  // Literal spans (generator, tests, empty cell/box text) keep `text`.
+  def textLen: Int = if (text != null) text.length else end - start
+  def charAtText(i: Int): Char =
+    if (text != null) text.charAt(i) else src.charAt(start + i)
+  /** Materialize (cold paths / tests only — hot paths use appendTo). */
+  def textStr: String = if (text != null) text else src.substring(start, end)
+  def appendTo(sb: java.lang.StringBuilder): Unit =
+    if (text != null) sb.append(text) else sb.append(src, start, end)
 }
 
 /** Detection box, float coords — mirrors YOLO xyxy output

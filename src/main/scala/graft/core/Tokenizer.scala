@@ -82,8 +82,10 @@ object Tokenizer {
           val kind = f.nextKind()
           val conf = f.nextDouble()
           f.rest()
-          val txt = if (f.restStart < 0) "" else payload.substring(f.restStart, f.restEnd)
-          spans += Span(page, x1, y1, x2, y2, kind, txt, conf, f.restStart, f.restEnd)
+          spans += (if (f.restStart < 0)
+            Span(page, x1, y1, x2, y2, kind, "", conf, -1, -1)
+          else
+            Span(page, x1, y1, x2, y2, kind, null, conf, f.restStart, f.restEnd, payload))
         }
         // other lines (magic, comments) ignored
       }
@@ -257,17 +259,16 @@ object Tokenizer {
           while (s0 < e0 && Character.isWhitespace(payload.charAt(s0))) s0 += 1
           while (e0 > s0 && Character.isWhitespace(payload.charAt(e0 - 1))) e0 -= 1
           if (e0 > s0) {
-            val txt = payload.substring(s0, e0)
-            totalChars += txt.length
-            if (inAnchor) linkChars += txt.length
-            nWords += countWords(txt)
+            totalChars += e0 - s0
+            if (inAnchor) linkChars += e0 - s0
+            nWords += countWords(payload, s0, e0)
             if (pKind != null && pX >= 0 && pY >= 0) {
-              spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, txt, pConf, s0, e0)
+              spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, null, pConf, s0, e0, payload)
               pKind = null
             } else if (!inAnchor) {
               // flow text without position: off-grid page 9 so it never
               // enters page-0 region ops but can survive as content
-              spans += Span(9, 0, 0, 0, 0, "w", txt, 1.0, s0, e0)
+              spans += Span(9, 0, 0, 0, 0, "w", null, 1.0, s0, e0, payload)
             }
           }
         }
@@ -375,9 +376,11 @@ object Tokenizer {
     if (neg) -value else value
   }
 
-  private def countWords(s: String): Int = {
-    var c = 0; var inWord = false; var i = 0
-    while (i < s.length) {
+  private def countWords(s: String): Int = countWords(s, 0, s.length)
+
+  private def countWords(s: String, from: Int, to: Int): Int = {
+    var c = 0; var inWord = false; var i = from
+    while (i < to) {
       val w = !Character.isWhitespace(s.charAt(i))
       if (w && !inWord) c += 1
       inWord = w
@@ -402,7 +405,7 @@ object Tokenizer {
     val spans = new ArrayBuffer[Span](64)
     // open '#' boxes keyed by (colStart, colEnd): top border row + glyph buffer
     var boxTop = -1; var boxC0 = -1; var boxC1 = -1
-    val boxGlyphs = new ArrayBuffer[(Int, Int, Int, String, Int, Int)]() // row,c0,c1,txt,start,end
+    val boxGlyphs = new ArrayBuffer[(Int, Int, Int, Int, Int)]() // row,c0,c1,start,end
 
     var row = 0
     var i = 0
@@ -431,21 +434,21 @@ object Tokenizer {
           // closing border → emit box + its glyphs
           spans += Span(0, boxC0 * CellW, boxTop * CellH,
             (boxC1 + 1) * CellW, (row + 1) * CellH, "box", "", 1.0, -1, -1)
-          for ((r, c0, c1, txt, s0, e0) <- boxGlyphs)
+          for ((r, c0, c1, s0, e0) <- boxGlyphs)
             spans += Span(0, c0 * CellW, r * CellH, (c1 + 1) * CellW, (r + 1) * CellH,
-              "g", txt, 1.0, s0, e0)
+              "g", null, 1.0, s0, e0, payload)
           boxGlyphs.clear()
           boxTop = -1
         }
       } else if (boxTop >= 0 && firstHash >= 0 && lastHash > firstHash) {
         // box content row: tokens between the edge '#'s are glyphs
         emitTokens(payload, lineStart, eol, row, firstHash + 1, lastHash - 1) {
-          (c0, c1, txt, s0, e0) => boxGlyphs += ((row, c0, c1, txt, s0, e0))
+          (c0, c1, s0, e0) => boxGlyphs += ((row, c0, c1, s0, e0))
         }
         // text left of the box on the same physical line → words
         emitTokens(payload, lineStart, eol, row, 0, firstHash - 1) {
-          (c0, c1, txt, s0, e0) =>
-            spans += wordSpan(row, c0, c1, txt, s0, e0)
+          (c0, c1, s0, e0) =>
+            spans += wordSpan(payload, row, c0, c1, s0, e0)
         }
       } else if (hasPipe) {
         // table row: segments between pipes are cells
@@ -459,9 +462,9 @@ object Tokenizer {
               spans += Span(0, c0 * CellW, row * CellH,
                 (c1 + 1) * CellW, (row + 1) * CellH, "cell", "", 1.0, -1, -1)
               emitTokens(payload, lineStart, eol, row, c0 + 1, c1 - 1) {
-                (g0, g1, txt, s0, e0) =>
+                (g0, g1, s0, e0) =>
                   spans += Span(0, g0 * CellW, row * CellH, (g1 + 1) * CellW,
-                    (row + 1) * CellH, "g", txt, 1.0, s0, e0)
+                    (row + 1) * CellH, "g", null, 1.0, s0, e0, payload)
               }
             }
             prevPipe = col
@@ -472,7 +475,7 @@ object Tokenizer {
         // ruling line — ignored
       } else {
         emitTokens(payload, lineStart, eol, row, 0, Int.MaxValue) {
-          (c0, c1, txt, s0, e0) => spans += wordSpan(row, c0, c1, txt, s0, e0)
+          (c0, c1, s0, e0) => spans += wordSpan(payload, row, c0, c1, s0, e0)
         }
       }
       row += 1
@@ -481,13 +484,15 @@ object Tokenizer {
     groupByLineGap(spans)
   }
 
-  private def wordSpan(row: Int, c0: Int, c1: Int, txt: String, s0: Int, e0: Int): Span =
-    Span(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH, "w", txt, 1.0, s0, e0)
+  private def wordSpan(payload: String, row: Int, c0: Int, c1: Int, s0: Int, e0: Int): Span =
+    Span(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH,
+      "w", null, 1.0, s0, e0, payload)
 
   /** Emit whitespace-delimited tokens of a line restricted to columns
-    * [colFrom, colTo]. Callback gets (colStart, colEnd, text, start, end). */
+    * [colFrom, colTo]. Callback gets (colStart, colEnd, start, end) —
+    * offsets only; spans defer text to the shared payload. */
   private def emitTokens(s: String, lineStart: Int, eol: Int, row: Int,
-      colFrom: Int, colTo: Int)(f: (Int, Int, String, Int, Int) => Unit): Unit = {
+      colFrom: Int, colTo: Int)(f: (Int, Int, Int, Int) => Unit): Unit = {
     var j = lineStart + math.max(0, colFrom)
     val jEnd = if (colTo == Int.MaxValue) eol else math.min(eol, lineStart + colTo + 1)
     while (j < jEnd) {
@@ -495,7 +500,7 @@ object Tokenizer {
       if (j < jEnd) {
         val st = j
         while (j < jEnd && s.charAt(j) != ' ') j += 1
-        f(st - lineStart, j - 1 - lineStart, s.substring(st, j), st, j)
+        f(st - lineStart, j - 1 - lineStart, st, j)
       }
     }
   }
@@ -523,7 +528,7 @@ object Tokenizer {
     while (i < sorted.length) {
       val s = sorted(i)
       if (i > from && (s.page != prevPage || s.y1 - prevY > 70)) close(i)
-      if (s.kind == "w" || s.kind == "g") { curWords += 1; curChars += s.text.length }
+      if (s.kind == "w" || s.kind == "g") { curWords += 1; curChars += s.textLen }
       prevY = s.y1; prevPage = s.page
       i += 1
     }
