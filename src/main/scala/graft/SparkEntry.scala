@@ -18,6 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++ graft.queries.TrainingData.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = graft.queries.Relational.oracleSql
+    * the same parquet tables (plus the ground-truth sidecar parquet the
+    * extraction queries write). Omit for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql
 }

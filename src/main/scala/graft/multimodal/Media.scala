@@ -89,6 +89,21 @@ object Media {
     }
   }
 
+  /** Oracled query surface: the per-kind aggregates that derive
+    * deterministically from the documents table (kind = doc_id % 3,
+    * n_bytes = UTF-8 byte length, frames from the duration formula) —
+    * DuckDB recomputes them from documents.parquet independently. The
+    * luma histogram (stub-decode-dependent) stays in the rows-only
+    * q_media_features below. */
+  def mediaAggQuery(spark: SparkSession, dir: String): DataFrame = {
+    extractFeatures(synthMedia(spark, dir))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("frames_sampled").cast("long")).as("frames"))
+      .orderBy(col("kind"))
+  }
+
   /** Registered query surface (rows-only — stub decode has no SQL
     * oracle): per-kind feature aggregates. */
   def mediaFeatureQuery(spark: SparkSession, dir: String): DataFrame = {

@@ -359,11 +359,29 @@ object Relational {
     }),
 
     // dedup 2 — token-set jaccard near-dup pairs (capped for bench scale;
-    // the cap is a no-op at the verify SF)
+    // the cap is a no-op at the verify SF).
+    //
+    // Document-frequency guard: a stopword-grade token makes an O(df²)
+    // bucket in the inverted-index self-join — the classic skew bomb at
+    // corpus scale. Tokens with df > τ are dropped from the token
+    // UNIVERSE (both the intersection join and the set sizes, so the
+    // jaccard stays internally consistent over the filtered universe)
+    // and the drop is logged. τ=600 exceeds the verify SF's max possible
+    // df (500 docs pass the doc_id cap at sf0.01), so the DuckDB oracle
+    // is unchanged there; at larger SFs the guard fires — route
+    // scale traffic to minhash/simhash candidates and use jaccard as the
+    // exact verification stage on candidate pairs.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val dfCap = 600L
+      val toksAll = t(s, dir, "documents")
         .filter(col("doc_id") < 1000)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val hot = toksAll.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > dfCap)
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(s"[q_dedup_jaccard] df-guard dropped $nHot hot tokens (df > $dfCap)")
+      val toks = toksAll.join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = toks.as("a")
         .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
@@ -702,7 +720,12 @@ object Relational {
 
     // similarity 3 — IVF-style ANN: the `label` column is the coarse
     // quantizer (inverted list id); candidates are restricted to the
-    // query's list — the scale path vs the brute-force baseline below
+    // query's list — the scale path vs the brute-force baseline below.
+    // Broadcast direction matters at 100 TB: the QUERY set (tiny, fixed)
+    // is the build side; the candidate table only STREAMS through the
+    // BroadcastHashJoin on `label` — never materialized on one node.
+    // (PlanSpec pins this: no BroadcastExchange over the unfiltered
+    // candidate scan.)
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
@@ -711,7 +734,7 @@ object Relational {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("v").as("qv"), col("norm2").as("qn"))
-      val scored = q.join(broadcast(e).as("c"),
+      val scored = e.as("c").join(broadcast(q),
           col("qlabel") === col("c.label") && col("qid") =!= col("c.vec_id"))
         .select(col("qid"), col("c.vec_id").as("nb"),
           graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
@@ -725,7 +748,11 @@ object Relational {
         .orderBy(col("qid"), col("rank"))
     }),
 
-    // similarity 2 — brute-force cosine top-k ANN baseline
+    // similarity 2 — brute-force cosine top-k ANN baseline. Scans every
+    // candidate BY DESIGN (the exhaustive baseline the IVF path is
+    // measured against); the broadcast side is still the tiny query set
+    // so the full candidate table streams, never ships (BNLJ build side
+    // = queries).
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -733,7 +760,7 @@ object Relational {
         .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
-      val scored = q.join(broadcast(e).as("c"), col("qid") =!= col("c.vec_id"))
+      val scored = e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
         .select(col("qid"), col("c.vec_id").as("nb"),
           graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
           col("qn").as("na"), col("c.norm2").as("nb2"))

@@ -1,36 +1,155 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core.ExtractedTurn
 
-/** Training-data-pipeline operators that are not DuckDB-expressible
-  * (engine-specific hashing / the extraction pipeline itself) —
-  * registered rows-only (no oracleSql entry; the driver records a
-  * weaker rows>0 check, SURVEY.md §5 item 6). */
+/** Training-data-pipeline operators over the extraction engine itself.
+  *
+  * The flagship pipeline IS oracled (driver DuckDB hash check), not just
+  * sbt-tested: the synthetic generator derives a ground-truth sidecar
+  * independently of the extractor's geometry (synth/Expected.scala), so
+  * each query run writes that sidecar to parquet and the DuckDB oracle
+  * is a plain SELECT over it — the driver then hash-compares the
+  * extractor's output against generator truth row by row, covering the
+  * north rule's per-turn text equality (extracted_text is one of the
+  * compared columns) plus every response field (scores/offsets/errors/
+  * warnings ride as canonical JSON strings rendered by the SAME
+  * deterministic Spark to_json on both sides). */
 object TrainingData {
+
+  /** Sidecar locations — absolute paths so the driver's DuckDB process
+    * resolves them regardless of cwd. Rewritten on every query build
+    * (tiny: ~2k rows at the 500-conversation verify scale). */
+  val expectedTurnsPath  = "/tmp/graft-oracle/expected_turns"
+  val expectedErrorsPath = "/tmp/graft-oracle/expected_errors"
+  val streamTurnsPath    = "/tmp/graft-oracle/stream_turns"
+
+  /** Memory-sink names must be unique per session (a second .start()
+    * with the same queryName throws). */
+  private val memSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val nConvs = 500L
+
+  /** One canonical flat projection used for BOTH the extractor output
+    * and the generator ground truth — nested fields become canonical
+    * JSON so the cross-engine compare is over scalar columns only. */
+  private def flat(df: DataFrame): DataFrame =
+    df.select(
+      col("conv_id"), col("turn_idx"),
+      col("subject"), col("grade"), col("variant"), col("participant_code"),
+      col("total_score"),
+      col("extracted_text"),
+      to_json(col("scores")).as("scores_json"),
+      to_json(col("span_offsets")).as("offsets_json"),
+      to_json(col("errors")).as("errors_json"),
+      to_json(col("warnings")).as("warnings_json"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+
+  /** Generate the (input, expected) pair table and persist the expected
+    * sidecars for the DuckDB oracle. Returns the input turns. */
+  private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] = {
+    import s.implicits._
+    val gen = graft.pipeline.Pipeline.synthWithExpected(s, nConvs, 8)
+    val expected = gen.select(col("_2.*"))
+    flat(expected).coalesce(1)
+      .write.mode("overwrite").parquet(expectedTurnsPath)
+    expected.filter(col("errors").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), explode(col("errors")).as("error"))
+      .orderBy(col("conv_id"), col("turn_idx"), col("error"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(expectedErrorsPath)
+    gen.select(col("_1.*")).as[graft.core.TurnInput]
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The extraction pipeline itself as a registered query (flagship
-    // operator; correctness gated by the sbt golden suites instead).
+    // operator) — oracled against the generator's ground-truth sidecar.
     "q_extract_pipeline" -> ((s, dir) => {
-      val turns = graft.pipeline.Pipeline.synthTurns(s, 500L, 8)
-      graft.pipeline.Pipeline.ordered(
-        graft.pipeline.Pipeline.extractTurnsSalted(turns, 32))
-        .select(col("conv_id"), col("turn_idx"), col("subject"), col("grade"),
-          col("variant"), col("participant_code"), col("total_score"))
+      val turns = genWithSidecar(s)
+      flat(graft.pipeline.Pipeline
+        .extractTurnsSalted(turns, 32).toDF())
     }),
 
-    // multimodal plumbing (stubbed codec; real batch/partition shape)
+    // multimodal: oracled aggregate face (deterministically derivable
+    // from documents.parquet) …
+    "q_media_agg" -> ((s, dir) => graft.multimodal.Media.mediaAggQuery(s, dir)),
+
+    // … and the rows-only face keeping the stub-decode luma histogram
     "q_media_features" -> ((s, dir) => graft.multimodal.Media.mediaFeatureQuery(s, dir)),
 
-    // S9 — error-subset sink analog: rows whose extraction failed
+    // Structured Streaming surface under the oracle gate: event-time
+    // session windows (session_window) driven through a real streaming
+    // query (file source → groupBy(session_window) → memory sink,
+    // Complete mode so every session is emitted regardless of the final
+    // watermark). The DuckDB oracle recomputes the sessions as the
+    // classic gap fold (lag + cumulative break sum) over the SAME input
+    // parquet — an independent derivation of the session semantics.
+    "q_stream_sessions" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        .coalesce(1).write.mode("overwrite").parquet(streamTurnsPath)
+      val streamed = graft.streaming.StreamExtract.runOnce(
+        graft.streaming.StreamExtract.sessionWindows(
+          graft.streaming.StreamExtract.readTurnStream(s, streamTurnsPath, streamTurnsPath)),
+        s"q_stream_sessions_${memSinkSeq.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      streamed.select(col("conv_id"),
+          unix_timestamp(col("session_start")).as("session_start_s"),
+          unix_timestamp(col("session_end")).as("session_end_s"),
+          col("n_turns"))
+        .orderBy(col("conv_id"), col("session_start_s"))
+    }),
+
+    // S9 — error-subset sink analog: rows whose extraction failed,
+    // oracled against the exploded expected-errors sidecar
     "q_extract_errors" -> ((s, dir) => {
-      val turns = graft.pipeline.Pipeline.synthTurns(s, 500L, 8)
+      val turns = genWithSidecar(s)
       graft.pipeline.Pipeline.extractTurns(turns)
         .filter(col("errors").isNotNull)
         .select(col("conv_id"), col("turn_idx"), explode(col("errors")).as("error"))
         .orderBy(col("conv_id"), col("turn_idx"), col("error"))
     }),
+  )
+
+  /** DuckDB oracles for the sidecar-backed queries (the sidecar parquet
+    * is written by the query run itself, before the driver's DuckDB
+    * pass). q_media_agg recomputes from documents.parquet from first
+    * principles — kind/bytes/duration formulas mirrored in SQL. */
+  val oracleSql: Map[String, String] = Map(
+    "q_extract_pipeline" ->
+      s"""SELECT conv_id, turn_idx, subject, grade, variant, participant_code,
+            total_score, extracted_text, scores_json, offsets_json,
+            errors_json, warnings_json
+          FROM read_parquet('$expectedTurnsPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_extract_errors" ->
+      s"""SELECT conv_id, turn_idx, error
+          FROM read_parquet('$expectedErrorsPath/*.parquet')
+          ORDER BY conv_id, turn_idx, error""",
+    "q_stream_sessions" ->
+      s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
+          m AS (SELECT conv_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+                FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+          s AS (SELECT conv_id, ts,
+                  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT conv_id,
+                 CAST(epoch(min(ts)) AS BIGINT) AS session_start_s,
+                 CAST(epoch(max(ts)) AS BIGINT) + 3600 AS session_end_s,
+                 count(*) AS n_turns
+          FROM s GROUP BY conv_id, sid
+          ORDER BY conv_id, session_start_s""",
+    "q_media_agg" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                count(*) AS n,
+                CAST(sum(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+                CAST(sum(CASE doc_id % 3
+                  WHEN 0 THEN 1
+                  WHEN 1 THEN greatest(1, (n_chars * 10) // 30000)
+                  ELSE greatest(1, (n_chars * 40) // 10000) END) AS BIGINT) AS frames
+         FROM documents GROUP BY 1 ORDER BY kind""",
   )
 }

@@ -95,6 +95,31 @@ class PlanSpec extends SparkSuite {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("ANN broadcasts the query set, never the candidate table") {
+    // At 100 TB the candidate table must STREAM through the join; only
+    // the (tiny, filtered) query set may ride a BroadcastExchange.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    for (name <- Seq("q_ann_ivf", "q_ann_topk")) {
+      val exec = Relational.queries(name)(spark, dir).queryExecution.sparkPlan
+      val builds = exec.collect {
+        case j: BroadcastHashJoinExec =>
+          if (j.buildSide == BuildRight) j.right else j.left
+        case j: BroadcastNestedLoopJoinExec =>
+          if (j.buildSide == BuildRight) j.right else j.left
+      }
+      assert(builds.nonEmpty, s"$name: no broadcast join in\n$exec")
+      builds.foreach { b =>
+        val t = b.toString
+        assert(t.contains("vec_id") && t.contains("< 10"),
+          s"$name: broadcast build side is not the filtered query set:\n$t")
+      }
+    }
+    // and the IVF variant joins on the inverted-list id (hash, not NLJ)
+    val ivf = Relational.queries("q_ann_ivf")(spark, dir).queryExecution.sparkPlan.toString
+    assert(ivf.contains("BroadcastHashJoin"), ivf)
+  }
+
   test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
     val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
