@@ -44,14 +44,14 @@ final case class Bbox(x1: Int, y1: Int, x2: Int, y2: Int) {
   * (start,end): char offsets of `text` in the original payload (for the
   *       span_offsets output; -1,-1 when the span carries no text). */
 final case class Span(
-    page: Int,
-    x1: Int, y1: Int, x2: Int, y2: Int,
-    kind: String,
-    text: String,
-    conf: Double,
-    start: Int,
-    end: Int,
-    src: String = null) {
+    var page: Int,
+    var x1: Int, var y1: Int, var x2: Int, var y2: Int,
+    var kind: String,
+    var text: String,
+    var conf: Double,
+    var start: Int,
+    var end: Int,
+    var src: String = null) {
   def yCenter: Double = (y1 + y2) / 2.0
   def xCenter: Double = (x1 + x2) / 2.0
   def area: Long      = (x2 - x1).toLong * (y2 - y1).toLong
@@ -67,6 +67,46 @@ final case class Span(
   def textStr: String = if (text != null) text else src.substring(start, end)
   def appendTo(sb: java.lang.StringBuilder): Unit =
     if (text != null) sb.append(text) else sb.append(src, start, end)
+}
+
+/** Per-thread Span recycler for the tokenizer hot path. Spans live only
+  * for one turn (the fused per-turn map consumes them fully and emits
+  * plain strings/offsets; Span is never Spark-encoded), so the tokenizer
+  * rents instances that are reset at the START of the next tokenize on
+  * the same thread — ~65 spans × ~80 B/turn of garbage becomes zero
+  * steady-state. Generator/test spans use the constructor and are
+  * untouched. RULE: a tokenize result must be fully consumed before the
+  * same thread tokenizes again (true everywhere: the pipeline is one
+  * fused map per turn; Render's plain-dialect re-tokenize is consumed
+  * inside the same genTurn call). */
+final class SpanPool {
+  private var arr = new Array[Span](256)
+  private var n = 0
+  /** Reusable span buffer for the positioned dialects (cleared, not
+    * reallocated, per tokenize — same lifetime contract as the spans). */
+  val scratch = new scala.collection.mutable.ArrayBuffer[Span](128)
+  def reset(): Unit = { n = 0; scratch.clear() }
+  def next(page: Int, x1: Int, y1: Int, x2: Int, y2: Int, kind: String,
+      text: String, conf: Double, start: Int, end: Int, src: String): Span = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+    var s = arr(n)
+    if (s == null) {
+      s = new Span(page, x1, y1, x2, y2, kind, text, conf, start, end, src)
+      arr(n) = s; n += 1
+      s
+    } else {
+      n += 1
+      s.page = page; s.x1 = x1; s.y1 = y1; s.x2 = x2; s.y2 = y2
+      s.kind = kind; s.text = text; s.conf = conf
+      s.start = start; s.end = end; s.src = src
+      s
+    }
+  }
+}
+
+object SpanPool {
+  private val tl = ThreadLocal.withInitial(() => new SpanPool)
+  def get(): SpanPool = tl.get()
 }
 
 /** Detection box, float coords — mirrors YOLO xyxy output

@@ -44,10 +44,16 @@ object Tokenizer {
       if (i < payload.length && payload.charAt(i) == '<') Html else Plain
     }
 
-  def tokenize(payload: String): Vector[Block] = sniff(payload) match {
-    case Pdf   => tokenizePdf(payload)
-    case Html  => tokenizeHtml(payload)
-    case Plain => tokenizePlain(payload)
+  def tokenize(payload: String): Vector[Block] = {
+    // rent spans from the per-thread pool — the PREVIOUS tokenize's
+    // spans are dead by contract (one fused map per turn; see SpanPool)
+    val pool = SpanPool.get()
+    pool.reset()
+    sniff(payload) match {
+      case Pdf   => tokenizePdf(payload, pool)
+      case Html  => tokenizeHtml(payload, pool)
+      case Plain => tokenizePlain(payload, pool)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -61,8 +67,9 @@ object Tokenizer {
   // arrive pre-positioned; we keep page indices (the first-page-only
   // rule O4 is applied downstream by the page==0 filters).
   // ------------------------------------------------------------------
-  private def tokenizePdf(payload: String): Vector[Block] = {
-    val spans = new ArrayBuffer[Span](64)
+  private def tokenizePdf(payload: String, pool: SpanPool): Vector[Block] = {
+    val spans = pool.scratch
+    val f = new FieldScanner(payload, 0, 0)
     var page = 0
     var i = 0
     val n = payload.length
@@ -73,19 +80,19 @@ object Tokenizer {
         val c0 = payload.charAt(i)
         if (c0 == 'P' && i + 1 < eol && payload.charAt(i + 1) == ' ') {
           // P <page> <w> <h>
-          val f = new FieldScanner(payload, i + 2, eol)
+          f.aim(i + 2, eol)
           page = f.nextInt()
         } else if (c0 == 'S' && i + 1 < eol && payload.charAt(i + 1) == ' ') {
-          val f = new FieldScanner(payload, i + 2, eol)
+          f.aim(i + 2, eol)
           val x1 = f.nextInt(); val y1 = f.nextInt()
           val x2 = f.nextInt(); val y2 = f.nextInt()
           val kind = f.nextKind()
           val conf = f.nextDouble()
           f.rest()
           spans += (if (f.restStart < 0)
-            Span(page, x1, y1, x2, y2, kind, "", conf, -1, -1)
+            pool.next(page, x1, y1, x2, y2, kind, "", conf, -1, -1, null)
           else
-            Span(page, x1, y1, x2, y2, kind, null, conf, f.restStart, f.restEnd, payload))
+            pool.next(page, x1, y1, x2, y2, kind, null, conf, f.restStart, f.restEnd, payload))
         }
         // other lines (magic, comments) ignored
       }
@@ -97,10 +104,12 @@ object Tokenizer {
   /** Space-separated field scanner over a [from, to) slice. Allocation-
     * free: kinds are interned constants, doubles hand-parsed in place,
     * the rest-of-line exposed as fields instead of a tuple. */
-  private final class FieldScanner(s: String, from: Int, to: Int) {
+  private final class FieldScanner(s: String, from: Int, private var to: Int) {
     private var p = from
     var restStart: Int = -1
     var restEnd: Int = -1
+    /** Re-aim the scanner at another [from, to) slice (reused per line). */
+    def aim(from: Int, to: Int): Unit = { p = from; this.to = to; restStart = -1; restEnd = -1 }
     private def skipSpaces(): Unit = { while (p < to && s.charAt(p) == ' ') p += 1 }
     private def tokenEnd(): Int = {
       var q = p
@@ -174,7 +183,7 @@ object Tokenizer {
   // scoring. Generator payloads contain no HTML entities (documented
   // contract), so no entity decoding here.
   // ------------------------------------------------------------------
-  private def tokenizeHtml(payload: String): Vector[Block] = {
+  private def tokenizeHtml(payload: String, pool: SpanPool): Vector[Block] = {
     val blocks = Vector.newBuilder[Block]
     var spans = new ArrayBuffer[Span](16)
     var totalChars = 0; var linkChars = 0; var nWords = 0
@@ -233,7 +242,7 @@ object Tokenizer {
                 if (pKind == "cell" || pKind == "box") {
                   // no text node required; emit immediately
                   if (pX >= 0 && pY >= 0)
-                    spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, "", pConf, -1, -1)
+                    spans += pool.next(pPage, pX, pY, pX + pW, pY + pH, pKind, "", pConf, -1, -1, null)
                   pKind = null
                 }
               }
@@ -263,12 +272,12 @@ object Tokenizer {
             if (inAnchor) linkChars += e0 - s0
             nWords += countWords(payload, s0, e0)
             if (pKind != null && pX >= 0 && pY >= 0) {
-              spans += Span(pPage, pX, pY, pX + pW, pY + pH, pKind, null, pConf, s0, e0, payload)
+              spans += pool.next(pPage, pX, pY, pX + pW, pY + pH, pKind, null, pConf, s0, e0, payload)
               pKind = null
             } else if (!inAnchor) {
               // flow text without position: off-grid page 9 so it never
               // enters page-0 region ops but can survive as content
-              spans += Span(9, 0, 0, 0, 0, "w", null, 1.0, s0, e0, payload)
+              spans += pool.next(9, 0, 0, 0, 0, "w", null, 1.0, s0, e0, payload)
             }
           }
         }
@@ -401,8 +410,8 @@ object Tokenizer {
   val CellW = 20
   val CellH = 35
 
-  private def tokenizePlain(payload: String): Vector[Block] = {
-    val spans = new ArrayBuffer[Span](64)
+  private def tokenizePlain(payload: String, pool: SpanPool): Vector[Block] = {
+    val spans = pool.scratch
     // open '#' boxes keyed by (colStart, colEnd): top border row + glyph buffer
     var boxTop = -1; var boxC0 = -1; var boxC1 = -1
     val boxGlyphs = new ArrayBuffer[(Int, Int, Int, Int, Int)]() // row,c0,c1,start,end
@@ -432,10 +441,10 @@ object Tokenizer {
         if (boxTop < 0) { boxTop = row; boxC0 = firstHash; boxC1 = lastHash }
         else {
           // closing border → emit box + its glyphs
-          spans += Span(0, boxC0 * CellW, boxTop * CellH,
-            (boxC1 + 1) * CellW, (row + 1) * CellH, "box", "", 1.0, -1, -1)
+          spans += pool.next(0, boxC0 * CellW, boxTop * CellH,
+            (boxC1 + 1) * CellW, (row + 1) * CellH, "box", "", 1.0, -1, -1, null)
           for ((r, c0, c1, s0, e0) <- boxGlyphs)
-            spans += Span(0, c0 * CellW, r * CellH, (c1 + 1) * CellW, (r + 1) * CellH,
+            spans += pool.next(0, c0 * CellW, r * CellH, (c1 + 1) * CellW, (r + 1) * CellH,
               "g", null, 1.0, s0, e0, payload)
           boxGlyphs.clear()
           boxTop = -1
@@ -448,7 +457,7 @@ object Tokenizer {
         // text left of the box on the same physical line → words
         emitTokens(payload, lineStart, eol, row, 0, firstHash - 1) {
           (c0, c1, s0, e0) =>
-            spans += wordSpan(payload, row, c0, c1, s0, e0)
+            spans += wordSpan(pool, payload, row, c0, c1, s0, e0)
         }
       } else if (hasPipe) {
         // table row: segments between pipes are cells
@@ -459,11 +468,11 @@ object Tokenizer {
             val col = k - lineStart
             if (prevPipe >= 0) {
               val c0 = prevPipe; val c1 = col
-              spans += Span(0, c0 * CellW, row * CellH,
-                (c1 + 1) * CellW, (row + 1) * CellH, "cell", "", 1.0, -1, -1)
+              spans += pool.next(0, c0 * CellW, row * CellH,
+                (c1 + 1) * CellW, (row + 1) * CellH, "cell", "", 1.0, -1, -1, null)
               emitTokens(payload, lineStart, eol, row, c0 + 1, c1 - 1) {
                 (g0, g1, s0, e0) =>
-                  spans += Span(0, g0 * CellW, row * CellH, (g1 + 1) * CellW,
+                  spans += pool.next(0, g0 * CellW, row * CellH, (g1 + 1) * CellW,
                     (row + 1) * CellH, "g", null, 1.0, s0, e0, payload)
               }
             }
@@ -475,7 +484,7 @@ object Tokenizer {
         // ruling line — ignored
       } else {
         emitTokens(payload, lineStart, eol, row, 0, Int.MaxValue) {
-          (c0, c1, s0, e0) => spans += wordSpan(payload, row, c0, c1, s0, e0)
+          (c0, c1, s0, e0) => spans += wordSpan(pool, payload, row, c0, c1, s0, e0)
         }
       }
       row += 1
@@ -484,8 +493,9 @@ object Tokenizer {
     groupByLineGap(spans)
   }
 
-  private def wordSpan(payload: String, row: Int, c0: Int, c1: Int, s0: Int, e0: Int): Span =
-    Span(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH,
+  private def wordSpan(pool: SpanPool, payload: String, row: Int, c0: Int, c1: Int,
+      s0: Int, e0: Int): Span =
+    pool.next(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH,
       "w", null, 1.0, s0, e0, payload)
 
   /** Emit whitespace-delimited tokens of a line restricted to columns
