@@ -7,10 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Two measurements:
   *  1. Extraction throughput (the BASELINE.json headline): input table
   *     pre-generated to parquet ONCE (generation excluded from the
-  *     measurement, SURVEY.md §7.5 item 6), then the salted + fused
-  *     extraction pipeline is timed at local[8] and local[32] on the
-  *     SAME files — the sandbox evidence for the N→4N scaling-efficiency
-  *     rule (no real multi-executor cluster here; see BASELINE.md).
+  *     measurement, SURVEY.md §7.5 item 6), then the fused extraction
+  *     pipeline is timed at local[32] (headline) and on REAL separate
+  *     executor JVMs via local-cluster at N and 4N executors — the
+  *     sandbox evidence for the scaling-efficiency rule (see
+  *     BASELINE.md for the co-location analysis).
   *  2. The relational operator queries at SPARK_GRAFT_CPUS, each forced
   *     through a noop sink (count() alone would let Catalyst skip
   *     projection work on scan-only queries).
@@ -56,7 +57,7 @@ object Bench {
     }
     spark.stop()
 
-    // ---- phase 2: extraction at two parallelism levels --------------
+    // ---- phase 2: extraction throughput + executor scaling ----------
     // Headline path is scan-parallel (no pre-map shuffle): splits are
     // bytes-balanced, so per-turn work needs no redistribution. The
     // salted-repartition variant is also timed once as evidence for the
@@ -76,31 +77,37 @@ object Bench {
       s.stop()
       secs
     }
-    // Three parallelism levels, giving two N→4N pairs (2→8 and 8→32).
-    // This sandbox shows noisy-neighbor interference (identical runs
-    // vary up to 4×), so levels are measured INTERLEAVED and best-of-N
-    // is reported — best-of reflects machine capability, interleaving
-    // keeps the pairs under comparable external load. The 8→32 pair
-    // additionally saturates the single socket's memory/GC bandwidth
-    // (see BASELINE.md analysis) — a cross-machine effect a real 4×
-    // executor cluster does not share.
+    // The N→4N scaling-efficiency evidence runs on REAL separate
+    // executor JVMs (local-cluster; graft.tools.ClusterProbe) — the
+    // faithful sandbox analog of the rule's two cluster sizes. This
+    // sandbox shows noisy-neighbor interference (identical runs vary up
+    // to 4×), so sizes are measured INTERLEAVED and best-of-N is
+    // reported — best-of reflects machine capability, interleaving
+    // keeps the pair under comparable external load.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    var sec2 = Double.MaxValue; var sec8 = Double.MaxValue; var sec32 = Double.MaxValue
+    val (clWorkers, clCores) = (1, 4)
+    var sec32 = Double.MaxValue
+    var secN = Double.MaxValue; var sec4N = Double.MaxValue
     for (r <- 0 until reps) {
-      if (r < 2) sec2 = math.min(sec2, runExtract(2, salted = false))
-      sec8 = math.min(sec8, runExtract(8, salted = false))
       sec32 = math.min(sec32, runExtract(32, salted = false))
+      secN  = math.min(secN,
+        graft.tools.ClusterProbe.runExtract(clWorkers, clCores, turnsPath))
+      sec4N = math.min(sec4N,
+        graft.tools.ClusterProbe.runExtract(clWorkers * 4, clCores, turnsPath))
     }
     val secSalted32 = runExtract(32, salted = true)
-    val tps2  = nTurns / sec2
-    val tps8  = nTurns / sec8
     val tps32 = nTurns / sec32
-    val eff28  = tps8 / (4.0 * tps2)
-    val eff832 = tps32 / (4.0 * tps8)
+    val tpsN  = nTurns / secN
+    val tps4N = nTurns / sec4N
+    val effExec = tps4N / (4.0 * tpsN)
+    // co-location artifact quantifier (BASELINE.md): per-executor tps of
+    // the 4N run vs the lone executor — on separate machines the lone
+    // rate is what each of the 4 would sustain
+    val coloc = (tps4N / 4.0) / tpsN
 
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = qTimes.values.sum
     println(
-      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local2_sec":$sec2%.3f,"local2_tps":$tps2%.1f,"local8_sec":$sec8%.3f,"local8_tps":$tps8%.1f,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"scaling_efficiency_2_8":$eff28%.3f,"scaling_efficiency_8_32":$eff832%.3f,"salted32_sec":$secSalted32%.3f},"queries_total_sec":$totalQ%.3f}""")
+      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f},"cluster":{"executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f,"per_executor_colocation_ratio":$coloc%.3f},"queries_total_sec":$totalQ%.3f}""")
   }
 }

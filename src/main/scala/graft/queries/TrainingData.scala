@@ -101,6 +101,30 @@ object TrainingData {
         .orderBy(col("conv_id"), col("session_start_s"))
     }),
 
+    // J2 — the reference's ACTUAL fuzzy key-match semantics:
+    // difflib.get_close_matches(subject, config_keys, n=1, cutoff=0.6)
+    // (debug_utils.py:66-70), CPython-parity SequenceMatcher port
+    // (core/Difflib.scala, corpus-tested in DifflibSpec). Surface: the
+    // distinct extracted "subject grade" keys of a synthetic corpus
+    // mapped to their closest config key. Rows-only — SequenceMatcher
+    // is not SQL-expressible; the sbt parity corpus is the primary
+    // evidence (q_join_fuzzy keeps the oracled levenshtein analog).
+    "q_join_difflib" -> ((s, dir) => {
+      import s.implicits._
+      val keys = graft.synth.Synth.knownKeys
+      val turns = graft.pipeline.Pipeline.synthTurns(s, 300L, 8)
+      graft.pipeline.Pipeline.extractTurns(turns)
+        .filter(e => e.subject.isDefined && e.grade.isDefined)
+        .map(e => s"${e.subject.get} ${e.grade.get}")
+        .distinct()
+        .map(k => (k, graft.core.Difflib.closestMatch(k, keys, 0.6).getOrElse("∅"),
+          keys.iterator.map(graft.core.Difflib.ratio(_, k)).max))
+        .toDF("subject_key", "closest_config_key", "best_ratio")
+        .select(col("subject_key"), col("closest_config_key"),
+          round(col("best_ratio"), 6).as("best_ratio"))
+        .orderBy(col("subject_key"))
+    }),
+
     // S9 — error-subset sink analog: rows whose extraction failed,
     // oracled against the exploded expected-errors sidecar
     "q_extract_errors" -> ((s, dir) => {

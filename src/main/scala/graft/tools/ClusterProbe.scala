@@ -20,6 +20,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ClusterProbe {
 
+  /** Captured BEFORE any self-pinning — availableProcessors() shrinks to
+    * the affinity mask once the driver is pinned. */
+  private val HostCores = Runtime.getRuntime.availableProcessors()
+
   /** Real cluster nodes own their CPUs (separate machines / cgroup
     * cpusets); co-located executor JVMs on one box do NOT — measured
     * here: a stop-the-world pause in one executor gets its cores stolen
@@ -53,6 +57,22 @@ object ClusterProbe {
     dir.toString
   }
 
+  /** local-cluster needs a Spark home for the executor launcher. The
+    * driver contract runs Bench without SPARK_HOME/SPARK_SCALA_VERSION
+    * in the env, so build a minimal home under /tmp (jars symlink +
+    * the build-dir marker getScalaVersion probes) and point the
+    * in-process Worker at it the way Spark's own tests do
+    * (spark.testing + spark.test.home). */
+  def ensureSparkHome(): String = sys.env.getOrElse("SPARK_HOME", {
+    val home = java.nio.file.Paths.get("/tmp/graft-spark-home")
+    val jars = home.resolve("jars")
+    if (!java.nio.file.Files.exists(jars)) {
+      java.nio.file.Files.createDirectories(home.resolve("launcher/target/scala-2.13"))
+      java.nio.file.Files.createSymbolicLink(jars, java.nio.file.Paths.get("/opt/spark/jars"))
+    }
+    home.toString
+  })
+
   /** Session on a local-cluster master: `workers` executor JVMs ×
     * `cores` cores, one heap each.
     *
@@ -66,8 +86,20 @@ object ClusterProbe {
   def clusterSession(workers: Int, cores: Int, name: String,
       execMemMb: Int = 8192): SparkSession = {
     val totalCores = workers * cores
-    val hostCores = Runtime.getRuntime.availableProcessors()
+    val hostCores = HostCores
     val shim = writePinShim(cores, math.max(1, hostCores / cores))
+    val sparkHome = ensureSparkHome()
+    sys.props("spark.testing") = "true"
+    sys.props("spark.test.home") = sparkHome
+    if (sys.env.get("GRAFT_PIN").contains("1")) {
+      // full cpuset isolation: the driver keeps the TOP core slice so
+      // its threads can never ride into (and steal from) the executor
+      // slices the shim assigns from the bottom up
+      val pid = ProcessHandle.current().pid()
+      val lo = hostCores - cores
+      new ProcessBuilder("taskset", "-apc", s"$lo-${hostCores - 1}", pid.toString)
+        .inheritIO().start().waitFor()
+    }
     val s = SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,${execMemMb + 1024}]")
       .appName(name)
@@ -81,6 +113,9 @@ object ClusterProbe {
       .config("spark.executorEnv.JAVA_HOME",
         if (sys.env.get("GRAFT_PIN").contains("1")) shim
         else System.getProperty("java.home"))
+      // the executor-command builder resolves these from the app env
+      .config("spark.executorEnv.SPARK_HOME", sparkHome)
+      .config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
       // Each executor JVM must size its GC/JIT/common pools for ITS
       // slice of the box, not all host CPUs — 8 executors each spawning
       // 32 ParallelGC threads thrash the run (measured 2× slower).
@@ -109,7 +144,7 @@ object ClusterProbe {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo; val m = i.taskMetrics
-        println(f"  STAGE ${i.stageId}%3d tasks=${i.numTasks}%4d " +
+        System.err.println(f"  STAGE ${i.stageId}%3d tasks=${i.numTasks}%4d " +
           f"run=${m.executorRunTime / 1000.0}%8.1fs gc=${m.jvmGCTime / 1000.0}%6.1fs " +
           f"cpu=${m.executorCpuTime / 1e9}%8.1fs deser=${m.executorDeserializeTime / 1000.0}%6.1fs")
       }
@@ -120,11 +155,11 @@ object ClusterProbe {
       def job(): Unit =
         graft.pipeline.Pipeline.extractTurns(turns)
           .write.format("noop").mode("overwrite").save()
-      // warm-up ×3: JIT in each executor, page cache, and — decisive on
+      // warm-up: JIT in each executor, page cache, and — decisive on
       // this box — adaptive heap growth (fresh-page zeroing must happen
       // OUTSIDE the measured window; it is startup cost, not steady
       // state, exactly as on a long-lived real cluster)
-      val warmups = sys.env.getOrElse("GRAFT_CLUSTER_WARMUPS", "5").toInt
+      val warmups = sys.env.getOrElse("GRAFT_CLUSTER_WARMUPS", "3").toInt
       for (_ <- 0 until warmups) job()
       var best = Double.MaxValue
       for (_ <- 0 until 2) {
@@ -136,17 +171,47 @@ object ClusterProbe {
     } finally s.stop()
   }
 
+  /** The N→4N pair, measured INTERLEAVED (rep = one session per size,
+    * back to back) so both sizes see comparable external noise; best
+    * session per size is reported (this box's neighbors perturb
+    * identical runs up to 4× — BASELINE.md). Returns (secsN, secs4N). */
+  def measurePair(turnsPath: String, workersN: Int, cores: Int,
+      reps: Int): (Double, Double) = {
+    var bestN = Double.MaxValue; var best4N = Double.MaxValue
+    for (r <- 0 until reps) {
+      bestN = math.min(bestN, runExtract(workersN, cores, turnsPath))
+      best4N = math.min(best4N, runExtract(workersN * 4, cores, turnsPath))
+      System.err.println(f"CLUSTER rep=$r bestN=$bestN%.2f best4N=$best4N%.2f")
+    }
+    (bestN, best4N)
+  }
+
   def main(args: Array[String]): Unit = {
     val path = args(0)
-    val workersList = args(1).split(",").map(_.toInt)
-    val cores = if (args.length > 2) args(2).toInt else 4
-    val n = {
-      val s = clusterSession(workersList.head, cores, "graft-cluster-count")
-      try s.read.parquet(path).count() finally s.stop()
-    }
-    for (w <- workersList) {
-      val secs = runExtract(w, cores, path)
-      println(f"CLUSTER workers=$w cores=$cores secs=$secs%.2f tps=${n / secs}%.0f")
+    val mode = if (args.length > 1) args(1) else "pair"
+    if (mode == "pair") {
+      val workersN = if (args.length > 2) args(2).toInt else 1
+      val cores = if (args.length > 3) args(3).toInt else 4
+      val reps = if (args.length > 4) args(4).toInt else 3
+      val n = {
+        val s = clusterSession(workersN, cores, "graft-cluster-count")
+        try s.read.parquet(path).count() finally s.stop()
+      }
+      val (secsN, secs4N) = measurePair(path, workersN, cores, reps)
+      val tpsN = n / secsN; val tps4N = n / secs4N
+      println(f"CLUSTER PAIR ${workersN}x$cores=${tpsN}%.0f tps, ${workersN * 4}x$cores=${tps4N}%.0f tps, efficiency=${tps4N / (4 * tpsN)}%.3f")
+    } else {
+      // explicit size list: <path> list <w1,w2,...> <cores>
+      val workersList = args(2).split(",").map(_.toInt)
+      val cores = if (args.length > 3) args(3).toInt else 4
+      val n = {
+        val s = clusterSession(workersList.head, cores, "graft-cluster-count")
+        try s.read.parquet(path).count() finally s.stop()
+      }
+      for (w <- workersList) {
+        val secs = runExtract(w, cores, path)
+        println(f"CLUSTER workers=$w cores=$cores secs=$secs%.2f tps=${n / secs}%.0f")
+      }
     }
   }
 }
