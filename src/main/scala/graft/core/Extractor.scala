@@ -22,7 +22,7 @@ object Extractor {
     * HTTP-500 catch-all, app.py:242-245) — a malformed turn must never
     * fail a task on a 10^12-turn corpus. The error string carries only
     * the exception class, keeping output deterministic. */
-  def extractOne(convId: String, turnIdx: Int, payload: String): ExtractedTurn =
+  def extractOne(convId: String, turnIdx: Int, payload: CharSequence): ExtractedTurn =
     try extractOneUnsafe(convId, turnIdx, payload)
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -32,7 +32,7 @@ object Extractor {
           None)
     }
 
-  private def extractOneUnsafe(convId: String, turnIdx: Int, payload: String): ExtractedTurn = {
+  private def extractOneUnsafe(convId: String, turnIdx: Int, payload: CharSequence): ExtractedTurn = {
     val errors   = Vector.newBuilder[String]
     val warnings = Vector.newBuilder[String]
 

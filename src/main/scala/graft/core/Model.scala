@@ -51,7 +51,7 @@ final case class Span(
     var conf: Double,
     var start: Int,
     var end: Int,
-    var src: String = null) {
+    var src: CharSequence = null) {
   def yCenter: Double = (y1 + y2) / 2.0
   def xCenter: Double = (x1 + x2) / 2.0
   def area: Long      = (x2 - x1).toLong * (y2 - y1).toLong
@@ -64,9 +64,26 @@ final case class Span(
   def charAtText(i: Int): Char =
     if (text != null) text.charAt(i) else src.charAt(start + i)
   /** Materialize (cold paths / tests only — hot paths use appendTo). */
-  def textStr: String = if (text != null) text else src.substring(start, end)
+  def textStr: String = if (text != null) text else src.subSequence(start, end).toString
   def appendTo(sb: java.lang.StringBuilder): Unit =
     if (text != null) sb.append(text) else sb.append(src, start, end)
+}
+
+/** Reusable char-array view of one turn's payload — the per-thread
+  * decode target for the Spark boundary (UTF8String bytes → UTF-16
+  * without a fresh java.lang.String per turn; Pipeline.decodeUtf8).
+  * Same lifetime contract as SpanPool: valid until the thread's next
+  * turn. The core consumes payloads as CharSequence, so tests and the
+  * generator keep passing plain Strings. */
+final class CharsView extends CharSequence {
+  var arr: Array[Char] = new Array[Char](4096)
+  var len: Int = 0
+  def length: Int = len
+  def charAt(i: Int): Char = arr(i)
+  def subSequence(st: Int, en: Int): CharSequence = new String(arr, st, en - st)
+  override def toString: String = new String(arr, 0, len)
+  def ensure(cap: Int): Unit =
+    if (arr.length < cap) arr = new Array[Char](math.max(cap, arr.length * 2))
 }
 
 /** Per-thread Span recycler for the tokenizer hot path. Spans live only
@@ -87,7 +104,7 @@ final class SpanPool {
   val scratch = new scala.collection.mutable.ArrayBuffer[Span](128)
   def reset(): Unit = { n = 0; scratch.clear() }
   def next(page: Int, x1: Int, y1: Int, x2: Int, y2: Int, kind: String,
-      text: String, conf: Double, start: Int, end: Int, src: String): Span = {
+      text: String, conf: Double, start: Int, end: Int, src: CharSequence): Span = {
     if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length * 2)
     var s = arr(n)
     if (s == null) {

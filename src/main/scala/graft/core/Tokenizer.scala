@@ -35,16 +35,53 @@ object Tokenizer {
 
   val PdfMagic = "%GPDF1"
 
+  // ---- CharSequence scan helpers (payloads arrive as String from
+  // tests/generator and as a reused CharsView from the Spark boundary;
+  // java.lang.String's indexOf/regionMatches don't exist on the
+  // interface, so these are the loop equivalents) ----
+  private def idxOf(s: CharSequence, ch: Char, from: Int): Int = {
+    var i = if (from < 0) 0 else from
+    val n = s.length
+    while (i < n) { if (s.charAt(i) == ch) return i; i += 1 }
+    -1
+  }
+  private def startsWith(s: CharSequence, t: String): Boolean = {
+    if (s.length < t.length) return false
+    var i = 0
+    while (i < t.length) { if (s.charAt(i) != t.charAt(i)) return false; i += 1 }
+    true
+  }
+  private def regionMatchesExact(s: CharSequence, at: Int, t: String): Boolean = {
+    if (at < 0 || at + t.length > s.length) return false
+    var i = 0
+    while (i < t.length) { if (s.charAt(at + i) != t.charAt(i)) return false; i += 1 }
+    true
+  }
+  /** ASCII-case-insensitive region match (tag names are ASCII; mirrors
+    * the semantics String.regionMatches(true, ...) had here). */
+  private def regionMatchesCI(s: CharSequence, at: Int, t: String): Boolean = {
+    if (at < 0 || at + t.length > s.length) return false
+    var i = 0
+    while (i < t.length) {
+      val a = Character.toLowerCase(s.charAt(at + i))
+      val b = Character.toLowerCase(t.charAt(i))
+      if (a != b && Character.toUpperCase(s.charAt(at + i)) != Character.toUpperCase(t.charAt(i)))
+        return false
+      i += 1
+    }
+    true
+  }
+
   /** Format sniff (S3): magic bytes first, markup second, plain last. */
-  def sniff(payload: String): Dialect =
-    if (payload.startsWith(PdfMagic)) Pdf
+  def sniff(payload: CharSequence): Dialect =
+    if (startsWith(payload, PdfMagic)) Pdf
     else {
       var i = 0
       while (i < payload.length && Character.isWhitespace(payload.charAt(i))) i += 1
       if (i < payload.length && payload.charAt(i) == '<') Html else Plain
     }
 
-  def tokenize(payload: String): Vector[Block] = {
+  def tokenize(payload: CharSequence): Vector[Block] = {
     // rent spans from the per-thread pool — the PREVIOUS tokenize's
     // spans are dead by contract (one fused map per turn; see SpanPool)
     val pool = SpanPool.get()
@@ -67,14 +104,14 @@ object Tokenizer {
   // arrive pre-positioned; we keep page indices (the first-page-only
   // rule O4 is applied downstream by the page==0 filters).
   // ------------------------------------------------------------------
-  private def tokenizePdf(payload: String, pool: SpanPool): Vector[Block] = {
+  private def tokenizePdf(payload: CharSequence, pool: SpanPool): Vector[Block] = {
     val spans = pool.scratch
     val f = new FieldScanner(payload, 0, 0)
     var page = 0
     var i = 0
     val n = payload.length
     while (i < n) {
-      val eol0 = payload.indexOf('\n', i)
+      val eol0 = idxOf(payload, '\n', i)
       val eol = if (eol0 < 0) n else eol0
       if (i < eol) {
         val c0 = payload.charAt(i)
@@ -104,7 +141,7 @@ object Tokenizer {
   /** Space-separated field scanner over a [from, to) slice. Allocation-
     * free: kinds are interned constants, doubles hand-parsed in place,
     * the rest-of-line exposed as fields instead of a tuple. */
-  private final class FieldScanner(s: String, from: Int, private var to: Int) {
+  private final class FieldScanner(s: CharSequence, from: Int, private var to: Int) {
     private var p = from
     var restStart: Int = -1
     var restEnd: Int = -1
@@ -127,11 +164,11 @@ object Tokenizer {
           case _   => ()
         }
       } else if (len == 4) {
-        if (s.regionMatches(st, "cell", 0, 4)) return "cell"
+        if (regionMatchesExact(s, st, "cell")) return "cell"
       } else if (len == 3) {
-        if (s.regionMatches(st, "box", 0, 3)) return "box"
+        if (regionMatchesExact(s, st, "box")) return "box"
       }
-      s.substring(st, en)
+      s.subSequence(st, en).toString
     }
     def nextInt(): Int = {
       skipSpaces()
@@ -162,7 +199,7 @@ object Tokenizer {
         }
         value += frac.toDouble / scale.toDouble
       }
-      if (q != en || !any) return java.lang.Double.parseDouble(s.substring(st, en))
+      if (q != en || !any) return java.lang.Double.parseDouble(s.subSequence(st, en).toString)
       if (neg) -value else value
     }
     /** Rest of the slice after one separating space → restStart/restEnd
@@ -183,7 +220,7 @@ object Tokenizer {
   // scoring. Generator payloads contain no HTML entities (documented
   // contract), so no entity decoding here.
   // ------------------------------------------------------------------
-  private def tokenizeHtml(payload: String, pool: SpanPool): Vector[Block] = {
+  private def tokenizeHtml(payload: CharSequence, pool: SpanPool): Vector[Block] = {
     val blocks = Vector.newBuilder[Block]
     var spans = new ArrayBuffer[Span](16)
     var totalChars = 0; var linkChars = 0; var nWords = 0
@@ -211,7 +248,7 @@ object Tokenizer {
     while (i < n) {
       val c = payload.charAt(i)
       if (c == '<') {
-        val close = payload.indexOf('>', i + 1)
+        val close = idxOf(payload, '>', i + 1)
         if (close < 0) { i = n }
         else {
           val isEnd = i + 1 < n && payload.charAt(i + 1) == '/'
@@ -220,7 +257,7 @@ object Tokenizer {
           while (ne < close && payload.charAt(ne) != ' ' && payload.charAt(ne) != '/' && payload.charAt(ne) != '>') ne += 1
           // in-place, case-insensitive tag checks (no substring/lowercase)
           def tagIs(t: String): Boolean =
-            ne - nameStart == t.length && payload.regionMatches(true, nameStart, t, 0, t.length)
+            ne - nameStart == t.length && regionMatchesCI(payload, nameStart, t)
           val selfClosing = payload.charAt(close - 1) == '/' ||
             tagIs("br") || tagIs("hr") || tagIs("img") || tagIs("meta") || tagIs("link")
           if (!isEnd) {
@@ -260,7 +297,7 @@ object Tokenizer {
         }
       } else {
         // text node up to next '<'
-        val lt0 = payload.indexOf('<', i)
+        val lt0 = idxOf(payload, '<', i)
         val lt = if (lt0 < 0) n else lt0
         if (inBody && depth >= 1) {
           // trim the node
@@ -299,7 +336,7 @@ object Tokenizer {
 
     def reset(): Unit = { kind = null; x = -1; y = -1; w = -1; h = -1; conf = 1.0; page = 0 }
 
-    def parse(s: String, from: Int, to: Int): Unit = {
+    def parse(s: CharSequence, from: Int, to: Int): Unit = {
       var i = from
       while (i < to) {
         while (i < to && (s.charAt(i) == ' ' || s.charAt(i) == '/')) i += 1
@@ -310,19 +347,19 @@ object Tokenizer {
           var ve = vs
           while (ve < to && s.charAt(ve) != '"') ve += 1
           val nLen = i - ns
-          if (nLen == 5 && s.regionMatches(ns, "class", 0, 5)) {
+          if (nLen == 5 && regionMatchesExact(s, ns, "class")) {
             kind = (ve - vs) match {
               case 1 if s.charAt(vs) == 'w' => "w"
               case 1 if s.charAt(vs) == 'g' => "g"
-              case 4 if s.regionMatches(vs, "cell", 0, 4) => "cell"
-              case 3 if s.regionMatches(vs, "box", 0, 3)  => "box"
+              case 4 if regionMatchesExact(s, vs, "cell") => "cell"
+              case 3 if regionMatchesExact(s, vs, "box")  => "box"
               case _ => null
             }
-          } else if (nLen == 5 && s.regionMatches(ns, "style", 0, 5)) {
+          } else if (nLen == 5 && regionMatchesExact(s, ns, "style")) {
             parseStyle(s, vs, ve)
-          } else if (nLen == 9 && s.regionMatches(ns, "data-conf", 0, 9)) {
+          } else if (nLen == 9 && regionMatchesExact(s, ns, "data-conf")) {
             conf = parseDoubleIn(s, vs, ve, 1.0)
-          } else if (nLen == 9 && s.regionMatches(ns, "data-page", 0, 9)) {
+          } else if (nLen == 9 && regionMatchesExact(s, ns, "data-page")) {
             page = parseIntIn(s, vs, ve, 0)
           }
           i = ve + 1
@@ -331,7 +368,7 @@ object Tokenizer {
     }
 
     /** key:value; pairs — keys compared in place. */
-    private def parseStyle(s: String, from: Int, to: Int): Unit = {
+    private def parseStyle(s: CharSequence, from: Int, to: Int): Unit = {
       var i = from
       while (i < to) {
         while (i < to && (s.charAt(i) == ' ' || s.charAt(i) == ';')) i += 1
@@ -343,16 +380,16 @@ object Tokenizer {
           val vs = i
           while (i < to && s.charAt(i) != ';') i += 1
           val v = parseIntIn(s, vs, i, -1)
-          if (kLen == 4 && s.regionMatches(ks, "left", 0, 4)) x = v
-          else if (kLen == 3 && s.regionMatches(ks, "top", 0, 3)) y = v
-          else if (kLen == 5 && s.regionMatches(ks, "width", 0, 5)) w = v
-          else if (kLen == 6 && s.regionMatches(ks, "height", 0, 6)) h = v
+          if (kLen == 4 && regionMatchesExact(s, ks, "left")) x = v
+          else if (kLen == 3 && regionMatchesExact(s, ks, "top")) y = v
+          else if (kLen == 5 && regionMatchesExact(s, ks, "width")) w = v
+          else if (kLen == 6 && regionMatchesExact(s, ks, "height")) h = v
         }
       }
     }
   }
 
-  private def parseIntIn(s: String, from: Int, to: Int, dflt: Int): Int = {
+  private def parseIntIn(s: CharSequence, from: Int, to: Int, dflt: Int): Int = {
     var p = from
     var v = 0; var any = false
     while (p < to && s.charAt(p) >= '0' && s.charAt(p) <= '9') {
@@ -363,7 +400,7 @@ object Tokenizer {
 
   /** Simple [-]digits[.digits] parsed in place; exotic forms fall back
     * to Double.parseDouble on a substring. */
-  private def parseDoubleIn(s: String, from: Int, to: Int, dflt: Double): Double = {
+  private def parseDoubleIn(s: CharSequence, from: Int, to: Int, dflt: Double): Double = {
     if (to <= from) return dflt
     var q = from
     var neg = false
@@ -381,13 +418,13 @@ object Tokenizer {
       }
       value += frac.toDouble / scale.toDouble
     }
-    if (q != to || !any) return java.lang.Double.parseDouble(s.substring(from, to))
+    if (q != to || !any) return java.lang.Double.parseDouble(s.subSequence(from, to).toString)
     if (neg) -value else value
   }
 
-  private def countWords(s: String): Int = countWords(s, 0, s.length)
+  private def countWords(s: CharSequence): Int = countWords(s, 0, s.length)
 
-  private def countWords(s: String, from: Int, to: Int): Int = {
+  private def countWords(s: CharSequence, from: Int, to: Int): Int = {
     var c = 0; var inWord = false; var i = from
     while (i < to) {
       val w = !Character.isWhitespace(s.charAt(i))
@@ -410,7 +447,7 @@ object Tokenizer {
   val CellW = 20
   val CellH = 35
 
-  private def tokenizePlain(payload: String, pool: SpanPool): Vector[Block] = {
+  private def tokenizePlain(payload: CharSequence, pool: SpanPool): Vector[Block] = {
     val spans = pool.scratch
     // open '#' boxes keyed by (colStart, colEnd): top border row + glyph buffer
     var boxTop = -1; var boxC0 = -1; var boxC1 = -1
@@ -420,7 +457,7 @@ object Tokenizer {
     var i = 0
     val n = payload.length
     while (i < n) {
-      val eol0 = payload.indexOf('\n', i)
+      val eol0 = idxOf(payload, '\n', i)
       val eol = if (eol0 < 0) n else eol0
       val lineStart = i
       var hasPipe = false; var hashRun = 0; var maxHashRun = 0
@@ -493,7 +530,7 @@ object Tokenizer {
     groupByLineGap(spans)
   }
 
-  private def wordSpan(pool: SpanPool, payload: String, row: Int, c0: Int, c1: Int,
+  private def wordSpan(pool: SpanPool, payload: CharSequence, row: Int, c0: Int, c1: Int,
       s0: Int, e0: Int): Span =
     pool.next(0, c0 * CellW, row * CellH, (c1 + 1) * CellW, (row + 1) * CellH,
       "w", null, 1.0, s0, e0, payload)
@@ -501,7 +538,7 @@ object Tokenizer {
   /** Emit whitespace-delimited tokens of a line restricted to columns
     * [colFrom, colTo]. Callback gets (colStart, colEnd, start, end) —
     * offsets only; spans defer text to the shared payload. */
-  private def emitTokens(s: String, lineStart: Int, eol: Int, row: Int,
+  private def emitTokens(s: CharSequence, lineStart: Int, eol: Int, row: Int,
       colFrom: Int, colTo: Int)(f: (Int, Int, Int, Int) => Unit): Unit = {
     var j = lineStart + math.max(0, colFrom)
     val jEnd = if (colTo == Int.MaxValue) eol else math.min(eol, lineStart + colTo + 1)

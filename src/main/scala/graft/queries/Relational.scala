@@ -678,6 +678,51 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // similarity 1b — the SCALE PATH for embedding near-dup: random-
+    // hyperplane LSH. 16 signature bits (sign of ⟨v, h_p⟩ against
+    // md5-derived integer hyperplanes — reproducible in any engine),
+    // banded 4×4 → candidates are an equi-join on (band, bandval), then
+    // exact cosine verification joins candidates back to vectors BY ID
+    // (no vector payload rides the candidate shuffle). O(n²) avoided;
+    // every stage is a hash shuffle on bounded keys. The brute-force
+    // q_dedup_embedding remains the recall baseline.
+    "q_dedup_embedding_lsh" -> ((s, dir) => {
+      val planes: Seq[Array[Long]] = Seq.tabulate(16) { p =>
+        Array.tabulate(64) { d =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$p:$d".getBytes("UTF-8"))
+          val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+            ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+          h % 2001L - 1000L
+        }
+      }
+      val q = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val sig = planes.zipWithIndex.map { case (h, p) =>
+        when(graft.functions.ArrayMath.dotL(col("v"), lit(h)) > 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = q.select(col("vec_id"), sig.as("sig"))
+      val bands = sigs
+        .select(col("vec_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("b"))
+        .select(col("vec_id"), col("b"), expr("(sig >> (4 * b)) & 15").as("bv"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("ia"), col("y.vec_id").as("ib"))
+        .distinct()
+      cand
+        .join(q.as("qa"), col("ia") === col("qa.vec_id"))
+        .join(q.as("qb"), col("ib") === col("qb.vec_id"))
+        .select(col("ia"), col("ib"),
+          round(graft.functions.ArrayMath.dotL(col("qa.v"), col("qb.v")) /
+            (sqrt(col("qa.norm2")) * sqrt(col("qb.norm2"))), 6).as("cos"))
+        .filter(col("cos") >= 0.35)
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // F9 — JSON response build + reparse round trip (to_json/from_json):
     // serialize a struct per row, parse it back, project the fields —
     // the JSON sink/source surface under the oracle gate
@@ -776,6 +821,38 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_embedding_lsh" ->
+      """WITH q AS (
+           SELECT vec_id, i, CAST(round(embedding[i+1] * 1000) AS BIGINT) AS qv
+           FROM embeddings, range(64) t(i)),
+         h AS (
+           SELECT p, d,
+                  ((CAST(('0x' || substr(md5(p || ':' || d), 1, 8))::UBIGINT AS BIGINT) % 2001) - 1000) AS hv
+           FROM range(16) tp(p), range(64) td(d)),
+         dots AS (
+           SELECT q.vec_id, h.p, sum(q.qv * h.hv) AS dot
+           FROM q JOIN h ON q.i = h.d GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, CAST(sum(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS sig
+           FROM dots GROUP BY 1),
+         bands AS (
+           SELECT vec_id, b, (sig >> (4 * b)) & 15 AS bv FROM sigs, range(4) tb(b)),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS ia, y.vec_id AS ib
+           FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         norms AS (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1),
+         pairdot AS (
+           SELECT c.ia, c.ib, sum(qa.qv * qb.qv) AS dot
+           FROM cand c
+           JOIN q qa ON qa.vec_id = c.ia
+           JOIN q qb ON qb.vec_id = c.ib AND qb.i = qa.i
+           GROUP BY 1, 2)
+         SELECT ia, ib, round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         FROM pairdot
+         JOIN norms na ON na.vec_id = ia
+         JOIN norms nb ON nb.vec_id = ib
+         WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= 0.35
+         ORDER BY ia, ib""",
     "q_scan_filter" ->
       """SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.02
