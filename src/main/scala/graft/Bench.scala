@@ -99,15 +99,16 @@ object Bench {
     val tps32 = nTurns / sec32
     val tpsN  = nTurns / secN
     val tps4N = nTurns / sec4N
+    // NOTE: this ratio is equivalently the per-executor co-location
+    // ratio (each of the 4N executors' rate over the lone executor's) —
+    // on separate machines each executor sustains the lone rate by
+    // construction, so the gap to 1.0 is the single-box artifact
+    // quantified in BASELINE.md.
     val effExec = tps4N / (4.0 * tpsN)
-    // co-location artifact quantifier (BASELINE.md): per-executor tps of
-    // the 4N run vs the lone executor — on separate machines the lone
-    // rate is what each of the 4 would sustain
-    val coloc = (tps4N / 4.0) / tpsN
 
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = qTimes.values.sum
     println(
-      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f},"cluster":{"executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f,"per_executor_colocation_ratio":$coloc%.3f},"queries_total_sec":$totalQ%.3f}""")
+      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f},"cluster":{"executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f},"queries_total_sec":$totalQ%.3f}""")
   }
 }
