@@ -133,6 +133,11 @@ object ClusterProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // the testing flag exists only so the in-process Worker resolves
+    // spark.test.home at construction (inside getOrCreate); drop it
+    // immediately so interleaved local[] sessions in the same JVM (Bench
+    // phase 2) run in normal mode
+    sys.props.remove("spark.testing")
     s.sparkContext.setLogLevel("WARN")
     s
   }
