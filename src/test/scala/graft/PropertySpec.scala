@@ -93,4 +93,21 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("extraction over a CharsView payload equals extraction over the String") {
+    // the Spark boundary hands the core a reused char-buffer view; the
+    // result must be indistinguishable from the String path across the
+    // full workload mix (all dialects, all templates)
+    val view = new CharsView
+    for (i <- 0 until 600) {
+      val g = graft.synth.TurnGen.genTurn(f"conv-cv-$i%05d", 0)
+      val str = g.input.text
+      view.ensure(str.length)
+      str.getChars(0, str.length, view.arr, 0)
+      view.len = str.length
+      val a = Extractor.extractOne("c", 0, str)
+      val b = Extractor.extractOne("c", 0, view)
+      assert(a == b, s"CharsView path diverged on turn $i (${g.input.tool})")
+    }
+  }
 }
