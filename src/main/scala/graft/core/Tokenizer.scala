@@ -39,11 +39,18 @@ object Tokenizer {
   // tests/generator and as a reused CharsView from the Spark boundary;
   // java.lang.String's indexOf/regionMatches don't exist on the
   // interface, so these are the loop equivalents) ----
-  private def idxOf(s: CharSequence, ch: Char, from: Int): Int = {
-    var i = if (from < 0) 0 else from
-    val n = s.length
-    while (i < n) { if (s.charAt(i) == ch) return i; i += 1 }
-    -1
+  private def idxOf(s: CharSequence, ch: Char, from: Int): Int = s match {
+    case str: String => str.indexOf(ch, from) // intrinsified SIMD scan
+    case v: CharsView => // direct array scan, no virtual charAt per char
+      val a = v.arr; val n = v.len
+      var i = if (from < 0) 0 else from
+      while (i < n) { if (a(i) == ch) return i; i += 1 }
+      -1
+    case _ =>
+      var i = if (from < 0) 0 else from
+      val n = s.length
+      while (i < n) { if (s.charAt(i) == ch) return i; i += 1 }
+      -1
   }
   private def startsWith(s: CharSequence, t: String): Boolean = {
     if (s.length < t.length) return false
