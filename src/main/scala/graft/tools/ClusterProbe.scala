@@ -155,6 +155,15 @@ object ClusterProbe {
       }
     })
     try {
+      // measurement validity gate: all w executors must be registered —
+      // a worker that lost the startup race would silently shrink the
+      // cluster and corrupt the pair
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (executorCount(s) < workers && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      if (executorCount(s) < workers)
+        System.err.println(
+          s"  WARN cluster ${workers}x$cores: only ${executorCount(s)} executors registered")
       import s.implicits._
       val turns = s.read.parquet(turnsPath).as[graft.core.TurnInput]
       def job(): Unit =
@@ -173,8 +182,21 @@ object ClusterProbe {
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       best
-    } finally s.stop()
+    } finally {
+      s.stop()
+      // let the in-process Master/Worker RPC endpoints finish tearing
+      // down — rapid session cycling otherwise races the next cluster's
+      // worker startup (observed: a worker fails to register, the app
+      // runs on fewer executors, and the 4N measurement silently drops
+      // 2-3×, with Master warning "requires more resource than any of
+      // Workers could have")
+      Thread.sleep(3000)
+    }
   }
+
+  /** Executors actually registered — measurement validity gate. */
+  private def executorCount(s: SparkSession): Int =
+    s.sparkContext.getExecutorMemoryStatus.size - 1 // minus driver
 
   /** The N→4N pair, measured INTERLEAVED (rep = one session per size,
     * back to back) so both sizes see comparable external noise; best
