@@ -2,7 +2,8 @@ package graft.core
 
 /** Core data model — pure Scala, no Spark imports, so every extraction
   * stage is unit-testable without a SparkSession and the whole per-turn
-  * pipeline compiles into ONE fused typed map (single encoder boundary).
+  * pipeline runs as ONE fused per-row map (single encoder boundary, on
+  * the output side only — inputs are consumed as CharSequence views).
   *
   * Shapes mirror the reference's abstractions (see SURVEY.md §1):
   *  - `Span`  ≈ a positioned text fragment on the canonical 2480×3505

@@ -14,9 +14,11 @@ import graft.synth.TurnGen
   *
   * Per-turn work is independent, so (conv_id, turn_idx) salting is an
   * exact skew killer for heavy-tailed conversations (north rule). The
-  * single mapPartitions keeps one encoder boundary around the pure-JVM
-  * core — no Column↔typed alternation, no per-stage ser/de
-  * (SURVEY.md §4 item 4).
+  * single mapPartitions keeps ONE boundary around the pure-JVM core —
+  * no Column↔typed alternation, no per-stage ser/de (SURVEY.md §4
+  * item 4); since round 2 it maps the projected plan's internal rows
+  * directly so the payload never materializes as a per-turn String
+  * (decodeUtf8 below).
   */
 object Pipeline {
 
