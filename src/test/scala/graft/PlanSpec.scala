@@ -169,6 +169,34 @@ class PlanSpec extends SparkSuite {
     assert(ivf.contains("BroadcastHashJoin"), ivf)
   }
 
+  test("bucketed tables join without an exchange (co-located join)") {
+    // the 100 TB conv-level story: transcripts and per-conv metadata
+    // bucketed by conv key join with ZERO shuffle — both sides' bucket
+    // layout satisfies the join's distribution requirement
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("plan-bucket").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(0, 5000).map(i => (i, s"conv-$i", (i % 97).toInt))
+        .toDF("k", "conv", "n")
+        .write.mode("overwrite").option("path", s"$wh/t_a")
+        .bucketBy(8, "k").sortBy("k").saveAsTable("graft_bucket_a")
+      spark.range(0, 3000).map(i => (i, i * 2.5)).toDF("k", "score")
+        .write.mode("overwrite").option("path", s"$wh/t_b")
+        .bucketBy(8, "k").saveAsTable("graft_bucket_b")
+      val j = spark.table("graft_bucket_a").join(spark.table("graft_bucket_b"), "k")
+      assert(j.collect().length == 3000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(3000)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(1000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("AQE splits a skewed join at runtime (the 100 TB hot-key story)") {
     // heavy-tailed keys are the norm in conversation corpora; the
     // relational layer leans on AQE's skew-join splitting (documented in
