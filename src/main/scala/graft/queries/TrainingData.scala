@@ -24,6 +24,8 @@ object TrainingData {
   val expectedTurnsPath  = "/tmp/graft-oracle/expected_turns"
   val expectedErrorsPath = "/tmp/graft-oracle/expected_errors"
   val streamTurnsPath    = "/tmp/graft-oracle/stream_turns"
+  val csvPath            = "/tmp/graft-oracle/events_csv"
+  val jsonlPath          = "/tmp/graft-oracle/events_jsonl"
 
   /** Memory-sink names must be unique per session (a second .start()
     * with the same queryName throws). */
@@ -101,6 +103,38 @@ object TrainingData {
         .orderBy(col("conv_id"), col("session_start_s"))
     }),
 
+    // S-family breadth: CSV and JSON-lines sources/sinks under the
+    // oracle gate — a full write → read-with-schema → aggregate round
+    // trip through Spark's text-format codecs, recomputed by DuckDB
+    // from the same files. Values integerized before the write so no
+    // float-formatting ambiguity rides the text format.
+    "q_source_csv" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvPath)
+      s.read.option("header", "true")
+        .schema("event_id LONG, event_type STRING, cents LONG")
+        .csv(csvPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+    "q_source_jsonl" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite").json(jsonlPath)
+      s.read.schema("event_id LONG, event_type STRING, cents LONG")
+        .json(jsonlPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+        .orderBy(col("event_type"))
+    }),
+
     // J2 — the reference's ACTUAL fuzzy key-match semantics:
     // difflib.get_close_matches(subject, config_keys, n=1, cutoff=0.6)
     // (debug_utils.py:66-70), CPython-parity SequenceMatcher port
@@ -166,6 +200,17 @@ object TrainingData {
                  count(*) AS n_turns
           FROM s GROUP BY conv_id, sid
           ORDER BY conv_id, session_start_s""",
+    "q_source_csv" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_c,
+                 CAST(min(event_id) AS BIGINT) AS min_id,
+                 CAST(max(event_id) AS BIGINT) AS max_id
+          FROM read_csv('$csvPath/*.csv', header=true)
+          GROUP BY event_type ORDER BY event_type""",
+    "q_source_jsonl" ->
+      s"""SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
+          FROM read_json('$jsonlPath/*.json', format='newline_delimited')
+          GROUP BY event_type ORDER BY event_type""",
     "q_media_agg" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                 count(*) AS n,
