@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.ExtractedTurn
 
 /** Training-data-pipeline operators over the extraction engine itself.
   *
