@@ -88,17 +88,34 @@ object Bench {
     val (clWorkers, clCores) = (1, 4)
     var sec32 = Double.MaxValue
     var secN = Double.MaxValue; var sec4N = Double.MaxValue
+    // a failed cluster session (executor-launch races are the flakiest
+    // part of local-cluster) must never cost the round its BENCH line
+    def tryCluster(w: Int): Double =
+      try graft.tools.ClusterProbe.runExtract(w, clCores, turnsPath)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster $w x $clCores failed: ${e.getMessage}")
+          Double.MaxValue
+      }
     for (r <- 0 until reps) {
       sec32 = math.min(sec32, runExtract(32, salted = false))
       if (r < 2) { // two interleaved cluster pairs keep phase 2 inside the
         // per-round time budget; each session is already best-of-2 after
         // warm-up, so the pair gets 4 measured runs per size
-        secN = math.min(secN,
-          graft.tools.ClusterProbe.runExtract(clWorkers, clCores, turnsPath))
-        sec4N = math.min(sec4N,
-          graft.tools.ClusterProbe.runExtract(clWorkers * 4, clCores, turnsPath))
+        secN = math.min(secN, tryCluster(clWorkers))
+        sec4N = math.min(sec4N, tryCluster(clWorkers * 4))
       }
     }
+    // fallback: if executor-JVM sessions never produced a number, report
+    // the same-thread-count pair from plain local sessions (labeled)
+    val execMode = secN != Double.MaxValue && sec4N != Double.MaxValue
+    if (!execMode) { // coherent pair from one mode only: best-of-2 plain local
+      secN = math.min(runExtract(clCores, salted = false),
+        runExtract(clCores, salted = false))
+      sec4N = math.min(runExtract(clCores * 4, salted = false),
+        runExtract(clCores * 4, salted = false))
+    }
+    val clusterMode = if (execMode) "executor_jvms" else "threads_fallback"
     val secSalted32 = runExtract(32, salted = true)
     val tps32 = nTurns / sec32
     val tpsN  = nTurns / secN
@@ -113,6 +130,6 @@ object Bench {
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = qTimes.values.sum
     println(
-      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f},"cluster":{"executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f},"queries_total_sec":$totalQ%.3f}""")
+      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f},"cluster":{"mode":"$clusterMode","executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f},"queries_total_sec":$totalQ%.3f}""")
   }
 }
