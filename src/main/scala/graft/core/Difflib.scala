@@ -86,25 +86,16 @@ object Difflib {
         j2len = newj2len
         i += 1
       }
-      // CPython's two extension passes. With the autojunk index, chars
-      // absent from b2j are junk: first extend over NON-junk equals,
-      // then over junk equals (order matters for parity).
-      def isbjunk(c: Char): Boolean = !b2j.containsKey(Character.valueOf(c))
-      while (besti > alo && bestj > blo && !isbjunk(b.charAt(bestj - 1)) &&
+      // CPython's extension passes. With isjunk=None the bjunk set is
+      // EMPTY — autojunk-popular elements land in bpopular and are
+      // excluded only from the b2j DP index above, not treated as junk.
+      // So the non-junk passes extend across ANY equal chars (including
+      // popular ones) and the junk passes are vacuous and omitted.
+      while (besti > alo && bestj > blo &&
           a.charAt(besti - 1) == b.charAt(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-          !isbjunk(b.charAt(bestj + bestsize)) &&
-          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
-        bestsize += 1
-      }
-      while (besti > alo && bestj > blo && isbjunk(b.charAt(bestj - 1)) &&
-          a.charAt(besti - 1) == b.charAt(bestj - 1)) {
-        besti -= 1; bestj -= 1; bestsize += 1
-      }
-      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-          isbjunk(b.charAt(bestj + bestsize)) &&
           a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
         bestsize += 1
       }

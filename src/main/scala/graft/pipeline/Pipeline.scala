@@ -52,8 +52,11 @@ object Pipeline {
         val conv = row.getUTF8String(0).toString
         val idx = row.getInt(1)
         val u = row.getUTF8String(2)
+        // A null turn keeps the typed-path contract: extractOne's
+        // NonFatal catch turns the NPE into a ProcessingError record
+        // (not an empty-payload extraction).
         val payload: CharSequence =
-          if (u == null) "" else decodeUtf8(u, view)
+          if (u == null) null else decodeUtf8(u, view)
         Extractor.extractOne(conv, idx, payload)
       }
     }

@@ -19,12 +19,20 @@ object TrainingData {
 
   /** Sidecar locations — absolute paths so the driver's DuckDB process
     * resolves them regardless of cwd. Rewritten on every query build
-    * (tiny: ~2k rows at the 500-conversation verify scale). */
-  val expectedTurnsPath  = "/tmp/graft-oracle/expected_turns"
-  val expectedErrorsPath = "/tmp/graft-oracle/expected_errors"
-  val streamTurnsPath    = "/tmp/graft-oracle/stream_turns"
-  val csvPath            = "/tmp/graft-oracle/events_csv"
-  val jsonlPath          = "/tmp/graft-oracle/events_jsonl"
+    * (tiny: ~2k rows at the 500-conversation verify scale).
+    *
+    * The root is scoped per JVM (pid): the oracleSql strings are
+    * interpolated at runtime and dumped by the SAME Verify JVM that
+    * writes the sidecars, so the DuckDB pass always reads the paths
+    * this run wrote — two concurrent harness invocations can no longer
+    * clobber each other's sidecars between the Spark query and the
+    * DuckDB compare. */
+  private val oracleRoot = s"/tmp/graft-oracle-${ProcessHandle.current().pid()}"
+  val expectedTurnsPath  = s"$oracleRoot/expected_turns"
+  val expectedErrorsPath = s"$oracleRoot/expected_errors"
+  val streamTurnsPath    = s"$oracleRoot/stream_turns"
+  val csvPath            = s"$oracleRoot/events_csv"
+  val jsonlPath          = s"$oracleRoot/events_jsonl"
 
   /** Memory-sink names must be unique per session (a second .start()
     * with the same queryName throws). */
@@ -48,7 +56,13 @@ object TrainingData {
       .orderBy(col("conv_id"), col("turn_idx"))
 
   /** Generate the (input, expected) pair table and persist the expected
-    * sidecars for the DuckDB oracle. Returns the input turns. */
+    * sidecars for the DuckDB oracle. Returns the input turns.
+    *
+    * NOTE on the `coalesce(1)` writes here and in the CSV/JSONL/stream
+    * sidecars below: single-task writes are ORACLE PLUMBING ONLY (a few
+    * thousand rows at verify scale, one file keeps the DuckDB glob
+    * trivial). Never copy this pattern into a real sink — a production
+    * write keeps the upstream partitioning (see io/TableIO). */
   private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] = {
     import s.implicits._
     val gen = graft.pipeline.Pipeline.synthWithExpected(s, nConvs, 8)

@@ -95,7 +95,7 @@ object ClusterProbe {
       new ProcessBuilder("taskset", "-apc", s"$lo-${hostCores - 1}", pid.toString)
         .inheritIO().start().waitFor()
     }
-    val s = SparkSession.builder()
+    val s = try SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,${execMemMb + 1024}]")
       .appName(name)
       .config("spark.executor.memory", s"${execMemMb}m")
@@ -129,10 +129,14 @@ object ClusterProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // the testing flag exists only so the in-process Worker resolves
-    // spark.test.home at construction (inside getOrCreate); drop it
-    // immediately so interleaved local[] sessions in the same JVM (Bench
-    // phase 2) run in normal mode
-    sys.props.remove("spark.testing")
+    // spark.test.home at construction (inside getOrCreate); clear it in
+    // a finally so even a failed cluster launch (the flaky path Bench
+    // catches and falls back from) cannot leak testing mode into the
+    // plain local[] benchmark sessions that follow in this JVM
+    finally {
+      sys.props.remove("spark.testing")
+      sys.props.remove("spark.test.home")
+    }
     s.sparkContext.setLogLevel("WARN")
     s
   }
