@@ -33,6 +33,26 @@ object TrainingData {
   val streamTurnsPath    = s"$oracleRoot/stream_turns"
   val csvPath            = s"$oracleRoot/events_csv"
   val jsonlPath          = s"$oracleRoot/events_jsonl"
+  val difflibExpectedPath = s"$oracleRoot/difflib_expected"
+  val convTurnsPath       = s"$oracleRoot/conv_turns"
+
+  /** CPython-computed get_close_matches/ratio answers for every subject
+    * key the q_join_difflib corpus produces (resources/difflib_expected
+    * .tsv, generated once by CPython 3.11 difflib against
+    * Synth.knownKeys — regenerate with scripts in the round log if the
+    * synth corpus changes). The values are CPython's, NOT this repo's
+    * Difflib port, so the oracle is a genuine independent check of the
+    * port under the driver's hash gate; a key missing from the resource
+    * surfaces as a loud sentinel mismatch rather than a silent skip. */
+  private lazy val difflibExpected: Map[String, (String, Double)] = {
+    val in = getClass.getResourceAsStream("/difflib_expected.tsv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().map { l =>
+      val Array(k, m, r) = l.split("\t", -1)
+      k -> (m, r.toDouble)
+    }.toMap
+    finally src.close()
+  }
 
   /** Memory-sink names must be unique per session (a second .start()
     * with the same queryName throws). */
@@ -160,16 +180,60 @@ object TrainingData {
       import s.implicits._
       val keys = graft.synth.Synth.knownKeys
       val turns = graft.pipeline.Pipeline.synthTurns(s, 300L, 8)
-      graft.pipeline.Pipeline.extractTurns(turns)
+      val observed = graft.pipeline.Pipeline.extractTurns(turns)
         .filter(e => e.subject.isDefined && e.grade.isDefined)
         .map(e => s"${e.subject.get} ${e.grade.get}")
         .distinct()
+      // expected sidecar: the SAME key set mapped through CPython's
+      // precomputed answers (difflibExpected) — extraction provides the
+      // keys on both sides (itself oracled by q_extract_pipeline); the
+      // closest-match and ratio VALUES are CPython-vs-this-port, which
+      // is exactly what the hash gate should compare. Raw doubles ride
+      // both sides: CPython repr parses to the bit-identical IEEE value
+      // the port must produce (ratio = 2M/T in doubles on both).
+      val exp = difflibExpected
+      observed
+        .map(k => (k, exp.get(k).map(_._1).getOrElse("<MISSING_FROM_RESOURCE>"),
+          exp.get(k).map(_._2).getOrElse(-1.0)))
+        .toDF("subject_key", "closest_config_key", "best_ratio")
+        .orderBy(col("subject_key"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(difflibExpectedPath)
+      observed
         .map(k => (k, graft.core.Difflib.closestMatch(k, keys, 0.6).getOrElse("∅"),
           keys.iterator.map(graft.core.Difflib.ratio(_, k)).max))
         .toDF("subject_key", "closest_config_key", "best_ratio")
-        .select(col("subject_key"), col("closest_config_key"),
-          round(col("best_ratio"), 6).as("best_ratio"))
         .orderBy(col("subject_key"))
+    }),
+
+    // Conversation-granularity near-dup detection: MinHash over the
+    // UNION of per-turn token sets per conv_id (identical to minhashing
+    // the space-joined concatenation, without ever materializing a
+    // multi-megabyte conversation string — the scale-right shape). The
+    // corpus is synth turns plus a deterministic near-dup clone of every
+    // 10th conversation (first turns only), so band buckets genuinely
+    // collide. The signature agg is groupBy(conv_id, band) min(...) —
+    // partial aggregation combines a hot conversation's tokens map-side,
+    // so a heavy-tail conv cannot straggle the shuffle (PlanSpec pins
+    // the partial/final split).
+    "q_dedup_conv_minhash" -> ((s, dir) => {
+      val turns = graft.pipeline.Pipeline.synthTurns(s, 300L, 8).toDF()
+      val dups = turns
+        .filter(substring(col("conv_id"), -1, 1) === "0" && col("turn_idx") < 4)
+        .withColumn("conv_id", concat(col("conv_id"), lit("~dup")))
+      val corpus = turns.unionByName(dups)
+      corpus.select(col("conv_id"), col("turn_idx"), col("text"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convTurnsPath)
+      val toks = corpus.select(col("conv_id"), explode(split(col("text"), " ")).as("tok"))
+      val sigs = toks
+        .withColumn("band", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("conv_id"), col("band"))
+        .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("tok")))).as("sig"))
+      sigs.groupBy(col("band").cast("long").as("band"), col("sig"))
+        .agg(count(lit(1)).as("n"), min(col("conv_id")).as("min_conv"))
+        .filter(col("n") >= 2)
+        .orderBy(col("band"), col("sig"))
     }),
 
     // S9 — error-subset sink analog: rows whose extraction failed,
@@ -198,6 +262,21 @@ object TrainingData {
       s"""SELECT conv_id, turn_idx, error
           FROM read_parquet('$expectedErrorsPath/*.parquet')
           ORDER BY conv_id, turn_idx, error""",
+    "q_join_difflib" ->
+      s"""SELECT subject_key, closest_config_key, best_ratio
+          FROM read_parquet('$difflibExpectedPath/*.parquet')
+          ORDER BY subject_key""",
+    "q_dedup_conv_minhash" ->
+      s"""WITH toks AS (
+            SELECT conv_id, unnest(string_split(text, ' ')) AS tok
+            FROM read_parquet('$convTurnsPath/*.parquet')),
+          sigs AS (
+            SELECT conv_id, b AS band, min(md5(b || ':' || tok)) AS sig
+            FROM toks, range(8) tb(b) GROUP BY 1, 2)
+          SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
+                 min(conv_id) AS min_conv
+          FROM sigs GROUP BY band, sig HAVING count(*) >= 2
+          ORDER BY band, sig""",
     "q_stream_sessions" ->
       s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
           m AS (SELECT conv_id, ts,

@@ -232,6 +232,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("conv-level minhash aggregates partially before the shuffle (hot-conv combine)") {
+    // a heavy-tail conversation's tokens must combine map-side: the
+    // signature agg groupBy(conv_id, band).min must be a partial+final
+    // split (two HashAggregate/ObjectHashAggregate nodes around an
+    // Exchange), not a single post-shuffle aggregation, or one hot conv
+    // ships all its token hashes through the wire and straggles the
+    // stage at corpus scale
+    val p = graft.queries.TrainingData.queries("q_dedup_conv_minhash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val aggs = "(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(p).size
+    assert(aggs >= 4, s"expected partial+final agg pairs, found $aggs aggregate nodes:\n${p.take(3000)}")
+    assert(p.contains("partial_min"), s"no partial min aggregation:\n${p.take(3000)}")
+  }
+
   test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
     val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
