@@ -793,6 +793,66 @@ object Relational {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // similarity 3b — IVF coarse-quantizer CONSTRUCTION: deterministic
+    // seeded k-means (k=8, 3 Lloyd iterations, md5-ordered init) over
+    // integerized vectors, producing the inverted-list assignment that
+    // q_ann_ivf's search takes as given. Exact integer squared-L2
+    // throughout, so the DuckDB oracle (the same iterations unrolled as
+    // a CTE chain) is bit-reproducible. Scale shape: the assignment is
+    // a broadcast join against k=8 centroid rows (candidates stream);
+    // the update is one partial+final agg over (cid, dim); the k×64
+    // centroid matrix is the only driver-side state per iteration —
+    // the standard Lloyd driver loop (train on a sample at 100 TB).
+    "q_ann_kmeans" -> ((s, dir) => {
+      val k = 8; val iters = 3
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+      // md5-seeded init: the k vectors with lexicographically smallest
+      // md5(vec_id) are centroids 0..k-1 in that order
+      var cents: Array[Array[Long]] = e
+        .withColumn("mk", md5(col("vec_id").cast("string")))
+        .orderBy(col("mk")).limit(k)
+        .select(col("v")).collect()
+        .map(_.getSeq[Long](0).toArray)
+      def assign(): DataFrame = {
+        val centDf = s.createDataFrame(
+          cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
+          .toDF("cid", "c")
+          .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        e.join(broadcast(centDf))
+          .select(col("vec_id"), col("cid"),
+            (graft.functions.ArrayMath.dotL(col("v"), col("v")) + col("cnorm") -
+              lit(2L) * graft.functions.ArrayMath.dotL(col("v"), col("c"))).as("dist"),
+            col("v"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("dist"), col("v"))
+      }
+      for (_ <- 0 until iters) {
+        // update: mean per (cid, dim), floored to keep centroids integer
+        // (floor(sum/n) via double division — exact while |sum| < 2^53
+        // and the quotient is ≥1/n away from integers unless exact, so
+        // both engines floor identically)
+        val sums = assign()
+          .select(col("cid"), posexplode(col("v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+          .collect()
+        val next = cents.zipWithIndex.map { case (old, _) => old.clone() }
+        for (r <- sums) {
+          val cid = r.getLong(0).toInt; val pos = r.getInt(1)
+          val sx = r.getLong(2); val n = r.getLong(3)
+          next(cid)(pos) = math.floor(sx.toDouble / n).toLong
+        } // clusters with no assignment keep their previous centroid
+        cents = next
+      }
+      assign()
+        .select(col("vec_id"), col("cid"), col("dist"))
+        .orderBy(col("vec_id"))
+    }),
+
     // similarity 2 — brute-force cosine top-k ANN baseline. Scans every
     // candidate BY DESIGN (the exhaustive baseline the IVF path is
     // measured against); the broadcast side is still the tiny query set
@@ -818,6 +878,47 @@ object Relational {
         .orderBy(col("qid"), col("rank"))
     }),
   )
+
+  /** DuckDB mirror of q_ann_kmeans: the same md5-seeded init and Lloyd
+    * iterations unrolled as a CTE chain (a_j = assignment against c_{j-1},
+    * c_j = floored per-dim means with empty-cluster carry via LEFT JOIN).
+    * Generated programmatically so k/iters stay in lockstep with the
+    * Spark query. */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (
+              |  SELECT vec_id, i, CAST(round(embedding[i+1] * 1000) AS BIGINT) AS x
+              |  FROM embeddings, range(64) t(i)),
+              |init AS (
+              |  SELECT vec_id, rn - 1 AS cid FROM (
+              |    SELECT vec_id, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+              |    FROM embeddings) WHERE rn <= $k),
+              |c0 AS (
+              |  SELECT init.cid, v.i, v.x AS cx FROM init JOIN v ON v.vec_id = init.vec_id)""".stripMargin
+    for (j <- 1 to iters) {
+      sb ++= s""",
+                |a$j AS (
+                |  SELECT vec_id, cid FROM (
+                |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+                |          FROM v JOIN c${j - 1} c ON v.i = c.i GROUP BY 1, 2))
+                |  WHERE rn = 1),
+                |c$j AS (
+                |  SELECT p.cid, p.i, COALESCE(u.cx, p.cx) AS cx
+                |  FROM c${j - 1} p LEFT JOIN (
+                |    SELECT a.cid, v.i, CAST(floor(CAST(sum(v.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+                |    FROM a$j a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2) u
+                |  ON u.cid = p.cid AND u.i = p.i)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
+              |  SELECT vec_id, cid, dist,
+              |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+              |  FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+              |        FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
+              |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
@@ -1191,6 +1292,7 @@ object Relational {
               FROM scored)
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_ann_kmeans" -> kmeansOracleSql(8, 3),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
                     FROM embeddings),

@@ -35,6 +35,7 @@ object TrainingData {
   val jsonlPath          = s"$oracleRoot/events_jsonl"
   val difflibExpectedPath = s"$oracleRoot/difflib_expected"
   val convTurnsPath       = s"$oracleRoot/conv_turns"
+  val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -206,6 +207,28 @@ object TrainingData {
         .orderBy(col("subject_key"))
     }),
 
+    // Real merge-table BPE token counting (vs q_text_tokens_bpe's
+    // pretokenizer count): greedy lowest-rank merges over the committed
+    // 170-merge table (core/Bpe), a pure scalar typed map — the scale
+    // shape is embarrassingly parallel with the merge table loaded once
+    // per executor from the classpath. Oracle: the sidecar is written by
+    // BpeRef, an independently-coded sequential-rank-order encoder, and
+    // BOTH implementations are pinned char-for-char to CPython outputs
+    // by BpeSpec's committed parity corpora.
+    "q_text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      docs.map { case (id, tx) => (id, graft.core.BpeRef.countTokens(tx)) }
+        .toDF("doc_id", "n_bpe")
+        .orderBy(col("doc_id"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(bpeExpectedPath)
+      docs.map { case (id, tx) => (id, graft.core.Bpe.countTokens(tx)) }
+        .toDF("doc_id", "n_bpe")
+        .orderBy(col("doc_id"))
+    }),
+
     // Conversation-granularity near-dup detection: MinHash over the
     // UNION of per-turn token sets per conv_id (identical to minhashing
     // the space-joined concatenation, without ever materializing a
@@ -266,6 +289,10 @@ object TrainingData {
       s"""SELECT subject_key, closest_config_key, best_ratio
           FROM read_parquet('$difflibExpectedPath/*.parquet')
           ORDER BY subject_key""",
+    "q_text_bpe_merges" ->
+      s"""SELECT doc_id, n_bpe
+          FROM read_parquet('$bpeExpectedPath/*.parquet')
+          ORDER BY doc_id""",
     "q_dedup_conv_minhash" ->
       s"""WITH toks AS (
             SELECT conv_id, unnest(string_split(text, ' ')) AS tok

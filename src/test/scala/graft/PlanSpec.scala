@@ -232,6 +232,26 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("kmeans assignment broadcasts the k-row centroid set, never all-pairs data") {
+    // Lloyd assignment must be candidates × (k=8 broadcast centroid
+    // rows) — a BroadcastNestedLoopJoin whose BUILD side is the
+    // centroid relation — and must never plan a CartesianProduct over
+    // the vector table itself
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val exec = Relational.queries("q_ann_kmeans")(spark, dir).queryExecution.sparkPlan
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString.take(2000))
+    val builds = exec.collect {
+      case j: BroadcastNestedLoopJoinExec =>
+        if (j.buildSide == BuildRight) j.right else j.left
+    }
+    assert(builds.nonEmpty, s"no broadcast join in kmeans assignment:\n$exec")
+    builds.foreach { b =>
+      assert(b.toString.contains("cid"),
+        s"kmeans broadcast build side is not the centroid set:\n$b")
+    }
+  }
+
   test("conv-level minhash aggregates partially before the shuffle (hot-conv combine)") {
     // a heavy-tail conversation's tokens must combine map-side: the
     // signature agg groupBy(conv_id, band).min must be a partial+final
