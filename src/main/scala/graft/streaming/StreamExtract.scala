@@ -99,7 +99,8 @@ object StreamExtract {
     * busy no-data batches) — unbounded streams must not grow state
     * linearly in distinct conv_id. */
   def errorAlerts(turns: Dataset[TurnInput], every: Long = 3L,
-      idleEvictionMs: Long = 30L * 60 * 1000): Dataset[ErrorAlert] = {
+      idleEvictionMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[ErrorAlert] = {
     val spark = turns.sparkSession
     import spark.implicits._
     turns
@@ -110,7 +111,7 @@ object StreamExtract {
         }
       }
       .toDF("conv_id", "ts", "has_error", "total_score")
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", watermarkDelay)
       .as[(String, java.sql.Timestamp, Boolean, Int)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

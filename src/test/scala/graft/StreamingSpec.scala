@@ -89,6 +89,93 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty)
   }
 
+  /** Copy every parquet part-file of `from` into `to` (simulates new
+    * files arriving in a watched stream source directory). */
+  private def arriveFiles(from: String, to: String): Unit = {
+    val dst = new java.io.File(to); dst.mkdirs()
+    for (f <- new java.io.File(from).listFiles if f.getName.endsWith(".parquet"))
+      Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
+  }
+
+  test("checkpointed file-sink extraction restarts with no duplicates or losses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restart").toString
+    val (srcDir, sinkDir, ckDir) = (s"$root/src", s"$root/sink", s"$root/ck")
+    val all = graft.pipeline.Pipeline.synthTurns(spark, 80L, 4)
+    all.filter(_.turn_idx < 2).write.parquet(s"$root/chunk1")
+    all.filter(_.turn_idx >= 2).write.parquet(s"$root/chunk2")
+    def runPass(): Unit = {
+      val q = StreamExtract.extractStream(
+          StreamExtract.readTurnStream(spark, srcDir, s"$root/chunk1"))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    arriveFiles(s"$root/chunk1", srcDir)
+    runPass()                       // pass 1: chunk1 only
+    val afterFirst = spark.read.parquet(sinkDir).count()
+    arriveFiles(s"$root/chunk2", srcDir)
+    runPass()                       // pass 2: restart from checkpoint, chunk2 arrives
+    runPass()                       // pass 3: restart again with NO new data
+    val sink = spark.read.parquet(sinkDir).toDF()
+    val batch = graft.pipeline.Pipeline.extractTurns(
+      spark.read.parquet(srcDir).as[graft.core.TurnInput]).toDF()
+    assert(afterFirst > 0 && afterFirst < batch.count(),
+      "first pass should commit a strict subset")
+    // exactly-once across restarts: the sink equals batch truth as a
+    // MULTISET — a re-emitted batch (duplicate) or a dropped file
+    // (loss) both fail this
+    assert(sink.count() == batch.count(), s"${sink.count()} vs ${batch.count()}")
+    assert(sink.exceptAll(batch).isEmpty && batch.exceptAll(sink).isEmpty)
+  }
+
+  test("flatMapGroupsWithState state survives restart (alert counts continue, not reset)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restart-state").toString
+    val (srcDir, sinkDir, ckDir) = (s"$root/src", s"$root/sink", s"$root/ck")
+    val all = graft.pipeline.Pipeline.synthTurns(spark, 120L, 4)
+    all.filter(_.turn_idx < 2).write.parquet(s"$root/chunk1")
+    all.filter(_.turn_idx >= 2).write.parquet(s"$root/chunk2")
+    def runPass(): Unit = {
+      // wide watermark delay: the chunk split is by turn_idx, so chunk 2
+      // carries event times from the whole corpus span; the test is
+      // state recovery, not late-row policy (covered elsewhere)
+      val q = StreamExtract.errorAlerts(
+          StreamExtract.readTurnStream(spark, srcDir, s"$root/chunk1"), 2L,
+          watermarkDelay = "3650 days")
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append()).start()
+      q.processAllAvailable(); q.stop()
+    }
+    arriveFiles(s"$root/chunk1", srcDir)
+    runPass()
+    arriveFiles(s"$root/chunk2", srcDir)
+    runPass()
+    // batch truth: a conversation with n total error turns crosses a
+    // multiple of 2 exactly n/2 times. If restart had reset the
+    // per-conversation state, conversations whose errors straddle the
+    // two chunks would alert at the wrong cumulative counts.
+    val batch = graft.pipeline.Pipeline.extractTurns(
+        spark.read.parquet(srcDir).as[graft.core.TurnInput])
+      .filter(_.errors.isDefined)
+      .groupByKey(_.conv_id).count()
+      .map { case (conv, n) => (conv, n / 2L) }
+      .filter(_._2 > 0L).toDF("conv_id", "n_alerts")
+    val got = spark.read.parquet(sinkDir).groupBy("conv_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_alerts"))
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+    // and the alerts fired at the RIGHT cumulative counts: the set of
+    // (conv, nErrors) alert points is every even count up to the total
+    val points = spark.read.parquet(sinkDir).as[(String, Long)].collect().toSet
+    val wantPoints = batch.as[(String, Long)].collect()
+      .flatMap { case (c, k) => (1L to k).map(i => (c, 2L * i)) }.toSet
+    assert(points == wantPoints, "alerts fired at wrong cumulative error counts")
+  }
+
   test("mapGroupsWithState conversation summaries match batch group-by") {
     import spark.implicits._
     val st = StreamExtract.runOnce(
