@@ -803,54 +803,35 @@ object Relational {
     // the update is one partial+final agg over (cid, dim); the k×64
     // centroid matrix is the only driver-side state per iteration —
     // the standard Lloyd driver loop (train on a sample at 100 TB).
-    "q_ann_kmeans" -> ((s, dir) => {
-      val k = 8; val iters = 3
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
-      // md5-seeded init: the k vectors with lexicographically smallest
-      // md5(vec_id) are centroids 0..k-1 in that order
-      var cents: Array[Array[Long]] = e
-        .withColumn("mk", md5(col("vec_id").cast("string")))
-        .orderBy(col("mk")).limit(k)
-        .select(col("v")).collect()
-        .map(_.getSeq[Long](0).toArray)
-      def assign(): DataFrame = {
-        val centDf = s.createDataFrame(
-          cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
-          .toDF("cid", "c")
-          .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
-        val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-        e.join(broadcast(centDf))
-          .select(col("vec_id"), col("cid"),
-            (graft.functions.ArrayMath.dotL(col("v"), col("v")) + col("cnorm") -
-              lit(2L) * graft.functions.ArrayMath.dotL(col("v"), col("c"))).as("dist"),
-            col("v"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("dist"), col("v"))
-      }
-      for (_ <- 0 until iters) {
-        // update: mean per (cid, dim), floored to keep centroids integer
-        // (floor(sum/n) via double division — exact while |sum| < 2^53
-        // and the quotient is ≥1/n away from integers unless exact, so
-        // both engines floor identically)
-        val sums = assign()
-          .select(col("cid"), posexplode(col("v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
-          .collect()
-        val next = cents.zipWithIndex.map { case (old, _) => old.clone() }
-        for (r <- sums) {
-          val cid = r.getLong(0).toInt; val pos = r.getInt(1)
-          val sx = r.getLong(2); val n = r.getLong(3)
-          next(cid)(pos) = math.floor(sx.toDouble / n).toLong
-        } // clusters with no assignment keep their previous centroid
-        cents = next
-      }
-      assign()
+    "q_ann_kmeans" -> ((s, dir) =>
+      kmeansFit(s, dir)
         .select(col("vec_id"), col("cid"), col("dist"))
-        .orderBy(col("vec_id"))
+        .orderBy(col("vec_id"))),
+
+    // similarity 3c — IVF search over the LEARNED quantizer: the search
+    // q_ann_ivf performs against the pre-existing `label` column, now
+    // against the k-means list assignment built above. Same scale
+    // shape: tiny query set broadcast, candidates stream through a
+    // hash join on the list id.
+    "q_ann_ivf_kmeans" -> ((s, dir) => {
+      val assign = kmeansFit(s, dir)
+        .select(col("vec_id"), col("cid"), col("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val q = assign.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+          col("v").as("qv"), col("norm2").as("qn"))
+      val scored = assign.as("c").join(broadcast(q),
+          col("qcid") === col("c.cid") && col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+          col("qn").as("na"), col("c.norm2").as("nb2"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
     }),
 
     // similarity 2 — brute-force cosine top-k ANN baseline. Scans every
@@ -879,12 +860,106 @@ object Relational {
     }),
   )
 
+  /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
+    * init) over integerized embedding vectors — the IVF coarse-quantizer
+    * trainer. Exact integer squared-L2 throughout; centroid updates are
+    * floored per-dim means (floor(sum/n) via double division — exact
+    * while |sum| < 2^53 and the quotient is ≥1/n from any integer
+    * unless exactly integral, so both engines floor identically);
+    * empty clusters carry their previous centroid. Scale shape: each
+    * assignment is a broadcast join against k centroid rows (candidates
+    * stream); each update is one partial+final agg over (cid, dim); the
+    * k×64 centroid matrix is the only driver-side state per iteration —
+    * the standard Lloyd driver loop (train on a sample at 100 TB).
+    * Returns the final assignment (vec_id, cid, dist, v). */
+  private def kmeansFit(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val iters = 3
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+    // md5-seeded init: the k vectors with lexicographically smallest
+    // md5(vec_id) are centroids 0..k-1 in that order
+    var cents: Array[Array[Long]] = e
+      .withColumn("mk", md5(col("vec_id").cast("string")))
+      .orderBy(col("mk")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    def assign(): DataFrame = {
+      val centDf = s.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
+        .toDF("cid", "c")
+        .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      e.join(broadcast(centDf))
+        .select(col("vec_id"), col("cid"),
+          (graft.functions.ArrayMath.dotL(col("v"), col("v")) + col("cnorm") -
+            lit(2L) * graft.functions.ArrayMath.dotL(col("v"), col("c"))).as("dist"),
+          col("v"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"), col("v"))
+    }
+    for (_ <- 0 until iters) {
+      val sums = assign()
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.zipWithIndex.map { case (old, _) => old.clone() }
+      for (r <- sums) {
+        val cid = r.getLong(0).toInt; val pos = r.getInt(1)
+        val sx = r.getLong(2); val n = r.getLong(3)
+        next(cid)(pos) = math.floor(sx.toDouble / n).toLong
+      } // clusters with no assignment keep their previous centroid
+      cents = next
+    }
+    assign()
+  }
+
   /** DuckDB mirror of q_ann_kmeans: the same md5-seeded init and Lloyd
     * iterations unrolled as a CTE chain (a_j = assignment against c_{j-1},
     * c_j = floored per-dim means with empty-cluster carry via LEFT JOIN).
     * Generated programmatically so k/iters stay in lockstep with the
     * Spark query. */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) +
+      s"""
+         |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |        FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** DuckDB mirror of q_ann_ivf_kmeans: final assignment from the same
+    * CTE chain, then top-5 cosine within each query's learned list. */
+  private def ivfKmeansOracleSql(k: Int, iters: Int): String =
+    kmeansCtes(k, iters) +
+      s""",
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
+         |  WHERE rn = 1),
+         |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM v GROUP BY 1),
+         |scored AS (
+         |  SELECT qa.vec_id AS qid, ca.vec_id AS nb, sum(qv.x * cv.x) AS dot
+         |  FROM af qa
+         |  JOIN af ca ON ca.cid = qa.cid AND qa.vec_id < 10 AND ca.vec_id <> qa.vec_id
+         |  JOIN v qv ON qv.vec_id = qa.vec_id
+         |  JOIN v cv ON cv.vec_id = ca.vec_id AND cv.i = qv.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, nb, dot / (sqrt(na.n2) * sqrt(nb2.n2)) AS cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY dot / (sqrt(na.n2) * sqrt(nb2.n2)) DESC, nb) AS rank
+         |  FROM scored JOIN norms na ON na.vec_id = qid
+         |  JOIN norms nb2 ON nb2.vec_id = nb)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (
               |  SELECT vec_id, i, CAST(round(embedding[i+1] * 1000) AS BIGINT) AS x
@@ -910,13 +985,6 @@ object Relational {
                 |    FROM a$j a JOIN v ON v.vec_id = a.vec_id GROUP BY 1, 2) u
                 |  ON u.cid = p.cid AND u.i = p.i)""".stripMargin
     }
-    sb ++= s"""
-              |SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM (
-              |  SELECT vec_id, cid, dist,
-              |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-              |  FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
-              |        FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
-              |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     sb.toString
   }
 
@@ -1293,6 +1361,7 @@ object Relational {
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_ann_kmeans" -> kmeansOracleSql(8, 3),
+    "q_ann_ivf_kmeans" -> ivfKmeansOracleSql(8, 3),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
                     FROM embeddings),

@@ -250,6 +250,25 @@ class PlanSpec extends SparkSuite {
       assert(b.toString.contains("cid"),
         s"kmeans broadcast build side is not the centroid set:\n$b")
     }
+    // the learned-IVF search: every broadcast build side is either the
+    // k-row centroid set (assignment) or the filtered query set
+    // (search); the candidate table itself never rides a broadcast
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val searchExec = Relational.queries("q_ann_ivf_kmeans")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(!searchExec.toString.contains("CartesianProduct"))
+    val searchBuilds = searchExec.collect {
+      case j: BroadcastHashJoinExec =>
+        if (j.buildSide == BuildRight) j.right else j.left
+      case j: BroadcastNestedLoopJoinExec =>
+        if (j.buildSide == BuildRight) j.right else j.left
+    }
+    assert(searchBuilds.nonEmpty)
+    searchBuilds.foreach { b =>
+      val t = b.toString
+      assert(t.contains("cid") || t.contains("< 10"),
+        s"ivf_kmeans broadcast build side is neither centroids nor the query set:\n$t")
+    }
   }
 
   test("conv-level minhash aggregates partially before the shuffle (hot-conv combine)") {
