@@ -874,9 +874,14 @@ object Relational {
     * Returns the final assignment (vec_id, cid, dist, v). */
   private def kmeansFit(s: SparkSession, dir: String): DataFrame = {
     val k = 8; val iters = 3
+    // cached: the integerized vectors feed every Lloyd iteration (k+1
+    // assignment jobs + k update jobs would otherwise re-scan and
+    // re-quantize the parquet each time). Small (ids + 64 longs/row);
+    // at 100 TB the trainer runs on a sample, which is what gets cached.
     val e = t(s, dir, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+      .persist()
     // md5-seeded init: the k vectors with lexicographically smallest
     // md5(vec_id) are centroids 0..k-1 in that order
     var cents: Array[Array[Long]] = e

