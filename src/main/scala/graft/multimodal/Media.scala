@@ -21,8 +21,8 @@ object Media {
   final case class MediaRow(media_id: Long, kind: String,
       payload: Array[Byte], meta: MediaMeta)
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      luma_hist: Array[Long], mean_luma: Double, frames_sampled: Int,
-      thumb_w: Int, thumb_h: Int)
+      luma_hist: Array[Long], luma_sum: Long, mean_luma: Double,
+      frames_sampled: Int, thumb_w: Int, thumb_h: Int)
 
   /** Deterministic synthetic media table derived from the documents
     * table (payload = utf-8 bytes standing in for encoded media). */
@@ -81,7 +81,7 @@ object Media {
           var sum = 0L; var n = 0L; var b = 0
           while (b < 256) { sum += hist(b) * b; n += hist(b); b += 1 }
           val (tw, th) = thumbSize(m.meta)
-          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, hist,
+          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, hist, sum,
             if (n == 0) 0.0 else sum.toDouble / n,
             framesToSample(m.kind, m.meta), tw, th)
         }
@@ -104,15 +104,36 @@ object Media {
       .orderBy(col("kind"))
   }
 
-  /** Registered query surface (rows-only — stub decode has no SQL
-    * oracle): per-kind feature aggregates. */
+  /** Registered query surface — DuckDB-oracled since round 3: the stub
+    * decode is a byte-value histogram of the UTF-8 payload, and the
+    * documents corpus is pure ASCII (verified per SF), so every output
+    * derives from exact integers DuckDB can recompute from the chars of
+    * documents.parquet: luma_sum = Σ byte values, avg_luma = ONE double
+    * division of exact integer sums, and the histogram is exercised via
+    * its per-kind argmax (most frequent byte, smallest-byte tie-break).
+    * A non-ASCII doc would make byte-vs-char counts diverge and fail
+    * the oracle loudly — the intended tripwire. */
   def mediaFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
-    extractFeatures(synthMedia(spark, dir))
-      .groupBy(col("kind"))
+    val feats = extractFeatures(synthMedia(spark, dir))
+    val perKind = feats.groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(col("mean_luma")), 4).as("avg_luma"),
+        sum(col("luma_sum")).as("luma_sum"),
         sum(col("frames_sampled").cast("long")).as("frames"))
+      .withColumn("avg_luma", round(col("luma_sum") / col("total_bytes"), 4))
+    // per-kind histogram argmax: sum the 256-bin vectors, then take the
+    // most frequent byte value (fixed 256-wide explode — bounded)
+    val bins = feats.select(col("kind"), posexplode(col("luma_hist")))
+      .groupBy(col("kind"), col("pos")).agg(sum(col("col")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind")).orderBy(col("cnt").desc, col("pos"))
+    val argmax = bins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("kind"), col("pos").cast("long").as("top_byte"),
+        col("cnt").as("top_byte_n"))
+    perKind.join(argmax, "kind")
+      .select(col("kind"), col("n"), col("total_bytes"), col("luma_sum"),
+        col("avg_luma"), col("frames"), col("top_byte"), col("top_byte_n"))
       .orderBy(col("kind"))
   }
 }

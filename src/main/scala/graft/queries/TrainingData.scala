@@ -356,5 +356,41 @@ object TrainingData {
                   WHEN 1 THEN greatest(1, (n_chars * 10) // 30000)
                   ELSE greatest(1, (n_chars * 40) // 10000) END) AS BIGINT) AS frames
          FROM documents GROUP BY 1 ORDER BY kind""",
+    // The stub decode is a byte histogram of the UTF-8 payload and the
+    // corpus is pure ASCII, so DuckDB recomputes everything from the
+    // CHARS of the text: luma_sum = Σ ascii codes, avg_luma as one
+    // division of exact integer sums, top_byte = per-kind argmax of the
+    // char histogram (smallest byte on ties).
+    "q_media_features" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  text, n_chars,
+                  CASE doc_id % 3
+                    WHEN 0 THEN 1
+                    WHEN 1 THEN greatest(1, (n_chars * 10) // 30000)
+                    ELSE greatest(1, (n_chars * 40) // 10000) END AS frames
+           FROM documents),
+         chars AS (
+           SELECT kind, ascii(unnest(regexp_extract_all(text, '.'))) AS b FROM m),
+         hist AS (
+           SELECT kind, b, count(*) AS cnt FROM chars GROUP BY 1, 2),
+         am AS (
+           SELECT kind, b AS top_byte, cnt AS top_byte_n FROM (
+             SELECT kind, b, cnt,
+                    row_number() OVER (PARTITION BY kind ORDER BY cnt DESC, b) AS rn
+             FROM hist) WHERE rn = 1),
+         agg AS (
+           SELECT kind, count(*) AS n,
+                  CAST(sum(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS total_bytes,
+                  CAST(sum(list_sum(list_transform(regexp_extract_all(m2.text, '.'), c -> CAST(ascii(c) AS BIGINT)))) AS BIGINT) AS luma_sum,
+                  CAST(sum(frames) AS BIGINT) AS frames
+           FROM m m2 GROUP BY 1)
+         SELECT agg.kind, n, total_bytes, luma_sum,
+                round(luma_sum / total_bytes, 4) AS avg_luma, frames,
+                CAST(top_byte AS BIGINT) AS top_byte,
+                CAST(top_byte_n AS BIGINT) AS top_byte_n
+         FROM agg JOIN am ON am.kind = agg.kind
+         ORDER BY agg.kind""",
   )
 }
