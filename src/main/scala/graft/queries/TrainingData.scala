@@ -219,12 +219,21 @@ object TrainingData {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      docs.map { case (id, tx) => (id, graft.core.BpeRef.countTokens(tx)) }
+      // per-partition pretoken→count memo on both sides: corpora draw
+      // pretokens from a small vocabulary, so the encode loop runs once
+      // per distinct word per task, not once per occurrence
+      docs.mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Integer]()
+        it.map { case (id, tx) => (id, graft.core.BpeRef.countTokens(tx, cache)) }
+      }
         .toDF("doc_id", "n_bpe")
         .orderBy(col("doc_id"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
         .write.mode("overwrite").parquet(bpeExpectedPath)
-      docs.map { case (id, tx) => (id, graft.core.Bpe.countTokens(tx)) }
+      docs.mapPartitions { it =>
+        val cache = new java.util.HashMap[String, Integer]()
+        it.map { case (id, tx) => (id, graft.core.Bpe.countTokens(tx, cache)) }
+      }
         .toDF("doc_id", "n_bpe")
         .orderBy(col("doc_id"))
     }),
