@@ -84,19 +84,33 @@ object TrainingData {
     * thousand rows at verify scale, one file keeps the DuckDB glob
     * trivial). Never copy this pattern into a real sink — a production
     * write keeps the upstream partitioning (see io/TableIO). */
-  private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] = {
-    import s.implicits._
-    val gen = graft.pipeline.Pipeline.synthWithExpected(s, nConvs, 8)
-    val expected = gen.select(col("_2.*"))
-    flat(expected).coalesce(1)
-      .write.mode("overwrite").parquet(expectedTurnsPath)
-    expected.filter(col("errors").isNotNull)
-      .select(col("conv_id"), col("turn_idx"), explode(col("errors")).as("error"))
-      .orderBy(col("conv_id"), col("turn_idx"), col("error"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(expectedErrorsPath)
-    gen.select(col("_1.*")).as[graft.core.TurnInput]
-  }
+  /** Both extraction queries need the same generated corpus + sidecars;
+    * memoized per session so the second query reuses the first's work
+    * (the generation is deterministic, so the skipped re-write would be
+    * byte-identical anyway). */
+  private val genMemo =
+    new java.util.WeakHashMap[SparkSession, Dataset[graft.core.TurnInput]]()
+
+  private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] =
+    genMemo.synchronized {
+      val cached = genMemo.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        val gen = graft.pipeline.Pipeline.synthWithExpected(s, nConvs, 8)
+        val expected = gen.select(col("_2.*"))
+        flat(expected).coalesce(1)
+          .write.mode("overwrite").parquet(expectedTurnsPath)
+        expected.filter(col("errors").isNotNull)
+          .select(col("conv_id"), col("turn_idx"), explode(col("errors")).as("error"))
+          .orderBy(col("conv_id"), col("turn_idx"), col("error"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(expectedErrorsPath)
+        val turns = gen.select(col("_1.*")).as[graft.core.TurnInput]
+        genMemo.put(s, turns)
+        turns
+      }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
