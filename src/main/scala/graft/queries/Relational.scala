@@ -396,6 +396,40 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // dedup 2b — n-gram (3-word shingle) jaccard near-dup pairs. The
+    // shingle form is the skew-resistant cousin of the token form
+    // above: a 3-gram is far rarer than any stopword, so the inverted
+    // index has no hot keys and the self-join buckets stay tiny. Each
+    // shingle joins as a 60-bit md5-derived integer rather than the
+    // string — same semantics (deterministic, mirrored in the oracle),
+    // a fraction of the shuffle bytes at corpus scale. Doc cap mirrors
+    // q_dedup_jaccard (no-op at the verify SF).
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """case when size(split(text, ' ')) >= 3 then
+            |  transform(sequence(1, size(split(text, ' ')) - 2),
+            |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+            |else array() end""".stripMargin))).as("sh"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct() // dedup at the HASH level so a (vanishingly rare)
+                    // collision is counted once on both engines
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .withColumn("jac", round(col("inter") / (col("sa.sz") + col("sb.sz") - col("inter")), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("ia"), col("ib"), col("jac"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // dedup 3 — MinHash + LSH band buckets (md5-based, engine-portable)
     "q_dedup_minhash" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -1185,6 +1219,25 @@ object Relational {
          SELECT ia, ib, round(inter / (sa.sz + sb.sz - inter), 6) AS jac
          FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.9
+         ORDER BY ia, ib""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE doc_id < 1000),
+            grams AS (SELECT DISTINCT doc_id,
+                             CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT AS BIGINT) AS h
+                      FROM (SELECT doc_id,
+                                   unnest(CASE WHEN len(w) >= 3 THEN
+                                     list_transform(range(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                   ELSE [] END) AS g
+                            FROM words)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+                      FROM grams a JOIN grams b ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT ia, ib, round(inter / (sa.sz + sb.sz - inter), 6) AS jac
+         FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
+         WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
          ORDER BY ia, ib""",
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
