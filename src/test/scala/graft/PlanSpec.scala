@@ -271,6 +271,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("shingle jaccard self-joins as a hash/merge equi-join on the gram hash") {
+    // the inverted-index self-join must key on the shingle hash (an
+    // equi-join Spark can shuffle or sort-merge); a CartesianProduct or
+    // BroadcastNestedLoopJoin here would be the O(n²) corpus-scale bomb
+    val p = graft.queries.Relational.queries("q_dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ngram jaccard degraded to an all-pairs join:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("conv-level minhash aggregates partially before the shuffle (hot-conv combine)") {
     // a heavy-tail conversation's tokens must combine map-side: the
     // signature agg groupBy(conv_id, band).min must be a partial+final
