@@ -36,6 +36,7 @@ object TrainingData {
   val difflibExpectedPath = s"$oracleRoot/difflib_expected"
   val convTurnsPath       = s"$oracleRoot/conv_turns"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
+  val streamJoinPath      = s"$oracleRoot/stream_join_turns"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -129,11 +130,30 @@ object TrainingData {
     // … and the rows-only face keeping the stub-decode luma histogram
     "q_media_features" -> ((s, dir) => graft.multimodal.Media.mediaFeatureQuery(s, dir)),
 
-    // Structured Streaming surface under the oracle gate: event-time
-    // session windows (session_window) driven through a real streaming
-    // query (file source → groupBy(session_window) → memory sink,
-    // Complete mode so every session is emitted regardless of the final
-    // watermark). The DuckDB oracle recomputes the sessions as the
+    // Stream-stream event-time interval join (impressions⋈clicks shape)
+    // as a REAL streaming query, oracled: DuckDB recomputes the same
+    // interval join over the input sidecar. Inner join → with all files
+    // present, the emitted set equals batch truth exactly. Own sidecar
+    // path (not streamTurnsPath — q_stream_sessions writes different
+    // data there and the driver's DuckDB pass runs after all queries).
+    "q_stream_join" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        .coalesce(1).write.mode("overwrite").parquet(streamJoinPath)
+      // synth timestamps are hash-random across a year (not sequential
+      // within a conversation), so the attribution horizon is 30 days
+      graft.streaming.StreamExtract.runOnce(
+        graft.streaming.StreamExtract.openerJoin(
+          graft.streaming.StreamExtract.readTurnStream(s, streamJoinPath, streamJoinPath),
+          horizon = "30 days"),
+        s"q_stream_join_${memSinkSeq.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // Event-time session windows (session_window) driven through a real
+    // streaming query (file source → groupBy(session_window) → memory
+    // sink, Complete mode so every session is emitted regardless of the
+    // final watermark). The DuckDB oracle recomputes the sessions as the
     // classic gap fold (lag + cumulative break sum) over the SAME input
     // parquet — an independent derivation of the session semantics.
     "q_stream_sessions" -> ((s, dir) => {
@@ -344,6 +364,15 @@ object TrainingData {
                  min(conv_id) AS min_conv
           FROM sigs GROUP BY band, sig HAVING count(*) >= 2
           ORDER BY band, sig""",
+    "q_stream_join" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, ts
+                     FROM read_parquet('$streamJoinPath/*.parquet'))
+          SELECT r.conv_id, r.turn_idx,
+                 CAST(epoch(r.ts) - epoch(o.ts) AS BIGINT) AS delta_s
+          FROM t r JOIN t o
+            ON o.conv_id = r.conv_id AND o.turn_idx = 0 AND r.turn_idx > 0
+           AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
+          ORDER BY r.conv_id, r.turn_idx""",
     "q_stream_sessions" ->
       s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
           m AS (SELECT conv_id, ts,

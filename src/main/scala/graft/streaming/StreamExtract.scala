@@ -153,6 +153,31 @@ object StreamExtract {
       .select(col("conv_id"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_turns"))
 
+  /** Stream-stream event-time interval join: attribute every follow-up
+    * turn to its conversation's opener (turn_idx == 0) when it lands
+    * within `horizon` of the opener's timestamp — the classic
+    * impressions⋈clicks shape. Both sides carry watermarks so the join
+    * state is evictable (Spark bounds the buffered openers by the
+    * watermark + the interval bound); inner join, so rows emit as soon
+    * as both sides have arrived. */
+  def openerJoin(turns: Dataset[TurnInput], horizon: String = "2 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val openers = turns.toDF()
+      .filter(col("turn_idx") === 0)
+      .select(col("conv_id").as("o_conv"), col("ts").as("open_ts"))
+      .withWatermark("open_ts", watermarkDelay)
+    val rest = turns.toDF()
+      .filter(col("turn_idx") > 0)
+      .select(col("conv_id"), col("turn_idx"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    rest.join(openers,
+      col("conv_id") === col("o_conv") &&
+        col("ts") >= col("open_ts") &&
+        col("ts") <= col("open_ts") + expr(s"interval $horizon"))
+      .select(col("conv_id"), col("turn_idx"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
+  }
+
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
   def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {

@@ -176,6 +176,25 @@ class StreamingSpec extends SparkSuite {
     assert(points == wantPoints, "alerts fired at wrong cumulative error counts")
   }
 
+  test("stream-stream interval join (opener attribution) equals the batch join") {
+    import spark.implicits._
+    val streamed = StreamExtract.runOnce(
+      StreamExtract.openerJoin(StreamExtract.readTurnStream(spark, dir, dir),
+        horizon = "30 days"),
+      "stream_join", OutputMode.Append())
+    val t = spark.read.parquet(dir)
+    val batch = t.as("r").filter($"r.turn_idx" > 0)
+      .join(t.as("o").filter($"o.turn_idx" === 0),
+        $"r.conv_id" === $"o.conv_id" &&
+          $"r.ts" >= $"o.ts" &&
+          $"r.ts" <= $"o.ts" + org.apache.spark.sql.functions.expr("interval 30 days"))
+      .select($"r.conv_id", $"r.turn_idx",
+        (org.apache.spark.sql.functions.unix_timestamp($"r.ts") -
+          org.apache.spark.sql.functions.unix_timestamp($"o.ts")).as("delta_s"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("mapGroupsWithState conversation summaries match batch group-by") {
     import spark.implicits._
     val st = StreamExtract.runOnce(
