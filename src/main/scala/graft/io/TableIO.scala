@@ -160,6 +160,93 @@ object TableIO {
     Files.move(tmp, snapDir(root).resolve(s"snap-$id.json"), StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Small-file compaction — the operational half of an Iceberg-style
+    * table at scale (streaming micro-batches and per-wave task counts
+    * leave buckets with many sub-target files; scan cost grows with
+    * file count, not bytes). For every committed bucket whose parquet
+    * file count exceeds `maxFiles`, rewrite the bucket's data as
+    * ceil(bytes / targetBytes) files, content-preserving:
+    *
+    *  1. rewrite into _staging/compact-<b> and VERIFY the staged row
+    *     count against the bucket's lineage before touching live data
+    *     (a bad rewrite aborts, old files stay);
+    *  2. swap live ← staged via two atomic renames with the old dir
+    *     parked in _staging/old-<b>;
+    *  3. publish a new snapshot carrying the bucket's UNCHANGED
+    *     rows/keys lineage (compaction moves bytes, not rows).
+    *
+    * A crash between the two renames leaves the old dir parked;
+    * `recoverCompaction` (run on entry) restores any parked bucket
+    * whose live dir is missing and clears stale parks, so the table is
+    * never readable-empty after a crashed compaction. Returns the
+    * buckets compacted. */
+  def compact(spark: SparkSession, root: String, maxFiles: Int = 8,
+      targetBytes: Long = 128L << 20): Seq[Int] = {
+    recoverCompaction(root)
+    val (snap, done) = committed(root)
+    if (snap < 0) return Nil
+    var snapId = snap
+    val lin = lineage(root).map(l => l.bucket -> l).toMap
+    val out = Seq.newBuilder[Int]
+    for (b <- done.toSeq.sorted) {
+      val live = Paths.get(root, s"bucket=$b")
+      val files =
+        if (Files.isDirectory(live))
+          Files.list(live).iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        else Nil
+      if (files.length > maxFiles) {
+        val t0 = System.currentTimeMillis()
+        val totalBytes = files.map(Files.size).sum
+        val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+        val staged = Paths.get(root, "_staging", s"compact-$b")
+        deleteRecursively(staged)
+        spark.read.parquet(live.toString)
+          .coalesce(nOut)
+          .write.mode("overwrite").parquet(staged.toString)
+        val stagedRows = spark.read.parquet(staged.toString).count()
+        val expect = lin.get(b).map(_.rows).getOrElse(-1L)
+        if (stagedRows != expect) {
+          // bad rewrite: abort this bucket, keep the live files
+          System.err.println(
+            s"[TableIO.compact] bucket $b row mismatch staged=$stagedRows lineage=$expect — aborted")
+          deleteRecursively(staged)
+        } else {
+          val parked = Paths.get(root, "_staging", s"old-$b")
+          deleteRecursively(parked)
+          Files.move(live, parked, StandardCopyOption.ATOMIC_MOVE)
+          Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+          deleteRecursively(parked)
+          snapId += 1
+          val updated = lin(b).copy(wallMs = System.currentTimeMillis() - t0,
+            snapshotId = snapId)
+          publishSnapshot(root, snapId, Seq(updated))
+          out += b
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Restore any bucket left parked by a compaction that crashed
+    * between its two renames (live dir missing → move the park back);
+    * clear parks whose live dir exists (crash after the second rename,
+    * before cleanup). */
+  def recoverCompaction(root: String): Unit = {
+    val staging = Paths.get(root, "_staging")
+    if (!Files.isDirectory(staging)) return
+    for (p <- Files.list(staging).iterator().asScala.toSeq) {
+      val name = p.getFileName.toString
+      if (name.startsWith("old-")) {
+        val b = name.stripPrefix("old-")
+        val live = Paths.get(root, s"bucket=$b")
+        if (!Files.isDirectory(live))
+          Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+        else deleteRecursively(p)
+      } else if (name.startsWith("compact-")) deleteRecursively(p)
+    }
+  }
+
   def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
     spark.read.option("basePath", root).parquet(root)

@@ -92,6 +92,59 @@ class ResumeSpec extends SparkSuite {
     assert(back == expect && back.nonEmpty)
   }
 
+  test("compaction collapses small files, preserves content, advances the snapshot") {
+    val root = freshDir("graft-compact")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val before = dump(root)
+    val linBefore = TableIO.lineage(root).map(l => l.bucket -> l.rows).toMap
+    val (snapBefore, _) = TableIO.committed(root)
+    // manufacture the small-file state streaming appends would leave:
+    // shatter two buckets into many tiny files (content unchanged)
+    import scala.jdk.CollectionConverters._
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    def parquetFiles(b: Int) =
+      Files.list(Paths.get(root, s"bucket=$b")).iterator()
+        .asScala.filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    for (b <- Seq(0, 3)) {
+      val live = Paths.get(root, s"bucket=$b")
+      val tmp = Paths.get(root, "_staging", s"shatter-$b")
+      spark.read.parquet(live.toString).repartition(12)
+        .write.mode("overwrite").parquet(tmp.toString)
+      deleteRec(live)
+      Files.move(tmp, live)
+      assert(parquetFiles(b).length > 8)
+    }
+    assert(dump(root) == before, "shatter setup must be content-preserving")
+    val compacted = TableIO.compact(spark, root, maxFiles = 8)
+    assert(compacted == Seq(0, 3))
+    for (b <- Seq(0, 3)) assert(parquetFiles(b).length <= 2,
+      s"bucket $b still has ${parquetFiles(b).length} files")
+    assert(dump(root) == before, "compaction must be content-preserving")
+    val linAfter = TableIO.lineage(root).map(l => l.bucket -> l.rows).toMap
+    assert(linAfter == linBefore, "lineage rows must be unchanged")
+    val (snapAfter, doneAfter) = TableIO.committed(root)
+    assert(snapAfter > snapBefore && doneAfter.size == 8)
+    // idempotent: nothing left above the threshold
+    assert(TableIO.compact(spark, root, maxFiles = 8).isEmpty)
+  }
+
+  test("a compaction crashed between its renames recovers without data loss") {
+    val root = freshDir("graft-compact-crash")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val before = dump(root)
+    // manufacture the mid-swap crash: live dir parked, nothing in place
+    val live = Paths.get(root, s"bucket=2")
+    val parked = Paths.get(root, "_staging", "old-2")
+    Files.createDirectories(parked.getParent)
+    Files.move(live, parked)
+    assert(!Files.isDirectory(live))
+    TableIO.compact(spark, root) // recovery runs on entry
+    assert(Files.isDirectory(live) && !Files.exists(parked))
+    assert(dump(root) == before, "recovered table must be byte-equal")
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
