@@ -247,6 +247,31 @@ object TableIO {
     }
   }
 
+  /** The driver-side twin of `bucketOf`: the bucket a conv_id hashes to
+    * (same XxHash64 seed-42 + pmod as the write path), computed without
+    * a Spark job. */
+  def bucketIdOf(convId: String, buckets: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(convId),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+    (((h % buckets) + buckets) % buckets).toInt
+  }
+
+  /** Point lookup — the bucketed layout's payoff: a conv_id read opens
+    * ONLY its hash bucket's directory (1/B of the table's files at any
+    * scale), then filters within it. The conv_id filter still pushes to
+    * the parquet row groups inside that bucket. */
+  def lookupConv(spark: SparkSession, root: String, convId: String,
+      buckets: Int = 32): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    val b = bucketIdOf(convId, buckets)
+    spark.read.parquet(s"$root/bucket=$b")
+      .filter(col("conv_id") === convId)
+      .as[ExtractedTurn]
+  }
+
   def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
     spark.read.option("basePath", root).parquet(root)

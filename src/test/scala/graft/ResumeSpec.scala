@@ -145,6 +145,31 @@ class ResumeSpec extends SparkSuite {
     assert(dump(root) == before, "recovered table must be byte-equal")
   }
 
+  test("point lookup reads only the conv's hash bucket (1/B of the files)") {
+    val root = freshDir("graft-lookup")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 16, waves = 4)
+    val someConv = ds.head().conv_id
+    val viaLookup = TableIO.lookupConv(spark, root, someConv, buckets = 16)
+    // correctness: identical rows to a full-table filter
+    val viaScan = TableIO.readExtracted(spark, root)
+      .filter(_.conv_id == someConv).collect().map(Json.turnJson).sorted.toSeq
+    assert(viaLookup.collect().map(Json.turnJson).sorted.toSeq == viaScan)
+    assert(viaScan.nonEmpty)
+    // pruning: every input file of the lookup plan is inside the ONE
+    // bucket directory the driver-side hash names
+    val b = TableIO.bucketIdOf(someConv, 16)
+    val files = viaLookup.toDF().inputFiles
+    assert(files.nonEmpty && files.forall(_.contains(s"bucket=$b")),
+      s"lookup read outside bucket=$b: ${files.mkString(", ")}")
+    // the driver-side hash matches the write path's bucket assignment
+    // for every conv in the table
+    val assigned = TableIO.readExtracted(spark, root)
+      .select("conv_id").distinct().collect().map(_.getString(0))
+    for (c <- assigned.take(50))
+      assert(TableIO.lookupConv(spark, root, c, 16).count() > 0)
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
