@@ -279,6 +279,44 @@ object TableIO {
       .as[ExtractedTurn]
   }
 
+  /** Idempotent micro-batch commit — the foreachBatch sink contract:
+    * batch data lands under root/_batches/batch=<id> and becomes
+    * visible only when the commit marker exists (written atomically
+    * AFTER the data). A restarted stream that replays an already-
+    * committed batchId is a no-op; a batch that crashed mid-write left
+    * no marker, so the replay wipes the partial dir and rewrites it —
+    * exactly-once table contents from an at-least-once replay. */
+  def commitBatch(df: org.apache.spark.sql.DataFrame, root: String,
+      batchId: Long): Boolean = {
+    val bdir = Paths.get(root, "_batches")
+    Files.createDirectories(bdir)
+    val marker = bdir.resolve(s"batch-$batchId.committed")
+    if (Files.exists(marker)) return false // replayed batch: drop it
+    val dir = bdir.resolve(s"batch=$batchId")
+    deleteRecursively(dir) // partial from a crash mid-write
+    df.write.mode("overwrite").parquet(dir.toString)
+    val tmp = bdir.resolve(s".batch-$batchId.committed.tmp")
+    Files.writeString(tmp, s"""{"batch": $batchId, "committedAtMs": 0}""")
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
+  /** All committed micro-batches as one DataFrame (uncommitted/partial
+    * batch dirs are invisible — no marker, no read). */
+  def readCommittedBatches(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    val bdir = Paths.get(root, "_batches")
+    val dirs =
+      if (!Files.isDirectory(bdir)) Nil
+      else Files.list(bdir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("batch-") && n.endsWith(".committed"))
+        .map(n => n.stripPrefix("batch-").stripSuffix(".committed"))
+        .map(id => s"$root/_batches/batch=$id")
+        .toSeq
+    require(dirs.nonEmpty, s"no committed batches under $root/_batches")
+    spark.read.parquet(dirs: _*)
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -178,6 +178,23 @@ object StreamExtract {
         (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
   }
 
+  /** Production streaming ingest into the Iceberg-lite table layout:
+    * foreachBatch + TableIO.commitBatch gives exactly-once table
+    * contents under at-least-once micro-batch replay (a restarted
+    * stream re-offers the last batch; the marker-guarded commit drops
+    * it). This is the streaming analog of writeExtracted's snapshot
+    * waves. */
+  def ingestToTable(out: Dataset[ExtractedTurn], root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    out.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.io.TableIO.commitBatch(df, root, batchId)
+        ()
+      }
+      .start()
+
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
   def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
