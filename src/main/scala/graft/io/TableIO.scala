@@ -296,7 +296,8 @@ object TableIO {
     deleteRecursively(dir) // partial from a crash mid-write
     df.write.mode("overwrite").parquet(dir.toString)
     val tmp = bdir.resolve(s".batch-$batchId.committed.tmp")
-    Files.writeString(tmp, s"""{"batch": $batchId, "committedAtMs": 0}""")
+    Files.writeString(tmp,
+      s"""{"batch": $batchId, "committedAtMs": ${System.currentTimeMillis()}}""")
     Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
     true
   }

@@ -198,13 +198,24 @@ object StreamExtract {
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
   def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    df.sparkSession.table(queryName)
+    // Stateful streaming cost at tiny oracle scale is dominated by
+    // state-store count (one per shuffle partition per stateful op per
+    // side per micro-batch), not data: pin a small shuffle width for
+    // the harness query. Production callers size shuffle partitions to
+    // the cluster as usual — this touches only the session-conf window
+    // around THIS bounded drive.
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(queryName)
   }
 }
