@@ -84,7 +84,7 @@ object Bench {
     // to 4×), so sizes are measured INTERLEAVED and best-of-N is
     // reported — best-of reflects machine capability, interleaving
     // keeps the pair under comparable external load.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val (clWorkers, clCores) = (1, 4)
     // every rep time is recorded and emitted (the best-of summaries are
     // derived, not the only record): this sandbox measures 4× swings
@@ -144,7 +144,11 @@ object Bench {
     // construction, so the gap to 1.0 is the single-box artifact
     // quantified in BASELINE.md.
     val effExec = tps4N / (4.0 * tpsN)
-    val parity = tps4N / tps16
+    // the parity control is meaningful ONLY when the 4x4 side really ran
+    // on executor JVMs; in threads_fallback mode sec4N is itself a
+    // local[16]-equivalent run and "parity" would fabricate ~1.0
+    val parityJson =
+      if (execMode) f"${tps4N / tps16}%.3f" else "null"
 
     // the documented local[32] noise band for the STANDARD sf0.1 corpus
     // (BASELINE.md: interleaved best-of measurements across rounds 1-2
@@ -159,6 +163,6 @@ object Bench {
     val qs = qTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val totalQ = qTimes.values.sum
     println(
-      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f,"local32_band_tps":[$bandLo%.0f,$bandHi%.0f],"in_band":$inBand},"cluster":{"mode":"$clusterMode","executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f,"local16_sec":$sec16%.3f,"local16_tps":$tps16%.1f,"topology_parity_4x4_vs_local16":$parity%.3f},"reps":{"local32_sec":${arr(reps32.toSeq)},"cluster_n_sec":${arr(repsN.toSeq)},"cluster_4n_sec":${arr(reps4N.toSeq)},"local16_sec":${arr(reps16.toSeq)}},"queries_total_sec":$totalQ%.3f}""")
+      f"""{"metric":"extract_turns_per_sec_local32","value":$tps32%.1f,"unit":"turns/sec","queries":$qs,"sf":"$sfDir","extract":{"turns":$nTurns,"local32_sec":$sec32%.3f,"local32_tps":$tps32%.1f,"salted32_sec":$secSalted32%.3f,"local32_band_tps":[$bandLo%.0f,$bandHi%.0f],"in_band":$inBand},"cluster":{"mode":"$clusterMode","executors_n":$clWorkers,"executors_4n":${clWorkers * 4},"cores_per_executor":$clCores,"n_sec":$secN%.3f,"n_tps":$tpsN%.1f,"n4_sec":$sec4N%.3f,"n4_tps":$tps4N%.1f,"scaling_efficiency_exec":$effExec%.3f,"local16_sec":$sec16%.3f,"local16_tps":$tps16%.1f,"topology_parity_4x4_vs_local16":$parityJson},"reps":{"local32_sec":${arr(reps32.toSeq)},"cluster_n_sec":${arr(repsN.toSeq)},"cluster_4n_sec":${arr(reps4N.toSeq)},"local16_sec":${arr(reps16.toSeq)}},"queries_total_sec":$totalQ%.3f}""")
   }
 }

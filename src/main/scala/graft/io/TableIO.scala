@@ -39,6 +39,15 @@ object TableIO {
 
   private def snapDir(root: String) = Paths.get(root, "_snapshots")
 
+  /** Files.list with the underlying directory stream CLOSED (a bare
+    * .iterator() leaks the fd until GC — on the operational paths that
+    * scan every bucket this can exhaust the fd limit). */
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** Buckets recorded committed by the latest snapshot (with its id). */
   def committed(root: String): (Int, Set[Int]) = {
     val d = snapDir(root)
@@ -119,8 +128,7 @@ object TableIO {
         // lineage from durable files (skip buckets that landed empty —
         // an empty dir has no schema to read)
         val nonEmpty = waveBuckets.filter { b =>
-          val dir = Paths.get(root, s"bucket=$b")
-          Files.isDirectory(dir) && Files.list(dir).iterator().asScala
+          listDir(Paths.get(root, s"bucket=$b"))
             .exists(_.getFileName.toString.endsWith(".parquet"))
         }
         val rows: Map[Int, (Long, String, String, Long)] =
@@ -190,15 +198,14 @@ object TableIO {
     val out = Seq.newBuilder[Int]
     for (b <- done.toSeq.sorted) {
       val live = Paths.get(root, s"bucket=$b")
-      val files =
-        if (Files.isDirectory(live))
-          Files.list(live).iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        else Nil
-      if (files.length > maxFiles) {
+      val files = listDir(live).filter(_.getFileName.toString.endsWith(".parquet"))
+      val totalBytes = files.map(Files.size).sum
+      val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+      // only rewrite when it actually reduces the file count — a bucket
+      // already at ceil(bytes/target) files is DONE even if that exceeds
+      // maxFiles (otherwise every call would rewrite it forever)
+      if (files.length > maxFiles && files.length > nOut) {
         val t0 = System.currentTimeMillis()
-        val totalBytes = files.map(Files.size).sum
-        val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
         val staged = Paths.get(root, "_staging", s"compact-$b")
         deleteRecursively(staged)
         spark.read.parquet(live.toString)
@@ -235,7 +242,7 @@ object TableIO {
   def recoverCompaction(root: String): Unit = {
     val staging = Paths.get(root, "_staging")
     if (!Files.isDirectory(staging)) return
-    for (p <- Files.list(staging).iterator().asScala.toSeq) {
+    for (p <- listDir(staging)) {
       val name = p.getFileName.toString
       if (name.startsWith("old-")) {
         val b = name.stripPrefix("old-")
@@ -266,14 +273,19 @@ object TableIO {
   def lookupConv(spark: SparkSession, root: String, convId: String,
       buckets: Int = 32): Dataset[ExtractedTurn] = {
     import spark.implicits._
+    recoverCompaction(root) // a crashed compaction must not read as a miss
     val b = bucketIdOf(convId, buckets)
-    spark.read.parquet(s"$root/bucket=$b")
+    val dir = Paths.get(root, s"bucket=$b")
+    val hasData = listDir(dir).exists(_.getFileName.toString.endsWith(".parquet"))
+    if (!hasData) spark.emptyDataset[ExtractedTurn] // point-lookup miss
+    else spark.read.parquet(dir.toString)
       .filter(col("conv_id") === convId)
       .as[ExtractedTurn]
   }
 
   def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
+    recoverCompaction(root) // restore any bucket parked by a crashed compaction
     spark.read.option("basePath", root).parquet(root)
       .drop("bucket")
       .as[ExtractedTurn]
@@ -307,8 +319,7 @@ object TableIO {
   def readCommittedBatches(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
     val bdir = Paths.get(root, "_batches")
     val dirs =
-      if (!Files.isDirectory(bdir)) Nil
-      else Files.list(bdir).iterator().asScala
+      listDir(bdir)
         .map(_.getFileName.toString)
         .filter(n => n.startsWith("batch-") && n.endsWith(".committed"))
         .map(n => n.stripPrefix("batch-").stripSuffix(".committed"))

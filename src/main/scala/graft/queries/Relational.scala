@@ -906,7 +906,30 @@ object Relational {
     * k×64 centroid matrix is the only driver-side state per iteration —
     * the standard Lloyd driver loop (train on a sample at 100 TB).
     * Returns the final assignment (vec_id, cid, dist, v). */
-  private def kmeansFit(s: SparkSession, dir: String): DataFrame = {
+  /** q_ann_kmeans and q_ann_ivf_kmeans both need the fit; memoize per
+    * (session, dir) so the Lloyd training (4 assignment + 3 update
+    * jobs) runs once and the one persisted vector dataset is shared.
+    * Size-2 LRU for the same lifetime reason as TrainingData.genMemo. */
+  private val kmeansMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 2
+    }
+
+  private def kmeansFit(s: SparkSession, dir: String): DataFrame =
+    kmeansMemo.synchronized {
+      val key = (s, dir)
+      val hit = kmeansMemo.get(key)
+      if (hit != null) hit
+      else {
+        val fitted = kmeansFitUncached(s, dir)
+        kmeansMemo.put(key, fitted)
+        fitted
+      }
+    }
+
+  private def kmeansFitUncached(s: SparkSession, dir: String): DataFrame = {
     val k = 8; val iters = 3
     // cached: the integerized vectors feed every Lloyd iteration (k+1
     // assignment jobs + k update jobs would otherwise re-scan and

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Training-data-pipeline operators over the extraction engine itself.
   *
@@ -28,6 +29,32 @@ object TrainingData {
     * clobber each other's sidecars between the Spark query and the
     * DuckDB compare. */
   private val oracleRoot = s"/tmp/graft-oracle-${ProcessHandle.current().pid()}"
+
+  // A shutdown hook cannot clean the root — the harness's DuckDB pass
+  // reads the sidecars AFTER this JVM exits. Instead, reap roots left
+  // by DEAD pids on startup so repeated runs don't grow /tmp unbounded.
+  locally {
+    try {
+      val tmp = java.nio.file.Paths.get("/tmp")
+      val st = java.nio.file.Files.list(tmp)
+      val stale =
+        try st.iterator()
+          .asScala
+          .filter(_.getFileName.toString.startsWith("graft-oracle-"))
+          .filter { p =>
+            val pid = p.getFileName.toString.stripPrefix("graft-oracle-")
+            pid.forall(_.isDigit) &&
+              ProcessHandle.of(pid.toLong).map[Boolean](_ => false).orElse(true)
+          }.toVector
+        finally st.close()
+      for (dir <- stale) {
+        val s2 = java.nio.file.Files.walk(dir)
+        try s2.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally s2.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+  }
   val expectedTurnsPath  = s"$oracleRoot/expected_turns"
   val expectedErrorsPath = s"$oracleRoot/expected_errors"
   val streamTurnsPath    = s"$oracleRoot/stream_turns"
@@ -88,9 +115,16 @@ object TrainingData {
   /** Both extraction queries need the same generated corpus + sidecars;
     * memoized per session so the second query reuses the first's work
     * (the generation is deterministic, so the skipped re-write would be
-    * byte-identical anyway). */
+    * byte-identical anyway). A size-2 LRU, not a WeakHashMap: the
+    * Dataset value strongly references its SparkSession key, which
+    * would pin weak keys forever — bounded eviction is the honest
+    * lifetime policy for a JVM that cycles sessions. */
   private val genMemo =
-    new java.util.WeakHashMap[SparkSession, Dataset[graft.core.TurnInput]]()
+    new java.util.LinkedHashMap[SparkSession, Dataset[graft.core.TurnInput]](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, Dataset[graft.core.TurnInput]]): Boolean =
+        size() > 2
+    }
 
   private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] =
     genMemo.synchronized {
