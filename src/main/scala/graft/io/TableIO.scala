@@ -113,6 +113,10 @@ object TableIO {
         withBucket
           .filter(col("bucket").isin(waveBuckets.map(Integer.valueOf): _*))
           .repartition(waveBuckets.length, col("bucket"))
+          // sorted within each bucket file: parquet row-group min/max
+          // stats on conv_id become selective, so a point lookup prunes
+          // row groups inside the bucket it already pruned to
+          .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
           .write.partitionBy("bucket").mode("overwrite").parquet(staged)
         // atomic-ish publish: rename each bucket dir into place
         for (b <- waveBuckets) {

@@ -170,6 +170,25 @@ class ResumeSpec extends SparkSuite {
       assert(TableIO.lookupConv(spark, root, c, 16).count() > 0)
   }
 
+  test("point-lookup misses return empty, never throw") {
+    val root = freshDir("graft-lookup-miss")
+    TableIO.writeExtracted(extracted(), root, buckets = 64, waves = 2)
+    // a conv_id that is not in the table: its bucket may exist
+    // (possibly empty) or hold other convs — either way, empty result
+    val ghost = "conv-does-not-exist-9999"
+    assert(TableIO.lookupConv(spark, root, ghost, 64).count() == 0)
+    // bucket dir physically missing (e.g. narrower table than B): still
+    // an empty result, not a schema-inference crash
+    val b = TableIO.bucketIdOf(ghost, 64)
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    deleteRec(Paths.get(root, s"bucket=$b"))
+    assert(TableIO.lookupConv(spark, root, ghost, 64).count() == 0)
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
