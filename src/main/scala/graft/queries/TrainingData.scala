@@ -33,8 +33,13 @@ object TrainingData {
   // A shutdown hook cannot clean the root — the harness's DuckDB pass
   // reads the sidecars AFTER this JVM exits. Instead, reap roots left
   // by DEAD pids on startup so repeated runs don't grow /tmp unbounded.
+  // The reap is ALSO age-gated (>6h by mtime): a later harness phase in
+  // the same round (e.g. Bench starting after Verify exited) must never
+  // delete sidecars the driver's DuckDB compare has yet to read.
   locally {
     try {
+      val maxAgeMs = 6L * 3600 * 1000
+      val now = System.currentTimeMillis()
       val tmp = java.nio.file.Paths.get("/tmp")
       val st = java.nio.file.Files.list(tmp)
       val stale =
@@ -44,7 +49,8 @@ object TrainingData {
           .filter { p =>
             val pid = p.getFileName.toString.stripPrefix("graft-oracle-")
             pid.forall(_.isDigit) &&
-              ProcessHandle.of(pid.toLong).map[Boolean](_ => false).orElse(true)
+              ProcessHandle.of(pid.toLong).map[Boolean](_ => false).orElse(true) &&
+              (now - java.nio.file.Files.getLastModifiedTime(p).toMillis) > maxAgeMs
           }.toVector
         finally st.close()
       for (dir <- stale) {
