@@ -48,39 +48,40 @@ object TableIO {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  /** Buckets recorded committed by the latest snapshot (with its id). */
-  def committed(root: String): (Int, Set[Int]) = {
-    val d = snapDir(root)
-    if (!Files.isDirectory(d)) return (-1, Set.empty)
-    val snaps = Files.list(d).iterator().asScala
+  /** All snapshot ids present under root/_snapshots, ascending. */
+  def snapshotIds(root: String): Seq[Int] =
+    listDir(snapDir(root))
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
       .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
-      .toSeq
+      .sorted
+
+  /** Buckets recorded committed by the latest snapshot (with its id). */
+  def committed(root: String): (Int, Set[Int]) = {
+    val snaps = snapshotIds(root)
     if (snaps.isEmpty) return (-1, Set.empty)
     val latest = snaps.max
-    val json = Files.readString(d.resolve(s"snap-$latest.json"))
+    val json = Files.readString(snapDir(root).resolve(s"snap-$latest.json"))
     val ids = "\"bucket\":\\s*(\\d+)".r.findAllMatchIn(json).map(_.group(1).toInt).toSet
     (latest, ids)
   }
 
-  /** Lineage from the LATEST snapshot — each snapshot is a full
+  /** Lineage as recorded by snapshot `snap` — each snapshot is a full
     * manifest (one row per live bucket), Iceberg-style. */
-  def lineage(root: String): Seq[BucketLineage] = {
-    val d = snapDir(root)
-    if (!Files.isDirectory(d)) return Nil
-    val ids = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
-      .toSeq
-    if (ids.isEmpty) return Nil
-    val latest = ids.max
+  def lineageAt(root: String, snap: Int): Seq[BucketLineage] = {
+    val f = snapDir(root).resolve(s"snap-$snap.json")
+    if (!Files.isRegularFile(f)) return Nil
     val entry = ("\\{\"bucket\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+),\\s*\"minKey\":\\s*\"([^\"]*)\"," +
       "\\s*\"maxKey\":\\s*\"([^\"]*)\",\\s*\"errorRows\":\\s*(\\d+),\\s*\"wallMs\":\\s*(\\d+)\\}").r
-    entry.findAllMatchIn(Files.readString(d.resolve(s"snap-$latest.json"))).map(m =>
+    entry.findAllMatchIn(Files.readString(f)).map(m =>
       BucketLineage(m.group(1).toInt, m.group(2).toLong, m.group(3), m.group(4),
-        m.group(5).toLong, m.group(6).toLong, latest)).toSeq
+        m.group(5).toLong, m.group(6).toLong, snap)).toSeq
+  }
+
+  /** Lineage from the LATEST snapshot. */
+  def lineage(root: String): Seq[BucketLineage] = {
+    val ids = snapshotIds(root)
+    if (ids.isEmpty) Nil else lineageAt(root, ids.max)
   }
 
   /** Write (or resume writing) the extracted table in `waves` groups of
@@ -293,6 +294,62 @@ object TableIO {
     spark.read.option("basePath", root).parquet(root)
       .drop("bucket")
       .as[ExtractedTurn]
+  }
+
+  /** Snapshot time travel — read the table as of snapshot `asOfSnapshot`.
+    *
+    * Exactness argument for this layout: a bucket named in a snapshot's
+    * manifest is IMMUTABLE afterwards — resume only (re)writes buckets
+    * absent from the latest snapshot, and compaction's rewrite is
+    * row-verified content-preserving before the swap — so "the table at
+    * snap-k" is exactly "today's bytes of the buckets snap-k's manifest
+    * names". Later snapshots only ADD buckets (or re-pack existing ones
+    * without changing rows), which is what the restriction hides. Real
+    * Iceberg pins file paths per snapshot instead; the bucket-set pin is
+    * the equivalent under this layout's immutability contract. */
+  def readExtracted(spark: SparkSession, root: String,
+      asOfSnapshot: Int): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    recoverCompaction(root)
+    require(snapshotIds(root).contains(asOfSnapshot),
+      s"no snapshot $asOfSnapshot under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
+    bucketsDf(spark, root, lineageAt(root, asOfSnapshot).map(_.bucket)).as[ExtractedTurn]
+  }
+
+  /** Incremental read — the rows ADDED between `fromSnap` (exclusive)
+    * and `toSnap` (inclusive), from the manifest diff: buckets named by
+    * snap-to but not snap-from. Compaction-only snapshots contribute
+    * nothing (their buckets already appear in the from-manifest), so a
+    * downstream consumer polling readChanges never re-sees re-packed
+    * rows. `fromSnap = -1` means "from before the first snapshot" and
+    * yields the whole table at `toSnap`. */
+  def readChanges(spark: SparkSession, root: String, fromSnap: Int,
+      toSnap: Int): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    recoverCompaction(root)
+    require(fromSnap == -1 || snapshotIds(root).contains(fromSnap),
+      s"no snapshot $fromSnap under $root/_snapshots")
+    require(snapshotIds(root).contains(toSnap), s"no snapshot $toSnap under $root/_snapshots")
+    val before = if (fromSnap == -1) Set.empty[Int]
+                 else lineageAt(root, fromSnap).map(_.bucket).toSet
+    val added = lineageAt(root, toSnap).map(_.bucket).filterNot(before)
+    bucketsDf(spark, root, added).as[ExtractedTurn]
+  }
+
+  /** The named buckets as one DataFrame with the `bucket` partition
+    * column dropped (empty set / all-empty buckets → empty result with
+    * the ExtractedTurn schema). */
+  private def bucketsDf(spark: SparkSession, root: String,
+      buckets: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val dirs = buckets.sorted.map(b => Paths.get(root, s"bucket=$b"))
+      .filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        Encoders.product[ExtractedTurn].schema)
+    else
+      spark.read.option("basePath", root).parquet(dirs.map(_.toString): _*)
+        .drop("bucket")
   }
 
   /** Idempotent micro-batch commit — the foreachBatch sink contract:

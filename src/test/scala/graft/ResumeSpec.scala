@@ -189,6 +189,60 @@ class ResumeSpec extends SparkSuite {
     assert(TableIO.lookupConv(spark, root, ghost, 64).count() == 0)
   }
 
+  test("snapshot time travel + incremental read across waves and compaction") {
+    val root = freshDir("graft-timetravel")
+    def dumpAsOf(snap: Int): Seq[String] =
+      TableIO.readExtracted(spark, root, snap)
+        .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+    def dumpChanges(from: Int, to: Int): Seq[String] =
+      TableIO.readChanges(spark, root, from, to)
+        .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+
+    // wave 0 commits → snap1; full write → snap2
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2, stopAfterWaves = 1)
+    val (snap1, done1) = TableIO.committed(root)
+    assert(done1.size == 4)
+    val content1 = dump(root)
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val (snap2, done2) = TableIO.committed(root)
+    assert(snap2 > snap1 && done2.size == 8)
+    val content2 = dump(root)
+    assert(content1.size < content2.size)
+
+    // as-of reads reproduce each committed state
+    assert(dumpAsOf(snap1) == content1)
+    assert(dumpAsOf(snap2) == content2)
+
+    // incremental reads: manifest diff = exactly the wave-1 rows
+    assert(dumpChanges(-1, snap1) == content1)
+    assert(dumpChanges(snap1, snap2).sorted == (content2.toSet -- content1.toSet).toSeq.sorted)
+    assert(dumpChanges(snap1, snap2).size + content1.size == content2.size)
+
+    // compaction advances the snapshot but rows don't re-appear as changes
+    import scala.jdk.CollectionConverters._
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val shatterB = done2.toSeq.sorted.head
+    val live = Paths.get(root, s"bucket=$shatterB")
+    val tmp = Paths.get(root, "_staging", s"shatter-$shatterB")
+    spark.read.parquet(live.toString).repartition(12)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(live); Files.move(tmp, live)
+    val compacted = TableIO.compact(spark, root, maxFiles = 8)
+    assert(compacted == Seq(shatterB))
+    val (snap3, _) = TableIO.committed(root)
+    assert(snap3 > snap2)
+    assert(dumpAsOf(snap1) == content1, "as-of-1 must survive compaction")
+    assert(dumpAsOf(snap3) == content2)
+    assert(dumpChanges(snap2, snap3).isEmpty,
+      "compaction-only snapshot must contribute no incremental rows")
+
+    // unknown snapshot fails loudly
+    intercept[IllegalArgumentException] { TableIO.readExtracted(spark, root, 999) }
+    intercept[IllegalArgumentException] { TableIO.readChanges(spark, root, 999, snap3) }
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
