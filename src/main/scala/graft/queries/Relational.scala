@@ -64,6 +64,28 @@ object Relational {
        |)""".stripMargin
   }
 
+  /** SimHash near-dup candidate pairs (doc_id < 1000) via 4×8-bit LSH
+    * band buckets — shared by q_dedup_simhash_pairs (emits them) and
+    * q_dedup_resolve (resolves them into components). A pair within
+    * hamming ≤ 3 shares ≥1 intact band (pigeonhole), so the band-bucket
+    * equi-join finds exactly the brute-force pair set while replacing
+    * the O(n²) cross join with a shuffle join on (band, key). */
+  private def simhashPairs(docs: DataFrame): DataFrame = {
+    val bands = simhashes(docs.filter(col("doc_id") < 1000))
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").cast("long").as("ia"),
+        col("b.doc_id").cast("long").as("ib"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
+      .filter(col("ham") <= 3)
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -600,21 +622,41 @@ object Relational {
     // replacing the O(n²) cross join with a shuffle join on (band, key)
     // — the 100 TB scale path. Cap mirrors q_dedup_jaccard (no-op at the
     // verify SF).
-    "q_dedup_simhash_pairs" -> ((s, dir) => {
-      val bands = simhashes(t(s, dir, "documents").filter(col("doc_id") < 1000))
-        .select(col("doc_id"), col("simhash"),
-          explode(sequence(lit(0), lit(3))).as("band"))
-        .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").cast("long").as("ia"),
-          col("b.doc_id").cast("long").as("ib"),
-          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
-        .filter(col("ham") <= 3)
-        .distinct()
-        .orderBy(col("ia"), col("ib"))
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(t(s, dir, "documents")).orderBy(col("ia"), col("ib"))),
+
+    // dedup 5b — resolve near-dup candidate PAIRS into connected
+    // components and ONE survivor per component ("keep min doc_id per
+    // component") — the step a training-data pipeline runs between
+    // candidate generation and writing the deduped corpus. Bounded
+    // min-label propagation with pointer jumping: each round (a) pulls
+    // the min label across edges (hash shuffle on id), then (b)
+    // path-halves by reading the label's own label (hash shuffle on
+    // lbl) — so k rounds resolve any component of diameter ≲ 2^k, and
+    // ROUNDS=5 covers ~32 hops (near-dup clusters are near-cliques;
+    // their diameter is tiny). Every step is an equi-join or hash agg
+    // on bounded keys — no cartesian, no driver-side fixpoint loop; at
+    // 100 TB the loop would checkpoint every 2-3 rounds to cut lineage
+    // (noted, unnecessary at 5 rounds).
+    "q_dedup_resolve" -> ((s, dir) => {
+      val pairs = simhashPairs(t(s, dir, "documents"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id")).distinct()
+      var labels = nodes.withColumn("lbl", col("id"))
+      for (_ <- 0 until 5) {
+        val nbrMin = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+        labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+          .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+        val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+        labels = labels.join(jump, labels("lbl") === jump("jid"), "left")
+          .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("component"),
+          (col("id") === col("lbl")).as("is_survivor"))
+        .orderBy(col("doc_id"))
     }),
 
     // text 0 — benchmark decontamination: 5-gram overlap of the corpus
@@ -868,6 +910,48 @@ object Relational {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // similarity 3d — MULTI-PROBE IVF search (nprobe=2): real IVF
+    // recall at scale needs more than the query's own list — a query
+    // near a Voronoi boundary has true neighbors in the runner-up
+    // cell. Rank the k centroids per query by exact integer L2
+    // (driver-free: the k×64 matrix is a broadcast literal), keep the
+    // top-2, and search the UNION of those lists. Join shape is
+    // unchanged from nprobe=1 — the probe set (|Q|×2 rows) is the
+    // broadcast side and candidates still stream through one hash join
+    // on the list id; lists are disjoint so the union needs no dedup.
+    "q_ann_ivf_multiprobe" -> ((s, dir) => {
+      val (fit, cents) = kmeansFitFull(s, dir)
+      val assign = fit
+        .select(col("vec_id"), col("cid"), col("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val centDf = s.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
+        .toDF("pcid", "c")
+        .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
+      val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("pcid"))
+      val probes = assign.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
+        .join(broadcast(centDf))
+        .select(col("qid"), col("pcid"), col("qv"), col("qn"),
+          (col("qn") + col("cnorm") -
+            lit(2L) * graft.functions.ArrayMath.dotL(col("qv"), col("c"))).as("cdist"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2) // nprobe = 2
+        .select(col("qid"), col("pcid"), col("qv"), col("qn"))
+      val scored = assign.as("c").join(broadcast(probes),
+          col("pcid") === col("c.cid") && col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+          col("qn").as("na"), col("c.norm2").as("nb2"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // similarity 2 — brute-force cosine top-k ANN baseline. Scans every
     // candidate BY DESIGN (the exhaustive baseline the IVF path is
     // measured against); the broadcast side is still the tiny query set
@@ -911,13 +995,18 @@ object Relational {
     * jobs) runs once and the one persisted vector dataset is shared.
     * Size-2 LRU for the same lifetime reason as TrainingData.genMemo. */
   private val kmeansMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](4, 0.75f, true) {
+    new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, Array[Array[Long]])](4, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, Array[Array[Long]])]): Boolean =
         size() > 2
     }
 
   private def kmeansFit(s: SparkSession, dir: String): DataFrame =
+    kmeansFitFull(s, dir)._1
+
+  /** The fit plus the learned k×64 centroid matrix (multi-probe search
+    * ranks centroids per query, so it needs the matrix itself). */
+  private def kmeansFitFull(s: SparkSession, dir: String): (DataFrame, Array[Array[Long]]) =
     kmeansMemo.synchronized {
       val key = (s, dir)
       val hit = kmeansMemo.get(key)
@@ -929,7 +1018,7 @@ object Relational {
       }
     }
 
-  private def kmeansFitUncached(s: SparkSession, dir: String): DataFrame = {
+  private def kmeansFitUncached(s: SparkSession, dir: String): (DataFrame, Array[Array[Long]]) = {
     val k = 8; val iters = 3
     // cached: the integerized vectors feed every Lloyd iteration (k+1
     // assignment jobs + k update jobs would otherwise re-scan and
@@ -975,7 +1064,7 @@ object Relational {
       } // clusters with no assignment keep their previous centroid
       cents = next
     }
-    assign()
+    (assign(), cents)
   }
 
   /** DuckDB mirror of q_ann_kmeans: the same md5-seeded init and Lloyd
@@ -1010,6 +1099,40 @@ object Relational {
          |  FROM af qa
          |  JOIN af ca ON ca.cid = qa.cid AND qa.vec_id < 10 AND ca.vec_id <> qa.vec_id
          |  JOIN v qv ON qv.vec_id = qa.vec_id
+         |  JOIN v cv ON cv.vec_id = ca.vec_id AND cv.i = qv.i
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT qid, nb, dot / (sqrt(na.n2) * sqrt(nb2.n2)) AS cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY dot / (sqrt(na.n2) * sqrt(nb2.n2)) DESC, nb) AS rank
+         |  FROM scored JOIN norms na ON na.vec_id = qid
+         |  JOIN norms nb2 ON nb2.vec_id = nb)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB mirror of q_ann_ivf_multiprobe: per-query centroid ranking
+    * from the same CTE chain, top-`nprobe` lists searched, one rank. */
+  private def ivfMultiprobeOracleSql(k: Int, iters: Int, nprobe: Int): String =
+    kmeansCtes(k, iters) +
+      s""",
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c$iters c ON v.i = c.i WHERE v.vec_id < 10 GROUP BY 1, 2))
+         |  WHERE rn <= $nprobe),
+         |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM v GROUP BY 1),
+         |scored AS (
+         |  SELECT p.qid, ca.vec_id AS nb, sum(qv.x * cv.x) AS dot
+         |  FROM probes p
+         |  JOIN af ca ON ca.cid = p.cid AND ca.vec_id <> p.qid
+         |  JOIN v qv ON qv.vec_id = p.qid
          |  JOIN v cv ON cv.vec_id = ca.vec_id AND cv.i = qv.i
          |  GROUP BY 1, 2),
          |ranked AS (
@@ -1353,6 +1476,31 @@ object Relational {
     "q_dedup_simhash_agg" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
        FROM sims GROUP BY simhash ORDER BY simhash"""),
+    // true connected components via recursive CTE (transitive closure —
+    // exact at oracle scale), vs Spark's bounded label propagation
+    "q_dedup_resolve" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       )
+       SELECT id AS doc_id, min(lbl) AS component, (min(lbl) = id) AS is_survivor
+       FROM reach GROUP BY id ORDER BY doc_id"""),
     "q_dedup_simhash_pairs" -> (simhashCte(" WHERE doc_id < 1000") + """,
        bands AS (
          SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
@@ -1443,6 +1591,7 @@ object Relational {
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
     "q_ann_kmeans" -> kmeansOracleSql(8, 3),
     "q_ann_ivf_kmeans" -> ivfKmeansOracleSql(8, 3),
+    "q_ann_ivf_multiprobe" -> ivfMultiprobeOracleSql(8, 3, 2),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
                     FROM embeddings),

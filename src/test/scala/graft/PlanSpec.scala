@@ -169,6 +169,29 @@ class PlanSpec extends SparkSuite {
     assert(ivf.contains("BroadcastHashJoin"), ivf)
   }
 
+  test("multi-probe IVF broadcasts only probe/centroid sides (candidates stream)") {
+    // nprobe=2 must keep the nprobe=1 shape: every broadcast build side
+    // is either the filtered query/probe set or the k-row centroid
+    // literal — the candidate table itself streams through the hash
+    // join on the list id at any scale
+    import org.apache.spark.sql.catalyst.optimizer.BuildRight
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val exec = Relational.queries("q_ann_ivf_multiprobe")(spark, dir).queryExecution.sparkPlan
+    val builds = exec.collect {
+      case j: BroadcastHashJoinExec =>
+        if (j.buildSide == BuildRight) j.right else j.left
+      case j: BroadcastNestedLoopJoinExec =>
+        if (j.buildSide == BuildRight) j.right else j.left
+    }
+    assert(builds.nonEmpty, s"no broadcast join in\n$exec")
+    builds.foreach { b =>
+      val t = b.toString
+      assert(t.contains("< 10") || t.contains("LocalTableScan"),
+        s"broadcast build side is neither the probe set nor the centroid literal:\n$t")
+    }
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString.take(2000))
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     // the 100 TB conv-level story: transcripts and per-conv metadata
     // bucketed by conv key join with ZERO shuffle — both sides' bucket
@@ -294,6 +317,19 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     val aggs = "(Hash|Sort|ObjectHash)Aggregate".r.findAllIn(p).size
     assert(aggs >= 4, s"expected partial+final agg pairs, found $aggs aggregate nodes:\n${p.take(3000)}")
+    assert(p.contains("partial_min"), s"no partial min aggregation:\n${p.take(3000)}")
+  }
+
+  test("dedup resolve iterates as equi-joins on bounded keys (no cartesian)") {
+    // each label-propagation round must be hash shuffles keyed by id/lbl
+    // — an accidental cross join here is O(n²) per iteration at corpus
+    // scale; the per-round cost must stay |V|+|E|
+    val p = plan("q_dedup_resolve")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation degraded to an all-pairs join:\n${p.take(3000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    // the min-label pull is a partial+final agg (hot node combines map-side)
     assert(p.contains("partial_min"), s"no partial min aggregation:\n${p.take(3000)}")
   }
 
