@@ -70,6 +70,7 @@ object TrainingData {
   val convTurnsPath       = s"$oracleRoot/conv_turns"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
+  val streamJoinOuterPath = s"$oracleRoot/stream_join_outer_turns"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -188,6 +189,45 @@ object TrainingData {
         s"q_stream_join_${memSinkSeq.incrementAndGet()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // LEFT OUTER stream-stream interval join: openers with no follow-up
+    // inside the horizon emit exactly one null-extended row, driven by
+    // WATERMARK EXPIRY (the state-timeout semantics the inner join
+    // never exercises). A bounded drive needs the watermark pushed past
+    // every real opener's window before stop, so two far-future
+    // sentinel conv rows (one per join side each round) are appended
+    // between processAllAvailable rounds; sentinels are excluded from
+    // the result and from the oracle. Oracle: DuckDB LEFT JOIN over the
+    // same sidecar.
+    "q_stream_join_outer" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        .coalesce(1).write.mode("overwrite").parquet(streamJoinOuterPath)
+      val maxTs = s.read.parquet(streamJoinOuterPath)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinels(tag: String, plusMs: Long) = Seq(
+        graft.core.TurnInput(s"~sentinel-$tag", 0, "user", "", "",
+          new java.sql.Timestamp(maxTs.getTime + plusMs)),
+        graft.core.TurnInput(s"~sentinel-$tag", 1, "user", "", "",
+          new java.sql.Timestamp(maxTs.getTime + plusMs)))
+      val day = 24L * 3600 * 1000
+      graft.streaming.StreamExtract.runPhased(
+        graft.streaming.StreamExtract.openerJoinOuter(
+          graft.streaming.StreamExtract.readTurnStream(
+            s, streamJoinOuterPath, streamJoinOuterPath),
+          horizon = "30 days"),
+        s"q_stream_join_outer_${memSinkSeq.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        // round 1 advances the watermark past every real window; round 2
+        // guarantees a data batch that runs WITH that watermark (belt +
+        // braces over the no-data flush batch)
+        () => s.createDataset(sentinels("a", 31 * day)).coalesce(1)
+          .write.mode("append").parquet(streamJoinOuterPath),
+        () => s.createDataset(sentinels("b", 33 * day)).coalesce(1)
+          .write.mode("append").parquet(streamJoinOuterPath))
+        .filter(!col("conv_id").startsWith("~sentinel"))
+        .orderBy(col("conv_id"), asc_nulls_first("turn_idx"))
     }),
 
     // Event-time session windows (session_window) driven through a real
@@ -413,6 +453,17 @@ object TrainingData {
             ON o.conv_id = r.conv_id AND o.turn_idx = 0 AND r.turn_idx > 0
            AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
           ORDER BY r.conv_id, r.turn_idx""",
+    "q_stream_join_outer" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, ts
+                     FROM read_parquet('$streamJoinOuterPath/*.parquet')
+                     WHERE conv_id NOT LIKE '~sentinel%')
+          SELECT o.conv_id, r.turn_idx,
+                 CAST(epoch(r.ts) - epoch(o.ts) AS BIGINT) AS delta_s
+          FROM (SELECT conv_id, ts FROM t WHERE turn_idx = 0) o
+          LEFT JOIN (SELECT conv_id, turn_idx, ts FROM t WHERE turn_idx > 0) r
+            ON r.conv_id = o.conv_id
+           AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
+          ORDER BY o.conv_id, r.turn_idx NULLS FIRST""",
     "q_stream_sessions" ->
       s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
           m AS (SELECT conv_id, ts,

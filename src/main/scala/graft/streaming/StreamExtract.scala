@@ -178,6 +178,36 @@ object StreamExtract {
         (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the other half of the
+    * impressions⋈clicks idiom: every opener emits, matched follow-ups
+    * as they arrive, and an opener with NO follow-up inside `horizon`
+    * emits exactly one null-extended row once the watermark passes
+    * open_ts + horizon (watermark-expiry-driven null emission — the
+    * state-timeout semantics the inner join never exercises). State
+    * stays bounded by the same horizon + watermark rule as the inner
+    * form. Note the null row only materializes in a micro-batch AFTER
+    * the watermark has advanced past the opener's window — a bounded
+    * drive must push one more batch (or rely on the no-data batch) to
+    * flush the tail. */
+  def openerJoinOuter(turns: Dataset[TurnInput], horizon: String = "2 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val openers = turns.toDF()
+      .filter(col("turn_idx") === 0)
+      .select(col("conv_id").as("o_conv"), col("ts").as("open_ts"))
+      .withWatermark("open_ts", watermarkDelay)
+    val rest = turns.toDF()
+      .filter(col("turn_idx") > 0)
+      .select(col("conv_id"), col("turn_idx"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    openers.join(rest,
+      col("o_conv") === col("conv_id") &&
+        col("ts") >= col("open_ts") &&
+        col("ts") <= col("open_ts") + expr(s"interval $horizon"),
+      "leftOuter")
+      .select(col("o_conv").as("conv_id"), col("turn_idx"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
+  }
+
   /** Production streaming ingest into the Iceberg-lite table layout:
     * foreachBatch + TableIO.commitBatch gives exactly-once table
     * contents under at-least-once micro-batch replay (a restarted
@@ -197,7 +227,16 @@ object StreamExtract {
 
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
-  def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame = {
+  def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame =
+    runPhased(df, queryName, outputMode)()
+
+  /** Like runOnce, but between processAllAvailable rounds each `phase`
+    * callback runs (e.g. appending late files to the source dir) — the
+    * harness for watermark-expiry semantics, where output only
+    * materializes in a batch AFTER the watermark advanced (outer-join
+    * null tails, state timeouts). */
+  def runPhased(df: DataFrame, queryName: String, outputMode: OutputMode)
+      (phases: (() => Unit)*): DataFrame = {
     // Stateful streaming cost at tiny oracle scale is dominated by
     // state-store count (one per shuffle partition per stateful op per
     // side per micro-batch), not data: pin a small shuffle width for
@@ -214,6 +253,7 @@ object StreamExtract {
         .outputMode(outputMode)
         .start()
       q.processAllAvailable()
+      for (p <- phases) { p(); q.processAllAvailable() }
       q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
