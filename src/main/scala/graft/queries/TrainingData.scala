@@ -71,6 +71,7 @@ object TrainingData {
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
   val streamJoinOuterPath = s"$oracleRoot/stream_join_outer_turns"
+  val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -189,6 +190,30 @@ object TrainingData {
         s"q_stream_join_${memSinkSeq.incrementAndGet()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // BPE vocabulary TRAINING over the documents corpus — learns the
+    // merge table (core/BpeTrain) with distributed pair-count
+    // aggregations; only the per-iteration 1-row argmax reaches the
+    // driver. Oracle: the structurally independent collections trainer
+    // (trainRef) writes the expected sidecar from the same word table;
+    // BOTH implementations are CPython-pinned by BpeTrainSpec's
+    // committed corpus, so the sidecar is a genuine independent check,
+    // not a self-compare. (The word-table collect below is oracle
+    // plumbing — vocabulary-sized, not corpus-sized.)
+    "q_text_bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nMerges = 24
+      val wc = graft.core.BpeTrain.wordTable(docs, "text").collect().toSeq
+      s.createDataset(graft.core.BpeTrain.trainRef(wc, nMerges).zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) })
+        .toDF("merge_rank", "lhs", "rhs")
+        .coalesce(1).write.mode("overwrite").parquet(bpeTrainExpectedPath)
+      s.createDataset(graft.core.BpeTrain.train(docs, "text", nMerges).zipWithIndex
+          .map { case ((a, b), i) => (i.toLong, a, b) })
+        .toDF("merge_rank", "lhs", "rhs")
+        .orderBy(col("merge_rank"))
     }),
 
     // LEFT OUTER stream-stream interval join: openers with no follow-up
@@ -453,6 +478,10 @@ object TrainingData {
             ON o.conv_id = r.conv_id AND o.turn_idx = 0 AND r.turn_idx > 0
            AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
           ORDER BY r.conv_id, r.turn_idx""",
+    "q_text_bpe_train" ->
+      s"""SELECT merge_rank, lhs, rhs
+          FROM read_parquet('$bpeTrainExpectedPath/*.parquet')
+          ORDER BY merge_rank""",
     "q_stream_join_outer" ->
       s"""WITH t AS (SELECT conv_id, turn_idx, ts
                      FROM read_parquet('$streamJoinOuterPath/*.parquet')
