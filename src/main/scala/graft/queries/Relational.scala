@@ -86,6 +86,21 @@ object Relational {
       .distinct()
   }
 
+  /** One min-label-propagation round: pull the min label across edges
+    * (partial+final hash agg keyed by dst), fold it in, then pointer-
+    * jump (read the label's own label). Exposed un-materialized so
+    * PlanSpec can gate the round's plan shape (equi-joins + partial_min,
+    * no cartesian) — q_dedup_resolve materializes between rounds. */
+  private[graft] def resolveRound(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val nbrMin = edges.join(labels, edges("src") === labels("id"))
+      .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
+    val pulled = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+      .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
+    val jump = pulled.select(col("id").as("jid"), col("lbl").as("jlbl"))
+    pulled.join(jump, pulled("lbl") === jump("jid"), "left")
+      .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -635,28 +650,31 @@ object Relational {
     // lbl) — so k rounds resolve any component of diameter ≲ 2^k, and
     // ROUNDS=5 covers ~32 hops (near-dup clusters are near-cliques;
     // their diameter is tiny). Every step is an equi-join or hash agg
-    // on bounded keys — no cartesian, no driver-side fixpoint loop; at
-    // 100 TB the loop would checkpoint every 2-3 rounds to cut lineage
-    // (noted, unnecessary at 5 rounds).
+    // on bounded keys — no cartesian, no driver-side fixpoint loop.
+    // MATERIALIZE each round (localCheckpoint): the round reads
+    // `labels` twice, so an unbroken lineage re-derives the whole
+    // upstream 2× per round — 2^rounds recomputations of the pair
+    // generation (measured: 446 s at sf0.1 unchecked vs ~2 s
+    // materialized). At 100 TB this is the same checkpoint-per-round
+    // cadence an iterative graph job always runs with.
     "q_dedup_resolve" -> ((s, dir) => {
-      val pairs = simhashPairs(t(s, dir, "documents"))
+      val pairs = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
       val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id").cast("long").as("id")).distinct()
-      var labels = nodes.withColumn("lbl", col("id"))
+      var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
       for (_ <- 0 until 5) {
-        val nbrMin = edges.join(labels, edges("src") === labels("id"))
-          .groupBy(col("dst")).agg(min(col("lbl")).as("nbr"))
-        labels = labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
-          .select(col("id"), least(col("lbl"), col("nbr")).as("lbl"))
-        val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
-        labels = labels.join(jump, labels("lbl") === jump("jid"), "left")
-          .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
+        val prev = labels
+        labels = resolveRound(labels, edges).localCheckpoint(true)
+        prev.unpersist()
       }
-      labels.select(col("id").as("doc_id"), col("lbl").as("component"),
+      pairs.unpersist()
+      val out = labels.select(col("id").as("doc_id"), col("lbl").as("component"),
           (col("id") === col("lbl")).as("is_survivor"))
         .orderBy(col("doc_id"))
+      out
     }),
 
     // text 0 — benchmark decontamination: 5-gram overlap of the corpus

@@ -195,6 +195,65 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("LEFT OUTER interval join: null tail emits only on watermark expiry, equals batch truth") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, unix_timestamp}
+    // own copy of the corpus — the flush sentinel must not pollute `dir`
+    val d = Files.createTempDirectory("graft-stream-outer").toString
+    graft.pipeline.Pipeline.synthTurns(spark, 120L, 4)
+      .write.mode("overwrite").parquet(d)
+    val maxTs = spark.read.parquet(d)
+      .agg(org.apache.spark.sql.functions.max(col("ts"))).head().getTimestamp(0)
+    val day = 24L * 3600 * 1000
+    def sentinel(tag: String, plusMs: Long) = Seq(
+      graft.core.TurnInput(s"~s-$tag", 0, "user", "", "",
+        new java.sql.Timestamp(maxTs.getTime + plusMs)),
+      graft.core.TurnInput(s"~s-$tag", 1, "user", "", "",
+        new java.sql.Timestamp(maxTs.getTime + plusMs)))
+    // phase 0 only (no sentinel): the corpus's own watermark (max ts −
+    // delay) already expires EARLY openers' windows — their null rows
+    // emit — but openers whose 30-day window reaches past the corpus
+    // max cannot have emitted yet. Capture the pre-flush null set.
+    val preFlush = StreamExtract.runOnce(
+      StreamExtract.openerJoinOuter(StreamExtract.readTurnStream(spark, d, d),
+        horizon = "30 days"),
+      "stream_outer_pre", OutputMode.Append())
+    val preNullConvs = preFlush.filter(col("turn_idx").isNull)
+      .select(col("conv_id")).as[String].collect().toSet
+    // full phased drive: sentinel appends push the watermark past every
+    // real window → the null tail flushes
+    val streamed = StreamExtract.runPhased(
+      StreamExtract.openerJoinOuter(StreamExtract.readTurnStream(spark, d, d),
+        horizon = "30 days"),
+      "stream_outer", OutputMode.Append())(
+      () => spark.createDataset(sentinel("a", 31 * day)).coalesce(1)
+        .write.mode("append").parquet(d),
+      () => spark.createDataset(sentinel("b", 33 * day)).coalesce(1)
+        .write.mode("append").parquet(d))
+      .filter(!col("conv_id").startsWith("~s-"))
+    val t = spark.read.parquet(d).filter(!col("conv_id").startsWith("~s-"))
+    val batch = t.as("o").filter($"o.turn_idx" === 0)
+      .join(t.as("r").filter($"r.turn_idx" > 0),
+        $"r.conv_id" === $"o.conv_id" &&
+          $"r.ts" >= $"o.ts" && $"r.ts" <= $"o.ts" + expr("interval 30 days"),
+        "left_outer")
+      .select($"o.conv_id", $"r.turn_idx",
+        (unix_timestamp($"r.ts") - unix_timestamp($"o.ts")).as("delta_s"))
+    assert(streamed.filter(col("turn_idx").isNull).count() > 0,
+      "no null-extended rows — the outer half never fired")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // expiry semantics: every pre-flush null is a true batch null (no
+    // early/false emission), and the sentinel flush surfaced MORE of
+    // the tail — the late-window openers only a watermark advance past
+    // the corpus max can expire
+    val batchNullConvs = batch.filter(col("turn_idx").isNull)
+      .select($"conv_id").as[String].collect().toSet
+    assert(preNullConvs.subsetOf(batchNullConvs),
+      s"pre-flush emitted false nulls: ${(preNullConvs -- batchNullConvs).take(5)}")
+    assert(preNullConvs.size < batchNullConvs.size,
+      s"flush surfaced nothing: pre=${preNullConvs.size} batch=${batchNullConvs.size}")
+  }
+
   test("foreachBatch table ingest is exactly-once under batch replay and restart") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ingest").toString
