@@ -175,11 +175,13 @@ object Bench {
       else "null"
 
     // the documented local[32] noise band for the STANDARD sf0.1 corpus
-    // (BASELINE.md: interleaved best-of measurements across rounds 1-2
-    // ranged 185k to 388k turns/s under identical code — headline draws
-    // outside it indicate a loud external-load window, not an engine
-    // change). in_band is null for non-standard corpus sizes.
-    val (bandLo, bandHi) = (185000.0, 388000.0)
+    // (BASELINE.md: interleaved best-of measurements across rounds 1-4
+    // ranged 185k to 391.6k turns/s under the evolving engine — headline
+    // draws below it indicate a loud external-load window, not an engine
+    // change; the ceiling moves only when a faster measurement is
+    // recorded, round-4 best 391.6k). in_band is null for non-standard
+    // corpus sizes.
+    val (bandLo, bandHi) = (185000.0, 395000.0)
     val inBand =
       if (nTurns >= 1000000L) (tps32 >= bandLo && tps32 <= bandHi).toString
       else "null"

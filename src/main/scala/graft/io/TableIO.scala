@@ -352,6 +352,23 @@ object TableIO {
         .drop("bucket")
   }
 
+  /** Snapshot retention (Iceberg's expire_snapshots): drop snapshot
+    * manifests older than the newest `keep`, so time travel's window is
+    * bounded and the _snapshots dir doesn't grow forever under
+    * streaming ingest. Data files are untouched — every bucket named by
+    * a surviving manifest stays readable (this layout shares bucket
+    * dirs across snapshots, so there are no orphan data files to
+    * vacuum; the parallel of Iceberg's remove_orphan_files is the
+    * _staging cleanup recoverCompaction already does). Never drops the
+    * latest snapshot. Returns the expired snapshot ids. */
+  def expireSnapshots(root: String, keep: Int = 5): Seq[Int] = {
+    require(keep >= 1, "must keep at least the latest snapshot")
+    val ids = snapshotIds(root)
+    val expire = ids.dropRight(keep)
+    for (id <- expire) Files.deleteIfExists(snapDir(root).resolve(s"snap-$id.json"))
+    expire
+  }
+
   /** Idempotent micro-batch commit — the foreachBatch sink contract:
     * batch data lands under root/_batches/batch=<id> and becomes
     * visible only when the commit marker exists (written atomically

@@ -243,6 +243,32 @@ class ResumeSpec extends SparkSuite {
     intercept[IllegalArgumentException] { TableIO.readChanges(spark, root, 999, snap3) }
   }
 
+  test("snapshot retention drops old manifests, keeps reads + resume intact") {
+    val root = freshDir("graft-expire")
+    TableIO.writeExtracted(extracted(), root, buckets = 16, waves = 4)
+    val before = dump(root)
+    val ids = TableIO.snapshotIds(root)
+    assert(ids.size == 4) // one per wave
+    val expired = TableIO.expireSnapshots(root, keep = 2)
+    assert(expired == ids.dropRight(2))
+    assert(TableIO.snapshotIds(root) == ids.takeRight(2))
+    // current reads, time travel within the window, and lineage survive
+    assert(dump(root) == before)
+    assert(TableIO.readExtracted(spark, root, ids.last).orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == before)
+    assert(TableIO.lineage(root).map(_.bucket).sorted == (0 until 16).toVector)
+    // expired snapshots now fail loudly instead of reading stale state
+    intercept[IllegalArgumentException] {
+      TableIO.readExtracted(spark, root, ids.head)
+    }
+    // resume still sees the table as fully committed (no rewrites)
+    assert(TableIO.writeExtracted(extracted(), root, buckets = 16, waves = 4).isEmpty)
+    // the latest snapshot can never be expired
+    assert(TableIO.expireSnapshots(root, keep = 1) == Seq(ids(2)))
+    assert(TableIO.snapshotIds(root) == Seq(ids.last))
+    intercept[IllegalArgumentException] { TableIO.expireSnapshots(root, keep = 0) }
+  }
+
   test("resume on a fully-committed table is a no-op") {
     val root = freshDir("graft-noop")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
