@@ -101,6 +101,28 @@ object Relational {
       .select(col("id"), least(col("lbl"), col("jlbl")).as("lbl"))
   }
 
+  /** Full pair→component resolution (doc_id, component, is_survivor) —
+    * shared by q_dedup_resolve (emits it) and q_curate_corpus (gates on
+    * it). See q_dedup_resolve's comment for the algorithm and the
+    * per-round materialization rationale. */
+  private def resolveComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .localCheckpoint(true)
+    val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id").cast("long").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 0 until 5) {
+      val prev = labels
+      labels = resolveRound(labels, edges).localCheckpoint(true)
+      prev.unpersist()
+    }
+    pairs.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("component"),
+      (col("id") === col("lbl")).as("is_survivor"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -657,24 +679,40 @@ object Relational {
     // generation (measured: 446 s at sf0.1 unchecked vs ~2 s
     // materialized). At 100 TB this is the same checkpoint-per-round
     // cadence an iterative graph job always runs with.
-    "q_dedup_resolve" -> ((s, dir) => {
-      val pairs = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
-      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-        .localCheckpoint(true)
-      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id").cast("long").as("id")).distinct()
-      var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-      for (_ <- 0 until 5) {
-        val prev = labels
-        labels = resolveRound(labels, edges).localCheckpoint(true)
-        prev.unpersist()
-      }
-      pairs.unpersist()
-      val out = labels.select(col("id").as("doc_id"), col("lbl").as("component"),
-          (col("id") === col("lbl")).as("is_survivor"))
+    "q_dedup_resolve" -> ((s, dir) =>
+      resolveComponents(s, dir).orderBy(col("doc_id"))),
+
+    // The full curation chain a training-data run executes before
+    // writing the corpus: near-dup resolution (keep one survivor per
+    // component) ∧ language gate ∧ quality gate, emitting the kept
+    // set with fingerprints. Composition stays all equi-joins/scalar
+    // filters — each stage is individually oracled above/below; this
+    // query pins that they COMPOSE without semantic drift.
+    "q_curate_corpus" -> ((s, dir) => {
+      val survivors = resolveComponents(s, dir)
+        .filter(col("is_survivor")).select(col("doc_id"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      def hits(word: String) = // same scorer as q_text_langid
+        ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$word\\b", ""))) /
+          word.length).cast("long")
+      val scored = docs.select(col("doc_id"), col("text"),
+          hits("the").as("s_en"), hits("le").as("s_fr"), hits("der").as("s_de"))
+        .withColumn("lang_guess",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_fr") > col("s_de"), "fr")
+            .when(col("s_de") > 0, "de").otherwise("unk"))
+      val toks = size(split(col("text"), " ")).cast("long")
+      val stops = size(expr(
+        "filter(split(text, ' '), w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')")).cast("long")
+      scored
+        .join(survivors, "doc_id") // dedup gate (inner ≡ semi on a keyed set)
+        .withColumn("n_tokens", toks)
+        .withColumn("stop_ratio", round(stops / toks.cast("double"), 6))
+        .filter(col("lang_guess") === "en" && col("stop_ratio") >= 0.05)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+          col("n_tokens"))
         .orderBy(col("doc_id"))
-      out
     }),
 
     // text 0 — benchmark decontamination: 5-gram overlap of the corpus
@@ -1519,6 +1557,55 @@ object Relational {
        )
        SELECT id AS doc_id, min(lbl) AS component, (min(lbl) = id) AS is_survivor
        FROM reach GROUP BY id ORDER BY doc_id"""),
+    // the composed curation chain: recursive-CTE components → survivor
+    // gate → langid 'en' gate → stop-ratio quality gate
+    "q_curate_corpus" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       ),
+       survivors AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id),
+       lang AS (
+         SELECT doc_id,
+                CAST((length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3 AS BIGINT) AS s_en,
+                CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
+                CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
+         FROM documents WHERE doc_id < 1000
+       ),
+       qual AS (
+         SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                round(CAST(len(list_filter(string_split(text, ' '),
+                      w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS BIGINT)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+         FROM documents WHERE doc_id < 1000
+       )
+       SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+              md5(regexp_replace(lower(d.text), '\s+', ' ', 'g')) AS fp,
+              q.n_tokens
+       FROM documents d
+       JOIN survivors s ON s.doc_id = d.doc_id
+       JOIN lang l ON l.doc_id = d.doc_id
+       JOIN qual q ON q.doc_id = d.doc_id
+       WHERE l.s_en >= l.s_fr AND l.s_en >= l.s_de AND l.s_en > 0
+         AND q.stop_ratio >= 0.05
+       ORDER BY doc_id"""),
     "q_dedup_simhash_pairs" -> (simhashCte(" WHERE doc_id < 1000") + """,
        bands AS (
          SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
