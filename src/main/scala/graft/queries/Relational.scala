@@ -113,10 +113,23 @@ object Relational {
     val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id").cast("long").as("id")).distinct()
     var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-    for (_ <- 0 until 5) {
+    // iterate to CONVERGENCE (no label changed), not a fixed round
+    // count: pointer jumping covers diameter ~2^rounds, so the cap is a
+    // backstop, never the correctness argument; the per-round change
+    // count is the standard one-agg convergence probe every iterative
+    // graph job runs. Typical near-dup graphs (near-cliques) converge
+    // in 2 rounds — fewer jobs than any safe fixed count.
+    var rounds = 0
+    var converged = false
+    while (rounds < 10 && !converged) {
       val prev = labels
       labels = resolveRound(labels, edges).localCheckpoint(true)
+      converged = labels.as("n")
+        .join(prev.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl"))
+        .isEmpty
       prev.unpersist()
+      rounds += 1
     }
     pairs.unpersist()
     labels.select(col("id").as("doc_id"), col("lbl").as("component"),

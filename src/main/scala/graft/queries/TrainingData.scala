@@ -71,6 +71,7 @@ object TrainingData {
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
   val streamJoinOuterPath = s"$oracleRoot/stream_join_outer_turns"
+  val streamJoinFullPath  = s"$oracleRoot/stream_join_full_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
@@ -251,6 +252,36 @@ object TrainingData {
           .write.mode("append").parquet(streamJoinOuterPath),
         () => s.createDataset(sentinels("b", 33 * day)).coalesce(1)
           .write.mode("append").parquet(streamJoinOuterPath))
+        .filter(!col("conv_id").startsWith("~sentinel"))
+        .orderBy(col("conv_id"), asc_nulls_first("turn_idx"))
+    }),
+
+    // FULL OUTER stream-stream interval join — both sides' unmatched
+    // rows emit on watermark expiry (same sentinel-flush harness as the
+    // left-outer form). Oracle: DuckDB FULL JOIN over the same sidecar.
+    "q_stream_join_full" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        .coalesce(1).write.mode("overwrite").parquet(streamJoinFullPath)
+      val maxTs = s.read.parquet(streamJoinFullPath)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinels(tag: String, plusMs: Long) = Seq(
+        graft.core.TurnInput(s"~sentinel-$tag", 0, "user", "", "",
+          new java.sql.Timestamp(maxTs.getTime + plusMs)),
+        graft.core.TurnInput(s"~sentinel-$tag", 1, "user", "", "",
+          new java.sql.Timestamp(maxTs.getTime + plusMs)))
+      val day = 24L * 3600 * 1000
+      graft.streaming.StreamExtract.runPhased(
+        graft.streaming.StreamExtract.openerJoinFull(
+          graft.streaming.StreamExtract.readTurnStream(
+            s, streamJoinFullPath, streamJoinFullPath),
+          horizon = "30 days"),
+        s"q_stream_join_full_${memSinkSeq.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+        () => s.createDataset(sentinels("a", 31 * day)).coalesce(1)
+          .write.mode("append").parquet(streamJoinFullPath),
+        () => s.createDataset(sentinels("b", 33 * day)).coalesce(1)
+          .write.mode("append").parquet(streamJoinFullPath))
         .filter(!col("conv_id").startsWith("~sentinel"))
         .orderBy(col("conv_id"), asc_nulls_first("turn_idx"))
     }),
@@ -482,6 +513,17 @@ object TrainingData {
       s"""SELECT merge_rank, lhs, rhs
           FROM read_parquet('$bpeTrainExpectedPath/*.parquet')
           ORDER BY merge_rank""",
+    "q_stream_join_full" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, ts
+                     FROM read_parquet('$streamJoinFullPath/*.parquet')
+                     WHERE conv_id NOT LIKE '~sentinel%')
+          SELECT coalesce(o.conv_id, r.conv_id) AS conv_id, r.turn_idx,
+                 CAST(epoch(r.ts) - epoch(o.ts) AS BIGINT) AS delta_s
+          FROM (SELECT conv_id, ts FROM t WHERE turn_idx = 0) o
+          FULL JOIN (SELECT conv_id, turn_idx, ts FROM t WHERE turn_idx > 0) r
+            ON r.conv_id = o.conv_id
+           AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
+          ORDER BY conv_id, turn_idx NULLS FIRST""",
     "q_stream_join_outer" ->
       s"""WITH t AS (SELECT conv_id, turn_idx, ts
                      FROM read_parquet('$streamJoinOuterPath/*.parquet')

@@ -208,6 +208,32 @@ object StreamExtract {
         (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the family:
+    * matched pairs emit as they arrive; an opener with no in-horizon
+    * follow-up emits one (conv, null turn) row AND a follow-up with no
+    * in-horizon opener (e.g. it precedes the opener, or the opener is
+    * outside the horizon) emits its own (conv, turn, null delta) row —
+    * each driven by watermark expiry of its own side's state. */
+  def openerJoinFull(turns: Dataset[TurnInput], horizon: String = "2 hours",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val openers = turns.toDF()
+      .filter(col("turn_idx") === 0)
+      .select(col("conv_id").as("o_conv"), col("ts").as("open_ts"))
+      .withWatermark("open_ts", watermarkDelay)
+    val rest = turns.toDF()
+      .filter(col("turn_idx") > 0)
+      .select(col("conv_id"), col("turn_idx"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+    openers.join(rest,
+      col("o_conv") === col("conv_id") &&
+        col("ts") >= col("open_ts") &&
+        col("ts") <= col("open_ts") + expr(s"interval $horizon"),
+      "full_outer")
+      .select(coalesce(col("o_conv"), col("conv_id")).as("conv_id"),
+        col("turn_idx"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("open_ts"))).as("delta_s"))
+  }
+
   /** Production streaming ingest into the Iceberg-lite table layout:
     * foreachBatch + TableIO.commitBatch gives exactly-once table
     * contents under at-least-once micro-batch replay (a restarted
