@@ -254,6 +254,73 @@ class StreamingSpec extends SparkSuite {
       s"flush surfaced nothing: pre=${preNullConvs.size} batch=${batchNullConvs.size}")
   }
 
+  test("stream-stream outer-join state survives restart (buffered openers match after recovery)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr, unix_timestamp}
+    val root = Files.createTempDirectory("graft-restart-join").toString
+    val (srcDir, sinkDir, ckDir) = (s"$root/src", s"$root/sink", s"$root/ck")
+    val all = graft.pipeline.Pipeline.synthTurns(spark, 100L, 4)
+    all.filter(_.turn_idx == 0).write.parquet(s"$root/openers")
+    all.filter(_.turn_idx > 0).write.parquet(s"$root/followups")
+    val maxTs = all.agg(org.apache.spark.sql.functions.max(col("ts")))
+      .head().getTimestamp(0)
+    val day = 24L * 3600 * 1000
+    def sentinel(tag: String, plusMs: Long) = Seq(
+      graft.core.TurnInput(s"~s-$tag", 0, "user", "", "",
+        new java.sql.Timestamp(maxTs.getTime + plusMs)),
+      graft.core.TurnInput(s"~s-$tag", 1, "user", "", "",
+        new java.sql.Timestamp(maxTs.getTime + plusMs)))
+    // wide watermark delay: the chunk split is by turn_idx (followups
+    // carry event times across the whole corpus span), so nothing may
+    // be classed late — the test is JOIN-STATE recovery, not late-row
+    // policy; null tails are then driven by sentinels past delay+horizon
+    def query() = StreamExtract.openerJoinOuter(
+      StreamExtract.readTurnStream(spark, srcDir, s"$root/openers"),
+      horizon = "30 days", watermarkDelay = "400 days")
+    def start() = query().writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append()).start()
+    def sinkCount(): Long =
+      scala.util.Try(spark.read.parquet(sinkDir).count()).getOrElse(0L)
+
+    arriveFiles(s"$root/openers", srcDir)
+    locally { val q = start(); q.processAllAvailable(); q.stop() }
+    assert(sinkCount() == 0, "nothing can match or expire on openers alone")
+    // restart: the buffered openers must come back from the checkpoint
+    // — if state were lost, these matches could never emit
+    arriveFiles(s"$root/followups", srcDir)
+    locally { val q = start(); q.processAllAvailable(); q.stop() }
+    val matched = sinkCount()
+    assert(matched > 0, "no matches after restart — opener state was lost")
+    // third restart: sentinels push the watermark past every window and
+    // the null tail flushes from RECOVERED state
+    locally {
+      val q = start()
+      spark.createDataset(sentinel("a", 431 * day)).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      spark.createDataset(sentinel("b", 433 * day)).coalesce(1)
+        .write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      q.stop()
+    }
+    val streamed = spark.read.parquet(sinkDir)
+      .filter(!col("conv_id").startsWith("~s-"))
+    val t = spark.read.parquet(srcDir).filter(!col("conv_id").startsWith("~s-"))
+    val batch = t.as("o").filter($"o.turn_idx" === 0)
+      .join(t.as("r").filter($"r.turn_idx" > 0),
+        $"r.conv_id" === $"o.conv_id" &&
+          $"r.ts" >= $"o.ts" && $"r.ts" <= $"o.ts" + expr("interval 30 days"),
+        "left_outer")
+      .select($"o.conv_id", $"r.turn_idx",
+        (unix_timestamp($"r.ts") - unix_timestamp($"o.ts")).as("delta_s"))
+    assert(streamed.filter(col("turn_idx").isNull).count() > 0,
+      "null tail never flushed after restart")
+    assert(streamed.count() == batch.count(),
+      s"${streamed.count()} vs ${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("foreachBatch table ingest is exactly-once under batch replay and restart") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ingest").toString
