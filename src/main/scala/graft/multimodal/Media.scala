@@ -89,6 +89,50 @@ object Media {
     }
   }
 
+  final case class MediaFrame(media_id: Long, kind: String, frame_idx: Long,
+      frame_ts_ms: Long, frame_bytes: Long, frame_md5: String)
+
+  /** Frame-sampling EXPLOSION — the operator shape a video pipeline
+    * feeds downstream per-frame embedding/dedupe with: one row per
+    * sampled frame, carrying the sample timestamp and a frame-payload
+    * fingerprint. The stub "frame" is the i-th of nf equal payload
+    * slices (byte range [i·len/nf, (i+1)·len/nf)) — deterministic, so
+    * the whole output is DuckDB-recomputable from documents.parquet
+    * (ASCII corpus ⇒ byte offsets == char offsets; same tripwire as
+    * mediaFeatureQuery). Batched per-partition with a reused digest —
+    * the same mapInPandas batch story as extractFeatures. */
+  def sampleFrames(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val nf = framesToSample(m.kind, m.meta)
+          val len = m.payload.length
+          val stepMs = m.kind match {
+            case "video" => 10000L; case "audio" => 30000L; case _ => 0L
+          }
+          (0 until nf).iterator.map { i =>
+            val start = (i.toLong * len / nf).toInt
+            val end = ((i + 1).toLong * len / nf).toInt
+            md.reset()
+            md.update(m.payload, start, end - start)
+            val hex = md.digest().map(b => f"$b%02x").mkString
+            MediaFrame(m.media_id, m.kind, i.toLong, i * stepMs,
+              (end - start).toLong, hex)
+          }
+        }
+      }
+    }
+  }
+
+  /** Registered query surface for the frame explosion (oracled). */
+  def mediaFramesQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(synthMedia(spark, dir))
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+
   /** Oracled query surface: the per-kind aggregates that derive
     * deterministically from the documents table (kind = doc_id % 3,
     * n_bytes = UTF-8 byte length, frames from the duration formula) —

@@ -173,6 +173,10 @@ object TrainingData {
     // … and the rows-only face keeping the stub-decode luma histogram
     "q_media_features" -> ((s, dir) => graft.multimodal.Media.mediaFeatureQuery(s, dir)),
 
+    // frame-sampling explosion: one row per sampled frame with the
+    // sample timestamp + frame-payload fingerprint (Media.sampleFrames)
+    "q_media_frames" -> ((s, dir) => graft.multimodal.Media.mediaFramesQuery(s, dir)),
+
     // Stream-stream event-time interval join (impressions⋈clicks shape)
     // as a REAL streaming query, oracled: DuckDB recomputes the same
     // interval join over the input sidecar. Inner join → with all files
@@ -575,6 +579,26 @@ object TrainingData {
     // CHARS of the text: luma_sum = Σ ascii codes, avg_luma as one
     // division of exact integer sums, top_byte = per-kind argmax of the
     // char histogram (smallest byte on ties).
+    "q_media_frames" ->
+      """WITH m AS (
+           SELECT doc_id, text, length(text) AS len,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN n_chars * 10 ELSE n_chars * 40 END AS dur
+           FROM documents),
+         k AS (
+           SELECT *, CASE kind WHEN 'video' THEN greatest(1, dur // 10000)
+                               WHEN 'audio' THEN greatest(1, dur // 30000)
+                               ELSE 1 END AS nf
+           FROM m),
+         fr AS (SELECT doc_id, kind, len, text, nf, f.i
+                FROM k, unnest(range(nf)) f(i))
+         SELECT CAST(doc_id AS BIGINT) AS media_id, kind,
+                CAST(i AS BIGINT) AS frame_idx,
+                CAST(i * (CASE kind WHEN 'video' THEN 10000 WHEN 'audio' THEN 30000 ELSE 0 END) AS BIGINT) AS frame_ts_ms,
+                CAST(((i + 1) * len) // nf - (i * len) // nf AS BIGINT) AS frame_bytes,
+                md5(substr(text, CAST((i * len) // nf AS INTEGER) + 1,
+                           CAST(((i + 1) * len) // nf - (i * len) // nf AS INTEGER))) AS frame_md5
+         FROM fr ORDER BY media_id, frame_idx""",
     "q_media_features" ->
       """WITH m AS (
            SELECT doc_id,

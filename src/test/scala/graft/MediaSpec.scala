@@ -28,6 +28,31 @@ class MediaSpec extends SparkSuite {
     }
   }
 
+  test("frame sampling partitions each payload exactly, once per sampled frame") {
+    import spark.implicits._
+    val media = Media.synthMedia(spark, dir).collect()
+    val frames = Media.sampleFrames(Media.synthMedia(spark, dir), batchSize = 5)
+      .collect().groupBy(_.media_id)
+    assert(frames.nonEmpty)
+    for (m <- media) {
+      val fs = frames(m.media_id).sortBy(_.frame_idx)
+      // count follows the sampling rule; indices are dense from 0
+      assert(fs.length == Media.framesToSample(m.kind, m.meta))
+      assert(fs.map(_.frame_idx).toSeq == (0L until fs.length.toLong))
+      // the slices tile the payload: byte counts sum exactly
+      assert(fs.map(_.frame_bytes).sum == m.payload.length.toLong, s"media ${m.media_id}")
+      // timestamps follow the per-kind stride
+      val stride = m.kind match { case "video" => 10000L; case "audio" => 30000L; case _ => 0L }
+      assert(fs.forall(f => f.frame_ts_ms == f.frame_idx * stride))
+      // single-frame media fingerprint the whole payload
+      if (fs.length == 1) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(m.payload).map(b => f"$b%02x").mkString
+        assert(fs.head.frame_md5 == hex)
+      }
+    }
+  }
+
   test("batch size does not change results (mapInPandas-shape invariance)") {
     import spark.implicits._
     val m = Media.synthMedia(spark, dir)
