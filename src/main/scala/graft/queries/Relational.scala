@@ -103,9 +103,30 @@ object Relational {
 
   /** Full pair→component resolution (doc_id, component, is_survivor) —
     * shared by q_dedup_resolve (emits it) and q_curate_corpus (gates on
-    * it). See q_dedup_resolve's comment for the algorithm and the
-    * per-round materialization rationale. */
-  private def resolveComponents(s: SparkSession, dir: String): DataFrame = {
+    * it); memoized per (session, dir) like kmeansFit so the iterative
+    * propagation runs once per session and both queries read the same
+    * checkpointed result. See q_dedup_resolve's comment for the
+    * algorithm and the per-round materialization rationale. */
+  private val resolveMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 2
+    }
+
+  private def resolveComponents(s: SparkSession, dir: String): DataFrame =
+    resolveMemo.synchronized {
+      val key = (s, dir)
+      val hit = resolveMemo.get(key)
+      if (hit != null) hit
+      else {
+        val r = resolveComponentsUncached(s, dir)
+        resolveMemo.put(key, r)
+        r
+      }
+    }
+
+  private def resolveComponentsUncached(s: SparkSession, dir: String): DataFrame = {
     val pairs = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
     val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
       .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
