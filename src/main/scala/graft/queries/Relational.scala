@@ -153,6 +153,7 @@ object Relational {
       rounds += 1
     }
     pairs.unpersist()
+    edges.unpersist() // final labels are checkpointed; edge cache is done
     labels.select(col("id").as("doc_id"), col("lbl").as("component"),
       (col("id") === col("lbl")).as("is_survivor"))
   }
