@@ -59,6 +59,65 @@ case class LongArrayDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Specialized self-dot: Σ x_i² in one array traversal with one
+  * element load per index (LongArrayDot(x, x) loads each element
+  * twice). Produced by the DotSelfToNorm2 optimizer rule — queries
+  * keep writing the natural dot(v, v) idiom and the plan gets the
+  * strength-reduced form. */
+case class LongArrayNorm2(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_array_norm2"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { val v = x.getLong(i); acc += v * v; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $v = $a.getLong($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LongArrayNorm2 =
+    copy(child = newChild)
+}
+
+/** Optimizer rule (SparkSessionExtensions.injectOptimizerRule): rewrite
+  * long_array_dot(x, x) over a deterministic x into long_array_norm2(x)
+  * — same value and null semantics by construction (dot(x,x) = Σ x_i²;
+  * both are null iff x is null), guarded by semanticEquals so only a
+  * genuine self-dot rewrites. */
+object DotSelfToNorm2
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case LongArrayDot(a, b) if a.deterministic && a.semanticEquals(b) =>
+        LongArrayNorm2(a)
+    }
+}
+
 object GraftArrayMath {
   def dotL(a: Column, b: Column): Column =
     ExpressionUtils.column(LongArrayDot(

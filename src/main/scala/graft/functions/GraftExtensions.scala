@@ -12,6 +12,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `org.apache.spark.sql.graftx.GraftFunctions.install(spark)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.longArrayDot)
+    // strength-reduce the ANN norm idiom dot(v, v) → norm2(v)
+    ext.injectOptimizerRule(_ => org.apache.spark.sql.graftx.DotSelfToNorm2)
+  }
 }

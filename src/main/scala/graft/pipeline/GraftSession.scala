@@ -27,6 +27,9 @@ object GraftSession {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(name)
+      // the engine's Catalyst surface: custom SQL functions + the
+      // dot(v,v)→norm2(v) optimizer rule (functions/GraftExtensions)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", "512")

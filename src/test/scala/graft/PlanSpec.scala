@@ -343,6 +343,30 @@ class PlanSpec extends SparkSuite {
     assert(out.nonEmpty)
   }
 
+  test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
+    import org.apache.spark.sql.functions.{array, col, expr, lit}
+    // parquet-backed input — a literal input would constant-fold the
+    // whole expression away before the plan can show the rewrite
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+    val df = e.select(
+      graft.functions.ArrayMath.dotL(col("v"), col("v")).as("n2"),
+      graft.functions.ArrayMath.dotL(col("v"), array(lit(1L), lit(1L))).as("dot"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("long_array_norm2"),
+      s"self-dot not rewritten (is GraftExtensions wired into the session?):\n$p")
+    assert(p.contains("long_array_dot"), s"non-self dot must stay a dot:\n$p")
+    // value equivalence on a real row
+    val row = e.select(col("v"),
+      graft.functions.ArrayMath.dotL(col("v"), col("v")).as("n2")).head()
+    val v = row.getSeq[Long](0)
+    assert(row.getLong(1) == v.map(x => x * x).sum)
+    // and the rewrite is live in a real ANN plan (norms are dot(v,v))
+    val ann = Relational.queries("q_ann_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(ann.contains("long_array_norm2"), ann.take(2000))
+  }
+
   test("custom LongArrayDot participates in whole-stage codegen (no CodegenFallback)") {
     val p = Relational.queries("q_ann_topk")(spark, dir).queryExecution.executedPlan.toString
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
