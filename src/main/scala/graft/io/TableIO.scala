@@ -330,6 +330,7 @@ object TableIO {
     require(fromSnap == -1 || snapshotIds(root).contains(fromSnap),
       s"no snapshot $fromSnap under $root/_snapshots")
     require(snapshotIds(root).contains(toSnap), s"no snapshot $toSnap under $root/_snapshots")
+    require(fromSnap <= toSnap, s"readChanges range is backwards: $fromSnap > $toSnap")
     val before = if (fromSnap == -1) Set.empty[Int]
                  else lineageAt(root, fromSnap).map(_.bucket).toSet
     val added = lineageAt(root, toSnap).map(_.bucket).filterNot(before)
@@ -392,19 +393,42 @@ object TableIO {
     true
   }
 
+  /** Committed micro-batch ids (marker files), ascending. */
+  def committedBatchIds(root: String): Seq[Long] =
+    listDir(Paths.get(root, "_batches"))
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("batch-") && n.endsWith(".committed"))
+      .map(n => n.stripPrefix("batch-").stripSuffix(".committed").toLong)
+      .sorted
+
   /** All committed micro-batches as one DataFrame (uncommitted/partial
-    * batch dirs are invisible — no marker, no read). */
-  def readCommittedBatches(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
-    val bdir = Paths.get(root, "_batches")
-    val dirs =
-      listDir(bdir)
-        .map(_.getFileName.toString)
-        .filter(n => n.startsWith("batch-") && n.endsWith(".committed"))
-        .map(n => n.stripPrefix("batch-").stripSuffix(".committed"))
-        .map(id => s"$root/_batches/batch=$id")
-        .toSeq
-    require(dirs.nonEmpty, s"no committed batches under $root/_batches")
+    * batch dirs are invisible — no marker, no read). `upToBatch` gives
+    * the streaming table the same as-of story as the wave table's
+    * snapshot time travel: batches are immutable once marked, so "the
+    * table as of batch k" is exactly the committed batches ≤ k. */
+  def readCommittedBatches(spark: SparkSession, root: String,
+      upToBatch: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    val dirs = committedBatchIds(root)
+      .filter(_ <= upToBatch)
+      .map(id => s"$root/_batches/batch=$id")
+    require(dirs.nonEmpty, s"no committed batches under $root/_batches (upTo=$upToBatch)")
     spark.read.parquet(dirs: _*)
+  }
+
+  /** Incremental read over the batch table: rows of batches in
+    * (fromBatch, toBatch] — the consumer-poll analog of readChanges.
+    * Empty-range reads return an empty frame with the batches' schema
+    * (schema comes from any committed batch). */
+  def readNewBatches(spark: SparkSession, root: String, fromBatch: Long,
+      toBatch: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
+    require(fromBatch <= toBatch, s"readNewBatches range is backwards: $fromBatch > $toBatch")
+    val all = committedBatchIds(root)
+    require(all.nonEmpty, s"no committed batches under $root/_batches")
+    val picked = all.filter(id => id > fromBatch && id <= toBatch)
+    if (picked.isEmpty) {
+      val schema = spark.read.parquet(s"$root/_batches/batch=${all.head}").schema
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(picked.map(id => s"$root/_batches/batch=$id"): _*)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

@@ -341,6 +341,7 @@ class StreamingSpec extends SparkSuite {
         Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath)
     }
     arrive(s"$root/chunk1"); runPass()
+    val idsAfterPass1 = graft.io.TableIO.committedBatchIds(tblDir)
     arrive(s"$root/chunk2"); runPass()
     runPass() // restart with no new data: no new batches, no duplicates
     val got = graft.io.TableIO.readCommittedBatches(spark, tblDir)
@@ -359,6 +360,24 @@ class StreamingSpec extends SparkSuite {
     batch.limit(3).write.mode("overwrite").parquet(partial.toString)
     assert(graft.io.TableIO.readCommittedBatches(spark, tblDir).count() == batch.count(),
       "uncommitted batch dir must be invisible")
+    // batch-table time travel: as-of the last pass-1 batch id equals the
+    // chunk-1 extraction; the increment beyond it equals chunk 2; an
+    // empty range reads empty (with schema), never throws
+    assert(idsAfterPass1.nonEmpty)
+    val boundary = idsAfterPass1.max
+    val asOf = graft.io.TableIO.readCommittedBatches(spark, tblDir, upToBatch = boundary)
+    val chunk1Truth = graft.pipeline.Pipeline.extractTurns(
+      spark.read.parquet(s"$root/chunk1").as[graft.core.TurnInput]).toDF()
+    assert(asOf.exceptAll(chunk1Truth).isEmpty && chunk1Truth.exceptAll(asOf).isEmpty)
+    val inc = graft.io.TableIO.readNewBatches(spark, tblDir, boundary)
+    val chunk2Truth = graft.pipeline.Pipeline.extractTurns(
+      spark.read.parquet(s"$root/chunk2").as[graft.core.TurnInput]).toDF()
+    assert(inc.exceptAll(chunk2Truth).isEmpty && chunk2Truth.exceptAll(inc).isEmpty)
+    val maxId = graft.io.TableIO.committedBatchIds(tblDir).max
+    assert(graft.io.TableIO.readNewBatches(spark, tblDir, maxId).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.io.TableIO.readNewBatches(spark, tblDir, 5L, 2L)
+    }
   }
 
   test("mapGroupsWithState conversation summaries match batch group-by") {
