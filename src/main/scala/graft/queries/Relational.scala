@@ -656,6 +656,44 @@ object Relational {
 
     // ntile — quartile assignment per user (tie-broken on event_id so
     // both engines agree on a total order)
+    // percent_rank + cume_dist — relative-position windows (tie-broken
+    // on event_id so both engines agree on a total order); rounded ONE
+    // double division each, so the hash compare is exact
+    "q_window_pctrank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // exact-form correlation/covariance: the five integer sums (n, Σx,
+    // Σy, Σxy, Σx², Σy²) aggregate exactly (order-independent), then
+    // corr/cov are ONE double formula each — engine-stable where the
+    // built-in streaming corr/covar kernels differ in low bits
+    "q_agg_corr" -> ((s, dir) => {
+      val x = cents(col("value"))
+      val y = length(col("props")).cast("long")
+      t(s, dir, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("n"),
+          round((col("sxy") * col("n") - col("sx") * col("sy")) /
+            (col("n") * col("n")).cast("double"), 4).as("cov_pop"),
+          round((col("sxy") * col("n") - col("sx") * col("sy")) /
+            (sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("syy") * col("n") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("corr"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_window_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
       t(s, dir, "events")
@@ -1545,6 +1583,26 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_window_pctrank" ->
+      """SELECT user_id, event_id,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+         ORDER BY user_id, event_id""",
+    "q_agg_corr" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x,
+                  CAST(length(props) AS BIGINT) AS y
+           FROM events)
+         SELECT event_type, count(*) AS n,
+                round(CAST(sum(x*y) * count(*) - sum(x) * sum(y) AS DOUBLE) /
+                      CAST(count(*) * count(*) AS DOUBLE), 4) AS cov_pop,
+                round(CAST(sum(x*y) * count(*) - sum(x) * sum(y) AS DOUBLE) /
+                      (sqrt(CAST(sum(x*x) * count(*) - sum(x) * sum(x) AS DOUBLE)) *
+                       sqrt(CAST(sum(y*y) * count(*) - sum(y) * sum(y) AS DOUBLE))), 6) AS corr
+         FROM b GROUP BY event_type ORDER BY event_type""",
     "q_window_ntile" ->
       """SELECT user_id, event_id,
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
