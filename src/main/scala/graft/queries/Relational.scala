@@ -656,6 +656,60 @@ object Relational {
 
     // ntile — quartile assignment per user (tie-broken on event_id so
     // both engines agree on a total order)
+    // null-safe equality join (<=>): null keys MATCH null keys, unlike
+    // plain = (which drops them) — the semantic corner ETL hits when
+    // joining on nullable derived keys. Both sides are tiny DISTINCT
+    // key sets so the null⋈null block stays bounded by construction.
+    "q_join_nullsafe" -> ((s, dir) => {
+      val a = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(nullif(col("user_id") % 7, lit(3)).as("ka")).distinct()
+      val b = t(s, dir, "events").filter(col("user_id") < 30)
+        .select(nullif(col("user_id") % 5, lit(2)).as("kb")).distinct()
+      a.join(b, col("ka") <=> col("kb"))
+        .select(coalesce(col("ka"), lit(-1L)).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
+    // map-type operator family: per-user event_type→count map built
+    // with a DETERMINISTIC insertion order (sort_array over structs
+    // before map_from_entries), then probed with try_element_at
+    // (ANSI-safe miss → null → coalesce) and map_keys. The oracle
+    // recomputes every output without maps — conditional sums + ordered
+    // string_agg — so the map family is checked against plain SQL
+    // semantics, not against itself.
+    "q_map_ops" -> ((s, dir) => {
+      val perType = t(s, dir, "events").filter(col("user_id") < 50)
+        .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      perType.groupBy(col("user_id"))
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).cast("long").as("n_types"),
+          coalesce(try_element_at(col("m"), lit("click")), lit(0L)).as("n_click"),
+          coalesce(try_element_at(col("m"), lit("purchase")), lit(0L)).as("n_purchase"),
+          array_join(map_keys(col("m")), ",").as("types_csv"))
+        .orderBy(col("user_id"))
+    }),
+
+    // array higher-order-function family over the token arrays:
+    // distinct/sort/filter/exists/aggregate/slice with scalar outputs
+    // (fold seed explicit — DuckDB's list_reduce seeds from the first
+    // element, so the oracle uses list_sum over a transform instead)
+    "q_array_ops" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          element_at(sort_array(col("w")), 1).as("first_sorted"),
+          expr("size(filter(w, x -> length(x) > 5))").cast("long").as("n_long"),
+          expr("exists(w, x -> x = 'the')").as("has_the"),
+          expr("aggregate(w, 0L, (a, x) -> a + length(x))").as("chars"),
+          array_join(slice(sort_array(col("w"), asc = false), 1, 3), "|").as("top3_desc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // percent_rank + cume_dist — relative-position windows (tie-broken
     // on event_id so both engines agree on a total order); rounded ONE
     // double division each, so the hash compare is exact
@@ -1583,6 +1637,35 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT DISTINCT nullif(user_id % 7, 3) AS ka
+                    FROM events WHERE user_id < 30),
+            b AS (SELECT DISTINCT nullif(user_id % 5, 2) AS kb
+                    FROM events WHERE user_id < 30)
+         SELECT coalesce(ka, -1) AS k, count(*) AS n
+         FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+         GROUP BY 1 ORDER BY k""",
+    "q_map_ops" ->
+      """WITH pt AS (
+           SELECT user_id, event_type, count(*) AS n
+           FROM events WHERE user_id < 50 GROUP BY 1, 2)
+         SELECT user_id,
+                count(*) AS n_types,
+                CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT) AS n_click,
+                CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0) AS BIGINT) AS n_purchase,
+                string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+         FROM pt GROUP BY user_id ORDER BY user_id""",
+    "q_array_ops" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n,
+                CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+                list_sort(w)[1] AS first_sorted,
+                CAST(len(list_filter(w, x -> length(x) > 5)) AS BIGINT) AS n_long,
+                list_contains(w, 'the') AS has_the,
+                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+                array_to_string(list_sort(w, 'DESC')[1:3], '|') AS top3_desc
+         FROM d ORDER BY doc_id""",
     "q_window_pctrank" ->
       """SELECT user_id, event_id,
                 round(percent_rank() OVER w, 6) AS pct_rank,
