@@ -656,6 +656,62 @@ object Relational {
 
     // ntile — quartile assignment per user (tie-broken on event_id so
     // both engines agree on a total order)
+    // TPC-H Q3 shape (shipping priority): dim-filtered 3-way join →
+    // grouped integerized revenue → total-ordered top 10
+    "q_tpch_q3" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").as("c")
+        .join(t(s, dir, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, dir, "lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .filter(col("o.o_orderdate") < lit("1998-06-01").cast("timestamp") &&
+          col("l.l_shipdate") > lit("1998-06-01").cast("timestamp"))
+        .groupBy(col("l.l_orderkey"), col("o.o_orderdate"))
+        .agg(sum(rev).as("revenue_c"))
+        .select(col("l_orderkey"), col("revenue_c"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy(col("revenue_c").desc, col("odate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q4 shape — correlated EXISTS subquery through spark.sql
+    // (Catalyst's subquery decorrelation surface; the DSL-level semi
+    // join twin is q_join_semi)
+    "q_tpch_q4" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n
+          |FROM orders_v o
+          |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): 6-way join with the two
+    // tiny dims broadcast and the customer-nation == supplier-nation
+    // locality constraint
+    "q_tpch_q5" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "customer").as("c")
+        .join(t(s, dir, "orders").as("o"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, dir, "lineitem").as("l"), col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(t(s, dir, "supplier").as("s"),
+          col("l.l_suppkey") === col("s.s_suppkey") &&
+            col("c.c_nationkey") === col("s.s_nationkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("s.s_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(t(s, dir, "region").as("r")),
+          col("n.n_regionkey") === col("r.r_regionkey"))
+        .filter(col("r.r_name") === "ASIA" &&
+          col("o.o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o.o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("n.n_name"))
+        .agg(sum(rev).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+
     // null-safe equality join (<=>): null keys MATCH null keys, unlike
     // plain = (which drops them) — the semantic corner ETL hits when
     // joining on nullable derived keys. Both sides are tiny DISTINCT
@@ -1637,6 +1693,39 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01'
+           AND l_shipdate > TIMESTAMP '1998-06-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue_c DESC, odate, l_orderkey LIMIT 10""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS n
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q5" ->
+      """SELECT n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue_c DESC, n_name""",
     "q_join_nullsafe" ->
       """WITH a AS (SELECT DISTINCT nullif(user_id % 7, 3) AS ka
                     FROM events WHERE user_id < 30),
