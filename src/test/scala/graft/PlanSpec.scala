@@ -343,6 +343,20 @@ class PlanSpec extends SparkSuite {
     assert(out.nonEmpty)
   }
 
+  test("TPC-H shapes: tiny dims broadcast, EXISTS decorrelates to a semi join, no cartesian") {
+    val q5 = plan("q_tpch_q5")
+    assert(!q5.contains("CartesianProduct"), q5.take(2000))
+    assert(q5.contains("BroadcastHashJoin"), s"nation/region dims not broadcast:\n${q5.take(2000)}")
+    val q4 = plan("q_tpch_q4")
+    assert(q4.contains("Semi"), s"EXISTS did not decorrelate to a semi join:\n${q4.take(2000)}")
+    assert(!q4.contains("CartesianProduct"), q4.take(2000))
+    // Q3's dim filter must reach the customer scan (pushdown), not a
+    // post-join filter
+    val q3 = plan("q_tpch_q3")
+    assert(q3.contains("PushedFilters") && q3.contains("c_mktsegment"),
+      s"segment filter not pushed to the scan:\n${q3.take(2500)}")
+  }
+
   test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
     import org.apache.spark.sql.functions.{array, col, expr, lit}
     // parquet-backed input — a literal input would constant-fold the
