@@ -1383,10 +1383,17 @@ object Relational {
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  // Quantization parity note (all embedding oracles): Spark promotes
+  // FLOAT * 1000 to DOUBLE before rounding; DuckDB would multiply in
+  // FLOAT, which rounds a handful of products onto exact .5 ties the
+  // double product misses (first seen at sf0.1: vec 1879 dim 18,
+  // float 319.5 vs double 319.49999928 → round 320 vs 319). Every
+  // oracle therefore CASTs to DOUBLE first, mirroring Spark's
+  // arithmetic exactly at any SF.
   private def kmeansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH v AS (
-              |  SELECT vec_id, i, CAST(round(embedding[i+1] * 1000) AS BIGINT) AS x
+              |  SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS x
               |  FROM embeddings, range(64) t(i)),
               |init AS (
               |  SELECT vec_id, rn - 1 AS cid FROM (
@@ -1416,7 +1423,7 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_embedding_lsh" ->
       """WITH q AS (
-           SELECT vec_id, i, CAST(round(embedding[i+1] * 1000) AS BIGINT) AS qv
+           SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS qv
            FROM embeddings, range(64) t(i)),
          h AS (
            SELECT p, d,
@@ -1595,8 +1602,11 @@ object Relational {
       """SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY h""",
     "q_dedup_jaccard" ->
-      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                       FROM documents WHERE doc_id < 1000),
+      """WITH toks0 AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                        FROM documents WHERE doc_id < 1000),
+            hot AS (SELECT tok FROM toks0 GROUP BY tok HAVING count(*) > 600),
+            toks AS (SELECT doc_id, tok FROM toks0
+                     WHERE tok NOT IN (SELECT tok FROM hot)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
             inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
                       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
@@ -1922,7 +1932,7 @@ object Relational {
                   CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
            FROM documents) ORDER BY doc_id""",
     "q_dedup_embedding" ->
-      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
                     FROM embeddings WHERE vec_id < 500),
             pairs AS (
               SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -1945,7 +1955,7 @@ object Relational {
          FROM documents ORDER BY doc_id""",
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, label,
-                           list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
                     FROM embeddings),
             scored AS (
               SELECT q.vec_id AS qid, c.vec_id AS nb,
@@ -1963,7 +1973,7 @@ object Relational {
     "q_ann_ivf_kmeans" -> ivfKmeansOracleSql(8, 3),
     "q_ann_ivf_multiprobe" -> ivfMultiprobeOracleSql(8, 3, 2),
     "q_ann_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS v
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
                     FROM embeddings),
             scored AS (
               SELECT q.vec_id AS qid, c.vec_id AS nb,
