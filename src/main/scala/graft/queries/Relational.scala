@@ -656,6 +656,34 @@ object Relational {
 
     // ntile — quartile assignment per user (tie-broken on event_id so
     // both engines agree on a total order)
+    // temporal scalar family: truncation, calendar fields, day
+    // arithmetic (dayofweek conventions differ — Spark is 1-based
+    // Sunday, DuckDB 0-based Sunday; the oracle adds 1)
+    "q_time_ops" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("user_id") < 10)
+        .select(col("event_id"),
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+          dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hh"),
+          datediff(lit("2001-01-01").cast("date"), col("ts").cast("date"))
+            .cast("long").as("days_to_ref"))
+        .orderBy(col("event_id"))
+    }),
+
+    // string scalar family: pad/search/reverse/translate/token-prefix
+    // (substring_index has no DuckDB twin — the oracle rebuilds it from
+    // string_split, identical incl. the fewer-than-n-tokens case)
+    "q_string_ops" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          lpad(substring(col("text"), 1, 10), 14, "*").as("padded"),
+          instr(col("text"), "the").cast("long").as("pos_the"),
+          reverse(substring(col("text"), 1, 12)).as("rev12"),
+          translate(substring(col("text"), 1, 20), "aeiou", "AEIOU").as("tr20"),
+          substring_index(col("text"), " ", 3).as("first3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TPC-H Q3 shape (shipping priority): dim-filtered 3-way join →
     // grouped integerized revenue → total-ordered top 10
     "q_tpch_q3" -> ((s, dir) => {
@@ -1703,6 +1731,21 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_time_ops" ->
+      """SELECT event_id,
+                strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+                CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                CAST(hour(ts) AS BIGINT) AS hh,
+                CAST(datediff('day', CAST(ts AS DATE), DATE '2001-01-01') AS BIGINT) AS days_to_ref
+         FROM events WHERE user_id < 10 ORDER BY event_id""",
+    "q_string_ops" ->
+      """SELECT doc_id,
+                lpad(substr(text, 1, 10), 14, '*') AS padded,
+                CAST(strpos(text, 'the') AS BIGINT) AS pos_the,
+                reverse(substr(text, 1, 12)) AS rev12,
+                translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS tr20,
+                array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
+         FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q_tpch_q3" ->
       """SELECT l_orderkey,
                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
