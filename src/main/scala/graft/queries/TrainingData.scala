@@ -73,6 +73,7 @@ object TrainingData {
   val streamJoinOuterPath = s"$oracleRoot/stream_join_outer_turns"
   val streamJoinFullPath  = s"$oracleRoot/stream_join_full_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
+  val orcPath             = s"$oracleRoot/events_orc"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -330,6 +331,22 @@ object TrainingData {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // ORC source/sink round trip (DuckDB reads no ORC, so the oracle
+    // recomputes from the original parquet — row-hash equality still
+    // verifies the ORC write→read end-to-end: a corrupted round trip
+    // cannot reproduce the aggregate hashes)
+    "q_source_orc" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite").orc(orcPath)
+      s.read.orc(orcPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     "q_source_jsonl" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("event_type"),
@@ -561,6 +578,12 @@ object TrainingData {
                  CAST(max(event_id) AS BIGINT) AS max_id
           FROM read_csv('$csvPath/*.csv', header=true)
           GROUP BY event_type ORDER BY event_type""",
+    "q_source_orc" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+                 CAST(min(event_id) AS BIGINT) AS min_id,
+                 CAST(max(event_id) AS BIGINT) AS max_id
+          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
           FROM read_json('$jsonlPath/*.json', format='newline_delimited')
