@@ -343,6 +343,19 @@ class PlanSpec extends SparkSuite {
     assert(out.nonEmpty)
   }
 
+  test("no round-4 query degrades to a cartesian product") {
+    // (codegen-span presence is not asserted here: checkpoint-fed and
+    // AQE-wrapped plans legitimately render without a *(n) marker
+    // before execution; the codegen-critical paths have their own
+    // dedicated gates above)
+    for (name <- Seq("q_curate_corpus", "q_map_ops", "q_array_ops",
+        "q_join_nullsafe", "q_time_ops", "q_string_ops", "q_agg_corr",
+        "q_window_pctrank", "q_ann_ivf_multiprobe")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
+
   test("TPC-H shapes: tiny dims broadcast, EXISTS decorrelates to a semi join, no cartesian") {
     val q5 = plan("q_tpch_q5")
     assert(!q5.contains("CartesianProduct"), q5.take(2000))
