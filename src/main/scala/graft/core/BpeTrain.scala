@@ -45,6 +45,37 @@ object BpeTrain {
     out.result()
   }
 
+  /** Code-point string comparison (== UTF-8 byte order). Scala's
+    * default String ordering compares UTF-16 code units, which diverges
+    * from both Spark's UTF8-binary sort and CPython's code-point
+    * comparison for non-BMP characters (surrogates sort above U+E000 in
+    * code-unit order) — the argmax tie-break must use THIS order so all
+    * three trainers agree on any corpus, not just BMP/ASCII ones. */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private val pairTieOrdering: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(p: ((String, String), Long), q: ((String, String), Long)): Int = {
+        val c0 = java.lang.Long.compare(q._2, p._2) // highest count wins
+        if (c0 != 0) c0
+        else {
+          val c1 = codePointCompare(p._1._1, q._1._1)
+          if (c1 != 0) c1 else codePointCompare(p._1._2, q._1._2)
+        }
+      }
+    }
+
   /** Reference trainer on plain collections — structurally independent
     * of the Spark implementation (used to write the oracle sidecar) and
     * CPython-pinned by BpeTrainSpec against the committed corpus. */
@@ -60,7 +91,7 @@ object BpeTrain {
         counts(p) = counts.getOrElse(p, 0L) + n
       if (counts.isEmpty) done = true
       else {
-        val ((a, b), best) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((a, b), best) = counts.min(pairTieOrdering)
         if (best < 2) done = true
         else {
           merges += ((a, b))

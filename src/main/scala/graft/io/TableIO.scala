@@ -78,6 +78,19 @@ object TableIO {
         m.group(5).toLong, m.group(6).toLong, snap)).toSeq
   }
 
+  /** lineageAt that refuses to read back empty for a snapshot the
+    * caller just validated — the manifest vanishing between the check
+    * and the read (concurrent expireSnapshots) or parsing to zero
+    * entries must be a loud failure, not a silently empty table
+    * (publishSnapshot never writes an empty manifest). */
+  private def lineageAtStrict(root: String, snap: Int): Seq[BucketLineage] = {
+    val lin = lineageAt(root, snap)
+    require(lin.nonEmpty,
+      s"snapshot $snap under $root/_snapshots validated but its manifest read back empty " +
+        "(concurrent expireSnapshots or a corrupt manifest?) — refusing to return an empty table")
+    lin
+  }
+
   /** Lineage from the LATEST snapshot. */
   def lineage(root: String): Seq[BucketLineage] = {
     val ids = snapshotIds(root)
@@ -313,7 +326,7 @@ object TableIO {
     recoverCompaction(root)
     require(snapshotIds(root).contains(asOfSnapshot),
       s"no snapshot $asOfSnapshot under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
-    bucketsDf(spark, root, lineageAt(root, asOfSnapshot).map(_.bucket)).as[ExtractedTurn]
+    bucketsDf(spark, root, lineageAtStrict(root, asOfSnapshot).map(_.bucket)).as[ExtractedTurn]
   }
 
   /** Incremental read — the rows ADDED between `fromSnap` (exclusive)
@@ -332,8 +345,8 @@ object TableIO {
     require(snapshotIds(root).contains(toSnap), s"no snapshot $toSnap under $root/_snapshots")
     require(fromSnap <= toSnap, s"readChanges range is backwards: $fromSnap > $toSnap")
     val before = if (fromSnap == -1) Set.empty[Int]
-                 else lineageAt(root, fromSnap).map(_.bucket).toSet
-    val added = lineageAt(root, toSnap).map(_.bucket).filterNot(before)
+                 else lineageAtStrict(root, fromSnap).map(_.bucket).toSet
+    val added = lineageAtStrict(root, toSnap).map(_.bucket).filterNot(before)
     bucketsDf(spark, root, added).as[ExtractedTurn]
   }
 

@@ -110,8 +110,13 @@ object Relational {
   private val resolveMemo =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](4, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size() > 2
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = size() > 2
+        // the cached frame is localCheckpoint'ed — release its storage
+        // blocks on eviction or a long-lived session leaks them until GC
+        if (evict) scala.util.Try(e.getValue.unpersist(false))
+        evict
+      }
     }
 
   private def resolveComponents(s: SparkSession, dir: String): DataFrame =
@@ -808,26 +813,35 @@ object Relational {
     }),
 
     // exact-form correlation/covariance: the five integer sums (n, Σx,
-    // Σy, Σxy, Σx², Σy²) aggregate exactly (order-independent), then
-    // corr/cov are ONE double formula each — engine-stable where the
-    // built-in streaming corr/covar kernels differ in low bits
+    // Σy, Σxy, Σx², Σy²) aggregate exactly (order-independent; summed
+    // as decimal(38,0) so Σx² cannot wrap a long at any SF — it is
+    // already ~2e16 at sf0.1 and grows ~linearly with rows), then each
+    // sum is cast to double ONCE and corr/cov are ONE double formula
+    // each — engine-stable where the built-in streaming corr/covar
+    // kernels differ in low bits. The oracle mirrors the cast placement
+    // exactly (DuckDB sums BIGINT as exact HUGEINT → CAST AS DOUBLE).
     "q_agg_corr" -> ((s, dir) => {
       val x = cents(col("value"))
       val y = length(col("props")).cast("long")
+      val dec = "decimal(38,0)"
       t(s, dir, "events")
         .select(col("event_type"), x.as("x"), y.as("y"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("event_type"), col("n"), col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+          col("sxy").cast("double").as("dsxy"),
+          col("sxx").cast("double").as("dsxx"), col("syy").cast("double").as("dsyy"))
         .select(col("event_type"), col("n"),
-          round((col("sxy") * col("n") - col("sx") * col("sy")) /
-            (col("n") * col("n")).cast("double"), 4).as("cov_pop"),
-          round((col("sxy") * col("n") - col("sx") * col("sy")) /
-            (sqrt((col("sxx") * col("n") - col("sx") * col("sx")).cast("double")) *
-             sqrt((col("syy") * col("n") - col("sy") * col("sy")).cast("double"))), 6)
+          round((col("dsxy") * col("nd") - col("dsx") * col("dsy")) /
+            (col("nd") * col("nd")), 4).as("cov_pop"),
+          round((col("dsxy") * col("nd") - col("dsx") * col("dsy")) /
+            (sqrt(col("dsxx") * col("nd") - col("dsx") * col("dsx")) *
+             sqrt(col("dsyy") * col("nd") - col("dsy") * col("dsy"))), 6)
             .as("corr"))
         .orderBy(col("event_type"))
     }),
@@ -1264,8 +1278,12 @@ object Relational {
   private val kmeansMemo =
     new java.util.LinkedHashMap[(SparkSession, String), (DataFrame, Array[Array[Long]])](4, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, Array[Array[Long]])]): Boolean =
-        size() > 2
+          e: java.util.Map.Entry[(SparkSession, String), (DataFrame, Array[Array[Long]])]): Boolean = {
+        val evict = size() > 2
+        // the fit holds a persisted vector dataset — release it on evict
+        if (evict) scala.util.Try(e.getValue._1.unpersist(false))
+        evict
+      }
     }
 
   private def kmeansFit(s: SparkSession, dir: String): DataFrame =
@@ -1820,14 +1838,19 @@ object Relational {
            SELECT event_type,
                   CAST(round(value * 100) AS BIGINT) AS x,
                   CAST(length(props) AS BIGINT) AS y
-           FROM events)
-         SELECT event_type, count(*) AS n,
-                round(CAST(sum(x*y) * count(*) - sum(x) * sum(y) AS DOUBLE) /
-                      CAST(count(*) * count(*) AS DOUBLE), 4) AS cov_pop,
-                round(CAST(sum(x*y) * count(*) - sum(x) * sum(y) AS DOUBLE) /
-                      (sqrt(CAST(sum(x*x) * count(*) - sum(x) * sum(x) AS DOUBLE)) *
-                       sqrt(CAST(sum(y*y) * count(*) - sum(y) * sum(y) AS DOUBLE))), 6) AS corr
-         FROM b GROUP BY event_type ORDER BY event_type""",
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x*y) AS DOUBLE) AS sxy,
+                  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy
+           FROM b GROUP BY event_type)
+         SELECT event_type, n,
+                round((sxy * nd - sx * sy) / (nd * nd), 4) AS cov_pop,
+                round((sxy * nd - sx * sy) /
+                      (sqrt(sxx * nd - sx * sx) * sqrt(syy * nd - sy * sy)), 6) AS corr
+         FROM s ORDER BY event_type""",
     "q_window_ntile" ->
       """SELECT user_id, event_id,
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
