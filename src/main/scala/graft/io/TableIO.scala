@@ -32,7 +32,7 @@ object TableIO {
 
   final case class BucketLineage(
       bucket: Int, rows: Long, minKey: String, maxKey: String,
-      errorRows: Long, wallMs: Long, snapshotId: Int)
+      errorRows: Long, wallMs: Long, snapshotId: Int, version: Int = 0)
 
   def bucketOf(convIdCol: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(convIdCol), lit(buckets)).cast("int")
@@ -71,11 +71,15 @@ object TableIO {
   def lineageAt(root: String, snap: Int): Seq[BucketLineage] = {
     val f = snapDir(root).resolve(s"snap-$snap.json")
     if (!Files.isRegularFile(f)) return Nil
+    // "version" is optional in the entry (pre-merge manifests lack it →
+    // version 0, the bytes that have always lived at bucket=<b>)
     val entry = ("\\{\"bucket\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+),\\s*\"minKey\":\\s*\"([^\"]*)\"," +
-      "\\s*\"maxKey\":\\s*\"([^\"]*)\",\\s*\"errorRows\":\\s*(\\d+),\\s*\"wallMs\":\\s*(\\d+)\\}").r
+      "\\s*\"maxKey\":\\s*\"([^\"]*)\",\\s*\"errorRows\":\\s*(\\d+),\\s*\"wallMs\":\\s*(\\d+)" +
+      "(?:,\\s*\"version\":\\s*(\\d+))?\\}").r
     entry.findAllMatchIn(Files.readString(f)).map(m =>
       BucketLineage(m.group(1).toInt, m.group(2).toLong, m.group(3), m.group(4),
-        m.group(5).toLong, m.group(6).toLong, snap)).toSeq
+        m.group(5).toLong, m.group(6).toLong, snap,
+        Option(m.group(7)).map(_.toInt).getOrElse(0))).toSeq
   }
 
   /** lineageAt that refuses to read back empty for a snapshot the
@@ -179,7 +183,7 @@ object TableIO {
     val prev = lineage(root).filter(l => !newLineage.exists(_.bucket == l.bucket))
     val all = (prev ++ newLineage).sortBy(_.bucket)
     val body = all.map(l =>
-      s"""{"bucket": ${l.bucket}, "rows": ${l.rows}, "minKey": "${l.minKey}", "maxKey": "${l.maxKey}", "errorRows": ${l.errorRows}, "wallMs": ${l.wallMs}}""")
+      s"""{"bucket": ${l.bucket}, "rows": ${l.rows}, "minKey": "${l.minKey}", "maxKey": "${l.maxKey}", "errorRows": ${l.errorRows}, "wallMs": ${l.wallMs}, "version": ${l.version}}""")
       .mkString("[\n  ", ",\n  ", "\n]")
     val tmp = snapDir(root).resolve(s".snap-$id.json.tmp")
     Files.writeString(tmp, s"""{"snapshot": $id, "committed": $body}""")
@@ -292,6 +296,7 @@ object TableIO {
       buckets: Int = 32): Dataset[ExtractedTurn] = {
     import spark.implicits._
     recoverCompaction(root) // a crashed compaction must not read as a miss
+    recoverMerge(root)      // nor a crashed merge as unpublished data
     val b = bucketIdOf(convId, buckets)
     val dir = Paths.get(root, s"bucket=$b")
     val hasData = listDir(dir).exists(_.getFileName.toString.endsWith(".parquet"))
@@ -304,6 +309,7 @@ object TableIO {
   def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
     recoverCompaction(root) // restore any bucket parked by a crashed compaction
+    recoverMerge(root)      // roll back any merge that died before its publish
     spark.read.option("basePath", root).parquet(root)
       .drop("bucket")
       .as[ExtractedTurn]
@@ -324,15 +330,20 @@ object TableIO {
       asOfSnapshot: Int): Dataset[ExtractedTurn] = {
     import spark.implicits._
     recoverCompaction(root)
+    recoverMerge(root)
     require(snapshotIds(root).contains(asOfSnapshot),
       s"no snapshot $asOfSnapshot under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
-    bucketsDf(spark, root, lineageAtStrict(root, asOfSnapshot).map(_.bucket)).as[ExtractedTurn]
+    versionedDf(spark, root, lineageAtStrict(root, asOfSnapshot)).as[ExtractedTurn]
   }
 
-  /** Incremental read — the rows ADDED between `fromSnap` (exclusive)
-    * and `toSnap` (inclusive), from the manifest diff: buckets named by
-    * snap-to but not snap-from. Compaction-only snapshots contribute
-    * nothing (their buckets already appear in the from-manifest), so a
+  /** Incremental read — the rows added OR rewritten between `fromSnap`
+    * (exclusive) and `toSnap` (inclusive), from the manifest diff:
+    * (bucket, version) pairs named by snap-to but not snap-from. A
+    * bucket first committed in the window arrives whole; a bucket
+    * MERGED in the window arrives as its post-merge version (bucket-
+    * level change granularity, like Iceberg's incremental read over
+    * overwrite snapshots). Compaction-only snapshots contribute nothing
+    * (compaction re-packs bytes without bumping the version), so a
     * downstream consumer polling readChanges never re-sees re-packed
     * rows. `fromSnap = -1` means "from before the first snapshot" and
     * yields the whole table at `toSnap`. */
@@ -340,46 +351,198 @@ object TableIO {
       toSnap: Int): Dataset[ExtractedTurn] = {
     import spark.implicits._
     recoverCompaction(root)
+    recoverMerge(root)
     require(fromSnap == -1 || snapshotIds(root).contains(fromSnap),
       s"no snapshot $fromSnap under $root/_snapshots")
     require(snapshotIds(root).contains(toSnap), s"no snapshot $toSnap under $root/_snapshots")
     require(fromSnap <= toSnap, s"readChanges range is backwards: $fromSnap > $toSnap")
-    val before = if (fromSnap == -1) Set.empty[Int]
-                 else lineageAtStrict(root, fromSnap).map(_.bucket).toSet
-    val added = lineageAtStrict(root, toSnap).map(_.bucket).filterNot(before)
-    bucketsDf(spark, root, added).as[ExtractedTurn]
+    val before: Set[(Int, Int)] =
+      if (fromSnap == -1) Set.empty
+      else lineageAtStrict(root, fromSnap).map(l => (l.bucket, l.version)).toSet
+    val added = lineageAtStrict(root, toSnap).filterNot(l => before((l.bucket, l.version)))
+    versionedDf(spark, root, added).as[ExtractedTurn]
   }
 
-  /** The named buckets as one DataFrame with the `bucket` partition
-    * column dropped (empty set / all-empty buckets → empty result with
-    * the ExtractedTurn schema). */
-  private def bucketsDf(spark: SparkSession, root: String,
-      buckets: Seq[Int]): org.apache.spark.sql.DataFrame = {
+  /** The manifest entries as one DataFrame, resolving each (bucket,
+    * version) to its bytes: the live dir when the version is current,
+    * else the copy-on-write archive `_archive/bucket=<b>/v<k>` that the
+    * merge parked it in. Leaf dirs are read WITHOUT basePath so no
+    * partition column is inferred (archive paths sit at a different
+    * depth than live ones; the data files carry the full row schema).
+    * Empty set / all-empty buckets → empty result with the
+    * ExtractedTurn schema. */
+  private def versionedDf(spark: SparkSession, root: String,
+      entries: Seq[BucketLineage]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Encoders
-    val dirs = buckets.sorted.map(b => Paths.get(root, s"bucket=$b"))
-      .filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
+    val current = lineage(root).map(l => l.bucket -> l.version).toMap
+    val dirs = entries.sortBy(_.bucket).map { l =>
+      if (current.getOrElse(l.bucket, l.version) == l.version)
+        Paths.get(root, s"bucket=${l.bucket}")
+      else archiveDir(root, l.bucket, l.version)
+    }.filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Encoders.product[ExtractedTurn].schema)
     else
-      spark.read.option("basePath", root).parquet(dirs.map(_.toString): _*)
-        .drop("bucket")
+      spark.read.parquet(dirs.map(_.toString): _*)
+  }
+
+  private def archiveDir(root: String, bucket: Int, version: Int) =
+    Paths.get(root, "_archive", s"bucket=$bucket", s"v$version")
+
+  /** Row-level MERGE (upsert) — the engine analog of the reference's
+    * re-POST-a-folder workflow (re-running extraction over a corrected
+    * subset overwrites per-doc results, scripts/app_interaction/
+    * test_app_all.py:113-132 save_result): rows in `updates` REPLACE
+    * table rows with the same (conv_id, turn_idx) key; unmatched update
+    * rows are inserted into their hash bucket.
+    *
+    * Copy-on-write by bucket: only the buckets the update keys hash to
+    * are rewritten (1/B of the table per touched bucket at any scale —
+    * the update join streams against just those buckets' rows, never
+    * the full table), each in a NEW version, with the replaced version
+    * atomically parked under `_archive/bucket=<b>/v<old>` so snapshot
+    * time travel still reads the exact pre-merge bytes. The manifest
+    * entry pins (bucket, version); `versionedDf` resolves old versions
+    * to the archive. Crash safety: the archive move happens before the
+    * staged move-in and the snapshot publish is last, so `recoverMerge`
+    * (run on every entry) can always restore the pre-merge state — an
+    * archive dir at the CURRENT manifest version is the in-flight-merge
+    * marker (a published merge always leaves the archive strictly
+    * behind the manifest version).
+    *
+    * Buckets not named by the latest manifest are committed as
+    * update-only buckets (the merge upserts into the table "as
+    * committed"; an in-progress writeExtracted resume wave skips them
+    * like any committed bucket). Returns the new lineage rows. */
+  def mergeExtracted(updates: Dataset[ExtractedTurn], root: String,
+      buckets: Int = 32): Seq[BucketLineage] = {
+    val spark = updates.sparkSession
+    recoverCompaction(root)
+    recoverMerge(root)
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"mergeExtracted needs an existing table under $root (write waves first)")
+    val lin = lineage(root).map(l => l.bucket -> l).toMap
+    val t0 = System.currentTimeMillis()
+    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .localCheckpoint(true) // updates are read 3× below (keys, union, count)
+    // affected buckets: bounded by B — a driver-side list, not data
+    val affected = upd.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) { upd.unpersist(); return Nil }
+    val committedAffected = affected.filter(b => lin.contains(b) &&
+      listDir(Paths.get(root, s"bucket=$b"))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val existing =
+      if (committedAffected.isEmpty) None
+      else Some(spark.read.parquet(
+        committedAffected.map(b => s"$root/bucket=$b"): _*)
+        .withColumn("bucket", bucketOf(col("conv_id"), buckets)))
+    val keep = existing.map(
+      _.join(upd.select(col("conv_id"), col("turn_idx")).distinct(),
+        Seq("conv_id", "turn_idx"), "left_anti"))
+    val merged = keep match {
+      case Some(k) => k.unionByName(upd.select(k.columns.toIndexedSeq.map(col): _*))
+      case None    => upd
+    }
+    val staged = Paths.get(root, "_staging", "merge")
+    deleteRecursively(staged)
+    merged
+      .repartition(affected.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged.toString)
+    upd.unpersist()
+    // swap: archive the replaced version FIRST, then move the staged
+    // bucket in; the snapshot publish below is the commit point
+    for (b <- affected) {
+      val live = Paths.get(root, s"bucket=$b")
+      val src = staged.resolve(s"bucket=$b")
+      if (lin.contains(b) && Files.isDirectory(live)) {
+        val arch = archiveDir(root, b, lin(b).version)
+        Files.createDirectories(arch.getParent)
+        Files.move(live, arch, StandardCopyOption.ATOMIC_MOVE)
+      } else if (Files.exists(live)) {
+        deleteRecursively(live) // uncommitted partial from a crashed wave
+      }
+      if (Files.isDirectory(src))
+        Files.move(src, live, StandardCopyOption.ATOMIC_MOVE)
+      else Files.createDirectories(live)
+    }
+    deleteRecursively(staged)
+    // lineage from the durable post-merge files (same read-back
+    // discipline as writeExtracted)
+    val nonEmpty = affected.filter(b =>
+      listDir(Paths.get(root, s"bucket=$b"))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val rows: Map[Int, (Long, String, String, Long)] =
+      if (nonEmpty.isEmpty) Map.empty
+      else spark.read.option("basePath", root)
+        .parquet(nonEmpty.map(b => s"$root/bucket=$b"): _*)
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toMap
+    val wallMs = System.currentTimeMillis() - t0
+    val snapId = snap + 1
+    val newLin = affected.map { b =>
+      val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+      BucketLineage(b, n, lo, hi, e, wallMs, snapId,
+        lin.get(b).map(_.version + 1).getOrElse(0))
+    }
+    publishSnapshot(root, snapId, newLin)
+    newLin
+  }
+
+  /** Roll back any merge that crashed before its snapshot publish: an
+    * archive dir at a bucket's CURRENT manifest version means the live
+    * dir holds unpublished merge bytes (or is missing) — delete what's
+    * live and restore the archived version. Published merges always
+    * leave archives strictly BELOW the manifest version, so this never
+    * touches a committed state. Also clears merge staging leftovers. */
+  def recoverMerge(root: String): Unit = {
+    val staging = Paths.get(root, "_staging", "merge")
+    if (Files.exists(staging)) deleteRecursively(staging)
+    if (!Files.isDirectory(Paths.get(root, "_archive"))) return
+    for (l <- lineage(root)) {
+      val arch = archiveDir(root, l.bucket, l.version)
+      if (Files.isDirectory(arch)) {
+        val live = Paths.get(root, s"bucket=${l.bucket}")
+        deleteRecursively(live)
+        Files.move(arch, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
   }
 
   /** Snapshot retention (Iceberg's expire_snapshots): drop snapshot
     * manifests older than the newest `keep`, so time travel's window is
     * bounded and the _snapshots dir doesn't grow forever under
-    * streaming ingest. Data files are untouched — every bucket named by
-    * a surviving manifest stays readable (this layout shares bucket
-    * dirs across snapshots, so there are no orphan data files to
-    * vacuum; the parallel of Iceberg's remove_orphan_files is the
-    * _staging cleanup recoverCompaction already does). Never drops the
-    * latest snapshot. Returns the expired snapshot ids. */
+    * streaming ingest. Live data files are untouched — every bucket
+    * named by a surviving manifest stays readable. Archived bucket
+    * versions (parked by merges for time travel) whose every
+    * referencing manifest has expired ARE vacuumed — the parallel of
+    * Iceberg's remove_orphan_files. Never drops the latest snapshot.
+    * Returns the expired snapshot ids. */
   def expireSnapshots(root: String, keep: Int = 5): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val ids = snapshotIds(root)
     val expire = ids.dropRight(keep)
     for (id <- expire) Files.deleteIfExists(snapDir(root).resolve(s"snap-$id.json"))
+    // vacuum archive versions no surviving manifest references
+    val archRoot = Paths.get(root, "_archive")
+    if (Files.isDirectory(archRoot)) {
+      val referenced: Set[(Int, Int)] = snapshotIds(root)
+        .flatMap(id => lineageAt(root, id).map(l => (l.bucket, l.version))).toSet
+      for (bdir <- listDir(archRoot);
+           bname = bdir.getFileName.toString if bname.startsWith("bucket=");
+           vdir <- listDir(bdir); vname = vdir.getFileName.toString
+           if vname.startsWith("v")) {
+        val key = (bname.stripPrefix("bucket=").toInt, vname.stripPrefix("v").toInt)
+        if (!referenced(key)) deleteRecursively(vdir)
+      }
+    }
     expire
   }
 

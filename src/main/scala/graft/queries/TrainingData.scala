@@ -74,6 +74,10 @@ object TrainingData {
   val streamJoinFullPath  = s"$oracleRoot/stream_join_full_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
+  val tablePath           = s"$oracleRoot/merge_table"
+  val tableInitialPath    = s"$oracleRoot/table_initial"
+  val tableWave1Path      = s"$oracleRoot/table_wave1"
+  val tableUpdatesPath    = s"$oracleRoot/table_updates"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -157,7 +161,93 @@ object TrainingData {
       }
     }
 
+  /** The Iceberg-lite merge/time-travel/CDC story as ORACLED queries:
+    * build a real bucketed table in two waves from the extraction
+    * pipeline, capture the wave-1 and pre-merge snapshots, upsert a
+    * deterministic corrected subset via TableIO.mergeExtracted, and
+    * dump the pre-merge states + the update set as sidecars BEFORE the
+    * merge rewrites anything — so the DuckDB oracle can reconstruct the
+    * post-merge table (anti-join ∪ updates), the as-of state, and the
+    * wave-diff independently of the engine's manifest/archive machinery
+    * under the driver's hash gate. Memoized per session: three queries
+    * share one build. */
+  private case class TableBuild(root: String, snapWave1: Int, snapPre: Int, snapPost: Int)
+  private val tableMemo =
+    new java.util.LinkedHashMap[SparkSession, TableBuild](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, TableBuild]): Boolean = size() > 2
+    }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+
+  private def buildMergeTable(s: SparkSession): TableBuild =
+    tableMemo.synchronized {
+      val cached = tableMemo.get(s)
+      if (cached != null) cached
+      else {
+        import s.implicits._
+        import graft.io.TableIO
+        val extracted = graft.pipeline.Pipeline
+          .extractTurnsSalted(genWithSidecar(s), 32)
+        deleteRec(java.nio.file.Paths.get(tablePath))
+        TableIO.writeExtracted(extracted, tablePath, buckets = 8, waves = 2,
+          stopAfterWaves = 1)
+        val (snapWave1, _) = TableIO.committed(tablePath)
+        TableIO.writeExtracted(extracted, tablePath, buckets = 8, waves = 2)
+        val (snapPre, _) = TableIO.committed(tablePath)
+        // pre-merge sidecars (oracle inputs) — dumped before the merge
+        flat(TableIO.readExtracted(s, tablePath).toDF).coalesce(1)
+          .write.mode("overwrite").parquet(tableInitialPath)
+        flat(TableIO.readExtracted(s, tablePath, snapWave1).toDF).coalesce(1)
+          .write.mode("overwrite").parquet(tableWave1Path)
+        // the corrected subset: every conv whose hash lands in class 0
+        // (deterministic, ~1/4 of convs), score corrected +1000
+        val updates = TableIO.readExtracted(s, tablePath)
+          .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 0)
+          .map(t => t.copy(total_score = t.total_score + 1000))
+        flat(updates.toDF).coalesce(1)
+          .write.mode("overwrite").parquet(tableUpdatesPath)
+        TableIO.mergeExtracted(updates, tablePath, buckets = 8)
+        val (snapPost, _) = TableIO.committed(tablePath)
+        val b = TableBuild(tablePath, snapWave1, snapPre, snapPost)
+        tableMemo.put(s, b)
+        b
+      }
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Row-level MERGE (copy-on-write upsert by bucket) — the post-merge
+    // table; oracle reconstructs it as initial ANTI-JOIN updates ∪
+    // updates over the pre-merge sidecars
+    "q_table_merge" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
+    }),
+
+    // Snapshot time travel THROUGH the merge: the as-of-pre-merge read
+    // resolves the archived bucket versions the merge parked — hash-
+    // compared against the state dumped before the merge ran
+    "q_table_asof" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapPre).toDF)
+    }),
+
+    // Incremental/CDC read: ONLY the rows added between the wave-1 and
+    // wave-2 snapshots (manifest (bucket,version) diff — and since the
+    // later merge re-versioned every bucket, this read resolves the
+    // wave-2 bytes from the archive); oracle = full-table diff of the
+    // two dumped states
+    "q_table_changes" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readChanges(s, b.root, b.snapWave1, b.snapPre).toDF)
+    }),
 
     // The extraction pipeline itself as a registered query (flagship
     // operator) — oracled against the generator's ground-truth sidecar.
@@ -490,7 +580,33 @@ object TrainingData {
     * is written by the query run itself, before the driver's DuckDB
     * pass). q_media_agg recomputes from documents.parquet from first
     * principles — kind/bytes/duration formulas mirrored in SQL. */
+  private val flatCols =
+    """conv_id, turn_idx, subject, grade, variant, participant_code,
+       total_score, extracted_text, scores_json, offsets_json,
+       errors_json, warnings_json"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_table_merge" ->
+      s"""SELECT $flatCols
+          FROM read_parquet('$tableInitialPath/*.parquet') t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+            WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+          UNION ALL
+          SELECT $flatCols
+          FROM read_parquet('$tableUpdatesPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_table_asof" ->
+      s"""SELECT $flatCols
+          FROM read_parquet('$tableInitialPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_table_changes" ->
+      s"""SELECT $flatCols
+          FROM read_parquet('$tableInitialPath/*.parquet') t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableWave1Path/*.parquet') w
+            WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
+          ORDER BY conv_id, turn_idx""",
     "q_extract_pipeline" ->
       s"""SELECT conv_id, turn_idx, subject, grade, variant, participant_code,
             total_score, extracted_text, scores_json, offsets_json,

@@ -275,4 +275,147 @@ class ResumeSpec extends SparkSuite {
     val again = TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
     assert(again.isEmpty)
   }
+
+  test("row-level merge: replaces matched keys, inserts new rows, time travel stays exact") {
+    import spark.implicits._
+    val root = freshDir("graft-merge")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    val preVersions = TableIO.lineage(root).map(l => l.bucket -> l.version).toMap
+    assert(preVersions.values.forall(_ == 0))
+
+    // updates: every 3rd conv re-extracted with a corrected score, plus
+    // one brand-new conv (pure insert)
+    val corrected = ds.filter(t => math.abs(t.conv_id.hashCode % 3) == 0)
+      .map(t => t.copy(total_score = t.total_score + 1000))
+    assert(corrected.count() > 0)
+    val insert = spark.createDataset(Seq(ExtractedTurn(
+      "zzz-merge-insert", 0, None, None, None, None, 7,
+      Seq(), "inserted row", Seq(), None, None)))
+    val updates = corrected.union(insert)
+
+    val newLin = TableIO.mergeExtracted(updates, root, buckets = 8)
+    val (postSnap, _) = TableIO.committed(root)
+    assert(postSnap > preSnap)
+    // every affected committed bucket bumped to version 1
+    assert(newLin.forall(l => l.version == preVersions.getOrElse(l.bucket, -1) + 1
+      || (l.version == 0 && !preVersions.contains(l.bucket))))
+
+    // merged content == (before minus matched keys) ∪ updates
+    val updKeys = updates.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val beforeRows = ds.collect().toSeq
+    val expected = (beforeRows.filterNot(t => updKeys((t.conv_id, t.turn_idx))) ++
+      updates.collect().toSeq)
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(dump(root) == expected)
+
+    // time travel to the pre-merge snapshot reads the archived bytes
+    assert(TableIO.readExtracted(spark, root, preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == before)
+
+    // incremental read over the merge window = the affected buckets'
+    // post-merge content (bucket-level change granularity)
+    val changed = TableIO.readChanges(spark, root, preSnap, postSnap)
+      .collect().map(Json.turnJson).toSet
+    val mergedAll = dump(root).toSet
+    assert(changed.subsetOf(mergedAll))
+    assert(updates.collect().map(Json.turnJson).toSet.subsetOf(changed),
+      "every update row must appear in the merge-window changes")
+
+    // point lookup sees the post-merge row
+    val someUpdated = corrected.head()
+    val found = TableIO.lookupConv(spark, root, someUpdated.conv_id, buckets = 8)
+      .filter(_.turn_idx == someUpdated.turn_idx).head()
+    assert(found.total_score == someUpdated.total_score)
+    assert(TableIO.lookupConv(spark, root, "zzz-merge-insert", buckets = 8).count() == 1)
+  }
+
+  test("merge then compaction: as-of-pre-merge survives both") {
+    import spark.implicits._
+    val root = freshDir("graft-merge-compact")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    val updates = ds.filter(t => math.abs(t.conv_id.hashCode % 4) == 0)
+      .map(t => t.copy(total_score = 0))
+    TableIO.mergeExtracted(updates, root, buckets = 8)
+    val after = dump(root)
+    // shatter one merged bucket then compact it
+    val b = TableIO.lineage(root).filter(_.version > 0).map(_.bucket).min
+    import scala.jdk.CollectionConverters._
+    def deleteRec(p: java.nio.file.Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val live = Paths.get(root, s"bucket=$b")
+    val tmp = Paths.get(root, "_staging", s"shatter-$b")
+    spark.read.parquet(live.toString).repartition(12)
+      .write.mode("overwrite").parquet(tmp.toString)
+    deleteRec(live); Files.move(tmp, live)
+    assert(TableIO.compact(spark, root, maxFiles = 8) == Seq(b))
+    assert(dump(root) == after, "compaction after merge must preserve merged content")
+    assert(TableIO.readExtracted(spark, root, preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == before,
+      "pre-merge time travel must survive compaction of the merged bucket")
+  }
+
+  test("a merge crashed before its snapshot publish rolls back cleanly") {
+    import spark.implicits._
+    val root = freshDir("graft-merge-crash")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val before = dump(root)
+    // manufacture the crash window: live bucket archived at its CURRENT
+    // manifest version, unpublished merge bytes (garbage) live
+    val b = TableIO.lineage(root).head.bucket
+    val live = Paths.get(root, s"bucket=$b")
+    val arch = Paths.get(root, "_archive", s"bucket=$b", "v0")
+    Files.createDirectories(arch.getParent)
+    Files.move(live, arch)
+    Files.createDirectories(live)
+    Files.writeString(live.resolve("unpublished.parquet"), "not parquet")
+    // any entry point runs recoverMerge and restores the pre-merge state
+    assert(dump(root) == before)
+    assert(!Files.exists(arch), "in-flight archive must be restored, not kept")
+    // and a fresh merge over the recovered table works
+    val updates = ds.limit(5).map(t => t.copy(total_score = 1))
+    val u0 = updates.head()
+    TableIO.mergeExtracted(updates, root, buckets = 8)
+    val got = TableIO.lookupConv(spark, root, u0.conv_id, buckets = 8)
+      .filter(_.turn_idx == u0.turn_idx).head()
+    assert(got.total_score == 1)
+  }
+
+  test("retention vacuums archive versions no surviving manifest references") {
+    import spark.implicits._
+    val root = freshDir("graft-merge-expire")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val updates = ds.limit(20).map(t => t.copy(total_score = 0))
+    TableIO.mergeExtracted(updates, root, buckets = 8)
+    val after = dump(root)
+    val archRoot = Paths.get(root, "_archive")
+    assert(Files.isDirectory(archRoot) && TableIO.snapshotIds(root).size >= 3)
+    // while the pre-merge manifest survives, its archive must too
+    TableIO.expireSnapshots(root, keep = 2) // keeps pre-merge + merge snaps
+    assert(TableIO.readExtracted(spark, root, preSnap).count() > 0)
+    // expire down to the merge snapshot only → archives orphaned → vacuumed
+    TableIO.expireSnapshots(root, keep = 1)
+    import scala.jdk.CollectionConverters._
+    val leftoverVersions = {
+      if (!Files.isDirectory(archRoot)) Nil
+      else {
+        val s = Files.walk(archRoot)
+        try s.iterator().asScala.filter(p =>
+          p.getFileName.toString.endsWith(".parquet")).toSeq
+        finally s.close()
+      }
+    }
+    assert(leftoverVersions.isEmpty, s"orphan archive files survived: $leftoverVersions")
+    intercept[IllegalArgumentException] { TableIO.readExtracted(spark, root, preSnap) }
+    assert(dump(root) == after, "latest state must be untouched by the vacuum")
+  }
 }
