@@ -109,13 +109,24 @@ object TableIO {
       root: String,
       buckets: Int = 32,
       waves: Int = 4,
+      stopAfterWaves: Int = Int.MaxValue): Seq[BucketLineage] =
+    writeExtractedDf(ds.toDF(), root, buckets, waves, stopAfterWaves)
+
+  /** The untyped face of writeExtracted — for waves written AFTER a
+    * schema evolution, whose frames carry the added columns (the typed
+    * face delegates here). Requires conv_id/turn_idx/errors columns. */
+  def writeExtractedDf(
+      df: org.apache.spark.sql.DataFrame,
+      root: String,
+      buckets: Int = 32,
+      waves: Int = 4,
       stopAfterWaves: Int = Int.MaxValue): Seq[BucketLineage] = {
-    val spark = ds.sparkSession
+    val spark = df.sparkSession
     Files.createDirectories(snapDir(root))
     val (lastSnap, done) = committed(root)
     var snapId = lastSnap
     val written = Seq.newBuilder[BucketLineage]
-    val withBucket = ds.withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val withBucket = df.withColumn("bucket", bucketOf(col("conv_id"), buckets))
 
     for (wave <- 0 until math.min(waves, stopAfterWaves)) {
       val waveBuckets = (0 until buckets).filter(b => b % waves == wave && !done.contains(b))
@@ -441,8 +452,11 @@ object TableIO {
     val keep = existing.map(
       _.join(upd.select(col("conv_id"), col("turn_idx")).distinct(),
         Seq("conv_id", "turn_idx"), "left_anti"))
+    // allowMissingColumns: typed updates merged into a schema-EVOLVED
+    // table lack the added columns — they land as null, which readTable
+    // presents as the column default (NOT-NULL-with-default contract)
     val merged = keep match {
-      case Some(k) => k.unionByName(upd.select(k.columns.toIndexedSeq.map(col): _*))
+      case Some(k) => k.unionByName(upd, allowMissingColumns = true)
       case None    => upd
     }
     val staged = Paths.get(root, "_staging", "merge")
@@ -544,6 +558,96 @@ object TableIO {
       }
     }
     expire
+  }
+
+  // ---------------------------------------------------------------
+  // Schema evolution (add-column-with-default)
+  // ---------------------------------------------------------------
+
+  final case class AddedColumn(
+      name: String, ddlType: String, defaultSql: String, sinceSnapshot: Int)
+
+  private def schemaFile(root: String) = Paths.get(root, "_schema.json")
+
+  /** Columns added by schema evolution, in add order. */
+  def addedColumns(root: String): Seq[AddedColumn] = {
+    val f = schemaFile(root)
+    if (!Files.isRegularFile(f)) return Nil
+    val entry = ("\\{\"name\":\\s*\"([^\"]+)\",\\s*\"type\":\\s*\"([^\"]+)\"," +
+      "\\s*\"default\":\\s*\"([^\"]*)\",\\s*\"sinceSnapshot\":\\s*(-?\\d+)\\}").r
+    entry.findAllMatchIn(Files.readString(f)).map(m =>
+      AddedColumn(m.group(1), m.group(2), m.group(3), m.group(4).toInt)).toSeq
+  }
+
+  /** Add a column with a default to the table schema — Iceberg's
+    * add-column contract under this layout: NO data files are touched;
+    * the column is recorded in `_schema.json` with the snapshot it was
+    * added after, and `readTable` projects it at read time — files
+    * written before the evolution read as the default (the column's
+    * initial-default, applied when the file lacks the column OR holds
+    * null there: an added column is NOT-NULL-with-default by contract,
+    * which keeps old and new files indistinguishable to the reader).
+    * Snapshots at or before `sinceSnapshot` keep the OLD schema — time
+    * travel reads them without the column. `defaultSql` is a SQL
+    * literal (e.g. "'unscored'", "0"). Returns the recorded
+    * sinceSnapshot. */
+  def evolveSchema(root: String, name: String, ddlType: String,
+      defaultSql: String): Int = {
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"evolveSchema needs an existing table under $root")
+    val base = org.apache.spark.sql.Encoders.product[ExtractedTurn].schema.fieldNames.toSet
+    require(!base.contains(name), s"column $name already exists in the base schema")
+    require(!addedColumns(root).exists(_.name == name), s"column $name already added")
+    // validate the type DDL eagerly — a typo must fail here, not at read
+    org.apache.spark.sql.types.DataType.fromDDL(ddlType)
+    val all = addedColumns(root) :+ AddedColumn(name, ddlType, defaultSql, snap)
+    val body = all.map(c =>
+      s"""{"name": "${c.name}", "type": "${c.ddlType}", "default": "${c.defaultSql}", "sinceSnapshot": ${c.sinceSnapshot}}""")
+      .mkString("[\n  ", ",\n  ", "\n]")
+    val tmp = Paths.get(root, "_schema.json.tmp")
+    Files.writeString(tmp, s"""{"schema": $body}""")
+    Files.move(tmp, schemaFile(root), StandardCopyOption.REPLACE_EXISTING)
+    snap
+  }
+
+  /** Read the table under its EVOLVED schema (current, or as of a
+    * snapshot): base ExtractedTurn columns plus every added column
+    * visible at that snapshot (added strictly BEFORE it — a snapshot at
+    * or before the evolution keeps the old schema). Files lacking an
+    * added column — or holding null in it — read as the column's
+    * default, so pre-evolution buckets and post-evolution waves present
+    * one uniform schema. */
+  def readTable(spark: SparkSession, root: String,
+      asOfSnapshot: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    recoverCompaction(root)
+    recoverMerge(root)
+    val visible = asOfSnapshot match {
+      case None => addedColumns(root)
+      case Some(s) =>
+        require(snapshotIds(root).contains(s),
+          s"no snapshot $s under $root/_snapshots")
+        addedColumns(root).filter(_.sinceSnapshot < s)
+    }
+    val baseSchema = org.apache.spark.sql.Encoders.product[ExtractedTurn].schema
+    val full = visible.foldLeft(baseSchema)((sc, c) =>
+      sc.add(c.name, org.apache.spark.sql.types.DataType.fromDDL(c.ddlType)))
+    val entries = asOfSnapshot match {
+      case None    => lineage(root)
+      case Some(s) => lineageAtStrict(root, s)
+    }
+    val current = lineage(root).map(l => l.bucket -> l.version).toMap
+    val dirs = entries.sortBy(_.bucket).map { l =>
+      if (current.getOrElse(l.bucket, l.version) == l.version)
+        Paths.get(root, s"bucket=${l.bucket}")
+      else archiveDir(root, l.bucket, l.version)
+    }.filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
+    val base =
+      if (dirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
+      else spark.read.schema(full).parquet(dirs.map(_.toString): _*)
+    visible.foldLeft(base)((df, c) =>
+      df.withColumn(c.name, coalesce(col(c.name), expr(c.defaultSql).cast(
+        org.apache.spark.sql.types.DataType.fromDDL(c.ddlType)))))
   }
 
   /** Idempotent micro-batch commit — the foreachBatch sink contract:

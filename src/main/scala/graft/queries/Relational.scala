@@ -320,6 +320,27 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Time-RANGE window frame — the rolling 7-day per-user count/sum
+    // every transcript table gets asked for: the frame is defined by
+    // VALUE distance on event time (epoch seconds), not row position,
+    // so same-timestamp peers enter the frame together in both engines
+    // and row-order ties cannot matter. The per-row output key
+    // (user_id, event_id) is unique, so the hash compare is total.
+    "q_window_timerange" -> ((s, dir) => {
+      val sevenDays = 7L * 86400
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-sevenDays, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          cents(col("value")).as("c"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          count(lit(1)).over(w).as("n_7d"),
+          sum(col("c")).over(w).as("cents_7d"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // O4 — first-element-per-group (first-page analog)
     "q_first_per_group" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1575,6 +1596,19 @@ object Relational {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_window_timerange" ->
+      """WITH b AS (
+           SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events WHERE user_id < 20)
+         SELECT user_id, event_id, ts_s,
+                count(*) OVER w AS n_7d,
+                CAST(sum(c) OVER w AS BIGINT) AS cents_7d
+         FROM b
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "q_first_per_group" ->
       """SELECT user_id, event_type AS first_type FROM (
            SELECT user_id, event_type,

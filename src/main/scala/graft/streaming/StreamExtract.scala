@@ -262,26 +262,39 @@ object StreamExtract {
     * materializes in a batch AFTER the watermark advanced (outer-join
     * null tails, state timeouts). */
   def runPhased(df: DataFrame, queryName: String, outputMode: OutputMode)
-      (phases: (() => Unit)*): DataFrame = {
+      (phases: (() => Unit)*): DataFrame =
+    runPhasedMulti(Seq((df, queryName, outputMode)))(phases: _*).head
+
+  /** Drive SEVERAL streaming queries over one source through one shared
+    * phase loop (start all → drain all → phase → drain all → …): the
+    * outer/full/inner interval joins read the same corpus and need the
+    * same sentinel-flush rounds, so sharing the drive pays the corpus
+    * write, session-conf window, and phase appends once instead of per
+    * query. Returns the memory-sink tables in input order. */
+  def runPhasedMulti(queries: Seq[(DataFrame, String, OutputMode)])
+      (phases: (() => Unit)*): Seq[DataFrame] = {
+    require(queries.nonEmpty, "no queries to drive")
     // Stateful streaming cost at tiny oracle scale is dominated by
     // state-store count (one per shuffle partition per stateful op per
     // side per micro-batch), not data: pin a small shuffle width for
-    // the harness query. Production callers size shuffle partitions to
+    // the harness drive. Production callers size shuffle partitions to
     // the cluster as usual — this touches only the session-conf window
     // around THIS bounded drive.
-    val spark = df.sparkSession
+    val spark = queries.head._1.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(outputMode)
-        .start()
-      q.processAllAvailable()
-      for (p <- phases) { p(); q.processAllAvailable() }
-      q.stop()
+      val started = queries.map { case (df, name, mode) =>
+        df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .start()
+      }
+      started.foreach(_.processAllAvailable())
+      for (p <- phases) { p(); started.foreach(_.processAllAvailable()) }
+      started.foreach(_.stop())
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(queryName)
+    queries.map(q => spark.table(q._2))
   }
 }

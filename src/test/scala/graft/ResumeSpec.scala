@@ -388,6 +388,57 @@ class ResumeSpec extends SparkSuite {
     assert(got.total_score == 1)
   }
 
+  test("schema evolution: add-column-with-default; old snapshots keep the old schema") {
+    import org.apache.spark.sql.functions._
+    val root = freshDir("graft-evolve")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2, stopAfterWaves = 1)
+    val (snap1, _) = TableIO.committed(root)
+    val since = TableIO.evolveSchema(root, "quality_tier", "STRING", "'unscored'")
+    assert(since == snap1)
+    intercept[IllegalArgumentException] {
+      TableIO.evolveSchema(root, "quality_tier", "STRING", "'x'")
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.evolveSchema(root, "conv_id", "STRING", "'x'")
+    }
+    // wave 2 written WITH the column populated
+    val withCol = ds.toDF().withColumn("quality_tier",
+      when(col("total_score") >= 50, lit("high")).otherwise(lit("low")))
+    TableIO.writeExtractedDf(withCol, root, buckets = 8, waves = 2)
+    val (snap2, _) = TableIO.committed(root)
+
+    // current read: one uniform schema, no nulls; wave-1 bytes (files
+    // without the column) read as the default, wave-2 as written
+    val cur = TableIO.readTable(spark, root)
+    assert(cur.columns.contains("quality_tier"))
+    assert(cur.filter(col("quality_tier").isNull).count() == 0)
+    val w1keys = TableIO.readExtracted(spark, root, snap1)
+      .collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val rows = cur.select("conv_id", "turn_idx", "quality_tier").collect()
+    val (w1rows, w2rows) = rows.partition(r => w1keys((r.getString(0), r.getInt(1))))
+    assert(w1rows.nonEmpty && w1rows.forall(_.getString(2) == "unscored"))
+    assert(w2rows.nonEmpty && w2rows.forall(r =>
+      r.getString(2) == "high" || r.getString(2) == "low"))
+
+    // time travel: the snapshot at/before the evolution keeps the OLD
+    // schema; the one after carries the column (defaults for old bytes)
+    assert(!TableIO.readTable(spark, root, Some(snap1)).columns.contains("quality_tier"))
+    val asOf2 = TableIO.readTable(spark, root, Some(snap2))
+    assert(asOf2.columns.contains("quality_tier"))
+    assert(asOf2.count() == cur.count())
+
+    // a typed merge into the evolved table: update rows surface the
+    // default, untouched rows keep their written values
+    import spark.implicits._
+    val updates = ds.limit(10).map(t => t.copy(total_score = 9999))
+    TableIO.mergeExtracted(updates, root, buckets = 8)
+    val merged = TableIO.readTable(spark, root)
+    assert(merged.filter(col("quality_tier").isNull).count() == 0)
+    assert(merged.filter(col("total_score") === 9999)
+      .select("quality_tier").collect().forall(_.getString(0) == "unscored"))
+  }
+
   test("retention vacuums archive versions no surviving manifest references") {
     import spark.implicits._
     val root = freshDir("graft-merge-expire")
