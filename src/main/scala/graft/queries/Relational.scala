@@ -163,6 +163,44 @@ object Relational {
       (col("id") === col("lbl")).as("is_survivor"))
   }
 
+  /** Parameterized multi-probe IVF search over the learned quantizer —
+    * q_ann_ivf_multiprobe runs it at nprobe=2 under the DuckDB oracle;
+    * AnnSpec sweeps nprobe ∈ {1,2,4} to assert the recall curve vs
+    * brute-force truth. See the query comment for the plan shape. */
+  private[graft] def ivfMultiprobeSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val (fit, cents) = kmeansFitFull(s, dir)
+    val assign = fit
+      .select(col("vec_id"), col("cid"), col("v"))
+      .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+    val centDf = s.createDataFrame(
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
+      .toDF("pcid", "c")
+      .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("pcid"))
+    val probes = assign.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
+      .join(broadcast(centDf))
+      .select(col("qid"), col("pcid"), col("qv"), col("qn"),
+        (col("qn") + col("cnorm") -
+          lit(2L) * graft.functions.ArrayMath.dotL(col("qv"), col("c"))).as("cdist"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("pcid"), col("qv"), col("qn"))
+    val scored = assign.as("c").join(broadcast(probes),
+        col("pcid") === col("c.cid") && col("qid") =!= col("c.vec_id"))
+      .select(col("qid"), col("c.vec_id").as("nb"),
+        graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+        col("qn").as("na"), col("c.norm2").as("nb2"))
+      .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -1217,42 +1255,13 @@ object Relational {
     // near a Voronoi boundary has true neighbors in the runner-up
     // cell. Rank the k centroids per query by exact integer L2
     // (driver-free: the k×64 matrix is a broadcast literal), keep the
-    // top-2, and search the UNION of those lists. Join shape is
-    // unchanged from nprobe=1 — the probe set (|Q|×2 rows) is the
+    // top-nprobe, and search the UNION of those lists. Join shape is
+    // unchanged from nprobe=1 — the probe set (|Q|×nprobe rows) is the
     // broadcast side and candidates still stream through one hash join
     // on the list id; lists are disjoint so the union needs no dedup.
-    "q_ann_ivf_multiprobe" -> ((s, dir) => {
-      val (fit, cents) = kmeansFitFull(s, dir)
-      val assign = fit
-        .select(col("vec_id"), col("cid"), col("v"))
-        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
-      val centDf = s.createDataFrame(
-        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
-        .toDF("pcid", "c")
-        .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
-      val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("pcid"))
-      val probes = assign.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
-        .join(broadcast(centDf))
-        .select(col("qid"), col("pcid"), col("qv"), col("qn"),
-          (col("qn") + col("cnorm") -
-            lit(2L) * graft.functions.ArrayMath.dotL(col("qv"), col("c"))).as("cdist"))
-        .withColumn("rn", row_number().over(wProbe))
-        .filter(col("rn") <= 2) // nprobe = 2
-        .select(col("qid"), col("pcid"), col("qv"), col("qn"))
-      val scored = assign.as("c").join(broadcast(probes),
-          col("pcid") === col("c.cid") && col("qid") =!= col("c.vec_id"))
-        .select(col("qid"), col("c.vec_id").as("nb"),
-          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
-          col("qn").as("na"), col("c.norm2").as("nb2"))
-        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
-          round(col("cos"), 6).as("cos"))
-        .orderBy(col("qid"), col("rank"))
-    }),
+    // (ivfMultiprobeSearch is shared with AnnSpec's recall curve, which
+    // sweeps nprobe ∈ {1,2,4} against brute-force truth.)
+    "q_ann_ivf_multiprobe" -> ((s, dir) => ivfMultiprobeSearch(s, dir, nprobe = 2)),
 
     // similarity 2 — brute-force cosine top-k ANN baseline. Scans every
     // candidate BY DESIGN (the exhaustive baseline the IVF path is

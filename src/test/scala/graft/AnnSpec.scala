@@ -40,4 +40,27 @@ class AnnSpec extends SparkSuite {
         s"query $q lost recall going to nprobe=2")
     }
   }
+
+  test("recall curve: recall@5 is monotone in nprobe and reaches 0.6 by nprobe=4") {
+    import spark.implicits._
+    def topset(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid").cast("long"), col("nb").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val truth = topset(graft.queries.Relational.queries("q_ann_topk")(spark, dir))
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    val curve = Seq(1, 2, 4).map { np =>
+      np -> recall(topset(graft.queries.Relational.ivfMultiprobeSearch(spark, dir, np)))
+    }
+    info(curve.map { case (np, r) => f"nprobe=$np recall@5=$r%.3f" }.mkString(", "))
+    // monotone: probing more lists can only add candidates (lists are
+    // disjoint), so recall must not decrease
+    for (Seq((npA, rA), (npB, rB)) <- curve.sliding(2))
+      assert(rB >= rA, s"recall fell from $rA (nprobe=$npA) to $rB (nprobe=$npB)")
+    val r4 = curve.last._2
+    assert(r4 >= 0.6, s"recall@5 at nprobe=4 is $r4 < 0.6 (k=8 lists, half probed)")
+  }
 }

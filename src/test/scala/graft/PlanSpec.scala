@@ -356,6 +356,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("no round-5 query degrades to a cartesian; time-range window runs a RANGE frame") {
+    // q_table_* share one memoized table build (side-effectful but
+    // deterministic); the first plan() pays it once at sf0.001
+    for (name <- Seq("q_window_timerange", "q_table_merge", "q_table_asof",
+        "q_table_changes")) {
+      val p = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // the 7-day rolling window must be a value-distance RANGE frame,
+    // not a row frame (row frames would be wrong under ts ties and
+    // could not express the interval at all)
+    val w = plan("q_window_timerange")
+    assert(w.contains("RangeFrame") || w.contains("RANGE BETWEEN"),
+      s"q_window_timerange is not running a RANGE frame:\n${w.take(2000)}")
+  }
+
   test("TPC-H shapes: tiny dims broadcast, EXISTS decorrelates to a semi join, no cartesian") {
     val q5 = plan("q_tpch_q5")
     assert(!q5.contains("CartesianProduct"), q5.take(2000))
