@@ -358,6 +358,42 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Training-mixture sampling: deterministic per-stratum hash
+    // sampling (keep iff md5-hash(doc_id) mod 100 < stratum rate) — the
+    // reproducible mixture-weighting primitive of every corpus recipe
+    // (sample source A at 50%, B at 20%, C at 5%). Hash-based, so the
+    // sample is stable under partitioning, re-runs, and engine choice —
+    // the oracle recomputes the identical md5 draw. Scale shape: a
+    // scan + scalar filter, no shuffle at all.
+    "q_sample_stratified" -> ((s, dir) => {
+      val h = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100).as("h")
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 3).cast("long").as("stratum"), h)
+        .filter(col("h") < when(col("stratum") === 0, 50)
+          .when(col("stratum") === 1, 20).otherwise(5))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing (concat-and-chunk): assign each document its
+    // training-sequence id by exclusive running token count within its
+    // shard — floor(start_tok / budget) — the standard streaming
+    // packing an LLM pipeline runs before tokenized-example writing.
+    // One window shuffle per shard key; the running sum is exact
+    // integer arithmetic so the assignment is engine-identical.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          (col("doc_id") % 4).cast("long").as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("start_tok div 2048"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Time-RANGE window frame — the rolling 7-day per-user count/sum
     // every transcript table gets asked for: the frame is defined by
     // VALUE distance on event time (epoch seconds), not row position,
@@ -1605,6 +1641,29 @@ object Relational {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_sample_stratified" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(doc_id % 3 AS BIGINT) AS stratum,
+                CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+                     AS BIGINT) AS h
+         FROM documents
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
+               CASE doc_id % 3 WHEN 0 THEN 50 WHEN 1 THEN 20 ELSE 5 END
+         ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CAST(doc_id % 4 AS BIGINT) AS shard,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT *, CAST(coalesce(sum(n_tok) OVER (
+                  PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+           FROM d)
+         SELECT doc_id, shard, n_tok, start_tok,
+                CAST(start_tok // 2048 AS BIGINT) AS seq_id
+         FROM c ORDER BY doc_id""",
     "q_window_timerange" ->
       """WITH b AS (
            SELECT user_id, event_id,
