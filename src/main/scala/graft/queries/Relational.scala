@@ -358,6 +358,52 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // PII scrubbing — the redaction pass every training corpus runs
+    // before the tokenizer: count and replace email addresses and long
+    // digit runs. The synth corpus carries no PII, so a deterministic
+    // injection (every 5th doc gets a synthetic contact line) makes the
+    // op genuinely fire; both engines inject, count, and redact with
+    // the same RE2-compatible patterns. Scale shape: pure scalar
+    // map — no shuffle, codegen'd regex.
+    "q_text_redact" -> ((s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"
+      val longnum = "[0-9]{7,}"
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" contact-"), col("doc_id"),
+              lit("@example.com ph 1234567890")))
+            .otherwise(col("text")).as("tx"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(tx, '$email', 0)")).cast("long").as("n_email"),
+          size(expr(s"regexp_extract_all(tx, '$longnum', 0)")).cast("long").as("n_num"),
+          md5(regexp_replace(regexp_replace(col("tx"), email.replace("\\\\", "\\"), "<EMAIL>"),
+            longnum, "<NUM>")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition-ratio quality signal: the share of a document's
+    // 3-grams taken by its single most repeated 3-gram — the standard
+    // boilerplate/degenerate-text filter signal in corpus curation.
+    // Exact integer counts, ONE rounded double division. Scale shape:
+    // explode → two partial+final hash aggs keyed by (doc, gram) then
+    // doc — no joins, no skew (gram cardinality per doc is bounded by
+    // doc length).
+    "q_text_repetition" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+            |          (x, i) -> concat_ws(' ', x, element_at(w, i + 2), element_at(w, i + 3)))"""
+            .stripMargin)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_gram_n"), sum(col("c")).as("n_grams"))
+        .select(col("doc_id"), col("top_gram_n"), col("n_grams"),
+          round(col("top_gram_n") / col("n_grams"), 6).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Training-mixture sampling: deterministic per-stratum hash
     // sampling (keep iff md5-hash(doc_id) mod 100 < stratum rate) — the
     // reproducible mixture-weighting primitive of every corpus recipe
@@ -1641,6 +1687,36 @@ object Relational {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_text_redact" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  CASE WHEN doc_id % 5 = 0
+                    THEN text || ' contact-' || doc_id || '@example.com ph 1234567890'
+                    ELSE text END AS tx
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(tx,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                CAST(len(regexp_extract_all(tx, '[0-9]{7,}')) AS BIGINT) AS n_num,
+                md5(regexp_replace(regexp_replace(tx,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '[0-9]{7,}', '<NUM>', 'g')) AS redacted_md5
+         FROM d ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH words AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS w
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+                    list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                  ELSE [] END) AS g
+           FROM words),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+         SELECT doc_id, CAST(max(c) AS BIGINT) AS top_gram_n,
+                CAST(sum(c) AS BIGINT) AS n_grams,
+                round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS rep_ratio
+         FROM cnt GROUP BY doc_id ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
                 CAST(doc_id % 3 AS BIGINT) AS stratum,
