@@ -187,7 +187,7 @@ object TableIO {
     written.result()
   }
 
-  private def publishSnapshot(root: String, id: Int,
+  private[graft] def publishSnapshot(root: String, id: Int,
       newLineage: Seq[BucketLineage]): Unit = {
     // snapshot = previous lineage ∪ this wave's (full manifest each time,
     // like an Iceberg snapshot referencing all live manifests)
@@ -198,7 +198,18 @@ object TableIO {
       .mkString("[\n  ", ",\n  ", "\n]")
     val tmp = snapDir(root).resolve(s".snap-$id.json.tmp")
     Files.writeString(tmp, s"""{"snapshot": $id, "committed": $body}""")
-    Files.move(tmp, snapDir(root).resolve(s"snap-$id.json"), StandardCopyOption.ATOMIC_MOVE)
+    // hard-link publish = compare-and-swap: link(2) fails if the target
+    // exists, so two writers that both read snapshot k and try to
+    // publish k+1 conflict LOUDLY instead of one silently replacing the
+    // other's manifest (rename(2) would replace) — the optimistic-
+    // concurrency contract of an Iceberg commit under this layout
+    try Files.createLink(snapDir(root).resolve(s"snap-$id.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent writer: snapshot $id already published under $root — " +
+            "re-read the table state and retry the operation")
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Small-file compaction — the operational half of an Iceberg-style

@@ -371,6 +371,19 @@ class PlanSpec extends SparkSuite {
     val w = plan("q_window_timerange")
     assert(w.contains("RangeFrame") || w.contains("RANGE BETWEEN"),
       s"q_window_timerange is not running a RANGE frame:\n${w.take(2000)}")
+    // the scalar corpus passes are scan+map only: a shuffle in front of
+    // a per-row redaction/sampling pass would be a 100 TB-scale bug
+    for (name <- Seq("q_text_redact", "q_sample_stratified")) {
+      val p = plan(name)
+      // the final orderBy is presentation; assert no exchange BEFORE it
+      val body = p.split("Sort ").head
+      assert(!body.contains("Exchange hashpartitioning"),
+        s"$name shuffles before its scalar pass:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), p.take(1500))
+    }
+    // repetition + packing: no cartesian, aggs/windows only
+    for (name <- Seq("q_text_repetition", "q_pack_sequences"))
+      assert(!plan(name).contains("CartesianProduct"), name)
   }
 
   test("TPC-H shapes: tiny dims broadcast, EXISTS decorrelates to a semi join, no cartesian") {

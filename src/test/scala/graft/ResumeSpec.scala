@@ -439,6 +439,22 @@ class ResumeSpec extends SparkSuite {
       .select("quality_tier").collect().forall(_.getString(0) == "unscored"))
   }
 
+  test("snapshot publish is a compare-and-swap: double-publish of an id fails loudly") {
+    val root = freshDir("graft-cas")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val (snap, _) = TableIO.committed(root)
+    val lin = TableIO.lineage(root)
+    // two writers that both read snapshot `snap` race to publish snap+1:
+    // the second link(2) fails instead of silently replacing the first
+    TableIO.publishSnapshot(root, snap + 1, lin.take(1))
+    val e = intercept[IllegalStateException] {
+      TableIO.publishSnapshot(root, snap + 1, lin.take(1))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the first publish's manifest is intact
+    assert(TableIO.lineageAt(root, snap + 1).nonEmpty)
+  }
+
   test("retention vacuums archive versions no surviving manifest references") {
     import spark.implicits._
     val root = freshDir("graft-merge-expire")
