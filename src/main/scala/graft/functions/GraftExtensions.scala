@@ -16,5 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.longArrayDot)
     // strength-reduce the ANN norm idiom dot(v, v) → norm2(v)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftx.DotSelfToNorm2)
+    // whole-operator extension: native two-phase top-k-per-key
+    // (logical TopKPerKey → partial/final bounded-heap physical plan)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftx.TopKStrategy)
   }
 }

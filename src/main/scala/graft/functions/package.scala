@@ -6,4 +6,7 @@ package object functions {
     * why). */
   val ArrayMath: org.apache.spark.sql.graftx.GraftArrayMath.type =
     org.apache.spark.sql.graftx.GraftArrayMath
+
+  val TopK: org.apache.spark.sql.graftx.GraftTopK.type =
+    org.apache.spark.sql.graftx.GraftTopK
 }

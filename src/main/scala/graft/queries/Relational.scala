@@ -322,6 +322,22 @@ object Relational {
         .limit(10)
     }),
 
+    // O2/O3 via the NATIVE whole-operator extension: top-3 events per
+    // user through graft.functions.TopK — a custom LogicalPlan planned
+    // by TopKStrategy as partial (per-partition bounded heaps) →
+    // key-exchange → final, so only ≤ k rows per key per partition ever
+    // shuffle, vs the window-rank form sorting every row of every
+    // group. Order carries the event_id tie-breaker so the result SET
+    // is total; the same window-rank SQL is the oracle.
+    "q_topk_native" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("c"))
+      graft.functions.TopK.topKPerKey(e, 3,
+          Seq(col("user_id")), Seq(col("c").desc, col("event_id").asc))
+        .orderBy(col("user_id"), col("c").desc, col("event_id"))
+    }),
+
     // W1/O2 — per-group top-1 via window rank
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1665,6 +1681,14 @@ object Relational {
       """SELECT p_brand, count(*) AS n FROM part
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
          GROUP BY p_brand ORDER BY p_brand""",
+    "q_topk_native" ->
+      """SELECT user_id, event_id, c FROM (
+           SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rn
+           FROM events WHERE user_id < 20)
+         WHERE rn <= 3
+         ORDER BY user_id, c DESC, event_id""",
     "q_topk" ->
       """SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
          FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10""",

@@ -386,6 +386,35 @@ class PlanSpec extends SparkSuite {
       assert(!plan(name).contains("CartesianProduct"), name)
   }
 
+  test("native top-k-per-key: partial heaps below the key exchange, final above, no window") {
+    import org.apache.spark.sql.functions._
+    val p = plan("q_topk_native")
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"), p.take(2500))
+    assert(!p.contains("Window"),
+      s"native top-k must not fall back to a window sort:\n${p.take(2500)}")
+    // tree prints root-first: final ABOVE the exchange ABOVE partial —
+    // i.e. the shuffle moves only each partition's <= k-per-key heap
+    val (iF, iE, iP) = (p.indexOf("TopKPerKeyFinal"),
+      p.indexOf("Exchange hashpartitioning"), p.indexOf("TopKPerKeyPartial"))
+    assert(iF >= 0 && iE > iF && iP > iE,
+      s"expected final > exchange > partial ordering:\n${p.take(2500)}")
+    // exactness of the two-phase split on a deliberately many-partition
+    // input: result SET must equal the window-rank derivation
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .repartition(13)
+    val native = graft.functions.TopK.topKPerKey(e, 3,
+        Seq(col("user_id")), Seq(col("c").desc, col("event_id").asc))
+      .collect().map(_.toSeq).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("c").desc, col("event_id"))
+    val viaWindow = e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .drop("rn").collect().map(_.toSeq).toSet
+    assert(native == viaWindow && native.nonEmpty)
+  }
+
   test("TPC-H shapes: tiny dims broadcast, EXISTS decorrelates to a semi join, no cartesian") {
     val q5 = plan("q_tpch_q5")
     assert(!q5.contains("CartesianProduct"), q5.take(2000))
