@@ -374,6 +374,27 @@ object Relational {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // Source-priority dedup — when the same content key arrives from
+    // several sources, keep the copy from the highest-priority source
+    // (corpus recipes prefer curated mirrors over raw crawl): one
+    // max_by/min_by hash aggregation on a composite priority ordinal
+    // (prio·1e6 + doc_id — unique, so the winner is total and the hash
+    // compare exact). Key = first-3-words prefix so groups genuinely
+    // collide on the synth corpus. DuckDB mirror: arg_max/arg_min.
+    "q_dedup_priority" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("key"),
+          (col("doc_id") % 3).cast("long").as("prio"))
+        .withColumn("ord", col("prio") * lit(1000000L) + col("doc_id"))
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_copies"),
+          max_by(col("doc_id"), col("ord")).as("keep_doc"),
+          min_by(col("doc_id"), col("ord")).as("worst_doc"),
+          max(col("prio")).as("best_prio"))
+        .orderBy(col("key"))
+    }),
+
     // PII scrubbing — the redaction pass every training corpus runs
     // before the tokenizer: count and replace email addresses and long
     // digit runs. The synth corpus carries no PII, so a deterministic
@@ -1711,6 +1732,17 @@ object Relational {
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
          FROM events WHERE user_id < 20 ORDER BY user_id, event_id""",
+    "q_dedup_priority" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  array_to_string(string_split(text, ' ')[1:3], ' ') AS key,
+                  CAST(doc_id % 3 AS BIGINT) AS prio
+           FROM documents)
+         SELECT key, count(*) AS n_copies,
+                CAST(arg_max(doc_id, prio * 1000000 + doc_id) AS BIGINT) AS keep_doc,
+                CAST(arg_min(doc_id, prio * 1000000 + doc_id) AS BIGINT) AS worst_doc,
+                CAST(max(prio) AS BIGINT) AS best_prio
+         FROM d GROUP BY key ORDER BY key""",
     "q_text_redact" ->
       """WITH d AS (
            SELECT CAST(doc_id AS BIGINT) AS doc_id,
