@@ -1406,6 +1406,134 @@ object Relational {
           round(col("cos"), 6).as("cos"))
         .orderBy(col("qid"), col("rank"))
     }),
+
+    // J-skew — skewed fact↔dim join with explicit key salting: the dim
+    // side replicates ×8 (salt ∈ 0..7), the fact derives a
+    // deterministic salt from its row id, and the join keys become
+    // (user_id, salt) so a hot user's rows spread across 8 shuffle
+    // partitions instead of hammering one. Result is provably identical
+    // to the unsalted join (the oracle runs the plain join). Sort-merge
+    // hinted so the salting path is actually exercised — a broadcast
+    // would hide it at this SF, and at 100 TB the dim may not fit.
+    "q_join_skew_salted" -> ((s, dir) => {
+      val salts = 8
+      val fact = t(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(salts)).cast("int"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      fact.hint("merge")
+        .join(dim, fact("user_id") === dim("c_custkey") &&
+          fact("salt") === dim("salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // analytics — sequential conversion funnel (signup → view →
+    // purchase), the classic product-analytics measure over an event
+    // log. Each stage is a conditional min over an equi-join on
+    // user_id — partial+final hash agg, no window over the whole log,
+    // no driver loop — so the chain scales as 3 hash aggs + 2 hash
+    // joins regardless of corpus size. Epochs emitted as bigints
+    // (unix_timestamp ↔ DuckDB floor(epoch())).
+    "q_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view").as("e")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").as("p")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (lit(1) + when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).cast("long").as("depth"),
+          unix_timestamp(col("t1")).as("e1"),
+          unix_timestamp(col("t2")).as("e2"),
+          unix_timestamp(col("t3")).as("e3"))
+        .orderBy(col("user_id"))
+    }),
+
+    // text — inverted-index build: token → postings (document
+    // frequency + the sorted doc list), the core search-index structure
+    // a curated corpus ships with. One explode + one partial+final hash
+    // agg keyed by token; postings serialize as csv (hash-stable across
+    // engines). The df ≥ 3 cut is an agg-side HAVING, not a
+    // post-collect; at 100 TB the same plan shards by token hash and
+    // each posting list stays within its writer task.
+    "q_text_postings" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(col("df") >= 3)
+        .select(col("tok"), col("df"), concat_ws(",", col("docs")).as("postings"))
+        .orderBy(col("tok"))
+    }),
+
+    // sketch — HyperLogLog distinct-token estimate, built from scratch
+    // on portable md5 hashing so the DuckDB oracle computes the
+    // IDENTICAL registers: 56-bit hash → 64 buckets (low 6 bits), rho =
+    // leading-zero rank of the remaining 50 bits (via minimal binary
+    // string length — exact, no float log), per-bucket max rho, and the
+    // harmonic mean INTEGERIZED as S = Σ 2^(51-M_j) so the only double
+    // op is one division + round (the file's determinism rule). Shape:
+    // one partial+final agg to 64 register rows, then a 64-row fold —
+    // the sketch a 100 TB distinct-count runs instead of count(DISTINCT).
+    "q_text_distinct_hll" -> ((s, dir) =>
+      graft.core.Sketches.hllSketch(
+        t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok")))),
+
+    // layout — z-order (Morton) clustering summary: bit-interleave two
+    // join/filter dimensions into one z-value, bucket by the z-prefix,
+    // and report per-bucket extents. The per-bucket min/max columns ARE
+    // the pruning statistics a 100 TB table gets from a z-ordered
+    // rewrite (each bucket covers a quad region, so a 2-D box predicate
+    // skips every non-intersecting bucket — see functions/ZOrder +
+    // ZOrderSpec's pruning assertion). The interleave is an unrolled
+    // codegen'd bit expression mirrored literally in the oracle.
+    "q_zorder_layout" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .withColumn("z", ZOrder.zval(col("x"), col("y"), 10))
+        .withColumn("zbucket", expr("shiftright(z, 14)"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy(col("zbucket"))
+    }),
+
+    // graph 2 — triangle counting over the near-dup candidate graph:
+    // the ordered pair list (a<b) self-joined twice — wedge build on the
+    // shared middle vertex, then a closure check on (a,c). Both steps
+    // are equi-joins (the standard distributed triangle-count shape);
+    // the a<b<c ordering counts each triangle exactly once and no
+    // cartesian appears anywhere. Output aggregates to per-lowest-vertex
+    // counts (near-dup cliques make the full enumeration list cubically
+    // large — 442k triangles at sf0.01 — so the list stays inside the
+    // shuffle and only the count surface leaves the job).
+    "q_graph_triangles" -> ((s, dir) => {
+      val p = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+      val wedges = p.as("p1").join(p.as("p2"), col("p1.ib") === col("p2.ia"))
+        .select(col("p1.ia").as("a"), col("p1.ib").as("b"), col("p2.ib").as("c"))
+      wedges.join(p.as("p3"),
+          col("a") === col("p3.ia") && col("c") === col("p3.ib"))
+        .groupBy(col("a"))
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy(col("a"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -2287,5 +2415,83 @@ object Relational {
               FROM scored)
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // the oracle runs the UNSALTED join — pinning that salting is a
+    // pure physical rewrite with zero semantic drift
+    "q_join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+         SELECT s1.user_id,
+                CAST(1 + (CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END)
+                       + (CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS depth,
+                CAST(floor(epoch(s1.t1)) AS BIGINT) AS e1,
+                CAST(floor(epoch(s2.t2)) AS BIGINT) AS e2,
+                CAST(floor(epoch(s3.t3)) AS BIGINT) AS e3
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
+    "q_text_postings" ->
+      """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            toks AS (SELECT DISTINCT doc_id, tok FROM raw)
+         SELECT tok, count(*) AS df,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         FROM toks GROUP BY tok HAVING count(*) >= 3 ORDER BY tok""",
+    // identical registers from the identical md5-derived hash; the only
+    // double op is the final division (0.709 forced to DOUBLE — DuckDB
+    // would otherwise parse the literal as DECIMAL(4,3))
+    "q_text_distinct_hll" ->
+      """WITH raw AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            h AS (SELECT ('0x' || substr(md5(tok), 1, 14))::UBIGINT AS h FROM raw),
+            b AS (SELECT CAST(h % 64 AS BIGINT) AS bucket, CAST(h >> 6 AS BIGINT) AS w
+                  FROM h),
+            r AS (SELECT bucket,
+                         CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS rho
+                  FROM b),
+            regs AS (SELECT s.bucket, coalesce(max(r.rho), 0) AS mj
+                     FROM (SELECT unnest(range(64)) AS bucket) s
+                     LEFT JOIN r ON s.bucket = r.bucket GROUP BY s.bucket),
+            agg AS (SELECT count(CASE WHEN mj > 0 THEN 1 END) AS nonzero,
+                           CAST(sum(1::BIGINT << (51 - mj)) AS BIGINT) AS s_scaled
+                    FROM regs)
+         SELECT CAST(64 AS BIGINT) AS m, CAST(nonzero AS BIGINT) AS nonzero, s_scaled,
+                round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / s_scaled, 3) AS hll_est
+         FROM agg""",
+    // identical unrolled interleave formula (generated from the same
+    // helper) — the z-values agree bit-for-bit across engines
+    "q_zorder_layout" ->
+      s"""WITH b AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem),
+            z AS (SELECT x, y, ${graft.functions.ZOrder.zvalSql("x", "y", 10)} AS z FROM b),
+            zb AS (SELECT x, y, z, z >> 14 AS zbucket FROM z)
+         SELECT zbucket, count(*) AS n,
+                min(x) AS x_min, max(x) AS x_max,
+                min(y) AS y_min, max(y) AS y_max,
+                min(z) AS z_min, max(z) AS z_max
+         FROM zb GROUP BY 1 ORDER BY 1""",
+    "q_graph_triangles" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       )
+       SELECT p1.ia AS a, count(*) AS n_tri
+       FROM pairs p1 JOIN pairs p2 ON p1.ib = p2.ia
+            JOIN pairs p3 ON p1.ia = p3.ia AND p2.ib = p3.ib
+       GROUP BY 1 ORDER BY a"""),
   )
 }

@@ -572,6 +572,24 @@ object TrainingData {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // sketch — bounded-memory heavy hitters: a per-partition
+    // Misra-Gries summary (capacity 256) emits a candidate SUPERSET of
+    // every token with global frequency > N/100 (if a global heavy
+    // hitter appeared in no partition summary, each partition's
+    // decrements would have absorbed its full local count — summing
+    // the per-partition deficit bounds n_p/cap gives f ≤ N/cap < N/100,
+    // contradiction), then ONE exact recount over a broadcast semi-join
+    // confirms and filters. The candidate set depends on partitioning;
+    // the final output does NOT (exact recount, exact threshold). This
+    // is the sketch-then-verify shape that replaces a full-cardinality
+    // shuffle with a cap-bounded one at 100 TB. mapPartitions is the
+    // honest expression of per-partition O(cap) sketch state.
+    "q_text_heavy_hitters" -> ((s, dir) =>
+      graft.core.Sketches.heavyHitters(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok")),
+        cap = 256, k = 100L)),
+
     // S9 — error-subset sink analog: rows whose extraction failed,
     // oracled against the exploded expected-errors sidecar
     "q_extract_errors" -> ((s, dir) => {
@@ -593,6 +611,13 @@ object TrainingData {
        errors_json, warnings_json"""
 
   val oracleSql: Map[String, String] = Map(
+    // the oracle is the exact full-cardinality count — pinning that the
+    // sketch-then-verify path loses nothing
+    "q_text_heavy_hitters" ->
+      """WITH raw AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         SELECT tok, count(*) AS freq FROM raw GROUP BY tok
+         HAVING count(*) > (SELECT count(*) // 100 FROM raw)
+         ORDER BY tok""",
     "q_table_merge" ->
       s"""SELECT $flatCols
           FROM read_parquet('$tableInitialPath/*.parquet') t
