@@ -1534,6 +1534,128 @@ object Relational {
         .agg(count(lit(1)).as("n_tri"))
         .orderBy(col("a"))
     }),
+
+    // graph 3 — fixed-point integer PageRank over the near-dup graph
+    // (3 power iterations, damping 0.85). Ranks are scaled integers
+    // (1e6 = 1.0) and every step is integer arithmetic — rank div deg
+    // contributions, an integer sum per destination, and
+    // 0.15 + 0.85·mass as (150000 + 85·m div 100) — so the result is
+    // exact, order-independent, and engine-portable (no float
+    // accumulation ordering; dangling mass follows the standard
+    // vanishing-mass simplification). Per iteration: one equi-join of
+    // edges against ranks+degrees, one partial+final sum keyed by dst,
+    // one left join back to nodes — the identical shape GraphX/Pregel
+    // shards at 100 TB — with localCheckpoint per round (the
+    // checkpoint-cadence rule: without it round t re-derives round t-1
+    // twice). Oracle: the same three rounds unrolled as CTEs.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val pairs = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "dsrc")
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id")).distinct()
+      var ranks = nodes.withColumn("pr", lit(1000000L)).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val prev = ranks
+        val mass = edges.join(deg, col("src") === col("dsrc"))
+          .join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        ranks = nodes.join(mass, nodes("id") === mass("dst"), "left")
+          .select(nodes("id"),
+            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      edges.unpersist()
+      ranks.select(col("id").as("doc_id"), col("pr")).orderBy(col("doc_id"))
+    }),
+
+    // text — TF-IDF top-terms per document with an integer-log2 idf:
+    // idf = length(bin(N div df)) = floor(log2(N div df)) + 1, computed
+    // from the binary-string length so the logarithm is EXACT integer
+    // arithmetic in both engines (a float ln differs in the last ulp
+    // between libm implementations and would poison the hash compare —
+    // the file's determinism rule). tf is one partial+final hash agg on
+    // (doc_id, tok); df one on tok after a distinct; N joins in as a
+    // 1-row broadcast (no driver collect). Top-3 terms per doc via
+    // row_number with a total (score desc, tok) tie-break order.
+    "q_text_tfidf" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .withColumnRenamed("tok", "dtok")
+      val n = t(s, dir, "documents")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfreq, col("tok") === col("dtok"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          (col("tf") * length(expr("bin(n_docs div df)"))).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("tok"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+          col("score").cast("long").as("score"))
+        .orderBy(col("doc_id"), col("tok"))
+    }),
+
+    // dedup — URL canonicalization: the first operator every web-scale
+    // corpus runs before any content dedup. A deterministic messy URL
+    // is derived per document (mixed-case scheme/host, tracking params,
+    // fragment) and canonicalized by the documented rule chain — strip
+    // fragment, strip utm_*/ref tracking params, trim dangling ?/&,
+    // lowercase scheme+host only (paths stay case-sensitive) — then
+    // grouped: per-canonical-URL fetch count + surviving (min) doc.
+    // All scalar regex work + one hash agg; at 100 TB the agg shards by
+    // canonical-url hash. Oracle mirrors each regex with DuckDB's 'g'
+    // flag where Spark's regexp_replace is implicitly replace-all.
+    "q_dedup_url" -> ((s, dir) => {
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTPS://CDN"), col("doc_id") % 3, lit(".Example.COM/docs/"),
+          col("source"), lit("/"), col("doc_id") % 40,
+          lit("?utm_source=feed&ref="), col("doc_id") % 5,
+          lit("&page="), col("doc_id") % 2,
+          lit("&utm_campaign=q"), col("doc_id") % 4,
+          lit("#sec"), col("doc_id") % 6).as("url"))
+      val canon = raw
+        .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .withColumn("u2", regexp_replace(col("u1"), "(utm_[a-z]+|ref)=[^&]*&?", ""))
+        .withColumn("u3", regexp_replace(col("u2"), "[?&]+$", ""))
+        .withColumn("canonical_url", concat(
+          lower(regexp_extract(col("u3"), "^([a-zA-Z]+://[^/]*)", 1)),
+          regexp_replace(col("u3"), "^[a-zA-Z]+://[^/]*", "")))
+      canon.groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_fetches"), min(col("doc_id")).as("survivor_doc"))
+        .orderBy(col("canonical_url"))
+    }),
+
+    // analytics — cohort retention over the events table: each user's
+    // cohort is their first active day; the triangle (cohort_day,
+    // day_offset) → distinct returning users is the standard retention
+    // matrix. Two partial+final hash aggs (first-day per user, then
+    // distinct-user count per cell) joined by user_id — every step an
+    // equi-join/hash-agg on bounded keys, day arithmetic all integer.
+    "q_events_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+        .withColumnRenamed("user_id", "fuid")
+      ev.join(first, col("user_id") === col("fuid"))
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -2493,5 +2615,99 @@ object Relational {
        FROM pairs p1 JOIN pairs p2 ON p1.ib = p2.ia
             JOIN pairs p3 ON p1.ia = p3.ia AND p2.ib = p3.ib
        GROUP BY 1 ORDER BY a"""),
+    // the same three integer power iterations unrolled as CTEs; DuckDB
+    // sums BIGINT into HUGEINT, so each round casts back to BIGINT
+    // after the (exact) 85·m div 100 damping — identical values to
+    // Spark's all-long arithmetic
+    "q_graph_pagerank" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    """ + pagerankRoundsSql(3) + """
+       SELECT id AS doc_id, pr FROM r3 ORDER BY doc_id"""),
+    // integer-log2 idf via binary-string length — bin()/length agree
+    // bit-for-bit across engines, unlike a libm ln
+    "q_text_tfidf" ->
+      """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM raw GROUP BY 1, 2),
+            d AS (SELECT tok, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, tok FROM raw) GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, d.df,
+                     tf.tf * length(bin(n.n_docs // d.df)) AS score
+              FROM tf JOIN d ON tf.tok = d.tok, n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, tok) AS rn
+              FROM scored)
+         SELECT doc_id, tok, tf, df, CAST(score AS BIGINT) AS score
+         FROM ranked WHERE rn <= 3 ORDER BY doc_id, tok""",
+    // same rule chain; the multi-match tracking-param strip needs
+    // DuckDB's 'g' flag to mirror Spark's implicit replace-all
+    "q_dedup_url" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  'HTTPS://CDN' || CAST(doc_id % 3 AS VARCHAR) ||
+                  '.Example.COM/docs/' || source || '/' ||
+                  CAST(doc_id % 40 AS VARCHAR) ||
+                  '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '&page=' || CAST(doc_id % 2 AS VARCHAR) ||
+                  '&utm_campaign=q' || CAST(doc_id % 4 AS VARCHAR) ||
+                  '#sec' || CAST(doc_id % 6 AS VARCHAR) AS url
+           FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(url, '#.*$', ''),
+                         '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                       '[?&]+$', '') AS u3
+              FROM raw),
+            canon AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u3, '^([a-zA-Z]+://[^/]*)', 1)) ||
+                     regexp_replace(u3, '^[a-zA-Z]+://[^/]*', '') AS canonical_url
+              FROM c)
+         SELECT canonical_url, count(*) AS n_fetches,
+                min(doc_id) AS survivor_doc
+         FROM canon GROUP BY 1 ORDER BY 1""",
+    "q_events_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+            f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1)
+         SELECT f.cohort_day,
+                CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) AS day_offset,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f ON ev.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
   )
+
+  /** The n unrolled PageRank power-iteration CTEs (r1..rn), each
+    * reading the previous round — generated so the oracle's round
+    * count provably matches the engine's loop bound. */
+  private def pagerankRoundsSql(n: Int): String =
+    (1 to n).map { i =>
+      s"""r$i AS (
+         SELECT n.id,
+                CAST(150000 + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst, sum(r.pr // d.deg) AS m
+           FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                JOIN deg d ON d.src = e.src
+           GROUP BY e.dst) s ON s.dst = n.id)"""
+    }.mkString(",\n")
 }
