@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1656,6 +1656,84 @@ object Relational {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
+
+    // sketch 3 — count-min: the frequency-estimate companion to the
+    // HLL (distinct) and Misra-Gries (top-k) sketches, built on the
+    // same portable md5 hashing so the oracle computes IDENTICAL
+    // counters. d=4 rows × w=64 buckets; build is ONE partial+final
+    // hash agg over (row, bucket) — 256 counter rows total regardless
+    // of input size, the whole point of sketching a 100 TB stream.
+    // Output: the 5 exact-top tokens with exact count vs point
+    // estimate (min over the 4 rows), demonstrating the one-sided
+    // est ≥ exact guarantee. All integer; no float anywhere.
+    "q_text_countmin" -> ((s, dir) => {
+      def bucketOf(row: Column, tok: Column): Column =
+        (conv(substring(md5(concat(row.cast("string"), lit(":"), tok)), 1, 8),
+          16, 10).cast("long") % 64).cast("long")
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("tok")).limit(5)
+      val rows = toks.select(col("tok"),
+        explode(sequence(lit(0), lit(3))).as("row_i"))
+      val counters = rows
+        .select(col("row_i"), bucketOf(col("row_i"), col("tok")).as("bucket"))
+        .groupBy(col("row_i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("row_i", "ci").withColumnRenamed("bucket", "cb")
+      probes
+        .select(col("tok"), col("exact_n"),
+          explode(sequence(lit(0), lit(3))).as("row_i"))
+        .withColumn("bucket", bucketOf(col("row_i"), col("tok")))
+        .join(counters, col("row_i") === col("ci") && col("bucket") === col("cb"))
+        .groupBy(col("tok"), col("exact_n"))
+        .agg(min(col("cnt")).as("cm_est"))
+        .orderBy(col("tok"))
+    }),
+
+    // agg — exact discrete quantiles per group WITHOUT a per-group
+    // collect: rank every row (row_number over a total (value, id)
+    // order), compute the group size as a window count, and pick the
+    // rows at rank ceil(q·n) via pure-integer rank formulas
+    // ((n+3) div 4 = ceil(n/4), ...). The value doubles are PICKED,
+    // never summed, so no float-accumulation ordering exists and both
+    // engines agree bit-for-bit. Shape: one window sort per group +
+    // one hash agg — the scalable exact-quantile plan (vs collect_list
+    // which materializes whole groups).
+    "q_agg_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ranked = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      ranked.groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === expr("(n + 3) div 4"), col("value"))).as("p25"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("value"))).as("p50"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("value"))).as("p75"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90"),
+          max(col("n")).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // TPC-H Q6 — the forecasting-revenue-change scan: a pure
+    // filter+agg with every predicate pushable to the parquet scan and
+    // the revenue sum EXACT (cents×cents long products summed as
+    // longs; ONE double division at the end — the file's determinism
+    // rule). The discount band is the integer cents value, not a
+    // float between, so the filter is exact too.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          cents(col("l_discount")).between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(
+          (sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) /
+            10000.0).as("revenue"),
+          count(lit(1)).as("n"))),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -2694,6 +2772,53 @@ object Relational {
                 count(DISTINCT ev.user_id) AS n_users
          FROM ev JOIN f ON ev.user_id = f.user_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical d=4 × w=64 counters from the identical md5-derived
+    // bucket hash (the HLL's portability recipe)
+    "q_text_countmin" ->
+      """WITH raw AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            ex AS (SELECT tok, count(*) AS exact_n FROM raw GROUP BY 1),
+            probes AS (SELECT tok, exact_n FROM ex
+                       ORDER BY exact_n DESC, tok LIMIT 5),
+            rws AS (SELECT tok, r.i FROM raw
+                    CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+            counters AS (
+              SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+                     count(*) AS cnt
+              FROM rws GROUP BY 1, 2),
+            pe AS (
+              SELECT p.tok, p.exact_n, r.i,
+                     CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.tok), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+              FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS i) r),
+            est AS (SELECT pe.tok, pe.exact_n, c.cnt
+                    FROM pe JOIN counters c ON c.i = pe.i AND c.bucket = pe.bucket)
+         SELECT tok, exact_n, min(cnt) AS cm_est
+         FROM est GROUP BY 1, 2 ORDER BY tok""",
+    // identical window construction + integer ceil-rank picks — the
+    // doubles are selected, never combined
+    "q_agg_quantiles" ->
+      """WITH ranked AS (
+           SELECT event_type, value, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn = (n + 3) // 4 THEN value END) AS p25,
+                max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+                max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS p75,
+                max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
+                max(n) AS n
+         FROM ranked GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                          CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+                  / CAST(10000 AS DOUBLE) AS revenue,
+                count(*) AS n
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+           AND l_quantity < 24""",
   )
 
   /** The n unrolled PageRank power-iteration CTEs (r1..rn), each
