@@ -93,6 +93,41 @@ object Sketches {
           col("s_scaled"), 3).as("hll_est"))
   }
 
+  /** Per-key HLL: the same 64 portable md5 registers built PER GROUP —
+    * sketch-as-aggregation, the shape a 100 TB per-tenant/per-source
+    * distinct report runs (one partial+final agg to keys×64 register
+    * rows; no count(DISTINCT) shuffle of the raw values). The register
+    * scaffold (every key × all 64 buckets, so empty registers read 0)
+    * is a broadcast cross of the tiny key set against literal range 64.
+    * Output: one row per key (key, m, nonzero, s_scaled, hll_est),
+    * ordered by key. */
+  def hllSketchBy(toks: DataFrame, key: String): DataFrame = {
+    val spark = toks.sparkSession
+    val valueCol = toks.columns.filter(_ != key).head
+    val rho = toks
+      .select(col(key),
+        conv(substring(md5(col(valueCol)), 1, 14), 16, 10).cast("long").as("h"))
+      .select(col(key), (col("h") % 64).as("bucket"), expr("shiftright(h, 6)").as("w"))
+      .select(col(key), col("bucket"),
+        when(col("w") === 0, lit(51))
+          .otherwise(lit(51) - length(conv(col("w"), 10, 2)))
+          .cast("int").as("rho"))
+    val scaffold = toks.select(col(key)).distinct()
+      .crossJoin(broadcast(spark.range(0, 64).toDF("bucket")))
+    val regs = scaffold
+      .join(rho.groupBy(col(key), col("bucket")).agg(max(col("rho")).as("mx")),
+        Seq(key, "bucket"), "left")
+      .select(col(key), coalesce(col("mx"), lit(0)).as("mj"))
+    regs.groupBy(col(key)).agg(
+        count(when(col("mj") > 0, 1)).as("nz"),
+        sum(expr("shiftleft(cast(1 as bigint), 51 - mj)")).as("ss"))
+      .select(col(key), lit(64L).as("m"), col("nz").cast("long").as("nonzero"),
+        col("ss").cast("long").as("s_scaled"),
+        round(lit(0.709) * lit(64) * lit(64) * lit(2251799813685248.0) /
+          col("ss"), 3).as("hll_est"))
+      .orderBy(col(key))
+  }
+
   /** The consumer-side small-range correction (linear counting when
     * empty registers remain): the standard HLL practice, kept out of
     * the cross-engine query because it needs ln. */

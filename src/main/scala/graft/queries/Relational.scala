@@ -86,6 +86,36 @@ object Relational {
       .distinct()
   }
 
+  /** Fixed-point integer PageRank driver loop (ranks scaled 1e6 = 1.0,
+    * damping 85/100, vanishing dangling mass): per iteration one
+    * equi-join of edges(src,dst) against ranks+degrees, one
+    * partial+final sum keyed by dst, one left join back to nodes(id) —
+    * all-long arithmetic so the result is exact and order-independent.
+    * localCheckpoint per round (checkpoint-cadence rule for iterative
+    * ops). Exposed for q_graph_pagerank and PageRankSpec's adversarial
+    * graphs. Returns (id, pr). */
+  private[graft] def pagerankFp(nodes: DataFrame, edgesIn: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "dsrc")
+    var ranks = nodes.withColumn("pr", lit(1000000L)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val prev = ranks
+      val mass = edges.join(deg, col("src") === col("dsrc"))
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("pr div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nodes.join(mass, nodes("id") === mass("dst"), "left")
+        .select(nodes("id"),
+          expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    edges.unpersist()
+    ranks
+  }
+
   /** One min-label-propagation round: pull the min label across edges
     * (partial+final hash agg keyed by dst), fold it in, then pointer-
     * jump (read the label's own label). Exposed un-materialized so
@@ -1552,26 +1582,10 @@ object Relational {
       val pairs = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-        .localCheckpoint(true)
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .withColumnRenamed("src", "dsrc")
       val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
         .select(col("doc_id").cast("long").as("id")).distinct()
-      var ranks = nodes.withColumn("pr", lit(1000000L)).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        val prev = ranks
-        val mass = edges.join(deg, col("src") === col("dsrc"))
-          .join(ranks, col("src") === col("id"))
-          .select(col("dst"), expr("pr div deg").as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-        ranks = nodes.join(mass, nodes("id") === mass("dst"), "left")
-          .select(nodes("id"),
-            expr("150000L + (85L * coalesce(m, 0L)) div 100L").as("pr"))
-          .localCheckpoint(true)
-        prev.unpersist()
-      }
-      edges.unpersist()
-      ranks.select(col("id").as("doc_id"), col("pr")).orderBy(col("doc_id"))
+      pagerankFp(nodes, edges, 3)
+        .select(col("id").as("doc_id"), col("pr")).orderBy(col("doc_id"))
     }),
 
     // text — TF-IDF top-terms per document with an integer-log2 idf:
@@ -1716,6 +1730,147 @@ object Relational {
           max(when(col("rn") === expr("(9 * n + 9) div 10"), col("value"))).as("p90"),
           max(col("n")).as("n"))
         .orderBy(col("event_type"))
+    }),
+
+    // sketch 4 — per-key HLL: the 64-register distinct sketch built
+    // PER SOURCE (sketch-as-aggregation) — one partial+final agg to
+    // keys×64 register rows; the per-tenant distinct report a 100 TB
+    // corpus runs instead of a count(DISTINCT) shuffle per group.
+    // Identical md5 registers in the oracle, grouped by source.
+    "q_text_hll_by_source" -> ((s, dir) =>
+      graft.core.Sketches.hllSketchBy(
+        t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok")),
+        "source")),
+
+    // dedup 2 — component-size histogram over the resolved near-dup
+    // graph: the cluster-size distribution every dedup run reports
+    // (how much of the corpus sits in 2-clusters vs mega-clusters).
+    // Reads the memoized resolution (the iterative propagation runs
+    // once per session); two bounded-key hash aggs on top.
+    "q_dedup_component_sizes" -> ((s, dir) =>
+      resolveComponents(s, dir)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("sz"))),
+
+    // analytics 2 — IQR outlier detection per event type: quartiles
+    // from the exact integer-rank picks (q_agg_quantiles' machinery),
+    // Tukey fences at 1.5·IQR, then one broadcast join back over the
+    // events scan. The fence arithmetic is three exact-rounded IEEE
+    // ops on PICKED doubles (never accumulated), so both engines
+    // compute bit-identical bounds; counts/min/max then integer/picks.
+    "q_events_outliers" -> ((s, dir) => {
+      val ranked = t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val bounds = ranked.groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") === expr("(n + 3) div 4"), col("value"))).as("q1"),
+          max(when(col("rn") === expr("(3 * n + 3) div 4"), col("value"))).as("q3"))
+        .select(col("event_type").as("bt"), col("q1"), col("q3"),
+          (col("q3") - col("q1")).as("iqr"))
+      t(s, dir, "events").join(broadcast(bounds), col("event_type") === col("bt"))
+        .filter(col("value") < col("q1") - lit(1.5) * col("iqr") ||
+          col("value") > col("q3") + lit(1.5) * col("iqr"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("value")).as("min_out"), max(col("value")).as("max_out"))
+        .orderBy(col("event_type"))
+    }),
+
+    // RAG chunking — overlapping sliding-window chunks (size 32,
+    // stride 24): the retrieval-corpus preparation step every RAG /
+    // embedding pipeline runs before encoding. Per-row array work
+    // (sequence + slice + explode) then NO shuffle at all — each doc
+    // emits its own chunks where it sits; the per-chunk fingerprint
+    // keys downstream chunk-level dedup. Chunk rule: every stride
+    // offset < n_tok starts a chunk (tail chunks may be short) — the
+    // same deterministic rule in both engines.
+    "q_text_chunks" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          split(col("text"), " ").as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("c_start", explode(expr("sequence(0L, n_tok - 1, 24)")))
+        .select(col("doc_id"), expr("c_start div 24").as("chunk_idx"),
+          col("c_start"),
+          expr("slice(tk, cast(c_start + 1 as int), 32)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("c_start"),
+          size(col("chunk")).cast("long").as("chunk_len"),
+          substring(md5(array_join(col("chunk"), " ")), 1, 16).as("fp"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Bigram language-model counts — the n-gram LM table (KenLM-style
+    // count collection): adjacent-pair extraction is pure per-row
+    // array work (transform over sequence — NO window shuffle, NO
+    // posexplode+lag), then one hash agg for pair counts, one for
+    // left-context totals, one equi-join; the conditional probability
+    // is scaled-integer (ppm) floor division so the table is exact and
+    // engine-identical. df>=5 bounds the output to real signal.
+    "q_text_bigram_lm" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"""))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = big.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+        .withColumnRenamed("w1", "tw1")
+      big.join(tot, col("w1") === col("tw1"))
+        .filter(col("cnt") >= 5)
+        .select(col("w1"), col("w2"), col("cnt"), col("tot"),
+          expr("(cnt * 1000000L) div tot").as("cond_ppm"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Mixture rebalancing — the source-reweighting computation every
+    // training-corpus recipe starts from: per-source token mass, its
+    // ppm share, and the scaled-integer weight that would equalize the
+    // mixture (target share = 1/k per source). Shape: one partial+final
+    // agg to k rows, then window totals over the k-row aggregated
+    // frame (bounded by the number of sources, NOT the corpus — the
+    // single-partition window is k rows at any SF).
+    "q_sample_mixture" -> ((s, dir) => {
+      val w = Window.partitionBy(lit(1))
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+        .withColumn("total_tokens", sum(col("src_tokens")).over(w))
+        .withColumn("k", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          expr("(src_tokens * 1000000L) div total_tokens").as("share_ppm"),
+          expr("(total_tokens * 1000000L) div (k * src_tokens)").as("weight_ppm"),
+          expr("(src_tokens * ((total_tokens * 1000000L) div (k * src_tokens))) div 1000000L")
+            .as("expected_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // Sequence validity — consecutive-repeat detection per user (the
+    // transcript-sanity check: a conversation whose roles don't
+    // alternate is malformed; here the same shape over the events
+    // stream). One window shuffle keyed by user, deterministic
+    // (ts, event_id) order; output is one row per user.
+    "q_events_alternation" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("prev") === col("event_type"), 1)).as("n_repeats"))
+        .select(col("user_id"), col("n_events"), col("n_repeats"),
+          expr("(n_repeats * 1000000L) div n_events").as("repeat_ppm"))
+        .orderBy(col("user_id"))
     }),
 
     // TPC-H Q6 — the forecasting-revenue-change scan: a pure
@@ -2809,6 +2964,133 @@ object Relational {
                 max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90,
                 max(n) AS n
          FROM ranked GROUP BY 1 ORDER BY 1""",
+    // per-source registers from the identical md5 hash; scaffold
+    // cross = distinct sources × range(64) so empty registers read 0
+    "q_text_hll_by_source" ->
+      """WITH raw AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+            h AS (SELECT source, ('0x' || substr(md5(tok), 1, 14))::UBIGINT AS h
+                  FROM raw),
+            b AS (SELECT source, CAST(h % 64 AS BIGINT) AS bucket,
+                         CAST(h >> 6 AS BIGINT) AS w FROM h),
+            r AS (SELECT source, bucket,
+                         CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS rho
+                  FROM b),
+            scaffold AS (SELECT source, s.bucket
+                         FROM (SELECT DISTINCT source FROM documents)
+                         CROSS JOIN (SELECT unnest(range(64)) AS bucket) s),
+            regs AS (SELECT sc.source, sc.bucket, coalesce(max(r.rho), 0) AS mj
+                     FROM scaffold sc LEFT JOIN r
+                       ON sc.source = r.source AND sc.bucket = r.bucket
+                     GROUP BY 1, 2),
+            agg AS (SELECT source,
+                           count(CASE WHEN mj > 0 THEN 1 END) AS nonzero,
+                           CAST(sum(1::BIGINT << (51 - mj)) AS BIGINT) AS s_scaled
+                    FROM regs GROUP BY 1)
+         SELECT source, CAST(64 AS BIGINT) AS m, CAST(nonzero AS BIGINT) AS nonzero,
+                s_scaled,
+                round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / s_scaled, 3) AS hll_est
+         FROM agg ORDER BY source""",
+    // component sizes over the same recursive-CTE resolution
+    "q_dedup_component_sizes" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       ),
+       comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+       sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       SELECT sz, count(*) AS n_components FROM sizes GROUP BY 1 ORDER BY sz"""),
+    // identical rank-pick quartiles, identical three-op IEEE fences
+    "q_events_outliers" ->
+      """WITH ranked AS (
+           SELECT event_type, value, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+            q AS (SELECT event_type,
+                         max(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+                         max(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+                  FROM ranked GROUP BY 1),
+            b AS (SELECT event_type, q1, q3, q3 - q1 AS iqr FROM q)
+         SELECT e.event_type, count(*) AS n_outliers,
+                min(e.value) AS min_out, max(e.value) AS max_out
+         FROM events e JOIN b ON e.event_type = b.event_type
+         WHERE e.value < b.q1 - 1.5 * b.iqr OR e.value > b.q3 + 1.5 * b.iqr
+         GROUP BY 1 ORDER BY 1""",
+    // identical stride rule: every offset < n_tok starts a chunk;
+    // DuckDB range() excludes its stop, Spark sequence() includes it —
+    // range(0, n_tok, 24) ≡ sequence(0, n_tok-1, 24) for n_tok >= 1
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+            n AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tok FROM d),
+            st AS (SELECT doc_id, tk, unnest(range(0, n_tok, 24)) AS c_start FROM n),
+            c AS (SELECT doc_id, c_start // 24 AS chunk_idx, c_start,
+                         tk[c_start + 1 : c_start + 32] AS chunk
+                  FROM st)
+         SELECT doc_id, chunk_idx, c_start,
+                CAST(len(chunk) AS BIGINT) AS chunk_len,
+                substr(md5(array_to_string(chunk, ' ')), 1, 16) AS fp
+         FROM c ORDER BY doc_id, chunk_idx""",
+    // identical pair extraction (1-based list index), identical ppm
+    // floor division
+    "q_text_bigram_lm" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            ix AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM d),
+            p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM ix),
+            big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                    FROM p GROUP BY 1, 2),
+            tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot
+                    FROM big GROUP BY 1)
+         SELECT b.w1, b.w2, b.cnt, t.tot, (b.cnt * 1000000) // t.tot AS cond_ppm
+         FROM big b JOIN tot t ON b.w1 = t.w1
+         WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // window totals over the k-row aggregated frame, identical integer
+    // share/weight arithmetic
+    "q_sample_mixture" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+                    FROM documents GROUP BY 1),
+            w AS (SELECT source, n_docs, src_tokens,
+                         CAST(sum(src_tokens) OVER () AS BIGINT) AS total_tokens,
+                         CAST(count(*) OVER () AS BIGINT) AS k
+                  FROM s)
+         SELECT source, n_docs, src_tokens,
+                (src_tokens * 1000000) // total_tokens AS share_ppm,
+                (total_tokens * 1000000) // (k * src_tokens) AS weight_ppm,
+                (src_tokens * ((total_tokens * 1000000) // (k * src_tokens))) // 1000000
+                  AS expected_tokens
+         FROM w ORDER BY source""",
+    // identical lag window on the identical deterministic order
+    "q_events_alternation" ->
+      """WITH l AS (SELECT user_id, event_type,
+                           lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS prev
+                    FROM events),
+            a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(count(CASE WHEN prev = event_type THEN 1 END)
+                              AS BIGINT) AS n_repeats
+                  FROM l GROUP BY 1)
+         SELECT user_id, n_events, n_repeats,
+                (n_repeats * 1000000) // n_events AS repeat_ppm
+         FROM a ORDER BY user_id""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
                           CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)

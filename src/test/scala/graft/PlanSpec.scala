@@ -458,4 +458,35 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("long_array_dot") || p.contains("longarraydot") ||
       p.toLowerCase.contains("long_array_dot"), p.take(2000))
   }
+
+  test("no round-5-late query degrades to a cartesian; Q6 predicates reach the scan") {
+    for (name <- Seq("q_graph_pagerank", "q_text_tfidf", "q_dedup_url",
+        "q_events_retention", "q_text_countmin", "q_agg_quantiles",
+        "q_tpch_q6", "q_text_hll_by_source", "q_dedup_component_sizes",
+        "q_events_outliers", "q_text_chunks", "q_text_bigram_lm",
+        "q_sample_mixture", "q_events_alternation")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // Q6 is THE pushdown query: the date band and quantity cut must
+    // die at the parquet scan, not in a post-scan Filter — at 100 TB
+    // that is the difference between reading one year and reading all
+    // (the rendered PushedFilters list truncates, so assert on the
+    // leading entries + the pruned ReadSchema rather than the tail)
+    val q6 = plan("q_tpch_q6")
+    assert(q6.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"),
+      s"Q6 date band not pushed:\n${q6.take(2000)}")
+    val q6schema = q6.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!q6schema.contains("l_orderkey") && !q6schema.contains("l_comment"),
+      s"Q6 scan reads unneeded columns: $q6schema")
+    // bigram pair extraction must be per-row array work, not a
+    // posexplode+lag window — at 100 TB the window form shuffles every
+    // token once before the first aggregation even starts
+    assert(!plan("q_text_bigram_lm").contains("Window"),
+      plan("q_text_bigram_lm").take(2000))
+    // chunking is per-doc generate — the only exchange is the final
+    // presentation sort, never a hash repartition of the chunk stream
+    val chunks = plan("q_text_chunks")
+    assert(!chunks.contains("hashpartitioning"), chunks.take(2000))
+  }
 }
