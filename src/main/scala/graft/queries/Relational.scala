@@ -1873,6 +1873,134 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // Gap-fill LOCF — last-observation-carried-forward over a sparse
+    // measurement stream (the time-series repair every sensor/metrics
+    // table needs): nulls are derived deterministically (cents % 7)
+    // so both engines fill the same holes; the fill is one bounded
+    // running-frame window per user, leading nulls stay null.
+    "q_window_locf" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("c",
+          when(cents(col("value")) % 7 === 0, lit(null).cast("long"))
+            .otherwise(cents(col("value"))))
+        .withColumn("filled", last(col("c"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("c"), col("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Spearman rank correlation per event type — value-rank vs
+    // time-rank agreement (is the metric trending?): both ranks are
+    // exact integer row_numbers on unique composite orders, Σd² is a
+    // long sum, and rho is formed from TWO exact-rounded IEEE ops on
+    // exactly-representable operands — bit-identical across engines.
+    "q_agg_spearman" -> ((s, dir) => {
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val byTime = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("ts"), col("event_id"))
+        .withColumn("rv", row_number().over(byVal))
+        .withColumn("rt", row_number().over(byTime))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast((rv - rt) * (rv - rt) as bigint)")).as("sum_d2"))
+        .filter(col("n") >= 2)
+        .select(col("event_type"), col("n"), col("sum_d2"),
+          expr("1.0 - (6.0 * sum_d2) / cast(n * (n * n - 1) as double)")
+            .as("rho"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Equi-depth histogram — decile boundaries per event type (the
+    // statistics a cost-based optimizer or drift monitor collects;
+    // equi-WIDTH lives in q_agg_bins): ntile on a unique composite
+    // order is engine-identical, then one hash agg per (type, tile).
+    "q_agg_equidepth" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("tile", ntile(10).over(w))
+        .groupBy(col("event_type"), col("tile"))
+        .agg(count(lit(1)).as("n"),
+          min(cents(col("value"))).as("lo_cents"),
+          max(cents(col("value"))).as("hi_cents"))
+        .orderBy(col("event_type"), col("tile"))
+    }),
+
+    // OOV rate — per-document out-of-vocabulary share against the
+    // corpus top-1000 vocabulary (the tokenizer-coverage report every
+    // vocab change ships with): vocabulary is bounded (1000 rows) so
+    // membership is a broadcast left join over the token stream; the
+    // rate is ppm floor division. Deterministic vocab tie-break
+    // (count desc, token asc).
+    "q_text_oov" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rn") <= 1000)
+        .select(col("tok").as("vtok"))
+      toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("vtok").isNull, 1)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          expr("(n_oov * 1000000L) div n_tok").as("oov_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Prefix-filtering exact similarity join — the LOSSLESS scale path
+    // for exact Jaccard >= 0.9 (t = 9/10): each doc only indexes its
+    // |d| - ceil(t|d|) + 1 rarest tokens (global-df ascending, token
+    // tie-break) — any pair meeting the threshold MUST share a prefix
+    // token (pigeonhole), so the candidate equi-join is provably
+    // complete while hot stopword buckets never form (rare tokens have
+    // small df by construction). Candidates are then verified with the
+    // exact intersection over the FULL token arrays. The brute-force
+    // DuckDB oracle proves the pruning lossless: result sets are equal.
+    "q_dedup_prefix_filter" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfTab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val docs = toks.join(dfTab, Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("st"))
+        .select(col("doc_id"),
+          expr("transform(st, x -> x.tok)").as("ta"),
+          size(col("st")).cast("long").as("sz"))
+        .withColumn("plen",
+          expr("sz - ((9L * sz + 9L) div 10L) + 1L").cast("int"))
+      val prefix = docs
+        .select(col("doc_id"), explode(expr("slice(ta, 1, plen)")).as("ptok"))
+      val cands = prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.ptok") === col("b.ptok") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct()
+      cands
+        .join(docs.select(col("doc_id").as("ia"), col("ta").as("taa"),
+          col("sz").as("sza")), Seq("ia"))
+        .join(docs.select(col("doc_id").as("ib"), col("ta").as("tab"),
+          col("sz").as("szb")), Seq("ib"))
+        .select(col("ia"), col("ib"),
+          size(array_intersect(col("taa"), col("tab"))).cast("long").as("inter"),
+          (col("sza") + col("szb")).as("szsum"))
+        .select(col("ia"), col("ib"), col("inter"),
+          (col("szsum") - col("inter")).as("uni"))
+        .filter(col("inter") * 10 >= col("uni") * 9)
+        .select(col("ia"), col("ib"), col("inter"), col("uni"),
+          expr("(inter * 1000000L) div uni").as("jac_ppm"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
     // TPC-H Q6 — the forecasting-revenue-change scan: a pure
     // filter+agg with every predicate pushable to the parquet scan and
     // the revenue sum EXACT (cents×cents long products summed as
@@ -3091,6 +3219,75 @@ object Relational {
          SELECT user_id, n_events, n_repeats,
                 (n_repeats * 1000000) // n_events AS repeat_ppm
          FROM a ORDER BY user_id""",
+    // identical deterministic nulling, identical running IGNORE NULLS
+    // frame
+    "q_window_locf" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+                           CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0
+                                THEN NULL
+                                ELSE CAST(round(value * 100) AS BIGINT) END AS c
+                    FROM events)
+         SELECT user_id, event_id, c,
+                last_value(c IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM c ORDER BY user_id, event_id""",
+    // identical integer ranks on unique composite orders; rho is the
+    // same two IEEE ops on exactly-representable operands
+    "q_agg_spearman" ->
+      """WITH r AS (SELECT event_type,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY value, event_id) AS rv,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id) AS rt
+                    FROM events),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum((rv - rt) * (rv - rt)) AS BIGINT) AS sum_d2
+                  FROM r GROUP BY 1)
+         SELECT event_type, n, sum_d2,
+                1.0 - (6.0 * sum_d2) / CAST(n * (n * n - 1) AS DOUBLE) AS rho
+         FROM a WHERE n >= 2 ORDER BY event_type""",
+    // ntile on the identical unique order
+    "q_agg_equidepth" ->
+      """WITH t AS (SELECT event_type, value, event_id,
+                           ntile(10) OVER (PARTITION BY event_type
+                                           ORDER BY value, event_id) AS tile
+                    FROM events)
+         SELECT event_type, tile, CAST(count(*) AS BIGINT) AS n,
+                min(CAST(round(value * 100) AS BIGINT)) AS lo_cents,
+                max(CAST(round(value * 100) AS BIGINT)) AS hi_cents
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical top-1000 vocabulary (count desc, token asc), identical
+    // ppm rate
+    "q_text_oov" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            v AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            vocab AS (SELECT tok FROM
+                        (SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+                         FROM v) WHERE rn <= 1000)
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                CAST(count(CASE WHEN vocab.tok IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+                (count(CASE WHEN vocab.tok IS NULL THEN 1 END) * 1000000)
+                  // count(*) AS oov_ppm
+         FROM toks t LEFT JOIN vocab ON t.tok = vocab.tok
+         GROUP BY 1 ORDER BY 1""",
+    // BRUTE FORCE all-pairs (no prefix pruning): equality with the
+    // prefix-filtered Spark result proves the pruning lossless
+    "q_dedup_prefix_filter" ->
+      """WITH d AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                    FROM documents WHERE doc_id < 1000),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY 1),
+            pair AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                            CAST(count(*) AS BIGINT) AS inter
+                     FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT CAST(ia AS BIGINT) AS ia, CAST(ib AS BIGINT) AS ib, inter,
+                sa.sz + sb.sz - inter AS uni,
+                (inter * 1000000) // (sa.sz + sb.sz - inter) AS jac_ppm
+         FROM pair JOIN sz sa ON ia = sa.doc_id JOIN sz sb ON ib = sb.doc_id
+         WHERE 10 * inter >= 9 * (sa.sz + sb.sz - inter)
+         ORDER BY ia, ib""",
     "q_tpch_q6" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
                           CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)

@@ -464,7 +464,9 @@ class PlanSpec extends SparkSuite {
         "q_events_retention", "q_text_countmin", "q_agg_quantiles",
         "q_tpch_q6", "q_text_hll_by_source", "q_dedup_component_sizes",
         "q_events_outliers", "q_text_chunks", "q_text_bigram_lm",
-        "q_sample_mixture", "q_events_alternation")) {
+        "q_sample_mixture", "q_events_alternation", "q_window_locf",
+        "q_agg_spearman", "q_agg_equidepth", "q_text_oov",
+        "q_dedup_prefix_filter")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
@@ -488,5 +490,9 @@ class PlanSpec extends SparkSuite {
     // presentation sort, never a hash repartition of the chunk stream
     val chunks = plan("q_text_chunks")
     assert(!chunks.contains("hashpartitioning"), chunks.take(2000))
+    // the 1000-row vocabulary must broadcast — shuffling the full
+    // token stream to join a bounded dim is the classic 100 TB mistake
+    assert(plan("q_text_oov").contains("BroadcastHashJoin"),
+      plan("q_text_oov").take(2000))
   }
 }
