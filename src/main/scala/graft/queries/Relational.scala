@@ -2017,6 +2017,197 @@ object Relational {
           (sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) /
             10000.0).as("revenue"),
           count(lit(1)).as("n"))),
+
+    // Column profiling — the data-quality report every ingested table
+    // gets before training sees it: per column null count, distinct
+    // count, min/max. Uses the real unpivot (melt) operator — one
+    // Expand over the scan, then one partial+final hash agg keyed by
+    // column name (3 groups → the partial side collapses everything
+    // map-side; no per-column scan repetition). Nulls are derived
+    // deterministically (cents % 7) so both engines profile the same
+    // holes.
+    "q_profile_columns" -> ((s, dir) => {
+      val base = t(s, dir, "events").select(
+        col("event_type").as("c_event_type"),
+        col("props").as("c_props"),
+        when(cents(col("value")) % 7 === 0, lit(null).cast("string"))
+          .otherwise(cents(col("value")).cast("string")).as("c_value_cents"))
+      base.unpivot(
+          Array.empty[Column],
+          Array(col("c_event_type"), col("c_props"), col("c_value_cents")),
+          "col_name", "val")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+          (count(lit(1)) - count(col("val"))).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("col_name"))
+    }),
+
+    // JSON field extraction — pull a typed value out of the semi-
+    // structured props column (the event-payload shred every product
+    // analytics table starts with): get_json_object is a codegen'd
+    // scalar pass, then one hash agg per event type. No shuffle before
+    // the per-row extraction.
+    "q_events_props_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))),
+
+    // Modal value per group — the most frequent event type per user
+    // with a deterministic (count desc, value asc) tie-break: one hash
+    // agg to (user, type) counts, then a top-1 window on the bounded
+    // per-user group. The categorical summary stat that complements
+    // the numeric quantile family.
+    "q_agg_mode" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("cnt").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("mode_event"),
+          col("cnt").as("n_mode"))
+        .orderBy(col("user_id"))),
+
+    // Edit-distance record linkage — top-3 nearest part names within a
+    // first-word block (the blocked fuzzy-matching shape dedup passes
+    // run over product/entity catalogs): blocking turns the quadratic
+    // all-pairs into per-block equi-join candidates, levenshtein is a
+    // codegen'd scalar on each candidate, and the top-3 is a bounded
+    // window with a total (dist, key) tie-break. Lossless within the
+    // block by construction; at 100 TB the block key shards the join.
+    "q_join_editdist" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") < 2000)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") =!= col("b.p_partkey"))
+        .select(col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"),
+          levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ka")).orderBy(col("dist"), col("kb"))))
+        .filter(col("rn") <= 3)
+        .select(col("ka"), col("kb"), col("dist"))
+        .orderBy(col("ka"), col("kb"))
+    }),
+
+    // Bloom-filter membership sketch — build a 256-bit bloom (8×32-bit
+    // words, 2 portable md5-derived hashes) per nation over its customer
+    // keys, then probe EVERY customer against every nation's filter and
+    // report exact members / bloom positives / false positives per
+    // nation. The filters are 25 tiny rows → the probe is a broadcast
+    // nested-loop over a scalar pass (the real deployment shape: ship
+    // the bloom to every scan task, drop non-members before the join).
+    // Bit-exact across engines: same md5 slices, same word/bit split,
+    // bit_or aggregation.
+    "q_sketch_bloom" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+          (conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 256).as("h1"),
+          (conv(substring(md5(col("c_custkey").cast("string")), 9, 8), 16, 10)
+            .cast("long") % 256).as("h2"))
+      def contrib(h: String, w: Int) =
+        s"(case when $h div 32 = $w then shiftleft(1L, cast($h % 32 as int)) else 0L end)"
+      val wordAggs = (0 until 8).map(w =>
+        expr(s"bit_or(${contrib("h1", w)} | ${contrib("h2", w)})").as(s"w$w"))
+      val blooms = cust.groupBy(col("c_nationkey").as("bnation"))
+        .agg(wordAggs.head, wordAggs.tail: _*)
+      val warr = s"array(${(0 until 8).map(i => s"w$i").mkString(",")})"
+      val probed = cust.crossJoin(broadcast(blooms))
+        .withColumn("pos",
+          expr(s"(element_at($warr, cast(h1 div 32 as int) + 1) & shiftleft(1L, cast(h1 % 32 as int))) != 0L AND " +
+            s"(element_at($warr, cast(h2 div 32 as int) + 1) & shiftleft(1L, cast(h2 % 32 as int))) != 0L"))
+      probed.groupBy(col("bnation"))
+        .agg(count(lit(1)).as("n_probes"),
+          count(when(col("c_nationkey") === col("bnation"), 1)).as("n_members"),
+          count(when(col("pos"), 1)).as("n_pos"),
+          count(when(col("pos") && col("c_nationkey") =!= col("bnation"), 1)).as("n_fp"))
+        .select(col("bnation"), col("n_probes"), col("n_members"),
+          col("n_pos"), col("n_fp"),
+          expr("(n_fp * 1000000L) div (n_probes - n_members)").as("fp_ppm"))
+        .orderBy(col("bnation"))
+    }),
+
+    // Graph k-hop reachability — per node: distinct 1-hop neighbors and
+    // distinct nodes within ≤2 hops (self excluded) over the near-dup
+    // candidate graph. The neighborhood-expansion primitive behind
+    // community features and graph sampling: every hop is one equi-join
+    // of the (already-bounded) edge list with itself, then distinct +
+    // hash agg — no cartesian anywhere, shards by vertex at scale.
+    "q_graph_khop" -> ((s, dir) => {
+      val pr = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+      val twoHop = edges.as("e1").join(edges.as("e2"),
+          col("e1.dst") === col("e2.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("d"))
+      val n1 = edges.groupBy(col("src")).agg(count(lit(1)).as("n1"))
+      val reach = edges.select(col("src"), col("dst").as("d"))
+        .union(twoHop)
+        .filter(col("d") =!= col("src"))
+        .distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("n2"))
+      n1.join(reach, Seq("src"))
+        .select(col("src").as("doc_id"), col("n1"), col("n2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hopping (sliding) time windows in batch — 10-minute windows
+    // sliding every 5: Spark's window() generator assigns each event
+    // to its size/slide overlapping windows via an Expand (2 rows per
+    // event here), then one partial+final hash agg per (window, type).
+    // The batch twin of the streaming windowed aggregation, and the
+    // standard rate/rolling-metric shape at 100 TB (shuffle is keyed by
+    // window start × type, partial aggs collapse map-side).
+    "q_window_hopping" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Winsorized mean — robust location estimate per event type: clamp
+    // at the exact p10/p90 (ceil-rank on the unique (value, event_id)
+    // order — engine-identical), then an exact integer mean. Two
+    // windows over the same partition order + one join back + one hash
+    // agg; the robust-stats companion to q_events_outliers' IQR fences.
+    "q_events_winsorized" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("c"), col("event_id"))))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val q = d
+        .withColumn("isP10", col("rn") === expr("(cnt + 9) div 10"))
+        .withColumn("isP90", col("rn") === expr("(9 * cnt + 9) div 10"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("isP10"), col("c"))).as("p10"),
+          min(when(col("isP90"), col("c"))).as("p90"))
+      d.join(q, Seq("event_type"))
+        .select(col("event_type"), col("p10"), col("p90"),
+          greatest(col("p10"), least(col("p90"), col("c"))).as("wc"))
+        .groupBy(col("event_type"), col("p10"), col("p90"))
+        .agg(count(lit(1)).as("n"), sum(col("wc")).as("sum_w"))
+        .select(col("event_type"), col("n"), col("p10"), col("p90"),
+          col("sum_w"), expr("sum_w div n").as("mean_w"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -3298,7 +3489,134 @@ object Relational {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
            AND l_quantity < 24""",
+    // melt as UNION ALL; identical derived nulls (cents % 7)
+    "q_profile_columns" ->
+      """WITH b AS (SELECT event_type AS c_event_type, props AS c_props,
+                           CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0
+                                THEN NULL
+                                ELSE CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                           END AS c_value_cents
+                    FROM events),
+            m AS (SELECT 'c_event_type' AS col_name, c_event_type AS val FROM b
+                  UNION ALL SELECT 'c_props', c_props FROM b
+                  UNION ALL SELECT 'c_value_cents', c_value_cents FROM b)
+         SELECT col_name, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) - count(val) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                min(val) AS min_val, max(val) AS max_val
+         FROM m GROUP BY 1 ORDER BY 1""",
+    "q_events_props_json" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                min(k) AS min_k, max(k) AS max_k,
+                CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM e GROUP BY 1 ORDER BY 1""",
+    "q_agg_mode" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, cnt,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY cnt DESC, event_type) AS rn
+                  FROM c)
+         SELECT user_id, event_type AS mode_event, cnt AS n_mode
+         FROM r WHERE rn = 1 ORDER BY user_id""",
+    // identical classic Levenshtein in both engines
+    "q_join_editdist" ->
+      """WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+                    FROM part WHERE p_partkey < 2000),
+            j AS (SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+                         CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+                  FROM p a JOIN p b
+                    ON a.blk = b.blk AND a.p_partkey <> b.p_partkey),
+            r AS (SELECT ka, kb, dist,
+                         row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn
+                  FROM j)
+         SELECT ka, kb, dist FROM r WHERE rn <= 3 ORDER BY ka, kb""",
+    // identical md5 slices → word/bit split → bit_or'd 8×32-bit words
+    "q_sketch_bloom" ->
+      s"""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT % 256 AS BIGINT) AS h1,
+                           CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::UBIGINT % 256 AS BIGINT) AS h2
+                    FROM customer),
+            bl AS (SELECT c_nationkey AS bnation, ${bloomWordsSql}
+                   FROM c GROUP BY 1),
+            pr AS (SELECT c.c_nationkey, bl.bnation,
+                          ((${bloomWordArr}[CAST(h1 // 32 AS INTEGER) + 1]
+                              & (1::BIGINT << CAST(h1 % 32 AS INTEGER))) <> 0
+                           AND (${bloomWordArr}[CAST(h2 // 32 AS INTEGER) + 1]
+                              & (1::BIGINT << CAST(h2 % 32 AS INTEGER))) <> 0) AS pos
+                   FROM c, bl)
+         SELECT bnation, CAST(count(*) AS BIGINT) AS n_probes,
+                CAST(count(CASE WHEN c_nationkey = bnation THEN 1 END) AS BIGINT) AS n_members,
+                CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS n_pos,
+                CAST(count(CASE WHEN pos AND c_nationkey <> bnation THEN 1 END) AS BIGINT) AS n_fp,
+                (count(CASE WHEN pos AND c_nationkey <> bnation THEN 1 END) * 1000000)
+                  // (count(*) - count(CASE WHEN c_nationkey = bnation THEN 1 END)) AS fp_ppm
+         FROM pr GROUP BY 1 ORDER BY 1""",
+    "q_graph_khop" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       n1 AS (SELECT src, CAST(count(*) AS BIGINT) AS n1 FROM edges GROUP BY 1),
+       th AS (SELECT e1.src AS src, e2.dst AS d
+              FROM edges e1 JOIN edges e2 ON e1.dst = e2.src),
+       reach AS (SELECT DISTINCT src, d FROM
+                   (SELECT src, dst AS d FROM edges UNION ALL SELECT src, d FROM th)
+                 WHERE d <> src),
+       n2t AS (SELECT src, CAST(count(*) AS BIGINT) AS n2 FROM reach GROUP BY 1)
+       SELECT n1.src AS doc_id, n1.n1, n2t.n2
+       FROM n1 JOIN n2t ON n1.src = n2t.src ORDER BY doc_id"""),
+    // each event lands in its two overlapping 600s/300s windows; the
+    // integer-second floor never crosses a 300s boundary
+    "q_window_hopping" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300 - k) * 300 AS win_start,
+                event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events, (SELECT unnest([0, 1]) AS k) ks
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical ceil-rank quantile rows on the unique composite order
+    "q_events_winsorized" ->
+      """WITH d AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+                           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+                    FROM events),
+            q AS (SELECT event_type,
+                         min(CASE WHEN rn = (cnt + 9) // 10 THEN c END) AS p10,
+                         min(CASE WHEN rn = (9 * cnt + 9) // 10 THEN c END) AS p90
+                  FROM d GROUP BY 1)
+         SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, q.p10, q.p90,
+                CAST(sum(greatest(q.p10, least(q.p90, d.c))) AS BIGINT) AS sum_w,
+                CAST(sum(greatest(q.p10, least(q.p90, d.c))) AS BIGINT)
+                  // CAST(count(*) AS BIGINT) AS mean_w
+         FROM d JOIN q ON d.event_type = q.event_type
+         GROUP BY 1, q.p10, q.p90 ORDER BY 1""",
   )
+
+  /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
+    * programmatically so the word/bit arithmetic provably matches the
+    * engine's loop. */
+  private def bloomWordsSql: String =
+    (0 until 8).map { w =>
+      def c(h: String) =
+        s"(CASE WHEN $h // 32 = $w THEN (1::BIGINT << CAST($h % 32 AS INTEGER)) ELSE 0 END)"
+      s"bit_or(${c("h1")} | ${c("h2")}) AS w$w"
+    }.mkString(",\n                   ")
+
+  private def bloomWordArr: String =
+    s"[${(0 until 8).map(i => s"w$i").mkString(", ")}]"
 
   /** The n unrolled PageRank power-iteration CTEs (r1..rn), each
     * reading the previous round — generated so the oracle's round

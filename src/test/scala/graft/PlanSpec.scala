@@ -495,4 +495,26 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_text_oov").contains("BroadcastHashJoin"),
       plan("q_text_oov").take(2000))
   }
+
+  test("no round-5-session-3 query degrades to a cartesian; bloom probe broadcasts its filters") {
+    for (name <- Seq("q_profile_columns", "q_events_props_json", "q_agg_mode",
+        "q_join_editdist", "q_graph_khop", "q_window_hopping",
+        "q_events_winsorized")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // the bloom probe is an INTENTIONAL broadcast nested loop: 25 tiny
+    // filter rows shipped to every probe task (the deployment shape) —
+    // it must be the broadcast form, never a shuffle cartesian
+    val b = plan("q_sketch_bloom")
+    assert(!b.contains("CartesianProduct"), b.take(2000))
+    assert(b.contains("BroadcastNestedLoopJoin"),
+      s"bloom probe must broadcast the 25 filters:\n${b.take(2000)}")
+    // blocked edit-distance linkage joins on the block key (equi), with
+    // levenshtein evaluated only on in-block candidates
+    val e = plan("q_join_editdist")
+    assert(e.contains("levenshtein") &&
+      (e.contains("SortMergeJoin") || e.contains("ShuffledHashJoin") ||
+        e.contains("BroadcastHashJoin")), e.take(2000))
+  }
 }

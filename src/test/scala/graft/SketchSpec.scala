@@ -35,6 +35,27 @@ class SketchSpec extends SparkSuite {
     assert(exact.keySet.subsetOf(cand))
   }
 
+  test("bloom filter has NO false negatives; false positives stay plausible") {
+    // engine-vs-oracle equality (the CORRECTNESS row) proves the two
+    // engines agree; this asserts the SKETCH property itself: every
+    // true member probes positive (n_pos - n_fp == n_members exactly),
+    // on every nation's filter
+    val rows = graft.queries.Relational.queries("q_sketch_bloom")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 25)
+    for (r <- rows) {
+      val (nMembers, nPos, nFp) =
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_pos"), r.getAs[Long]("n_fp"))
+      assert(nPos - nFp == nMembers,
+        s"false negative on nation ${r.get(0)}: pos=$nPos fp=$nFp members=$nMembers")
+    }
+    // 2 hashes into 256 bits with ~6 members/nation: FP rate must stay
+    // far below saturation (sanity band, not a tight bound)
+    val totFp = rows.map(_.getAs[Long]("n_fp")).sum
+    val totProbe = rows.map(_.getAs[Long]("n_probes")).sum
+    assert(totFp * 100 < totProbe, s"bloom saturated: $totFp fp / $totProbe probes")
+  }
+
   test("MG final output is partitioning-invariant (1 vs 16 partitions)") {
     import spark.implicits._
     val toks = (0 until 3000).map(i => s"t${i % 40}") ++ Seq.fill(500)("hot")
