@@ -2208,6 +2208,61 @@ object Relational {
           col("sum_w"), expr("sum_w div n").as("mean_w"))
         .orderBy(col("event_type"))
     }),
+
+    // LM-score quality filter — per-document bigram surprisal under the
+    // corpus's own language model (the CCNet-style "how unusual is this
+    // text" signal that ranks documents for curation): the corpus
+    // bigram/context tables are two hash aggs, each document's bigrams
+    // join the model on (w1, w2) — an equi-join sharded by bigram hash
+    // at 100 TB — and the per-occurrence surprisal is the EXACT integer
+    // floor(log2(tot/cnt)) via binary-string length (no libm, the
+    // file's determinism rule). High mean surprisal = rare
+    // constructions; low = boilerplate-like.
+    "q_text_lm_surprisal" -> ((s, dir) => {
+      val docPairs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"""))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val big = docPairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = big.groupBy(col("w1")).agg(sum(col("cnt")).as("tot"))
+        .withColumnRenamed("w1", "tw1")
+      val model = big.join(tot, col("w1") === col("tw1"))
+        .select(col("w1").as("mw1"), col("w2").as("mw2"),
+          (length(expr("bin(tot div cnt)")) - 1).cast("long").as("surprisal"))
+      docPairs.join(model,
+          col("w1") === col("mw1") && col("w2") === col("mw2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("surprisal")).as("sum_surprisal"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+          expr("(sum_surprisal * 1000000L) div n_bigrams").as("mean_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Semantic dedup (SemDeDup) — cluster the embedding space with the
+    // (memoized) seeded k-means fit, then keep ONE representative per
+    // cluster: the vector closest to its centroid (dist, vec_id
+    // tie-break). The embedding-space analog of the survivor-selection
+    // step in q_dedup_resolve: assignment is a broadcast join against
+    // k centroid rows, survivor pick is a bounded per-cluster window —
+    // at 100 TB both shard by cluster id with no driver state beyond
+    // the k×64 centroid matrix.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val fit = kmeansFit(s, dir)
+      fit
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("cid"), col("vec_id").as("survivor"), col("dist"),
+          col("n").cast("long").as("n_members"))
+        .orderBy(col("cid"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -3603,6 +3658,40 @@ object Relational {
                   // CAST(count(*) AS BIGINT) AS mean_w
          FROM d JOIN q ON d.event_type = q.event_type
          GROUP BY 1, q.p10, q.p90 ORDER BY 1""",
+    // identical integer floor(log2) via binary-string length
+    "q_text_lm_surprisal" ->
+      """WITH dp AS (SELECT doc_id,
+                            unnest(list_transform(range(1, len(tk)),
+                              i -> struct_pack(w1 := tk[i], w2 := tk[i + 1])),
+                              recursive := true)
+                     FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                           FROM documents WHERE len(string_split(text, ' ')) >= 2)),
+            big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                    FROM dp GROUP BY 1, 2),
+            tot AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS tot FROM big GROUP BY 1),
+            model AS (SELECT big.w1, big.w2,
+                             CAST(length(bin(tot // cnt)) - 1 AS BIGINT) AS surprisal
+                      FROM big JOIN tot ON big.w1 = tot.w1)
+         SELECT dp.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(sum(surprisal) AS BIGINT) AS sum_surprisal,
+                (sum(surprisal) * 1000000) // count(*) AS mean_ppm
+         FROM dp JOIN model ON dp.w1 = model.w1 AND dp.w2 = model.w2
+         GROUP BY 1 ORDER BY 1""",
+    // survivor per cluster from the same unrolled Lloyd CTE chain
+    "q_dedup_semantic" -> (kmeansCtes(8, 3) +
+      s""",
+         |af AS (SELECT vec_id, cid, dist FROM (
+         |  SELECT vec_id, cid, dist,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |  FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |        FROM v JOIN c3 c ON v.i = c.i GROUP BY 1, 2)) WHERE rn = 1)
+         |SELECT cid, vec_id AS survivor, CAST(dist AS BIGINT) AS dist,
+         |       CAST(n AS BIGINT) AS n_members
+         |FROM (SELECT cid, vec_id, dist,
+         |             row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+         |             count(*) OVER (PARTITION BY cid) AS n
+         |      FROM af)
+         |WHERE rn = 1 ORDER BY cid""".stripMargin),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
