@@ -2263,6 +2263,68 @@ object Relational {
           col("n").cast("long").as("n_members"))
         .orderBy(col("cid"))
     }),
+
+    // MinHash calibration — estimated vs EXACT Jaccard on every LSH
+    // candidate pair (the sketch-quality report that decides band/row
+    // settings before a 100 TB dedup run): per-band min-hash agreement
+    // gives the estimate (8 bands → n_agree/8), the exact value comes
+    // from the token-set intersection, and the per-pair error is the
+    // calibration surface. Every step is an equi-join (sig buckets,
+    // token hash) over the bounded doc subset — no all-pairs anywhere.
+    "q_dedup_minhash_eval" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val sigs = toks.withColumn("band", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("tok")))).as("sig"))
+      val cands = sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib")).distinct()
+      val agree = cands.join(sigs.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sigs.as("sb"),
+          col("ib") === col("sb.doc_id") && col("sa.band") === col("sb.band"))
+        .groupBy(col("ia"), col("ib"))
+        .agg(count(when(col("sa.sig") === col("sb.sig"), 1)).as("n_agree"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("x").join(toks.as("y"),
+          col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("ia"), col("y.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+      // every LSH candidate shares a band min-hash → shares that token
+      // → has inter >= 1, so the inner join below is lossless
+      agree.join(inter, Seq("ia", "ib"))
+        .join(sizes.select(col("doc_id").as("ia"), col("sz").as("sza")), Seq("ia"))
+        .join(sizes.select(col("doc_id").as("ib"), col("sz").as("szb")), Seq("ib"))
+        .select(col("ia"), col("ib"), col("n_agree"),
+          expr("(n_agree * 1000000L) div 8").as("est_ppm"),
+          expr("(inter * 1000000L) div (sza + szb - inter)").as("exact_ppm"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Token-distribution entropy per source — the corpus-diversity
+    // report (a low-entropy source is boilerplate; mixture weighting
+    // reads this next to q_sample_mixture): per-(source, token) counts,
+    // then total surprisal bits with the EXACT integer floor(log2)
+    // trick — two partial+final hash aggs and one equi-join, sharded by
+    // source/token at any scale.
+    "q_agg_entropy" -> ((s, dir) => {
+      val cnts = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("tot"), count(lit(1)).as("n_distinct"))
+      cnts.join(tot, Seq("source"))
+        .select(col("source"), col("tot"), col("n_distinct"),
+          (col("cnt") * (length(expr("bin(tot div cnt)")) - 1).cast("long")).as("bits"))
+        .groupBy(col("source"), col("tot"), col("n_distinct"))
+        .agg(sum(col("bits")).as("sum_bits"))
+        .select(col("source"), col("tot"), col("n_distinct"), col("sum_bits"),
+          expr("(sum_bits * 1000000L) div tot").as("mean_bits_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -3692,6 +3754,54 @@ object Relational {
          |             count(*) OVER (PARTITION BY cid) AS n
          |      FROM af)
          |WHERE rn = 1 ORDER BY cid""".stripMargin),
+    // identical md5 band signatures; exact jaccard from the token join
+    "q_dedup_minhash_eval" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                       FROM documents WHERE doc_id < 200),
+            sigs AS (SELECT doc_id, band,
+                            min(md5(CAST(band AS VARCHAR) || ':' || tok)) AS sig
+                     FROM toks, (SELECT unnest(range(8)) AS band) b
+                     GROUP BY 1, 2),
+            cands AS (SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia,
+                                      CAST(b.doc_id AS BIGINT) AS ib
+                      FROM sigs a JOIN sigs b
+                        ON a.band = b.band AND a.sig = b.sig
+                           AND a.doc_id < b.doc_id),
+            agr AS (SELECT ia, ib,
+                           CAST(count(CASE WHEN sa.sig = sb.sig THEN 1 END) AS BIGINT) AS n_agree
+                    FROM cands
+                    JOIN sigs sa ON sa.doc_id = ia
+                    JOIN sigs sb ON sb.doc_id = ib AND sb.band = sa.band
+                    GROUP BY 1, 2),
+            sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1),
+            itr AS (SELECT x.doc_id AS ia, y.doc_id AS ib,
+                           CAST(count(*) AS BIGINT) AS inter
+                    FROM toks x JOIN toks y
+                      ON x.tok = y.tok AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2)
+         SELECT agr.ia, agr.ib, n_agree,
+                (n_agree * 1000000) // 8 AS est_ppm,
+                (inter * 1000000) // (sa.sz + sb.sz - inter) AS exact_ppm,
+                abs((n_agree * 1000000) // 8
+                    - (inter * 1000000) // (sa.sz + sb.sz - inter)) AS err_ppm
+         FROM agr JOIN itr ON agr.ia = itr.ia AND agr.ib = itr.ib
+              JOIN sz sa ON agr.ia = sa.doc_id
+              JOIN sz sb ON agr.ib = sb.doc_id
+         ORDER BY agr.ia, agr.ib""",
+    // identical integer floor(log2) bits
+    "q_agg_entropy" ->
+      """WITH c AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM c GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot,
+                           CAST(count(*) AS BIGINT) AS n_distinct
+                    FROM cnts GROUP BY 1)
+         SELECT cnts.source, tot, n_distinct,
+                CAST(sum(cnt * (length(bin(tot // cnt)) - 1)) AS BIGINT) AS sum_bits,
+                (sum(cnt * (length(bin(tot // cnt)) - 1)) * 1000000) // tot AS mean_bits_ppm
+         FROM cnts JOIN tot ON cnts.source = tot.source
+         GROUP BY 1, 2, 3 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

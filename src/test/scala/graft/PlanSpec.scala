@@ -499,7 +499,8 @@ class PlanSpec extends SparkSuite {
   test("no round-5-session-3 query degrades to a cartesian; bloom probe broadcasts its filters") {
     for (name <- Seq("q_profile_columns", "q_events_props_json", "q_agg_mode",
         "q_join_editdist", "q_graph_khop", "q_window_hopping",
-        "q_events_winsorized", "q_text_lm_surprisal", "q_dedup_semantic")) {
+        "q_events_winsorized", "q_text_lm_surprisal", "q_dedup_semantic",
+        "q_dedup_minhash_eval", "q_agg_entropy")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
