@@ -68,8 +68,10 @@ object TableIO {
 
   /** Lineage as recorded by snapshot `snap` — each snapshot is a full
     * manifest (one row per live bucket), Iceberg-style. */
-  def lineageAt(root: String, snap: Int): Seq[BucketLineage] = {
-    val f = snapDir(root).resolve(s"snap-$snap.json")
+  def lineageAt(root: String, snap: Int): Seq[BucketLineage] =
+    parseManifest(snapDir(root).resolve(s"snap-$snap.json"), snap)
+
+  private def parseManifest(f: java.nio.file.Path, snap: Int): Seq[BucketLineage] = {
     if (!Files.isRegularFile(f)) return Nil
     // "version" is optional in the entry (pre-merge manifests lack it →
     // version 0, the bytes that have always lived at bucket=<b>)
@@ -193,21 +195,28 @@ object TableIO {
     // like an Iceberg snapshot referencing all live manifests)
     val prev = lineage(root).filter(l => !newLineage.exists(_.bucket == l.bucket))
     val all = (prev ++ newLineage).sortBy(_.bucket)
+    writeManifestCas(snapDir(root), id, all)
+  }
+
+  /** Write a full manifest via temp + hard-link publish. The link(2)
+    * is a compare-and-swap: it fails if the target exists, so two
+    * writers that both read snapshot k and try to publish k+1 conflict
+    * LOUDLY instead of one silently replacing the other's manifest
+    * (rename(2) would replace) — the optimistic-concurrency contract
+    * of an Iceberg commit under this layout. Shared by the main
+    * snapshot line and every branch's line. */
+  private def writeManifestCas(dir: java.nio.file.Path, id: Int,
+      all: Seq[BucketLineage]): Unit = {
     val body = all.map(l =>
       s"""{"bucket": ${l.bucket}, "rows": ${l.rows}, "minKey": "${l.minKey}", "maxKey": "${l.maxKey}", "errorRows": ${l.errorRows}, "wallMs": ${l.wallMs}, "version": ${l.version}}""")
       .mkString("[\n  ", ",\n  ", "\n]")
-    val tmp = snapDir(root).resolve(s".snap-$id.json.tmp")
+    val tmp = dir.resolve(s".snap-$id.json.tmp")
     Files.writeString(tmp, s"""{"snapshot": $id, "committed": $body}""")
-    // hard-link publish = compare-and-swap: link(2) fails if the target
-    // exists, so two writers that both read snapshot k and try to
-    // publish k+1 conflict LOUDLY instead of one silently replacing the
-    // other's manifest (rename(2) would replace) — the optimistic-
-    // concurrency contract of an Iceberg commit under this layout
-    try Files.createLink(snapDir(root).resolve(s"snap-$id.json"), tmp)
+    try Files.createLink(dir.resolve(s"snap-$id.json"), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
-          s"concurrent writer: snapshot $id already published under $root — " +
+          s"concurrent writer: snapshot $id already published under $dir — " +
             "re-read the table state and retry the operation")
     } finally Files.deleteIfExists(tmp)
   }
@@ -394,11 +403,17 @@ object TableIO {
     * Empty set / all-empty buckets → empty result with the
     * ExtractedTurn schema. */
   private def versionedDf(spark: SparkSession, root: String,
-      entries: Seq[BucketLineage]): org.apache.spark.sql.DataFrame = {
+      entries: Seq[BucketLineage],
+      branch: Option[String] = None): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.Encoders
     val current = lineage(root).map(l => l.bucket -> l.version).toMap
     val dirs = entries.sortBy(_.bucket).map { l =>
-      if (current.getOrElse(l.bucket, l.version) == l.version)
+      // a branch-private version dir shadows main resolution: branch
+      // merges only ever write under _branches/<name>, so its presence
+      // means THIS branch produced that (bucket, version)
+      val bdir = branch.map(n => branchDataDir(root, n, l.bucket, l.version))
+      if (bdir.exists(Files.isDirectory(_))) bdir.get
+      else if (current.getOrElse(l.bucket, l.version) == l.version)
         Paths.get(root, s"bucket=${l.bucket}")
       else archiveDir(root, l.bucket, l.version)
     }.filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
@@ -553,13 +568,23 @@ object TableIO {
   def expireSnapshots(root: String, keep: Int = 5): Seq[Int] = {
     require(keep >= 1, "must keep at least the latest snapshot")
     val ids = snapshotIds(root)
-    val expire = ids.dropRight(keep)
+    // a TAGGED snapshot is retained regardless of age (Iceberg's tag
+    // retention contract) — readTag must keep resolving
+    val tagged = tags(root).map(tagSnapshotId(root, _)).toSet
+    val expire = ids.dropRight(keep).filterNot(tagged)
     for (id <- expire) Files.deleteIfExists(snapDir(root).resolve(s"snap-$id.json"))
     // vacuum archive versions no surviving manifest references
     val archRoot = Paths.get(root, "_archive")
     if (Files.isDirectory(archRoot)) {
-      val referenced: Set[(Int, Int)] = snapshotIds(root)
-        .flatMap(id => lineageAt(root, id).map(l => (l.bucket, l.version))).toSet
+      // keep every (bucket, version) referenced by a surviving MAIN
+      // manifest, a TAGGED snapshot, or any BRANCH manifest — a branch
+      // created before a merge pins the pre-merge (archived) versions
+      // and must stay readable for as long as the branch exists
+      val referenced: Set[(Int, Int)] =
+        (snapshotIds(root) ++ tags(root).map(tagSnapshotId(root, _)))
+          .flatMap(id => lineageAt(root, id).map(l => (l.bucket, l.version))).toSet ++
+        branches(root).flatMap(n => branchSnapshotIds(root, n)
+          .flatMap(id => branchLineageAt(root, n, id).map(l => (l.bucket, l.version))))
       for (bdir <- listDir(archRoot);
            bname = bdir.getFileName.toString if bname.startsWith("bucket=");
            vdir <- listDir(bdir); vname = vdir.getFileName.toString
@@ -570,6 +595,186 @@ object TableIO {
     }
     expire
   }
+
+  // ---------------------------------------------------------------
+  // Branches and tags (zero-copy named refs — Iceberg's ref contract)
+  // ---------------------------------------------------------------
+
+  private def branchRoot(root: String, name: String) =
+    Paths.get(root, "_branches", name)
+  private def branchSnapDir(root: String, name: String) =
+    branchRoot(root, name).resolve("_snapshots")
+  private def branchDataDir(root: String, name: String, bucket: Int, version: Int) =
+    branchRoot(root, name).resolve(s"bucket=$bucket").resolve(s"v$version")
+
+  def branches(root: String): Seq[String] =
+    listDir(Paths.get(root, "_branches"))
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
+
+  def branchSnapshotIds(root: String, name: String): Seq[Int] =
+    listDir(branchSnapDir(root, name))
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("snap-").stripSuffix(".json").toInt)
+      .sorted
+
+  def branchLineageAt(root: String, name: String, snap: Int): Seq[BucketLineage] =
+    parseManifest(branchSnapDir(root, name).resolve(s"snap-$snap.json"), snap)
+
+  /** Create branch `name` pointing at main snapshot `atSnapshot` —
+    * ZERO-COPY: the branch manifest pins the same (bucket, version)
+    * entries the main manifest does; no data moves. Creating an
+    * existing branch fails loudly (the CAS link guards the first
+    * manifest, so two concurrent creators conflict instead of one
+    * silently winning). Branch snapshot ids continue from the
+    * branched-at id in the branch's OWN _snapshots line. */
+  def createBranch(root: String, name: String, atSnapshot: Int): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-]+"), s"bad branch name: $name")
+    require(snapshotIds(root).contains(atSnapshot),
+      s"no snapshot $atSnapshot under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
+    val lin = lineageAtStrict(root, atSnapshot)
+    Files.createDirectories(branchSnapDir(root, name))
+    writeManifestCas(branchSnapDir(root, name), atSnapshot, lin.sortBy(_.bucket))
+  }
+
+  /** Read branch `name` at its latest branch snapshot. Resolution per
+    * manifest entry: the branch-private version dir if this branch
+    * wrote it, else main's live bucket when the version is current,
+    * else the copy-on-write archive — exactly the time-travel rule
+    * with the branch storage layered on top. */
+  def readBranch(spark: SparkSession, root: String, name: String): Dataset[ExtractedTurn] = {
+    import spark.implicits._
+    recoverCompaction(root)
+    recoverMerge(root)
+    val ids = branchSnapshotIds(root, name)
+    require(ids.nonEmpty, s"no branch $name under $root/_branches")
+    val lin = branchLineageAt(root, name, ids.max)
+    require(lin.nonEmpty, s"branch $name manifest snap-${ids.max} read back empty")
+    versionedDf(spark, root, lin, Some(name)).as[ExtractedTurn]
+  }
+
+  /** Row-level MERGE into a branch — same copy-on-write-by-bucket
+    * semantics as `mergeExtracted`, but every rewritten bucket version
+    * lands in BRANCH-PRIVATE storage (`_branches/<name>/bucket=<b>/
+    * v<k>`): main's live buckets, archive, and snapshot line are never
+    * touched, so main readers see nothing and the branch diverges in
+    * isolation (the Iceberg write-audit-publish pattern). The branch
+    * snapshot publish is the commit point; a crash before it leaves
+    * only inert unreferenced version dirs (resolution is manifest-
+    * driven), and the staged dir is cleared on the next merge. */
+  def mergeIntoBranch(updates: Dataset[ExtractedTurn], root: String, name: String,
+      buckets: Int = 32): Seq[BucketLineage] = {
+    val spark = updates.sparkSession
+    recoverCompaction(root)
+    recoverMerge(root)
+    val ids = branchSnapshotIds(root, name)
+    require(ids.nonEmpty, s"no branch $name under $root/_branches")
+    val branchSnap = ids.max
+    val prevLin = branchLineageAt(root, name, branchSnap)
+    require(prevLin.nonEmpty, s"branch $name manifest snap-$branchSnap read back empty")
+    val lin = prevLin.map(l => l.bucket -> l).toMap
+    val t0 = System.currentTimeMillis()
+    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .localCheckpoint(true)
+    val affected = upd.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) { upd.unpersist(); return Nil }
+    val entries = affected.flatMap(lin.get)
+    val existing =
+      if (entries.isEmpty) None
+      else Some(versionedDf(spark, root, entries, Some(name))
+        .withColumn("bucket", bucketOf(col("conv_id"), buckets)))
+    val keep = existing.map(
+      _.join(upd.select(col("conv_id"), col("turn_idx")).distinct(),
+        Seq("conv_id", "turn_idx"), "left_anti"))
+    val merged = keep match {
+      case Some(k) => k.unionByName(upd, allowMissingColumns = true)
+      case None    => upd
+    }
+    val staged = branchRoot(root, name).resolve("_staging")
+    deleteRecursively(staged)
+    merged
+      .repartition(affected.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged.toString)
+    upd.unpersist()
+    val newVersion = affected.map(b =>
+      b -> lin.get(b).map(_.version + 1).getOrElse(0)).toMap
+    for (b <- affected) {
+      val src = staged.resolve(s"bucket=$b")
+      val dst = branchDataDir(root, name, b, newVersion(b))
+      deleteRecursively(dst)
+      Files.createDirectories(dst.getParent)
+      if (Files.isDirectory(src))
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      else Files.createDirectories(dst)
+    }
+    deleteRecursively(staged)
+    val nonEmpty = affected.filter(b =>
+      listDir(branchDataDir(root, name, b, newVersion(b)))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val rows: Map[Int, (Long, String, String, Long)] =
+      if (nonEmpty.isEmpty) Map.empty
+      else spark.read.parquet(
+          nonEmpty.map(b => branchDataDir(root, name, b, newVersion(b)).toString): _*)
+        .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toMap
+    val wallMs = System.currentTimeMillis() - t0
+    val snapId = branchSnap + 1
+    val newLin = affected.map { b =>
+      val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+      BucketLineage(b, n, lo, hi, e, wallMs, snapId, newVersion(b))
+    }
+    val all = (prevLin.filterNot(l => affected.contains(l.bucket)) ++ newLin)
+      .sortBy(_.bucket)
+    writeManifestCas(branchSnapDir(root, name), snapId, all)
+    newLin
+  }
+
+  private def tagDir(root: String) = Paths.get(root, "_tags")
+
+  def tags(root: String): Seq[String] =
+    listDir(tagDir(root))
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json")).sorted
+
+  /** Tag main snapshot `snap` with an immutable name (Iceberg tag):
+    * CAS-linked, so re-tagging an existing name fails loudly. Tagged
+    * snapshots are exempt from expireSnapshots and pin their archived
+    * versions against the vacuum. */
+  def tagSnapshot(root: String, tag: String, snap: Int): Unit = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"), s"bad tag name: $tag")
+    require(snapshotIds(root).contains(snap),
+      s"no snapshot $snap under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
+    Files.createDirectories(tagDir(root))
+    val tmp = tagDir(root).resolve(s".$tag.json.tmp")
+    Files.writeString(tmp, s"""{"tag": "$tag", "snapshot": $snap}""")
+    try Files.createLink(tagDir(root).resolve(s"$tag.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(s"tag $tag already exists under $root")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def tagSnapshotId(root: String, tag: String): Int = {
+    val f = tagDir(root).resolve(s"$tag.json")
+    require(Files.isRegularFile(f), s"no tag $tag under $root/_tags")
+    "\"snapshot\":\\s*(\\d+)".r.findFirstMatchIn(Files.readString(f))
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"tag $tag unparseable under $root"))
+  }
+
+  /** Read the table as of the tagged snapshot (time travel by name). */
+  def readTag(spark: SparkSession, root: String, tag: String): Dataset[ExtractedTurn] =
+    readExtracted(spark, root, tagSnapshotId(root, tag))
 
   // ---------------------------------------------------------------
   // Schema evolution (add-column-with-default)

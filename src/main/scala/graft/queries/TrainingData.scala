@@ -76,6 +76,7 @@ object TrainingData {
   val tableInitialPath    = s"$oracleRoot/table_initial"
   val tableWave1Path      = s"$oracleRoot/table_wave1"
   val tableUpdatesPath    = s"$oracleRoot/table_updates"
+  val tableBranchUpdatesPath = s"$oracleRoot/table_branch_updates"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -213,6 +214,19 @@ object TrainingData {
           .write.mode("overwrite").parquet(tableUpdatesPath)
         TableIO.mergeExtracted(updates, tablePath, buckets = 8)
         val (snapPost, _) = TableIO.committed(tablePath)
+        // named refs on the same build: tag the pre-merge snapshot
+        // (time travel by name), and branch at the post-merge head with
+        // a branch-only corrected subset (hash class 1 — disjoint from
+        // the merge's class 0), dumped BEFORE the branch merge so the
+        // oracle composes the branch state independently
+        TableIO.tagSnapshot(tablePath, "pre-merge", snapPre)
+        TableIO.createBranch(tablePath, "exp", snapPost)
+        val branchUpdates = TableIO.readExtracted(s, tablePath)
+          .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 1)
+          .map(t => t.copy(total_score = t.total_score + 5000))
+        flat(branchUpdates.toDF).coalesce(1)
+          .write.mode("overwrite").parquet(tableBranchUpdatesPath)
+        TableIO.mergeIntoBranch(branchUpdates, tablePath, "exp", buckets = 8)
         val b = TableBuild(tablePath, snapWave1, snapPre, snapPost)
         tableMemo.put(s, b)
         b
@@ -305,6 +319,23 @@ object TrainingData {
     "q_table_changes" -> ((s, dir) => {
       val b = buildMergeTable(s)
       flat(graft.io.TableIO.readChanges(s, b.root, b.snapWave1, b.snapPre).toDF)
+    }),
+
+    // Branch read: the "exp" branch carries its own copy-on-write merge
+    // on top of the post-merge main state — main's own oracle row
+    // (q_table_merge, read AFTER the branch ops ran) doubles as the
+    // non-interference proof; oracle = merged-main anti-join
+    // branch-updates ∪ branch-updates
+    "q_table_branch" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readBranch(s, b.root, "exp").toDF)
+    }),
+
+    // Tag read: time travel by NAME through the merge (the tag pins the
+    // pre-merge snapshot, so this resolves archived bucket versions)
+    "q_table_tag" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readTag(s, b.root, "pre-merge").toDF)
     }),
 
     // The extraction pipeline itself as a registered query (flagship
@@ -638,6 +669,25 @@ object TrainingData {
           WHERE NOT EXISTS (
             SELECT 1 FROM read_parquet('$tableWave1Path/*.parquet') w
             WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
+          ORDER BY conv_id, turn_idx""",
+    "q_table_branch" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet'))
+          SELECT $flatCols FROM merged t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableBranchUpdatesPath/*.parquet') b
+            WHERE b.conv_id = t.conv_id AND b.turn_idx = t.turn_idx)
+          UNION ALL
+          SELECT $flatCols FROM read_parquet('$tableBranchUpdatesPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_table_tag" ->
+      s"""SELECT $flatCols
+          FROM read_parquet('$tableInitialPath/*.parquet')
           ORDER BY conv_id, turn_idx""",
     "q_extract_pipeline" ->
       s"""SELECT conv_id, turn_idx, subject, grade, variant, participant_code,

@@ -485,4 +485,72 @@ class ResumeSpec extends SparkSuite {
     intercept[IllegalArgumentException] { TableIO.readExtracted(spark, root, preSnap) }
     assert(dump(root) == after, "latest state must be untouched by the vacuum")
   }
+
+  test("branches: zero-copy create, isolated merge, divergence; main untouched byte-for-byte") {
+    import spark.implicits._
+    val root = freshDir("graft-branch")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (snap, _) = TableIO.committed(root)
+    val mainBefore = dump(root)
+
+    TableIO.createBranch(root, "exp", snap)
+    // zero-copy: branch read == main read; no branch data dirs yet
+    assert(TableIO.readBranch(spark, root, "exp").orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == mainBefore)
+    assert((0 until 8).forall(b =>
+      !Files.isDirectory(Paths.get(root, "_branches", "exp", s"bucket=$b"))))
+    // creating an existing branch must CAS-fail, not silently rewrite
+    intercept[IllegalStateException] { TableIO.createBranch(root, "exp", snap) }
+
+    // branch merge: corrected subset visible ONLY on the branch
+    val branchUpd = ds.filter(t => math.abs(t.conv_id.hashCode % 3) == 1)
+      .map(t => t.copy(total_score = t.total_score + 5000))
+    assert(branchUpd.count() > 0)
+    TableIO.mergeIntoBranch(branchUpd, root, "exp", buckets = 8)
+    val updKeys = branchUpd.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val expectedBranch = (ds.collect().toSeq
+      .filterNot(t => updKeys((t.conv_id, t.turn_idx))) ++ branchUpd.collect().toSeq)
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(TableIO.readBranch(spark, root, "exp").orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == expectedBranch)
+    assert(dump(root) == mainBefore, "branch merge leaked into main")
+
+    // divergence: main merges a DIFFERENT subset; both lines stay exact
+    val mainUpd = ds.filter(t => math.abs(t.conv_id.hashCode % 3) == 2)
+      .map(t => t.copy(total_score = t.total_score + 100))
+    assert(mainUpd.count() > 0)
+    TableIO.mergeExtracted(mainUpd, root, buckets = 8)
+    val mainKeys = mainUpd.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val expectedMain = (ds.collect().toSeq
+      .filterNot(t => mainKeys((t.conv_id, t.turn_idx))) ++ mainUpd.collect().toSeq)
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(dump(root) == expectedMain)
+    // the branch still reads ITS state: inherited buckets that main
+    // re-versioned resolve via the archive, branch-written ones via the
+    // branch-private dirs
+    assert(TableIO.readBranch(spark, root, "exp").orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == expectedBranch,
+      "main's merge changed what the branch reads")
+    assert(TableIO.branches(root) == Seq("exp"))
+  }
+
+  test("tags: named time travel, immutable, exempt from retention and vacuum") {
+    val root = freshDir("graft-tag")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 4)
+    val firstSnap = TableIO.snapshotIds(root).head
+    val asOf = TableIO.readExtracted(spark, root, firstSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+    TableIO.tagSnapshot(root, "v1", firstSnap)
+    assert(TableIO.tags(root) == Seq("v1"))
+    assert(TableIO.readTag(spark, root, "v1").orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == asOf)
+    // tags are immutable names
+    intercept[IllegalStateException] { TableIO.tagSnapshot(root, "v1", firstSnap) }
+    // retention keeps the tagged manifest alive (Iceberg tag contract)
+    TableIO.expireSnapshots(root, keep = 1)
+    assert(TableIO.snapshotIds(root).contains(firstSnap))
+    assert(TableIO.readTag(spark, root, "v1").orderBy("conv_id", "turn_idx")
+      .collect().map(Json.turnJson).toSeq == asOf)
+  }
 }
