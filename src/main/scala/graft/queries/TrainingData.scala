@@ -70,6 +70,7 @@ object TrainingData {
   val convTurnsPath       = s"$oracleRoot/conv_turns"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
+  val streamDedupPath     = s"$oracleRoot/stream_dedup_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
   val tablePath           = s"$oracleRoot/merge_table"
@@ -244,7 +245,8 @@ object TrainingData {
     * (belt + braces over the no-data flush batch). Sentinels are
     * excluded from every result and every oracle. Memoized per session
     * so the three registered queries pay the drive once. */
-  private case class StreamJoins(inner: DataFrame, outer: DataFrame, full: DataFrame)
+  private case class StreamJoins(inner: DataFrame, outer: DataFrame,
+      full: DataFrame, dedup: DataFrame)
   private val streamJoinMemo =
     new java.util.LinkedHashMap[SparkSession, StreamJoins](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -258,8 +260,16 @@ object TrainingData {
       else {
         import s.implicits._
         import graft.streaming.StreamExtract
-        graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
-          .coalesce(1).write.mode("overwrite").parquet(streamJoinPath)
+        val corpus = graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        corpus.coalesce(1).write.mode("overwrite").parquet(streamJoinPath)
+        // the dedup flavor reads its OWN sidecar: the same corpus PLUS
+        // an exact-duplicate slice (hash class 0 convs) present in the
+        // FIRST micro-batch — the dedup state must collapse the copies
+        // (appending dupes to the join sidecar would corrupt the three
+        // join oracles, hence the separate path)
+        corpus.coalesce(1).write.mode("overwrite").parquet(streamDedupPath)
+        corpus.filter(t => math.abs(t.conv_id.hashCode % 5) == 0)
+          .coalesce(1).write.mode("append").parquet(streamDedupPath)
         val maxTs = s.read.parquet(streamJoinPath)
           .agg(max(col("ts"))).head().getTimestamp(0)
         def sentinels(tag: String, plusMs: Long) = Seq(
@@ -282,12 +292,16 @@ object TrainingData {
             org.apache.spark.sql.streaming.OutputMode.Append()),
           (StreamExtract.openerJoinFull(src, horizon = "30 days"),
             s"q_stream_join_full_$seq",
+            org.apache.spark.sql.streaming.OutputMode.Append()),
+          (StreamExtract.turnDedup(
+              StreamExtract.readTurnStream(s, streamDedupPath, streamDedupPath)),
+            s"q_stream_dedup_$seq",
             org.apache.spark.sql.streaming.OutputMode.Append())))(
           () => s.createDataset(sentinels("a", 31 * day)).coalesce(1)
             .write.mode("append").parquet(streamJoinPath),
           () => s.createDataset(sentinels("b", 33 * day)).coalesce(1)
             .write.mode("append").parquet(streamJoinPath))
-        val b = StreamJoins(out(0), out(1), out(2))
+        val b = StreamJoins(out(0), out(1), out(2), out(3))
         streamJoinMemo.put(s, b)
         b
       }
@@ -417,6 +431,18 @@ object TrainingData {
       buildStreamJoins(s).full
         .filter(!col("conv_id").startsWith("~sentinel"))
         .orderBy(col("conv_id"), asc_nulls_first("turn_idx"))
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): each
+    // (conv_id, turn_idx) turn emits exactly once even though the
+    // dedup sidecar carries an exact-duplicate slice (hash class 0
+    // convs appended twice); state per key is EVICTED on watermark
+    // passage — the only bounded-state dedup shape for an endless
+    // stream. Same shared phased drive as the three joins. Oracle:
+    // DuckDB SELECT DISTINCT over the dedup sidecar.
+    "q_stream_dedup" -> ((s, dir) => {
+      buildStreamJoins(s).dedup
+        .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
     // Event-time session windows (session_window) driven through a real
@@ -755,6 +781,11 @@ object TrainingData {
             ON r.conv_id = o.conv_id
            AND r.ts >= o.ts AND r.ts <= o.ts + INTERVAL 30 DAY
           ORDER BY o.conv_id, r.turn_idx NULLS FIRST""",
+    "q_stream_dedup" ->
+      s"""SELECT DISTINCT conv_id, turn_idx, role,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM read_parquet('$streamDedupPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
     "q_stream_sessions" ->
       s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
           m AS (SELECT conv_id, ts,

@@ -214,6 +214,21 @@ object StreamExtract {
     * in-horizon opener (e.g. it precedes the opener, or the opener is
     * outside the horizon) emits its own (conv, turn, null delta) row —
     * each driven by watermark expiry of its own side's state. */
+  /** Streaming dedup — dropDuplicatesWithinWatermark on the turn key:
+    * each (conv_id, turn_idx) emits exactly once (first occurrence,
+    * filter semantics — rows flow through immediately in Append mode)
+    * and the key's state is EVICTED once the watermark passes its
+    * event time. Plain dropDuplicates would pin every key seen forever
+    * — unbounded state at 10^12 turns; the within-watermark form is
+    * the only deployable shape for an endless transcript stream. */
+  def turnDedup(turns: Dataset[TurnInput],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    turns.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("conv_id", "turn_idx"))
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        unix_timestamp(col("ts")).as("ts_sec"))
+
   def openerJoinFull(turns: Dataset[TurnInput], horizon: String = "2 hours",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val openers = turns.toDF()
