@@ -536,6 +536,89 @@ object TableIO {
     newLin
   }
 
+  /** Row-level DELETE by conversation key — the right-to-be-forgotten
+    * shape (drop EVERY turn of the named conversations). Copy-on-write
+    * by bucket exactly like mergeExtracted: the key hashes bound the
+    * candidate buckets (1/B of the table per bucket at any scale), an
+    * existence semi-join prunes to buckets that actually lose rows,
+    * each replaced version is atomically parked under `_archive` so
+    * snapshot time travel through the delete stays exact, and the
+    * snapshot publish is the commit point — `recoverMerge` rolls back a
+    * crash-before-publish via the same archive-at-current-version
+    * marker. A fully-emptied bucket keeps a 0-row lineage entry (the
+    * tombstone that proves the delete was deliberate, not data loss).
+    * Returns the new lineage rows (Nil when no key matched). */
+  def deleteConvs(convIds: Dataset[String], root: String,
+      buckets: Int = 32): Seq[BucketLineage] = {
+    val spark = convIds.sparkSession
+    recoverCompaction(root)
+    recoverMerge(root)
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"deleteConvs needs an existing table under $root")
+    val lin = lineage(root).map(l => l.bucket -> l).toMap
+    val t0 = System.currentTimeMillis()
+    val keys = convIds.toDF("conv_id").distinct()
+      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .localCheckpoint(true) // read 3× below (candidates, semi, anti)
+    val candidate = keys.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+      .filter(b => lin.contains(b) &&
+        listDir(Paths.get(root, s"bucket=$b"))
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    if (candidate.isEmpty) { keys.unpersist(); return Nil }
+    val existing = spark.read.parquet(
+        candidate.map(b => s"$root/bucket=$b"): _*)
+      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val affected = existing
+      .join(keys.select(col("conv_id")), Seq("conv_id"), "left_semi")
+      .select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) { keys.unpersist(); return Nil }
+    val kept = existing.filter(col("bucket").isin(affected.map(Int.box): _*))
+      .join(keys.select(col("conv_id")), Seq("conv_id"), "left_anti")
+    val staged = Paths.get(root, "_staging", "delete")
+    deleteRecursively(staged)
+    kept
+      .repartition(affected.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged.toString)
+    keys.unpersist()
+    // swap: archive the replaced version FIRST (same protocol as merge)
+    for (b <- affected) {
+      val live = Paths.get(root, s"bucket=$b")
+      val src = staged.resolve(s"bucket=$b")
+      val arch = archiveDir(root, b, lin(b).version)
+      Files.createDirectories(arch.getParent)
+      Files.move(live, arch, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.isDirectory(src))
+        Files.move(src, live, StandardCopyOption.ATOMIC_MOVE)
+      else Files.createDirectories(live)
+    }
+    deleteRecursively(staged)
+    val nonEmpty = affected.filter(b =>
+      listDir(Paths.get(root, s"bucket=$b"))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val rows: Map[Int, (Long, String, String, Long)] =
+      if (nonEmpty.isEmpty) Map.empty
+      else spark.read.option("basePath", root)
+        .parquet(nonEmpty.map(b => s"$root/bucket=$b"): _*)
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toMap
+    val wallMs = System.currentTimeMillis() - t0
+    val snapId = snap + 1
+    val newLin = affected.map { b =>
+      val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+      BucketLineage(b, n, lo, hi, e, wallMs, snapId, lin(b).version + 1)
+    }
+    publishSnapshot(root, snapId, newLin)
+    newLin
+  }
+
   /** Roll back any merge that crashed before its snapshot publish: an
     * archive dir at a bucket's CURRENT manifest version means the live
     * dir holds unpublished merge bytes (or is missing) — delete what's
@@ -545,6 +628,8 @@ object TableIO {
   def recoverMerge(root: String): Unit = {
     val staging = Paths.get(root, "_staging", "merge")
     if (Files.exists(staging)) deleteRecursively(staging)
+    val stagingDel = Paths.get(root, "_staging", "delete")
+    if (Files.exists(stagingDel)) deleteRecursively(stagingDel)
     if (!Files.isDirectory(Paths.get(root, "_archive"))) return
     for (l <- lineage(root)) {
       val arch = archiveDir(root, l.bucket, l.version)

@@ -78,6 +78,7 @@ object TrainingData {
   val tableWave1Path      = s"$oracleRoot/table_wave1"
   val tableUpdatesPath    = s"$oracleRoot/table_updates"
   val tableBranchUpdatesPath = s"$oracleRoot/table_branch_updates"
+  val tableDeleteKeysPath = s"$oracleRoot/table_delete_keys"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -228,6 +229,19 @@ object TrainingData {
         flat(branchUpdates.toDF).coalesce(1)
           .write.mode("overwrite").parquet(tableBranchUpdatesPath)
         TableIO.mergeIntoBranch(branchUpdates, tablePath, "exp", buckets = 8)
+        // row-level DELETE on main (right-to-be-forgotten shape): every
+        // conv in hash class 2 — disjoint from the merge's class 0 and
+        // the branch's class 1 — with the key set dumped BEFORE the
+        // delete so the oracle anti-joins it independently. Runs LAST:
+        // q_table_merge then reads as-of snapPost (time travel THROUGH
+        // the delete via archived bucket versions) and q_table_delete
+        // reads the live head.
+        val delKeys = TableIO.readExtracted(s, tablePath)
+          .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 2)
+          .map(_.conv_id).distinct()
+        delKeys.toDF("conv_id").coalesce(1)
+          .write.mode("overwrite").parquet(tableDeleteKeysPath)
+        TableIO.deleteConvs(delKeys, tablePath, buckets = 8)
         val b = TableBuild(tablePath, snapWave1, snapPre, snapPost)
         tableMemo.put(s, b)
         b
@@ -310,9 +324,19 @@ object TrainingData {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Row-level MERGE (copy-on-write upsert by bucket) — the post-merge
-    // table; oracle reconstructs it as initial ANTI-JOIN updates ∪
+    // state read as-of its snapshot, i.e. time travel THROUGH the later
+    // row-level delete (which re-versioned + archived the buckets it
+    // touched); oracle reconstructs it as initial ANTI-JOIN updates ∪
     // updates over the pre-merge sidecars
     "q_table_merge" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapPost).toDF)
+    }),
+
+    // Row-level DELETE (copy-on-write by bucket, GDPR shape): the live
+    // head after deleteConvs dropped every hash-class-2 conversation;
+    // oracle = the merged state anti-joined against the dumped key set
+    "q_table_delete" -> ((s, dir) => {
       val b = buildMergeTable(s)
       flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
     }),
@@ -684,6 +708,19 @@ object TrainingData {
           UNION ALL
           SELECT $flatCols
           FROM read_parquet('$tableUpdatesPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_table_delete" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet'))
+          SELECT $flatCols FROM merged t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+            WHERE d.conv_id = t.conv_id)
           ORDER BY conv_id, turn_idx""",
     "q_table_asof" ->
       s"""SELECT $flatCols

@@ -388,6 +388,51 @@ class ResumeSpec extends SparkSuite {
     assert(got.total_score == 1)
   }
 
+  test("row-level delete: drops named convs, empties a bucket to a tombstone, time travel stays exact") {
+    import spark.implicits._
+    val root = freshDir("graft-delete")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    val preVersions = TableIO.lineage(root).map(l => l.bucket -> l.version).toMap
+
+    // delete every conv of one whole bucket (tombstone case) plus a
+    // few convs from other buckets, plus a key that matches nothing
+    val allConvs = ds.map(_.conv_id).distinct().collect().toSeq.sorted
+    val emptied = preVersions.keys.min
+    val wholeBucket = allConvs.filter(c => TableIO.bucketIdOf(c, 8) == emptied)
+    assert(wholeBucket.nonEmpty)
+    val others = allConvs.filterNot(c => TableIO.bucketIdOf(c, 8) == emptied).take(3)
+    val keys = wholeBucket ++ others :+ "zzz-no-such-conv"
+    val newLin = TableIO.deleteConvs(spark.createDataset(keys), root, buckets = 8)
+    val (postSnap, _) = TableIO.committed(root)
+    assert(postSnap > preSnap)
+
+    // only buckets that actually lost rows were rewritten, each bumped
+    val touched = (wholeBucket ++ others).map(TableIO.bucketIdOf(_, 8)).toSet
+    assert(newLin.map(_.bucket).toSet == touched)
+    assert(newLin.forall(l => l.version == preVersions(l.bucket) + 1))
+    // the emptied bucket keeps a 0-row lineage entry (deliberate tombstone)
+    assert(newLin.find(_.bucket == emptied).get.rows == 0L)
+
+    // live content == before minus the named convs, byte-exact
+    val gone = keys.toSet
+    val expected = ds.collect().toSeq.filterNot(t => gone(t.conv_id))
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(dump(root) == expected)
+    assert(TableIO.lookupConv(spark, root, wholeBucket.head, buckets = 8).count() == 0)
+
+    // time travel to the pre-delete snapshot reads the archived bytes
+    assert(TableIO.readExtracted(spark, root, preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == before)
+
+    // deleting only unknown keys is a no-op: no new snapshot
+    assert(TableIO.deleteConvs(
+      spark.createDataset(Seq("zzz-still-no-such-conv")), root, buckets = 8).isEmpty)
+    assert(TableIO.committed(root)._1 == postSnap)
+  }
+
   test("schema evolution: add-column-with-default; old snapshots keep the old schema") {
     import org.apache.spark.sql.functions._
     val root = freshDir("graft-evolve")
