@@ -260,7 +260,7 @@ object TrainingData {
     * excluded from every result and every oracle. Memoized per session
     * so the three registered queries pay the drive once. */
   private case class StreamJoins(inner: DataFrame, outer: DataFrame,
-      full: DataFrame, dedup: DataFrame)
+      full: DataFrame, dedup: DataFrame, dedupSessions: DataFrame)
   private val streamJoinMemo =
     new java.util.LinkedHashMap[SparkSession, StreamJoins](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -310,12 +310,27 @@ object TrainingData {
           (StreamExtract.turnDedup(
               StreamExtract.readTurnStream(s, streamDedupPath, streamDedupPath)),
             s"q_stream_dedup_$seq",
+            org.apache.spark.sql.streaming.OutputMode.Append()),
+          (StreamExtract.dedupSessionWindows(
+              StreamExtract.readTurnStream(s, streamDedupPath, streamDedupPath)),
+            s"q_stream_dedup_sessions_$seq",
             org.apache.spark.sql.streaming.OutputMode.Append())))(
-          () => s.createDataset(sentinels("a", 31 * day)).coalesce(1)
-            .write.mode("append").parquet(streamJoinPath),
-          () => s.createDataset(sentinels("b", 33 * day)).coalesce(1)
-            .write.mode("append").parquet(streamJoinPath))
-        val b = StreamJoins(out(0), out(1), out(2), out(3))
+          // sentinels go to BOTH sidecars: the join flavors need the
+          // watermark pushed past every real opener window, the chained
+          // dedup→session query past every real session close
+          () => {
+            s.createDataset(sentinels("a", 31 * day)).coalesce(1)
+              .write.mode("append").parquet(streamJoinPath)
+            s.createDataset(sentinels("a", 31 * day)).coalesce(1)
+              .write.mode("append").parquet(streamDedupPath)
+          },
+          () => {
+            s.createDataset(sentinels("b", 33 * day)).coalesce(1)
+              .write.mode("append").parquet(streamJoinPath)
+            s.createDataset(sentinels("b", 33 * day)).coalesce(1)
+              .write.mode("append").parquet(streamDedupPath)
+          })
+        val b = StreamJoins(out(0), out(1), out(2), out(3), out(4))
         streamJoinMemo.put(s, b)
         b
       }
@@ -466,7 +481,20 @@ object TrainingData {
     // DuckDB SELECT DISTINCT over the dedup sidecar.
     "q_stream_dedup" -> ((s, dir) => {
       buildStreamJoins(s).dedup
+        .filter(!col("conv_id").startsWith("~sentinel"))
         .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
+    // CHAINED stateful operators in ONE streaming query: watermarked
+    // dedup state → event-time session-window aggregation state, Append
+    // mode (sessions emit on watermark passage, so the emitted set is
+    // final). The dedup sidecar's duplicate slice would double-count
+    // n_turns if the dedup stage leaked. Oracle: gap-fold sessions over
+    // SELECT DISTINCT of the sidecar.
+    "q_stream_dedup_sessions" -> ((s, dir) => {
+      buildStreamJoins(s).dedupSessions
+        .filter(!col("conv_id").startsWith("~sentinel"))
+        .orderBy(col("conv_id"), col("session_start_s"))
     }),
 
     // Event-time session windows (session_window) driven through a real
@@ -822,7 +850,25 @@ object TrainingData {
       s"""SELECT DISTINCT conv_id, turn_idx, role,
                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
           FROM read_parquet('$streamDedupPath/*.parquet')
+          WHERE conv_id NOT LIKE '~sentinel%'
           ORDER BY conv_id, turn_idx""",
+    "q_stream_dedup_sessions" ->
+      s"""WITH t AS (SELECT DISTINCT conv_id, turn_idx, ts
+                     FROM read_parquet('$streamDedupPath/*.parquet')
+                     WHERE conv_id NOT LIKE '~sentinel%'),
+          m AS (SELECT conv_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+                FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+          s AS (SELECT conv_id, ts,
+                  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT conv_id,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) + 3600 AS session_end_s,
+                 count(*) AS n_turns
+          FROM s GROUP BY conv_id, sid
+          ORDER BY conv_id, session_start_s""",
     "q_stream_sessions" ->
       s"""WITH t AS (SELECT conv_id, ts FROM read_parquet('$streamTurnsPath/*.parquet')),
           m AS (SELECT conv_id, ts,

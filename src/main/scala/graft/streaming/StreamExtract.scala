@@ -229,6 +229,25 @@ object StreamExtract {
       .select(col("conv_id"), col("turn_idx"), col("role"),
         unix_timestamp(col("ts")).as("ts_sec"))
 
+  /** CHAINED stateful operators in one streaming query (the multiple-
+    * stateful-operator pipeline Spark supports since 3.5): watermarked
+    * dedup state feeding event-time session-window aggregation state —
+    * the production shape for "sessionize an at-least-once transcript
+    * feed" where upstream retries duplicate turns and sessions must
+    * count each turn once. Append mode: a session row emits only when
+    * the watermark passes its close, so the emitted set is final. */
+  def dedupSessionWindows(turns: Dataset[TurnInput], gap: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    turns.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("conv_id", "turn_idx"))
+      .groupBy(col("conv_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(col("conv_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_s"),
+        unix_timestamp(col("session_window.end")).as("session_end_s"),
+        col("n_turns"))
+
   def openerJoinFull(turns: Dataset[TurnInput], horizon: String = "2 hours",
       watermarkDelay: String = "10 minutes"): DataFrame = {
     val openers = turns.toDF()
