@@ -136,9 +136,20 @@ object GraftFunctions {
       LongArrayDot(args(0), args(1))
     })
 
+  val jaroWinkler: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("jaro_winkler"),
+    new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2, "jaro_winkler(strA, strB) takes exactly 2 arguments")
+      JaroWinklerSim(args(0), args(1))
+    })
+
   /** Register on a live session (tests / spark-shell). Builder-time
     * registration goes through graft.functions.GraftExtensions. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(longArrayDot._1, longArrayDot._2, longArrayDot._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(jaroWinkler._1, jaroWinkler._2, jaroWinkler._3)
+  }
 }

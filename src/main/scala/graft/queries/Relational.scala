@@ -2103,6 +2103,32 @@ object Relational {
         .orderBy(col("ka"), col("kb"))
     }),
 
+    // Jaro-Winkler record linkage — best fuzzy match per part within a
+    // first-word block, via the engine's own codegen'd Catalyst
+    // expression (functions/StringSim.scala) exercised through its SQL
+    // registration. The oracle recomputes with DuckDB's INDEPENDENT
+    // rapidfuzz implementation — the hash gate proves the two
+    // implementations agree bit-for-bit on every candidate pair
+    // (algorithm pinned: integer-halved transpositions, 0.7 boost
+    // threshold, empty→0). Blocking shards the quadratic all-pairs
+    // into per-block equi-joins at any scale.
+    "q_join_jarowinkler" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_partkey") < 2000)
+        .select(col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.p_partkey") =!= col("b.p_partkey"))
+        .select(col("a.p_partkey").as("ka"), col("b.p_partkey").as("kb"),
+          expr("jaro_winkler(a.p_name, b.p_name)").as("sim"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ka")).orderBy(col("sim").desc, col("kb"))))
+        .filter(col("rn") === 1 && col("sim") >= 0.8)
+        .select(col("ka"), col("kb"), col("sim"))
+        .orderBy(col("ka"))
+    }),
+
     // Bloom-filter membership sketch — build a 256-bit bloom (8×32-bit
     // words, 2 portable md5-derived hashes) per nation over its customer
     // keys, then probe EVERY customer against every nation's filter and
@@ -3652,6 +3678,19 @@ object Relational {
                          row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn
                   FROM j)
          SELECT ka, kb, dist FROM r WHERE rn <= 3 ORDER BY ka, kb""",
+    // DuckDB's rapidfuzz jaro_winkler_similarity is the independent
+    // reference implementation the custom expression is pinned to
+    "q_join_jarowinkler" ->
+      """WITH p AS (SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+                    FROM part WHERE p_partkey < 2000),
+            j AS (SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+                         jaro_winkler_similarity(a.p_name, b.p_name) AS sim
+                  FROM p a JOIN p b
+                    ON a.blk = b.blk AND a.p_partkey <> b.p_partkey),
+            r AS (SELECT ka, kb, sim,
+                         row_number() OVER (PARTITION BY ka ORDER BY sim DESC, kb) AS rn
+                  FROM j)
+         SELECT ka, kb, sim FROM r WHERE rn = 1 AND sim >= 0.8 ORDER BY ka""",
     // identical md5 slices → word/bit split → bit_or'd 8×32-bit words
     "q_sketch_bloom" ->
       s"""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -144,6 +144,38 @@ class PlanSpec extends SparkSuite {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("jaro_winkler: rapidfuzz-pinned values, SQL surface, stays in codegen") {
+    org.apache.spark.sql.graftx.GraftFunctions.install(spark)
+    // values measured from DuckDB's rapidfuzz implementation (the
+    // oracle engine), including its non-textbook corners: empty-empty
+    // is 0.0, transpositions halve by INTEGER division, boost gated
+    // at jaro > 0.7
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abc", "abc", 1.0),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("eadec", "ccbdaaea", 0.6833333333333332),   // integer-halved trans
+      ("aedacc", "aecdcab", 0.9174603174603175),   // boost over int-trans jaro
+      ("cbhad", "cdgg", 0.48333333333333334))      // prefix present, no boost ≤0.7
+    for ((a, b, want) <- cases) {
+      val got = spark.sql(s"SELECT jaro_winkler('$a', '$b') AS s")
+        .collect()(0).getDouble(0)
+      assert(got == want, s"jaro_winkler($a, $b): got $got want $want")
+      // interpreted eval path agrees with codegen
+      val interp = org.apache.spark.sql.graftx.JaroWinklerImpl.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(interp == want)
+    }
+    val p = Relational.queries("q_join_jarowinkler")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("jaro_winkler"), p.take(2000))
+    assert(!p.contains("CodegenFallback"), "jaro_winkler must stay codegen'd")
+  }
+
   test("ANN broadcasts the query set, never the candidate table") {
     // At 100 TB the candidate table must STREAM through the join; only
     // the (tiny, filtered) query set may ride a BroadcastExchange.
