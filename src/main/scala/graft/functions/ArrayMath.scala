@@ -144,6 +144,14 @@ object GraftFunctions {
       JaroWinklerSim(args(0), args(1))
     })
 
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "nfc_normalize(str) takes exactly 1 argument")
+      NfcNormalize(args(0))
+    })
+
   /** Register on a live session (tests / spark-shell). Builder-time
     * registration goes through graft.functions.GraftExtensions. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -151,5 +159,7 @@ object GraftFunctions {
       .registerFunction(longArrayDot._1, longArrayDot._2, longArrayDot._3)
     spark.sessionState.functionRegistry
       .registerFunction(jaroWinkler._1, jaroWinkler._2, jaroWinkler._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(nfcNormalize._1, nfcNormalize._2, nfcNormalize._3)
   }
 }

@@ -95,9 +95,49 @@ case class JaroWinklerSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization — the canonical-composition pass every
+  * web-scraped training corpus needs before dedup/tokenization (the
+  * same text arrives precomposed from one site and decomposed from
+  * another; without NFC they hash apart and double-count). Spark has no
+  * built-in normalizer; this wraps the JDK's implementation of the
+  * Unicode canonical composition algorithm as a codegen'd expression.
+  * Pinned against DuckDB's INDEPENDENT utf8proc implementation by the
+  * q_text_nfc oracle. */
+object NfcNormalizeImpl {
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan; most real
+    // text is already NFC and skips the allocation entirely
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** nfc_normalize(s) → STRING in Unicode Normalization Form C. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(a: Any): Any =
+    NfcNormalizeImpl.normalize(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.sql.graftx.NfcNormalizeImpl.normalize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-API face. */
 object GraftStringSim {
   def jaroWinkler(a: Column, b: Column): Column =
     ExpressionUtils.column(JaroWinklerSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def nfcNormalize(a: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(a)))
 }

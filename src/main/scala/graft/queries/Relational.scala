@@ -2129,6 +2129,30 @@ object Relational {
         .orderBy(col("ka"))
     }),
 
+    // Unicode text cleaning — the normalize-before-dedup pass every
+    // scraped corpus needs: strip zero-width characters (ZWSP/ZWNJ/ZWJ/
+    // BOM — the classic invisible-text attack on dedup hashes), then
+    // NFC-compose combining sequences via the engine's codegen'd
+    // nfc_normalize expression (functions/StringSim.scala). Input is
+    // part names deterministically dirtied IN the query (decomposed
+    // accents + zero-width after spaces), so the oracle — DuckDB's
+    // independent utf8proc NFC — reconstructs everything from the
+    // table. Lengths are code-point counts in both engines.
+    "q_text_nfc" -> ((s, dir) => {
+      val zw = "\u200b\u200c\u200d\ufeff"
+      val dirty = regexp_replace(
+        regexp_replace(col("p_name"), "e", "e\u0301"), " ", " \u200b")
+      t(s, dir, "part").filter(col("p_partkey") <= 500)
+        .select(col("p_partkey"), dirty.as("dirty"))
+        .select(col("p_partkey"),
+          org.apache.spark.sql.graftx.GraftStringSim.nfcNormalize(
+            regexp_replace(col("dirty"), s"[$zw]", ""))
+            .as("clean"),
+          length(col("dirty")).cast("long").as("len_dirty"))
+        .withColumn("len_clean", length(col("clean")).cast("long"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Bloom-filter membership sketch — build a 256-bit bloom (8×32-bit
     // words, 2 portable md5-derived hashes) per nation over its customer
     // keys, then probe EVERY customer against every nation's filter and
@@ -3691,6 +3715,22 @@ object Relational {
                          row_number() OVER (PARTITION BY ka ORDER BY sim DESC, kb) AS rn
                   FROM j)
          SELECT ka, kb, sim FROM r WHERE rn = 1 AND sim >= 0.8 ORDER BY ka""",
+    // DuckDB's utf8proc nfc_normalize is the independent reference for
+    // the engine's JDK-backed expression; chr(769)=U+0301 combining
+    // acute, chr(8203)=U+200B zero-width space
+    "q_text_nfc" ->
+      """WITH d AS (SELECT p_partkey,
+                 replace(replace(p_name, 'e', 'e' || chr(769)),
+                         ' ', ' ' || chr(8203)) AS dirty
+               FROM part WHERE p_partkey <= 500),
+            c AS (SELECT p_partkey, dirty,
+                 nfc_normalize(regexp_replace(dirty,
+                   '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g')) AS clean
+               FROM d)
+         SELECT p_partkey, clean,
+                CAST(length(dirty) AS BIGINT) AS len_dirty,
+                CAST(length(clean) AS BIGINT) AS len_clean
+         FROM c ORDER BY p_partkey""",
     // identical md5 slices → word/bit split → bit_or'd 8×32-bit words
     "q_sketch_bloom" ->
       s"""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,

@@ -176,6 +176,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CodegenFallback"), "jaro_winkler must stay codegen'd")
   }
 
+  test("nfc_normalize: composes combining sequences, identity fast path, SQL surface") {
+    org.apache.spark.sql.graftx.GraftFunctions.install(spark)
+    val cases = Seq(
+      ("e\u0301", "\u00e9"),            // e + combining acute -> precomposed
+      ("A\u030a", "\u00c5"),            // A + ring -> precomposed
+      ("\u00e9", "\u00e9"),             // already NFC: unchanged
+      ("\u0438\u0301", "\u0438\u0301"), // Cyrillic + acute: no composition exists
+      ("plain ascii", "plain ascii"),
+      ("", ""))
+    for ((in_, want) <- cases) {
+      val got = org.apache.spark.sql.graftx.NfcNormalizeImpl.normalize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(in_)).toString
+      assert(got == want, s"nfc(${in_}): got $got want $want")
+    }
+    // SQL surface + codegen round trip on a DataFrame
+    import spark.implicits._
+    val df = Seq("e\u0301cole", "cafe\u0301").toDF("s")
+      .selectExpr("nfc_normalize(s) AS n")
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("\u00e9cole", "caf\u00e9"))
+  }
+
   test("ANN broadcasts the query set, never the candidate table") {
     // At 100 TB the candidate table must STREAM through the join; only
     // the (tiny, filtered) query set may ride a BroadcastExchange.
