@@ -2129,6 +2129,42 @@ object Relational {
         .orderBy(col("ka"))
     }),
 
+    // Collocation mining — PMI-ranked skip-bigram association over the
+    // document corpus (the classic corpus-linguistics pass for finding
+    // multiword expressions before tokenizer training). Pair events are
+    // positions (i, i+k) for k ∈ {1, 2}, generated as EQUI-joins on
+    // (doc_id, pos+k) — never a windowed self-join — so candidate
+    // generation shards by document at any scale; marginals and the
+    // total are hash aggregations, and the 1-row total broadcasts.
+    // Reported as lift = c_ab·N / (c_a·c_b): exact BIGINT products with
+    // ONE double division, so cross-engine hashes match bit-for-bit
+    // (PMI = ln(lift) is monotone in it — ranking is identical — while
+    // ln() low-bit parity across libm implementations is not
+    // guaranteed).
+    "q_text_pmi" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+      val pairs = Seq(1, 2).map { k =>
+        toks.select(col("doc_id"), col("pos"), col("tok").as("tok_a"))
+          .join(toks.select(col("doc_id"), (col("pos") - k).as("pos"),
+            col("tok").as("tok_b")), Seq("doc_id", "pos"))
+      }.reduce(_ unionByName _).select(col("tok_a"), col("tok_b"))
+      val cab = pairs.groupBy(col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      val cl = pairs.groupBy(col("tok_a")).agg(count(lit(1)).as("c_a"))
+      val cr = pairs.groupBy(col("tok_b")).agg(count(lit(1)).as("c_b"))
+      val n = pairs.agg(count(lit(1)).as("n_pairs"))
+      cab.join(cl, "tok_a").join(cr, "tok_b").crossJoin(broadcast(n))
+        .filter(col("c_ab") >= 3)
+        .withColumn("lift", (col("c_ab") * col("n_pairs")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+        .select(col("tok_a"), col("tok_b"), col("c_ab"), col("lift"))
+        .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+        .limit(100)
+    }),
+
     // Unicode text cleaning — the normalize-before-dedup pass every
     // scraped corpus needs: strip zero-width characters (ZWSP/ZWNJ/ZWJ/
     // BOM — the classic invisible-text attack on dedup hashes), then
@@ -3715,6 +3751,31 @@ object Relational {
                          row_number() OVER (PARTITION BY ka ORDER BY sim DESC, kb) AS rn
                   FROM j)
          SELECT ka, kb, sim FROM r WHERE rn = 1 AND sim >= 0.8 ORDER BY ka""",
+    // parallel unnests zip in DuckDB, giving 0-based positions matching
+    // posexplode; lift is exact-integer products with one division
+    "q_text_pmi" ->
+      """WITH raw AS (SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(len(string_split(text, ' ')))) AS pos
+               FROM documents),
+            t AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''),
+            pairs AS (
+              SELECT a.tok AS tok_a, b.tok AS tok_b
+              FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              UNION ALL
+              SELECT a.tok, b.tok
+              FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2),
+            cab AS (SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS c_ab
+                    FROM pairs GROUP BY 1, 2),
+            cl AS (SELECT tok_a, CAST(count(*) AS BIGINT) AS c_a FROM pairs GROUP BY 1),
+            cr AS (SELECT tok_b, CAST(count(*) AS BIGINT) AS c_b FROM pairs GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+         SELECT cab.tok_a, cab.tok_b, c_ab,
+                CAST(c_ab * n_pairs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift
+         FROM cab JOIN cl ON cab.tok_a = cl.tok_a
+                  JOIN cr ON cab.tok_b = cr.tok_b, n
+         WHERE c_ab >= 3
+         ORDER BY lift DESC, cab.tok_a, cab.tok_b LIMIT 100""",
     // DuckDB's utf8proc nfc_normalize is the independent reference for
     // the engine's JDK-backed expression; chr(769)=U+0301 combining
     // acute, chr(8203)=U+200B zero-width space
