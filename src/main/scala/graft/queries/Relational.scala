@@ -2129,6 +2129,37 @@ object Relational {
         .orderBy(col("ka"))
     }),
 
+    // Data-quality expectations report (the Deequ-style contract gate a
+    // pipeline runs before accepting a 100 TB batch): six declared
+    // constraints — range, domain, not-null, key-uniqueness, date
+    // bounds — validated in ONE scan (conditional sums fuse into a
+    // single partial+final hash aggregate; uniqueness rides the same
+    // pass as count minus count-distinct of the composite key), then
+    // unpivoted to one row per constraint. NULL never counts as a range
+    // violation (only the explicit not-null check flags it) — the
+    // CASE/when null semantics are identical in both engines.
+    "q_quality_expectations" -> ((s, dir) => {
+      val a = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+        sum(when(!col("l_discount").between(0, 0.10), 1L).otherwise(0L)).as("v_disc"),
+        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L)).as("v_flag"),
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("l_orderkey") * 10 + col("l_linenumber"))).as("v_uniq"),
+        sum(when(!col("l_shipdate").between("1992-01-01", "1998-12-31"), 1L).otherwise(0L)).as("v_ship"))
+      a.selectExpr("n AS n_rows",
+          """stack(6,
+             'discount_in_range', v_disc,
+             'key_unique', v_uniq,
+             'orderkey_not_null', v_null,
+             'quantity_in_range', v_qty,
+             'returnflag_domain', v_flag,
+             'shipdate_bounds', v_ship) AS (check_name, n_violations)""")
+        .select(col("check_name"), col("n_rows"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+        .orderBy(col("check_name"))
+    }),
+
     // Collocation mining — PMI-ranked skip-bigram association over the
     // document corpus (the classic corpus-linguistics pass for finding
     // multiword expressions before tokenizer training). Pair events are
@@ -3751,6 +3782,26 @@ object Relational {
                          row_number() OVER (PARTITION BY ka ORDER BY sim DESC, kb) AS rn
                   FROM j)
          SELECT ka, kb, sim FROM r WHERE rn = 1 AND sim >= 0.8 ORDER BY ka""",
+    "q_quality_expectations" ->
+      """WITH a AS (SELECT
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+              CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.10) THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+              CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v_flag,
+              CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+              CAST(count(*) - count(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT) AS v_uniq,
+              CAST(sum(CASE WHEN NOT (l_shipdate BETWEEN '1992-01-01' AND '1998-12-31') THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+            FROM lineitem)
+         SELECT u.check_name, a.n AS n_rows, u.n_violations,
+                u.n_violations = 0 AS pass
+         FROM a, LATERAL (
+           SELECT 'discount_in_range' AS check_name, v_disc AS n_violations UNION ALL
+           SELECT 'key_unique', v_uniq UNION ALL
+           SELECT 'orderkey_not_null', v_null UNION ALL
+           SELECT 'quantity_in_range', v_qty UNION ALL
+           SELECT 'returnflag_domain', v_flag UNION ALL
+           SELECT 'shipdate_bounds', v_ship) u
+         ORDER BY u.check_name""",
     // parallel unnests zip in DuckDB, giving 0-based positions matching
     // posexplode; lift is exact-integer products with one division
     "q_text_pmi" ->
