@@ -260,7 +260,8 @@ object TrainingData {
     * excluded from every result and every oracle. Memoized per session
     * so the three registered queries pay the drive once. */
   private case class StreamJoins(inner: DataFrame, outer: DataFrame,
-      full: DataFrame, dedup: DataFrame, dedupSessions: DataFrame)
+      full: DataFrame, dedup: DataFrame, dedupSessions: DataFrame,
+      twsSessions: DataFrame)
   private val streamJoinMemo =
     new java.util.LinkedHashMap[SparkSession, StreamJoins](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -297,7 +298,14 @@ object TrainingData {
         // is 30 days on every flavor
         def src = StreamExtract.readTurnStream(s, streamJoinPath, streamJoinPath)
         val seq = memSinkSeq.incrementAndGet()
-        val out = StreamExtract.runPhasedMulti(Seq(
+        // transformWithState supports only the RocksDB state store, so
+        // the whole shared drive runs on it — which also exercises the
+        // production state backend for the joins/dedup/session queries
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val prevProv = s.conf.getOption(provKey)
+        s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+          "state.RocksDBStateStoreProvider")
+        val out = try StreamExtract.runPhasedMulti(Seq(
           (StreamExtract.openerJoin(src, horizon = "30 days"),
             s"q_stream_join_$seq",
             org.apache.spark.sql.streaming.OutputMode.Append()),
@@ -314,6 +322,9 @@ object TrainingData {
           (StreamExtract.dedupSessionWindows(
               StreamExtract.readTurnStream(s, streamDedupPath, streamDedupPath)),
             s"q_stream_dedup_sessions_$seq",
+            org.apache.spark.sql.streaming.OutputMode.Append()),
+          (StreamExtract.sessionsViaTws(src),
+            s"q_stream_tws_sessions_$seq",
             org.apache.spark.sql.streaming.OutputMode.Append())))(
           // sentinels go to BOTH sidecars: the join flavors need the
           // watermark pushed past every real opener window, the chained
@@ -330,7 +341,11 @@ object TrainingData {
             s.createDataset(sentinels("b", 33 * day)).coalesce(1)
               .write.mode("append").parquet(streamDedupPath)
           })
-        val b = StreamJoins(out(0), out(1), out(2), out(3), out(4))
+        finally prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None    => s.conf.unset(provKey)
+        }
+        val b = StreamJoins(out(0), out(1), out(2), out(3), out(4), out(5))
         streamJoinMemo.put(s, b)
         b
       }
@@ -493,6 +508,19 @@ object TrainingData {
     // SELECT DISTINCT of the sidecar.
     "q_stream_dedup_sessions" -> ((s, dir) => {
       buildStreamJoins(s).dedupSessions
+        .filter(!col("conv_id").startsWith("~sentinel"))
+        .orderBy(col("conv_id"), col("session_start_s"))
+    }),
+
+    // Spark 4 transformWithState (arbitrary-state API v2, RocksDB-only):
+    // per-conversation gap sessionization via typed ListState +
+    // event-time TIMERS — rows emit exclusively from handleExpiredTimer
+    // when the watermark passes a session's close, plus a per-session
+    // distinct-role count the built-in session_window can't carry
+    // through its aggregation. Oracle: the same gap fold + count
+    // distinct in DuckDB.
+    "q_stream_tws_sessions" -> ((s, dir) => {
+      buildStreamJoins(s).twsSessions
         .filter(!col("conv_id").startsWith("~sentinel"))
         .orderBy(col("conv_id"), col("session_start_s"))
     }),
@@ -867,6 +895,24 @@ object TrainingData {
                  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
                  CAST(floor(epoch(max(ts))) AS BIGINT) + 3600 AS session_end_s,
                  count(*) AS n_turns
+          FROM s GROUP BY conv_id, sid
+          ORDER BY conv_id, session_start_s""",
+    "q_stream_tws_sessions" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx, role, ts
+                     FROM read_parquet('$streamJoinPath/*.parquet')
+                     WHERE conv_id NOT LIKE '~sentinel%'),
+          m AS (SELECT conv_id, role, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS brk
+                FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+          s AS (SELECT conv_id, role, ts,
+                  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                FROM m)
+          SELECT conv_id,
+                 CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+                 CAST(floor(epoch(max(ts))) AS BIGINT) + 3600 AS session_end_s,
+                 count(*) AS n_turns,
+                 CAST(count(DISTINCT role) AS BIGINT) AS n_roles
           FROM s GROUP BY conv_id, sid
           ORDER BY conv_id, session_start_s""",
     "q_stream_sessions" ->

@@ -229,6 +229,84 @@ object StreamExtract {
       .select(col("conv_id"), col("turn_idx"), col("role"),
         unix_timestamp(col("ts")).as("ts_sec"))
 
+  final case class SessTurn(ts_ms: Long, turn_idx: Int, role: String)
+  final case class SessOut(conv_id: String, session_start_s: Long,
+      session_end_s: Long, n_turns: Long, n_roles: Long)
+
+  /** Spark 4's transformWithState surface (the arbitrary-state API v2
+    * replacing flatMapGroupsWithState): per-conversation gap
+    * sessionization driven by typed ListState + EVENT-TIME TIMERS — a
+    * session row is emitted only from handleExpiredTimer, when the
+    * watermark has passed the session's close, so Append-mode output is
+    * final-by-construction. Requires the RocksDB state store provider
+    * (the only provider transformWithState supports); state per key is
+    * the open-session turn buffer, cleared on close — bounded by the
+    * gap horizon, not the stream length. Late rows behind the watermark
+    * are not re-sessionized (production streams rely on the watermark
+    * delay, exactly as session_window does). */
+  class ConvSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, TurnInput, SessOut] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TTLConfig,
+      TimerValues, ExpiredTimerInfo}
+    @transient private var buf: ListState[SessTurn] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[SessTurn]("buf",
+        org.apache.spark.sql.Encoders.product[SessTurn], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[TurnInput],
+        tv: TimerValues): Iterator[SessOut] = {
+      rows.foreach(t =>
+        buf.appendValue(SessTurn(t.ts.getTime, t.turn_idx, t.role)))
+      // exactly one live timer per key: the latest buffered event + gap
+      val maxTs = buf.get().map(_.ts_ms).max
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessOut] = {
+      val rows = buf.get().toSeq.sortBy(r => (r.ts_ms, r.turn_idx))
+      if (rows.isEmpty) return Iterator.empty
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(rows.head))
+      for (r <- rows.tail) {
+        if (r.ts_ms - sessions.last.last.ts_ms >= gapMs)
+          sessions += scala.collection.mutable.ArrayBuffer(r)
+        else sessions.last += r
+      }
+      val wm = tv.getCurrentWatermarkInMs()
+      val (closed, open) = sessions.partition(_.last.ts_ms + gapMs <= wm)
+      buf.clear()
+      for (sess <- open; r <- sess) buf.appendValue(r)
+      if (open.nonEmpty) getHandle.registerTimer(
+        open.map(_.last.ts_ms).max + gapMs)
+      closed.iterator.map { sess =>
+        SessOut(key, sess.head.ts_ms / 1000,
+          sess.last.ts_ms / 1000 + gapMs / 1000,
+          sess.size.toLong, sess.map(_.role).distinct.size.toLong)
+      }
+    }
+  }
+
+  /** Event-time sessionization through transformWithState (see
+    * ConvSessionProcessor). */
+  def sessionsViaTws(turns: Dataset[TurnInput], gapMs: Long = 3600L * 1000,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .as[TurnInput]
+      .groupByKey(_.conv_id)
+      .transformWithState(new ConvSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** CHAINED stateful operators in one streaming query (the multiple-
     * stateful-operator pipeline Spark supports since 3.5): watermarked
     * dedup state feeding event-time session-window aggregation state —
