@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr STRAIGHT through instead of
+// re-logging each line with an "[info] " prefix — the driver parses
+// Bench's one-line JSON from stdout, and the prefix broke json.loads
+// every round (VERDICT r4 "what's wrong" #3).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
