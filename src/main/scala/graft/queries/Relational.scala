@@ -2129,6 +2129,50 @@ object Relational {
         .orderBy(col("ka"))
     }),
 
+    // Rolling 7-day distinct users per day (the WAU curve) — EXACT
+    // sliding count-distinct without a sliding window operator: dedup
+    // to (day, user) first (bounds everything downstream by active
+    // users/day, not events/day), explode each onto the 7 grid days it
+    // serves, then one distinct-agg per grid day. Two hash shuffles on
+    // bounded keys; no self-join, no per-day re-scan — the shape that
+    // survives 100 TB of events.
+    "q_events_rolling_distinct" -> ((s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      du.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+          col("user_id"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("day").cast("string").as("day"), col("wau"))
+        .orderBy(col("day"))
+    }),
+
+    // Robust outlier report per event type: median / MAD (the
+    // scale-free robust z-score every metrics pipeline prefers over
+    // mean/stddev, which the outliers themselves corrupt). Values
+    // integerized to cents so both engines' median interpolation is an
+    // exact .5; dev > 4.4478·MAD ≈ 3 robust standard deviations
+    // (3 × 1.4826). Two passes over the (type, cents) projection with
+    // broadcast joins of the 8-row per-type stats — no sort, no window.
+    "q_events_mad" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(dev, 0.5)").as("mad_cents"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(first(col("med_cents")).as("med_cents"),
+          first(col("mad_cents")).as("mad_cents"),
+          count(lit(1)).as("n"),
+          sum(when(col("dev") > col("mad_cents") * 4.4478, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // Data-quality expectations report (the Deequ-style contract gate a
     // pipeline runs before accepting a 100 TB batch): six declared
     // constraints — range, domain, not-null, key-uniqueness, date
@@ -3782,6 +3826,32 @@ object Relational {
                          row_number() OVER (PARTITION BY ka ORDER BY sim DESC, kb) AS rn
                   FROM j)
          SELECT ka, kb, sim FROM r WHERE rn = 1 AND sim >= 0.8 ORDER BY ka""",
+    "q_events_rolling_distinct" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+            g AS (SELECT d + CAST(t.x AS INTEGER) AS day, user_id
+                  FROM du, range(7) t(x))
+         SELECT CAST(day AS VARCHAR) AS day,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         FROM g GROUP BY 1 ORDER BY 1""",
+    // DuckDB median on BIGINT returns DOUBLE with exact .5 halves,
+    // matching Spark's percentile(x, 0.5) interpolation on integers
+    "q_events_mad" ->
+      """WITH e AS (SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+            med AS (SELECT event_type, median(cents) AS med_cents
+                    FROM e GROUP BY 1),
+            d AS (SELECT e.event_type, cents,
+                         abs(cents - med_cents) AS dev, med_cents
+                  FROM e JOIN med USING (event_type)),
+            mad AS (SELECT event_type, median(dev) AS mad_cents
+                    FROM d GROUP BY 1)
+         SELECT d.event_type, any_value(d.med_cents) AS med_cents,
+                any_value(mad.mad_cents) AS mad_cents,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN dev > mad.mad_cents * 4.4478
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM d JOIN mad USING (event_type)
+         GROUP BY d.event_type ORDER BY d.event_type""",
     "q_quality_expectations" ->
       """WITH a AS (SELECT
               CAST(count(*) AS BIGINT) AS n,

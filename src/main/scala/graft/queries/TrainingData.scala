@@ -71,6 +71,7 @@ object TrainingData {
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
   val streamDedupPath     = s"$oracleRoot/stream_dedup_turns"
+  val streamEnrichPath    = s"$oracleRoot/stream_enrich_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
   val tablePath           = s"$oracleRoot/merge_table"
@@ -512,6 +513,31 @@ object TrainingData {
         .orderBy(col("conv_id"), col("session_start_s"))
     }),
 
+    // Stream-static enrichment: a streaming turn feed broadcast-joined
+    // against a STATIC dimension (the nation table — no state, the dim
+    // rides the broadcast into every micro-batch) feeding a running
+    // per-nation aggregation in Complete mode. The deterministic md5
+    // routing key stands in for a real conv→tenant mapping. Oracle:
+    // the identical join+agg in DuckDB over the input sidecar.
+    "q_stream_enrich" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 150L, 4)
+        .coalesce(1).write.mode("overwrite").parquet(streamEnrichPath)
+      val dim = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name"))
+      val turns = graft.streaming.StreamExtract
+        .readTurnStream(s, streamEnrichPath, streamEnrichPath).toDF()
+        .withColumn("nk",
+          expr("conv(substring(md5(conv_id), 1, 8), 16, 10)").cast("long") % 25)
+      val agg = turns.join(broadcast(dim), col("nk") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("turn_idx").cast("long")).as("sum_turn_idx"))
+      graft.streaming.StreamExtract.runOnce(agg,
+          s"q_stream_enrich_${memSinkSeq.incrementAndGet()}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("n_name"))
+    }),
+
     // Spark 4 transformWithState (arbitrary-state API v2, RocksDB-only):
     // per-conversation gap sessionization via typed ListState +
     // event-time TIMERS — rows emit exclusively from handleExpiredTimer
@@ -897,6 +923,14 @@ object TrainingData {
                  count(*) AS n_turns
           FROM s GROUP BY conv_id, sid
           ORDER BY conv_id, session_start_s""",
+    "q_stream_enrich" ->
+      s"""WITH t AS (SELECT conv_id, turn_idx,
+                 ('0x' || substr(md5(conv_id), 1, 8))::UBIGINT % 25 AS nk
+               FROM read_parquet('$streamEnrichPath/*.parquet'))
+          SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(turn_idx) AS BIGINT) AS sum_turn_idx
+          FROM t JOIN nation n ON t.nk = n.n_nationkey
+          GROUP BY n.n_name ORDER BY n.n_name""",
     "q_stream_tws_sessions" ->
       s"""WITH t AS (SELECT conv_id, turn_idx, role, ts
                      FROM read_parquet('$streamJoinPath/*.parquet')
