@@ -974,6 +974,35 @@ object TableIO {
     true
   }
 
+  /** foreachBatch body for the streaming UPSERT sink: row-level-MERGE
+    * one micro-batch into the bucketed table. Replayed batch ids are
+    * dropped via a marker (restart safety); the marker commits AFTER
+    * the merge publishes, and a crash in between is harmless because
+    * re-merging the identical rows is content-idempotent (same keys,
+    * same values — only bucket versions bump). Returns false for a
+    * dropped replay. */
+  def mergeBatch(df: org.apache.spark.sql.DataFrame, root: String,
+      batchId: Long, buckets: Int = 32): Boolean = {
+    val bdir = Paths.get(root, "_merge_batches")
+    Files.createDirectories(bdir)
+    val marker = bdir.resolve(s"batch-$batchId.committed")
+    if (Files.exists(marker)) return false
+    // an at-least-once feed can deliver the same correction twice in
+    // one micro-batch; mergeExtracted requires unique update keys, so
+    // collapse per-key first (identical payloads collapse
+    // deterministically; CONFLICTING same-key payloads in one batch
+    // have no defined order in a stream — callers needing last-wins
+    // must carry and resolve on a sequence column upstream)
+    mergeExtracted(df.dropDuplicates("conv_id", "turn_idx")
+      .as[ExtractedTurn](
+        org.apache.spark.sql.Encoders.product[ExtractedTurn]), root, buckets)
+    val tmp = bdir.resolve(s".batch-$batchId.committed.tmp")
+    Files.writeString(tmp,
+      s"""{"batch": $batchId, "committedAtMs": ${System.currentTimeMillis()}}""")
+    Files.move(tmp, marker, StandardCopyOption.ATOMIC_MOVE)
+    true
+  }
+
   /** Committed micro-batch ids (marker files), ascending. */
   def committedBatchIds(root: String): Seq[Long] =
     listDir(Paths.get(root, "_batches"))

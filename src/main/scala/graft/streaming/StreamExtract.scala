@@ -363,6 +363,27 @@ object StreamExtract {
       }
       .start()
 
+  /** Streaming UPSERT sink (CDC-ingest shape): each micro-batch
+    * row-level-MERGEs into the bucketed table via foreachBatch +
+    * TableIO.mergeBatch — corrections and re-deliveries in the stream
+    * REPLACE table rows by (conv_id, turn_idx) instead of appending
+    * duplicates. Restart-safe: replayed batch ids drop at the marker;
+    * a crash between merge publish and marker re-merges identical rows
+    * (content-idempotent). The table must exist (seed it with
+    * writeExtracted) — the stream is the correction feed, not the
+    * initial load. */
+  def upsertToTable(out: Dataset[ExtractedTurn], root: String,
+      checkpoint: String, buckets: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    out.toDF().writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        graft.io.TableIO.mergeBatch(df, root, batchId, buckets)
+        ()
+      }
+      .start()
+
   /** Drive a stream to completion over already-present files (test &
     * demo harness): processAllAvailable then stop. */
   def runOnce(df: DataFrame, queryName: String, outputMode: OutputMode): DataFrame =

@@ -321,6 +321,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming upsert sink merges corrections by key, replay-safe, time travel exact") {
+    import spark.implicits._
+    import graft.io.TableIO
+    val root0 = Files.createTempDirectory("graft-upsert").toString
+    val (srcDir, tblDir, ckDir) = (s"$root0/src", s"$root0/tbl", s"$root0/ck")
+    val all = graft.pipeline.Pipeline.synthTurns(spark, 50L, 4)
+    val seed = graft.pipeline.Pipeline.extractTurns(all)
+    TableIO.writeExtracted(seed, tblDir, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(tblDir)
+    def dumpTbl() = TableIO.readExtracted(spark, tblDir)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(graft.core.Json.turnJson).toSeq
+    val before = dumpTbl()
+
+    // the correction feed: every turn_idx<2 row re-extracted with a
+    // corrected score, DELIVERED TWICE (duplicate files — the
+    // at-least-once shape a real feed has)
+    val corrected = seed.filter(_.turn_idx < 2)
+      .map(t => t.copy(total_score = t.total_score + 1000))
+    new java.io.File(srcDir).mkdirs()
+    corrected.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+    corrected.toDF().coalesce(1).write.mode("append").parquet(srcDir)
+
+    def runPass(): Unit = {
+      val src = spark.readStream.schema(seed.toDF().schema).parquet(srcDir)
+        .as[graft.core.ExtractedTurn]
+      val q = StreamExtract.upsertToTable(src, tblDir, ckDir, buckets = 8)
+      q.processAllAvailable(); q.stop()
+    }
+    runPass()
+    // final content = seed with the corrected rows REPLACED (no
+    // duplicate keys despite double delivery)
+    val corrKeys = corrected.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val expected = (seed.collect().toSeq.filterNot(t => corrKeys((t.conv_id, t.turn_idx))) ++
+      corrected.collect().toSeq)
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(graft.core.Json.turnJson)
+    assert(dumpTbl() == expected)
+
+    // restart with no new data: markers drop the replay, content stable
+    val snapAfter = TableIO.committed(tblDir)._1
+    runPass()
+    assert(TableIO.committed(tblDir)._1 == snapAfter, "replay must not re-merge")
+    assert(dumpTbl() == expected)
+
+    // time travel to the pre-stream snapshot reads the seed bytes
+    assert(TableIO.readExtracted(spark, tblDir, preSnap)
+      .orderBy("conv_id", "turn_idx").collect()
+      .map(graft.core.Json.turnJson).toSeq == before)
+  }
+
   test("foreachBatch table ingest is exactly-once under batch replay and restart") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-ingest").toString
