@@ -1207,6 +1207,28 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Language-ID confusion matrix — the langid heuristic evaluated
+    // against the corpus's DECLARED lang column (the calibration report
+    // that tells you whether the cheap n-gram guesser is good enough to
+    // gate a 100 TB ingest, and which language pairs it confuses). One
+    // scalar pass + one hash aggregation on a (few × few) key space.
+    "q_text_langid_confusion" -> ((s, dir) => {
+      def hits(word: String) =
+        ((length(col("text")) - length(regexp_replace(col("text"), s"\\b$word\\b", ""))) /
+          word.length).cast("long")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          hits("the").as("s_en"), hits("le").as("s_fr"), hits("der").as("s_de"))
+        .withColumn("lang_guess",
+          when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+            .when(col("s_fr") > col("s_de"), "fr")
+            .when(col("s_de") > 0, "de")
+            .otherwise("unk"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }),
+
     // text 3b — BPE-ish token counting: whitespace count plus a GPT-2-
     // style pretokenizer regex (contractions / letter runs / digit runs
     // / punctuation runs). No lookahead, and whitespace is an EXPLICIT
@@ -1753,6 +1775,28 @@ object Relational {
         .groupBy(col("component")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
         .orderBy(col("sz"))),
+
+    // Dedup savings report — the "what does near-dup dedup buy us at
+    // 100 TB" number: per resolved component keep the min-doc_id
+    // survivor's bytes, roll everything up to one row (components,
+    // dup components, docs, bytes total/kept/saved). Rides the
+    // memoized component resolution; one broadcast-size join against
+    // the doc-length projection, two hash aggregations.
+    "q_dedup_savings" -> ((s, dir) => {
+      val chars = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_chars"))
+      resolveComponents(s, dir).join(chars, "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("sz"),
+          sum(col("n_chars")).as("bytes_total"),
+          min_by(col("n_chars"), col("doc_id")).as("bytes_kept"))
+        .agg(count(lit(1)).as("n_components"),
+          sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_components"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("bytes_total")).as("bytes_total"),
+          sum(col("bytes_kept")).as("bytes_kept"),
+          (sum(col("bytes_total")) - sum(col("bytes_kept"))).as("bytes_saved"))
+    }),
 
     // analytics 2 — IQR outlier detection per event type: quartiles
     // from the exact integer-rank picks (q_agg_quantiles' machinery),
@@ -3311,6 +3355,18 @@ object Relational {
                   CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
                   CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
            FROM documents) ORDER BY doc_id""",
+    "q_text_langid_confusion" ->
+      """SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                     WHEN s_fr > s_de THEN 'fr'
+                     WHEN s_de > 0 THEN 'de' ELSE 'unk' END AS lang_guess,
+                CAST(count(*) AS BIGINT) AS n
+         FROM (
+           SELECT lang,
+                  CAST((length(text) - length(regexp_replace(text, '\bthe\b', '', 'g'))) / 3 AS BIGINT) AS s_en,
+                  CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
+                  CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
+           FROM documents)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_dedup_embedding" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
                     FROM embeddings WHERE vec_id < 500),
@@ -3613,6 +3669,41 @@ object Relational {
        comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
        sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
        SELECT sz, count(*) AS n_components FROM sizes GROUP BY 1 ORDER BY sz"""),
+    "q_dedup_savings" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       ),
+       comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+       j AS (SELECT c.component, c.id, d.n_chars
+             FROM comp c JOIN documents d ON d.doc_id = c.id),
+       percomp AS (SELECT component, count(*) AS sz,
+                          sum(n_chars) AS bytes_total,
+                          arg_min(n_chars, id) AS bytes_kept
+                   FROM j GROUP BY 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_components,
+              CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_components,
+              CAST(sum(sz) AS BIGINT) AS n_docs,
+              CAST(sum(bytes_total) AS BIGINT) AS bytes_total,
+              CAST(sum(bytes_kept) AS BIGINT) AS bytes_kept,
+              CAST(sum(bytes_total) - sum(bytes_kept) AS BIGINT) AS bytes_saved
+       FROM percomp"""),
     // identical rank-pick quartiles, identical three-op IEEE fences
     "q_events_outliers" ->
       """WITH ranked AS (

@@ -520,7 +520,14 @@ class PlanSpec extends SparkSuite {
         "q_events_outliers", "q_text_chunks", "q_text_bigram_lm",
         "q_sample_mixture", "q_events_alternation", "q_window_locf",
         "q_agg_spearman", "q_agg_equidepth", "q_text_oov",
-        "q_dedup_prefix_filter")) {
+        "q_dedup_prefix_filter",
+        // this session's additions (the PMI/jaro joins and the nation
+        // dim cross in rolling-distinct must all stay keyed/broadcast;
+        // the single-row total in q_text_pmi rides an explicit
+        // broadcast nested-loop cross, which is not a CartesianProduct)
+        "q_text_pmi", "q_join_jarowinkler", "q_events_rolling_distinct",
+        "q_events_mad", "q_quality_expectations", "q_text_nfc",
+        "q_dedup_savings", "q_text_langid_confusion")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
