@@ -1207,6 +1207,50 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document boilerplate span mining — 6-token shingles that
+    // recur in ≥3 distinct documents (nav chrome, disclaimers, license
+    // headers: the span-level cleanup pass scraped corpora need beyond
+    // doc-level dedup). Shingles via an in-row transform over token
+    // indices (no self-join), then one hash aggregation on the shingle
+    // key; at 100 TB the shingle hash shards the shuffle and the ≥3
+    // gate kills the unique-span long tail at the partial aggregate.
+    "q_text_boilerplate" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 6)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 6), i -> concat_ws(' ', slice(l, i + 1, 6)))"))
+          .as("span"))
+      sh.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("span"))
+        .limit(50)
+    }),
+
+    // Rendezvous (highest-random-weight) sharding — consistent corpus
+    // sharding where growing 8→9 shards moves only ~1/9 of documents
+    // (hash-mod resharding moves ~8/9 and invalidates every cache).
+    // shard = argmax over candidates of md5(doc:k), encoded as
+    // max(h·16+k) % 16 so the argmax IS a plain max aggregation —
+    // per-doc work is a 9-row explode, no shuffle beyond the final
+    // per-shard rollup. Reports per-shard volume and churn.
+    "q_shard_rendezvous" -> ((s, dir) => {
+      val h = expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', " +
+        "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+      val weights = t(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(8))).as("k"))
+        .withColumn("key", h * 16 + col("k"))
+      val assign = weights.groupBy(col("doc_id")).agg(
+        (max(when(col("k") < 8, col("key"))) % 16).as("shard8"),
+        (max(col("key")) % 16).as("shard9"))
+      assign.groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy(col("shard8"))
+    }),
+
     // Language-ID confusion matrix — the langid heuristic evaluated
     // against the corpus's DECLARED lang column (the calibration report
     // that tells you whether the cheap n-gram guesser is good enough to
@@ -3355,6 +3399,34 @@ object Relational {
                   CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
                   CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
            FROM documents) ORDER BY doc_id""",
+    // inclusive list slice l[x+1:x+6] = Spark slice(l, i+1, 6); the
+    // LATERAL unnest(range(...)) generates the same 0-based offsets as
+    // Spark's sequence(0, size-6)
+    "q_text_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+                       WHERE len(string_split(text, ' ')) >= 6),
+            sh AS (SELECT doc_id, array_to_string(l[x.x + 1:x.x + 6], ' ') AS span
+                   FROM toks, LATERAL (SELECT unnest(range(len(l) - 5)) AS x) x),
+            g AS (SELECT span,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                         CAST(count(*) AS BIGINT) AS n_occurrences
+                  FROM sh GROUP BY span)
+         SELECT span, n_docs, n_occurrences FROM g
+         WHERE n_docs >= 3
+         ORDER BY n_docs DESC, span LIMIT 50""",
+    "q_shard_rendezvous" ->
+      """WITH w AS (
+           SELECT doc_id, t.k AS kk,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(t.k AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) * 16 + t.k AS key
+           FROM documents, range(9) t(k)),
+            a AS (SELECT doc_id,
+                         max(CASE WHEN kk < 8 THEN key END) % 16 AS shard8,
+                         max(key) % 16 AS shard9
+                  FROM w GROUP BY doc_id)
+         SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         FROM a GROUP BY shard8 ORDER BY shard8""",
     "q_text_langid_confusion" ->
       """SELECT lang, CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
                      WHEN s_fr > s_de THEN 'fr'
