@@ -1229,6 +1229,34 @@ object Relational {
         .limit(50)
     }),
 
+    // SCD2 point-in-time join — build a slowly-changing dimension from
+    // a change feed (each purchase re-tiers its user; validity
+    // intervals via lead() over the per-user change sequence, open tail
+    // NULL) and join facts to the version VALID AT the fact's event
+    // time. The join is an equi-join on user_id with the interval as a
+    // residual range predicate — sort-merge by user at any scale, never
+    // a time-cross-product.
+    "q_scd2_pit" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val dim = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("valid_from"),
+          floor(col("value") / 50).cast("long").as("tier"), col("event_id"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from"), col("event_id"))))
+        .as("d")
+      val fact = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts")).as("f")
+      fact.join(dim,
+          col("f.user_id") === col("d.user_id") &&
+            col("f.ts") >= col("d.valid_from") &&
+            (col("d.valid_to").isNull || col("f.ts") < col("d.valid_to")))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_errors"),
+          countDistinct(col("d.user_id")).as("n_users"))
+        .orderBy(col("tier"))
+    }),
+
     // Rendezvous (highest-random-weight) sharding — consistent corpus
     // sharding where growing 8→9 shards moves only ~1/9 of documents
     // (hash-mod resharding moves ~8/9 and invalidates every cache).
@@ -3414,6 +3442,21 @@ object Relational {
          SELECT span, n_docs, n_occurrences FROM g
          WHERE n_docs >= 3
          ORDER BY n_docs DESC, span LIMIT 50""",
+    "q_scd2_pit" ->
+      """WITH dim AS (
+           SELECT user_id, ts AS valid_from,
+                  CAST(floor(value / 50) AS BIGINT) AS tier,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS valid_to
+           FROM events WHERE event_type = 'purchase'),
+            fact AS (SELECT user_id, ts FROM events WHERE event_type = 'error')
+         SELECT d.tier, CAST(count(*) AS BIGINT) AS n_errors,
+                CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+         FROM fact f JOIN dim d
+           ON f.user_id = d.user_id
+          AND f.ts >= d.valid_from
+          AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+         GROUP BY d.tier ORDER BY d.tier""",
     "q_shard_rendezvous" ->
       """WITH w AS (
            SELECT doc_id, t.k AS kk,
