@@ -917,6 +917,26 @@ object Relational {
     // TPC-H Q4 shape — correlated EXISTS subquery through spark.sql
     // (Catalyst's subquery decorrelation surface; the DSL-level semi
     // join twin is q_join_semi)
+    // TPC-H Q17 shape (small-quantity revenue): a CORRELATED SCALAR
+    // subquery — the per-part average-quantity threshold — that
+    // Catalyst decorrelates into one aggregate-then-join (the scan of
+    // lineitem happens twice, never per-part; at 100 TB the naive
+    // re-execution per outer row would be the difference between 2
+    // passes and 200k). Money integerized to cents so the sum is
+    // exact; ONE final division by 7.
+    "q_tpch_q17" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v17")
+      t(s, dir, "part").createOrReplaceTempView("part_v17")
+      s.sql(
+        """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+          |             / 100.0 / 7.0, 2) AS avg_yearly
+          |FROM lineitem_v17 l JOIN part_v17 p ON p.p_partkey = l.l_partkey
+          |WHERE p.p_partkey % 10 = 3
+          |  AND l.l_quantity < (SELECT 0.2 * avg(l_quantity)
+          |                      FROM lineitem_v17 l2
+          |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    }),
+
     "q_tpch_q4" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders_v")
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -3194,6 +3214,15 @@ object Relational {
                 translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS tr20,
                 array_to_string(string_split(text, ' ')[1:3], ' ') AS first3
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
+    // identical correlated form; DuckDB decorrelates the same way
+    "q_tpch_q17" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                      / 100.0 / 7.0, 2) AS avg_yearly
+         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         WHERE p.p_partkey % 10 = 3
+           AND l.l_quantity < (SELECT 0.2 * avg(l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l.l_partkey)""",
     "q_tpch_q3" ->
       """SELECT l_orderkey,
                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
