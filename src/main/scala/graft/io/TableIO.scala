@@ -71,6 +71,11 @@ object TableIO {
   def lineageAt(root: String, snap: Int): Seq[BucketLineage] =
     parseManifest(snapDir(root).resolve(s"snap-$snap.json"), snap)
 
+  /** Executor-safe manifest parse (also used by the DataSource V2
+    * lineage connector, graft.sources.LineageSource). */
+  private[graft] def parseManifestFile(f: java.nio.file.Path,
+      snap: Int): Seq[BucketLineage] = parseManifest(f, snap)
+
   private def parseManifest(f: java.nio.file.Path, snap: Int): Seq[BucketLineage] = {
     if (!Files.isRegularFile(f)) return Nil
     // "version" is optional in the entry (pre-merge manifests lack it →

@@ -407,6 +407,22 @@ object TrainingData {
       flat(graft.io.TableIO.readTag(s, b.root, "pre-merge").toDF)
     }),
 
+    // DataSource V2 connector (graft.sources.LineageSource): the
+    // table's snapshot-manifest history read through a REAL V2 Scan —
+    // column pruning via pruneColumns, snapshot predicates pushed to
+    // FILE-level pruning (snapshot >= 1 plans only the surviving
+    // manifests as InputPartitions). Oracle: DuckDB read_json over the
+    // same manifest files.
+    "q_source_dsv2" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      s.read.format("graft.sources.LineageSource")
+        .option("path", b.root).load()
+        .filter(col("snapshot") >= 1)
+        .select(col("snapshot"), col("bucket"), col("rows"),
+          col("minKey"), col("maxKey"), col("version"))
+        .orderBy(col("snapshot"), col("bucket"))
+    }),
+
     // The extraction pipeline itself as a registered query (flagship
     // operator) — oracled against the generator's ground-truth sidecar.
     "q_extract_pipeline" -> ((s, dir) => {
@@ -791,6 +807,19 @@ object TrainingData {
           SELECT $flatCols
           FROM read_parquet('$tableUpdatesPath/*.parquet')
           ORDER BY conv_id, turn_idx""",
+    "q_source_dsv2" ->
+      s"""WITH raw AS (SELECT snapshot, unnest(committed) AS u
+                       FROM read_json_auto('$tablePath/_snapshots/snap-*.json')),
+            f AS (SELECT snapshot, u.bucket AS bucket, u.rows AS rows,
+                         u.minKey AS minKey, u.maxKey AS maxKey,
+                         u.version AS version
+                  FROM raw)
+          SELECT CAST(snapshot AS INTEGER) AS snapshot,
+                 CAST(bucket AS INTEGER) AS bucket,
+                 CAST(rows AS BIGINT) AS rows, minKey, maxKey,
+                 CAST(version AS INTEGER) AS version
+          FROM f WHERE snapshot >= 1
+          ORDER BY snapshot, bucket""",
     "q_table_delete" ->
       s"""WITH merged AS (
             SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t

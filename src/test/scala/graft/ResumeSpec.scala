@@ -388,6 +388,31 @@ class ResumeSpec extends SparkSuite {
     assert(got.total_score == 1)
   }
 
+  test("DSv2 lineage source: snapshot pushdown prunes to one manifest partition; projection order holds") {
+    import org.apache.spark.sql.functions.col
+    val root = freshDir("graft-dsv2")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val df = spark.read.format("graft.sources.LineageSource")
+      .option("path", root).load()
+    val nSnaps = TableIO.snapshotIds(root).size
+    assert(nSnaps >= 2)
+    assert(df.rdd.getNumPartitions == nSnaps,
+      "unfiltered scan must plan one partition per manifest")
+    val (snap, _) = TableIO.committed(root)
+    val one = df.filter(col("snapshot") === snap)
+    assert(one.rdd.getNumPartitions == 1,
+      "snapshot equality must prune to exactly one manifest partition")
+    // content equals the driver-side lineage read
+    val got = one.select("bucket", "rows", "version").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+    val want = TableIO.lineage(root).map(l => (l.bucket, l.rows, l.version)).toSet
+    assert(got == want)
+    // pruned + REORDERED projection comes back in the requested order
+    val row = one.select("maxKey", "bucket").orderBy(col("bucket")).head()
+    assert(row.schema.fieldNames.toSeq == Seq("maxKey", "bucket"))
+    assert(row.getString(0).nonEmpty && row.getInt(1) >= 0)
+  }
+
   test("row-level delete: drops named convs, empties a bucket to a tombstone, time travel stays exact") {
     import spark.implicits._
     val root = freshDir("graft-delete")
