@@ -292,10 +292,10 @@ object TrainingData {
         // timer closes) materializes in Spark's NO-DATA flush batches
         // after the watermark advances — processAllAvailable drains
         // them. This replaced the 2-round sentinel-append phase loop:
-        // measured 55.9 s → (see BASELINE round 5) for the 6-query
-        // drive, because each query now runs ONE data batch plus
-        // no-data flushes instead of 3 data batches with full state
-        // reloads between.
+        // measured ~33 s → ~12 s for the 6-query drive (with the
+        // RocksDB split below), because each query now runs ONE data
+        // batch plus no-data flushes instead of 3 data batches with
+        // full state reloads between.
         val maxTs = s.read.parquet(streamDedupPath)
           .agg(max(col("ts"))).head().getTimestamp(0)
         def sentinels(tag: String, plusMs: Long) = Seq(
