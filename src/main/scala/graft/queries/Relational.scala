@@ -2198,6 +2198,25 @@ object Relational {
           countDistinct(col("k")).as("n_distinct_k"))
         .orderBy(col("event_type"))),
 
+    // Spark 4 VARIANT type — the open-schema ingestion pattern: shred
+    // the JSON payload ONCE into the binary variant encoding, then pull
+    // multiple typed paths from that single parse (variant_get), with
+    // try_variant_get's null-on-absent-path semantics for fields the
+    // contract doesn't guarantee. At 100 TB this is parse-once instead
+    // of get_json_object's parse-per-path.
+    "q_events_variant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .select(col("event_type"),
+          expr("variant_get(v, '$.k', 'long')").as("k"),
+          expr("try_variant_get(v, '$.absent', 'long')").as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_absent"))
+        .orderBy(col("event_type"))),
+
     // Modal value per group — the most frequent event type per user
     // with a deterministic (count desc, value asc) tie-break: one hash
     // agg to (user, type) counts, then a top-1 window on the bounded
@@ -4018,6 +4037,14 @@ object Relational {
                 CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
                 min(val) AS min_val, max(val) AS max_val
          FROM m GROUP BY 1 ORDER BY 1""",
+    "q_events_variant" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
+                CAST(count(*) AS BIGINT) AS n_absent
+         FROM e GROUP BY 1 ORDER BY 1""",
     "q_events_props_json" ->
       """WITH e AS (SELECT event_type,
                            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

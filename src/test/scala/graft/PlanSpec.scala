@@ -144,6 +144,30 @@ class PlanSpec extends SparkSuite {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("Observation API: pipeline-run metrics equal direct aggregation") {
+    // the free-metrics surface for a 100 TB run: collect row counts and
+    // sums DURING the write (zero extra passes) instead of re-scanning
+    // the output to report them
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val obs = org.apache.spark.sql.Observation("extract_metrics")
+    val turns = graft.pipeline.Pipeline.synthTurns(spark, 80L, 4)
+    val out = graft.pipeline.Pipeline.extractTurns(turns).toDF()
+      .observe(obs,
+        count(lit(1)).as("n"),
+        sum(col("total_score").cast("long")).as("sum_score"),
+        sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("n_err"))
+    out.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    val direct = graft.pipeline.Pipeline.extractTurns(turns).toDF()
+      .agg(count(lit(1)), sum(col("total_score").cast("long")),
+        sum(when(col("errors").isNotNull, 1L).otherwise(0L))).head()
+    assert(m("n") == direct.getLong(0))
+    assert(m("sum_score") == direct.getLong(1))
+    assert(m("n_err") == direct.getLong(2))
+    assert(direct.getLong(0) > 0)
+  }
+
   test("jaro_winkler: rapidfuzz-pinned values, SQL surface, stays in codegen") {
     org.apache.spark.sql.graftx.GraftFunctions.install(spark)
     // values measured from DuckDB's rapidfuzz implementation (the
