@@ -144,6 +144,14 @@ object GraftFunctions {
       JaroWinklerSim(args(0), args(1))
     })
 
+  val posTokenize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier("pos_tokenize"),
+    new ExpressionInfo(classOf[PosTokenize].getName, "pos_tokenize"),
+    (args: Seq[Expression]) => {
+      require(args.length == 1, "pos_tokenize(text) takes exactly 1 argument")
+      PosTokenize(args(0))
+    })
+
   val nfcNormalize: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier("nfc_normalize"),
     new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
@@ -161,5 +169,7 @@ object GraftFunctions {
       .registerFunction(jaroWinkler._1, jaroWinkler._2, jaroWinkler._3)
     spark.sessionState.functionRegistry
       .registerFunction(nfcNormalize._1, nfcNormalize._2, nfcNormalize._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(posTokenize._1, posTokenize._2, posTokenize._3)
   }
 }

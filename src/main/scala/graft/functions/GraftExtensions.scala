@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.longArrayDot)
     ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.jaroWinkler)
     ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.nfcNormalize)
+    ext.injectFunction(org.apache.spark.sql.graftx.GraftFunctions.posTokenize)
     // strength-reduce the ANN norm idiom dot(v, v) → norm2(v)
     ext.injectOptimizerRule(_ => org.apache.spark.sql.graftx.DotSelfToNorm2)
     // whole-operator extension: native two-phase top-k-per-key

@@ -1227,6 +1227,19 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Native Catalyst Generator (the real UDTF tier — one row in, many
+    // multi-column rows out, not an explode over a pre-built array):
+    // pos_tokenize emits (pos, tok, start, end) with CHARACTER offsets
+    // into the original text, the span-preserving tokenization that
+    // split+posexplode loses and that annotate-then-project-back
+    // pipelines need. Oracle: DuckDB reconstructs the offsets as a
+    // running-length window over the split tokens.
+    "q_text_pos_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), expr("pos_tokenize(text)"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Cross-document boilerplate span mining — 6-token shingles that
     // recur in ≥3 distinct documents (nav chrome, disclaimers, license
     // headers: the span-level cleanup pass scraped corpora need beyond
@@ -3475,6 +3488,19 @@ object Relational {
                   CAST((length(text) - length(regexp_replace(text, '\ble\b', '', 'g'))) / 2 AS BIGINT) AS s_fr,
                   CAST((length(text) - length(regexp_replace(text, '\bder\b', '', 'g'))) / 3 AS BIGINT) AS s_de
            FROM documents) ORDER BY doc_id""",
+    // start = running length of prior tokens + their separators
+    "q_text_pos_tokens" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                       FROM documents WHERE doc_id < 20),
+            e AS (SELECT doc_id, CAST(x.x AS INTEGER) AS pos, l[x.x + 1] AS tok
+                  FROM toks, LATERAL (SELECT unnest(range(len(l))) AS x) x),
+            o AS (SELECT doc_id, pos, tok,
+                         CAST(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) - length(tok) - 1 AS INTEGER) AS start
+                  FROM e)
+         SELECT doc_id, pos, tok, start,
+                CAST(start + length(tok) AS INTEGER) AS "end"
+         FROM o ORDER BY doc_id, pos""",
     // inclusive list slice l[x+1:x+6] = Spark slice(l, i+1, 6); the
     // LATERAL unnest(range(...)) generates the same 0-based offsets as
     // Spark's sequence(0, size-6)

@@ -144,6 +144,20 @@ class PlanSpec extends SparkSuite {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("pos_tokenize plans as a real Generate node (native UDTF tier)") {
+    org.apache.spark.sql.graftx.GraftFunctions.install(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a bb  ccc")).toDF("id", "text")
+      .selectExpr("id", "pos_tokenize(text)")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate") && p.contains("pos_tokenize"), p.take(1500))
+    // offsets: "a bb  ccc" → a@[0,1) bb@[2,4) ""@[5,5) ccc@[6,9)
+    val rows = df.collect().map(r =>
+      (r.getInt(1), r.getString(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(rows == Seq((0, "a", 0, 1), (1, "bb", 2, 4),
+      (2, "", 5, 5), (3, "ccc", 6, 9)))
+  }
+
   test("Observation API: pipeline-run metrics equal direct aggregation") {
     // the free-metrics surface for a 100 TB run: collect row counts and
     // sums DURING the write (zero extra passes) instead of re-scanning
