@@ -2654,6 +2654,84 @@ object Relational {
           expr("(sum_bits * 1000000L) div tot").as("mean_bits_ppm"))
         .orderBy(col("source"))
     }),
+
+    // CUSUM change-point detection per event type — the metric-drift
+    // monitor every telemetry pipeline runs. The clamped recursion
+    // S_i = max(0, S_{i-1} + (x_i - k)) is NOT a prefix sum, but it
+    // equals P_i - min(0, min_{j<=i} P_j) where P is the plain prefix
+    // sum of deviations — two stock window frames, no recursion, no
+    // UDAF, fully codegen'd. All-integer (cents; k is the exact
+    // floor-div per-type mean, values are non-negative so Spark `div`
+    // and DuckDB `//` agree), so the statistic is bit-exact and
+    // order-independent. Alarm when S crosses h = 200000 cents.
+    "q_events_cusum" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+      val k = e.groupBy(col("event_type"))
+        .agg(expr("sum(c) div count(*)").as("k"))
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(broadcast(k), Seq("event_type"))
+        .withColumn("p", sum(col("c") - col("k")).over(ord))
+        .withColumn("s", col("p") - least(lit(0L), min(col("p")).over(ord)))
+        .select(col("event_type"), col("event_id"), col("s"),
+          when(col("s") > 200000L, 1L).otherwise(0L).as("alarm"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Nearest-event temporal join (the bidirectional as-of): for every
+    // error, the same-user click closest in time — EITHER direction —
+    // tie broken toward the earlier click. A per-user equi-join (clicks
+    // per user are bounded; the measured-skew salted recipe in
+    // q_join_skew_salted covers the hot-key case), then one bounded
+    // window picks the argmin. Backward-only as-of lives in q_asof_join;
+    // this is the "closest reading to the incident" sensor-fusion shape.
+    "q_join_asof_nearest" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("err_ms"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"),
+          unix_millis(col("ts").cast("timestamp")).as("click_ms"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("gap_ms"), col("click_ms"))
+      errs.join(clicks, col("user_id") === col("cu"))
+        .withColumn("gap_ms", abs(col("err_ms") - col("click_ms")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("click_ms"), col("gap_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Interval-overlap join via coarse-bucket banding — the generic
+    // range-join decomposition: each (user, type) activity interval
+    // [first ts, last ts] is exploded onto the WEEK buckets it covers,
+    // candidates meet through a plain (user, week) equi-join (shuffle
+    // join, never a cartesian), the exact overlap predicate verifies,
+    // and multi-bucket hits collapse with distinct. Bucket width trades
+    // replication against candidate precision; the predicate keeps the
+    // result exact for any width.
+    "q_join_interval_overlap" -> ((s, dir) => {
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("ts_s"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(col("ts_s")).as("lo"), max(col("ts_s")).as("hi"))
+      val banded = iv.select(col("user_id"), col("event_type"), col("lo"), col("hi"),
+        explode(sequence(expr("lo div 604800"), expr("hi div 604800"))).as("wk"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.wk") === col("b.wk") &&
+            col("a.event_type") < col("b.event_type") &&
+            col("a.lo") <= col("b.hi") && col("b.lo") <= col("a.hi"))
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          (least(col("a.hi"), col("b.hi")) - greatest(col("a.lo"), col("b.lo"))).as("overlap_s"))
+        .distinct()
+        .orderBy(col("user_id"), col("type_a"), col("type_b"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -4351,6 +4429,59 @@ object Relational {
                 (sum(cnt * (length(bin(tot // cnt)) - 1)) * 1000000) // tot AS mean_bits_ppm
          FROM cnts JOIN tot ON cnts.source = tot.source
          GROUP BY 1, 2, 3 ORDER BY 1""",
+    // identical prefix-sum / running-min formulation; sums of cents are
+    // non-negative per type so // here floors exactly like Spark's div
+    "q_events_cusum" ->
+      """WITH e AS (
+           SELECT event_type, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         k AS (SELECT event_type, CAST(sum(c) AS BIGINT) // count(*) AS k
+               FROM e GROUP BY 1),
+         pre AS (
+           SELECT e.event_type, e.event_id, e.ts_s,
+                  sum(e.c - k.k) OVER (PARTITION BY e.event_type
+                    ORDER BY e.ts_s, e.event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+           FROM e JOIN k ON e.event_type = k.event_type),
+         p AS (
+           SELECT event_type, event_id, p,
+                  min(p) OVER (PARTITION BY event_type ORDER BY ts_s, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+           FROM pre)
+         SELECT event_type, event_id,
+                CAST(p - least(0, mn) AS BIGINT) AS s,
+                CAST(CASE WHEN p - least(0, mn) > 200000 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+         FROM p ORDER BY event_type, event_id""",
+    "q_join_asof_nearest" ->
+      """WITH errs AS (
+           SELECT user_id, event_id, epoch_ms(ts) AS err_ms
+           FROM events WHERE event_type = 'error'),
+         clicks AS (
+           SELECT user_id AS cu, epoch_ms(ts) AS click_ms
+           FROM events WHERE event_type = 'click'),
+         cand AS (
+           SELECT event_id, user_id, click_ms, abs(err_ms - click_ms) AS gap_ms,
+                  row_number() OVER (PARTITION BY event_id
+                                     ORDER BY abs(err_ms - click_ms), click_ms) AS rn
+           FROM errs JOIN clicks ON user_id = cu)
+         SELECT event_id, user_id, click_ms, gap_ms
+         FROM cand WHERE rn = 1 ORDER BY event_id""",
+    // the oracle joins on the exact predicate directly — proving the
+    // banded decomposition loses and invents nothing
+    "q_join_interval_overlap" ->
+      """WITH iv AS (
+           SELECT user_id, event_type,
+                  CAST(min(floor(epoch(ts))) AS BIGINT) AS lo,
+                  CAST(max(floor(epoch(ts))) AS BIGINT) AS hi
+           FROM events GROUP BY 1, 2)
+         SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+                least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_s
+         FROM iv a JOIN iv b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+          AND a.lo <= b.hi AND b.lo <= a.hi
+         ORDER BY a.user_id, type_a, type_b""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

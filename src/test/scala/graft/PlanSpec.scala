@@ -617,4 +617,27 @@ class PlanSpec extends SparkSuite {
       (e.contains("SortMergeJoin") || e.contains("ShuffledHashJoin") ||
         e.contains("BroadcastHashJoin")), e.take(2000))
   }
+
+  test("cusum broadcasts its per-type means; nearest/interval joins stay equi (no cartesian)") {
+    // q_events_cusum: the k-row per-type mean table must broadcast back
+    // over the fact scan — shuffling 100 TB of events to meet 10 rows
+    // is the classic dim-join mistake
+    val c = plan("q_events_cusum")
+    assert(c.contains("BroadcastHashJoin"), c.take(2000))
+    assert(!c.contains("CartesianProduct"), c.take(2000))
+    // q_join_asof_nearest: per-user equi-join + bounded window, never a
+    // time-cross product
+    val a = plan("q_join_asof_nearest")
+    assert(!a.contains("CartesianProduct") &&
+      !a.contains("BroadcastNestedLoopJoin"), a.take(2000))
+    // q_join_interval_overlap: the whole point of the week-bucket
+    // banding is that the range predicate rides an EQUI join on
+    // (user, week) — a cartesian or nested-loop plan means the
+    // decomposition failed
+    val i = plan("q_join_interval_overlap")
+    assert(!i.contains("CartesianProduct") &&
+      !i.contains("BroadcastNestedLoopJoin"), i.take(2000))
+    assert(i.contains("SortMergeJoin") || i.contains("ShuffledHashJoin") ||
+      i.contains("BroadcastHashJoin"), i.take(2000))
+  }
 }
