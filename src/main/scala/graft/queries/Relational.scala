@@ -2732,6 +2732,107 @@ object Relational {
         .distinct()
         .orderBy(col("user_id"), col("type_a"), col("type_b"))
     }),
+
+    // TPC-H Q18 shape (large-volume customers): the IN-subquery over an
+    // aggregated-HAVING relation — Catalyst rewrites it to a semi join
+    // against the grouped lineitem, never a per-row re-scan. Quantities
+    // integerized (TPC-H quantities are whole numbers shipped as
+    // DOUBLE), price carried in exact cents, and the LIMIT made
+    // deterministic with an orderkey tiebreak.
+    "q_tpch_q18" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v18")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v18")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v18")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |       date_format(o_orderdate, 'yyyy-MM-dd') AS odate,
+          |       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+          |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          |FROM customer_v18 c
+          |JOIN orders_v18 o ON c.c_custkey = o.o_custkey
+          |JOIN lineitem_v18 l ON o.o_orderkey = l.l_orderkey
+          |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem_v18
+          |                       GROUP BY l_orderkey
+          |                       HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin)
+    }),
+
+    // Merkle-style replica anti-entropy: two table versions reconcile by
+    // exchanging ONE fingerprint row per bucket (sum of portable md5 row
+    // hashes + count), then re-scanning ONLY the buckets whose
+    // fingerprints disagree to name the divergent rows. At 100 TB the
+    // fingerprint pass ships O(buckets), the repair pass ships O(dirty
+    // data) — never the whole table. Replica B is derived in-query by
+    // deterministic mutation (delete event_id%997==0, bump the cents of
+    // event_id%1009==0), so the expected diff is known and the oracle
+    // recomputes the identical protocol.
+    "q_replica_diff" -> ((s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), cents(col("value")).as("c"))
+      val repB = base.filter(col("event_id") % 997 =!= 0)
+        .withColumn("c", col("c") +
+          when(col("event_id") % 1009 === 0, 1L).otherwise(0L))
+      def hashed(df: DataFrame): DataFrame = df
+        .withColumn("bucket", col("user_id") % 64)
+        .withColumn("rh", conv(substring(md5(concat(
+          col("event_id").cast("string"), lit(":"), col("c").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      val fa = hashed(base)
+      val fb = hashed(repB)
+      val sa = fa.groupBy(col("bucket"))
+        .agg(sum(col("rh")).as("fp_a"), count(lit(1)).as("n_a"))
+      val sb = fb.groupBy(col("bucket"))
+        .agg(sum(col("rh")).as("fp_b"), count(lit(1)).as("n_b"))
+      val dirty = sa.join(sb, Seq("bucket"), "left")
+        .filter(col("fp_a") =!= coalesce(col("fp_b"), lit(-1L)) ||
+          col("n_a") =!= coalesce(col("n_b"), lit(0L)))
+        .select(col("bucket"))
+      val da = fa.join(broadcast(dirty), Seq("bucket"), "left_semi")
+      val db = fb.join(broadcast(dirty), Seq("bucket"), "left_semi")
+        .select(col("event_id").as("eb"), col("rh").as("rhb"))
+      da.join(db, col("event_id") === col("eb"), "left")
+        .filter(col("rhb").isNull || col("rhb") =!= col("rh"))
+        .select(col("bucket"), col("event_id"),
+          when(col("rhb").isNull, lit("missing_in_b"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy(col("bucket"), col("event_id"))
+    }),
+
+    // Distribution-drift monitor: per event type, the value distribution
+    // of the LATE time half vs the EARLY half over 10 clamped equi-width
+    // cent bins, deviations in exact integer ppm and an L1 drift score
+    // per type — the data-drift check every feature/training pipeline
+    // runs between ingestion waves. The per-type midpoint table
+    // broadcasts back over the fact scan; everything after the two
+    // grouped counts runs on k×10 rows.
+    "q_events_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
+      val counts = e.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("half",
+          when(col("ts_s") <= col("mid"), lit("early")).otherwise(lit("late")))
+        .withColumn("bin", expr("least(c div 5000, CAST(9 AS BIGINT))"))
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("event_type"), col("half"))
+        .agg(sum(col("n")).as("tot"))
+      def ppm(h: String): DataFrame = counts.filter(col("half") === h)
+        .join(totals.filter(col("half") === h), Seq("event_type", "half"))
+        .select(col("event_type"), col("bin"),
+          expr("n * 1000000L div tot").as(s"ppm_$h"))
+      val grid = counts.select(col("event_type")).distinct()
+        .withColumn("bin", explode(sequence(lit(0L), lit(9L))))
+      grid.join(ppm("early"), Seq("event_type", "bin"), "left")
+        .join(ppm("late"), Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("ppm_early", "ppm_late"))
+        .withColumn("dev_ppm", abs(col("ppm_late") - col("ppm_early")))
+        .withColumn("drift_ppm",
+          sum(col("dev_ppm")).over(Window.partitionBy(col("event_type"))))
+        .orderBy(col("event_type"), col("bin"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -4482,6 +4583,92 @@ object Relational {
            ON a.user_id = b.user_id AND a.event_type < b.event_type
           AND a.lo <= b.hi AND b.lo <= a.hi
          ORDER BY a.user_id, type_a, type_b""",
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS odate,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_c,
+                CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                GROUP BY l_orderkey
+                                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+         GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""",
+    // the identical fingerprint-then-repair protocol: same md5 row hash,
+    // same bucket scheme, same derived replica B
+    "q_replica_diff" ->
+      """WITH a AS (
+           SELECT event_id, user_id,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         b AS (
+           SELECT event_id, user_id,
+                  c + CASE WHEN event_id % 1009 = 0 THEN 1 ELSE 0 END AS c
+           FROM a WHERE event_id % 997 <> 0),
+         fa AS (
+           SELECT event_id, user_id % 64 AS bucket,
+                  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                    CAST(c AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS rh
+           FROM a),
+         fb AS (
+           SELECT event_id, user_id % 64 AS bucket,
+                  CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+                    CAST(c AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS rh
+           FROM b),
+         sa AS (SELECT bucket, sum(rh) AS fp_a, count(*) AS n_a FROM fa GROUP BY 1),
+         sb AS (SELECT bucket, sum(rh) AS fp_b, count(*) AS n_b FROM fb GROUP BY 1),
+         dirty AS (
+           SELECT sa.bucket FROM sa LEFT JOIN sb ON sa.bucket = sb.bucket
+           WHERE sa.fp_a <> coalesce(sb.fp_b, -1) OR sa.n_a <> coalesce(sb.n_b, 0))
+         SELECT fa.bucket, fa.event_id,
+                CASE WHEN fb.event_id IS NULL THEN 'missing_in_b'
+                     ELSE 'changed' END AS status
+         FROM fa
+         JOIN dirty ON fa.bucket = dirty.bucket
+         LEFT JOIN fb ON fa.event_id = fb.event_id
+         WHERE fb.event_id IS NULL OR fb.rh <> fa.rh
+         ORDER BY fa.bucket, fa.event_id""",
+    // identical halves / bins / integer-ppm arithmetic
+    "q_events_drift" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                  CAST(round(value * 100) AS BIGINT) AS c FROM events),
+         bounds AS (
+           SELECT event_type, (min(ts_s) + max(ts_s)) // 2 AS mid
+           FROM e GROUP BY 1),
+         h AS (
+           SELECT e.event_type,
+                  CASE WHEN ts_s <= mid THEN 'early' ELSE 'late' END AS half,
+                  least(c // 5000, 9) AS bin
+           FROM e JOIN bounds ON e.event_type = bounds.event_type),
+         counts AS (SELECT event_type, half, bin, count(*) AS n
+                    FROM h GROUP BY 1, 2, 3),
+         totals AS (SELECT event_type, half, sum(n) AS tot
+                    FROM counts GROUP BY 1, 2),
+         grid AS (SELECT DISTINCT event_type, x AS bin
+                  FROM counts, range(10) t(x)),
+         pe AS (SELECT c.event_type, c.bin,
+                       CAST(c.n * 1000000 // t.tot AS BIGINT) AS ppm_early
+                FROM counts c JOIN totals t
+                  ON c.event_type = t.event_type AND c.half = t.half
+                WHERE c.half = 'early'),
+         pl AS (SELECT c.event_type, c.bin,
+                       CAST(c.n * 1000000 // t.tot AS BIGINT) AS ppm_late
+                FROM counts c JOIN totals t
+                  ON c.event_type = t.event_type AND c.half = t.half
+                WHERE c.half = 'late'),
+         j AS (SELECT g.event_type, g.bin,
+                      coalesce(pe.ppm_early, 0) AS ppm_early,
+                      coalesce(pl.ppm_late, 0) AS ppm_late
+               FROM grid g
+               LEFT JOIN pe ON g.event_type = pe.event_type AND g.bin = pe.bin
+               LEFT JOIN pl ON g.event_type = pl.event_type AND g.bin = pl.bin)
+         SELECT event_type, bin, ppm_early, ppm_late,
+                abs(ppm_late - ppm_early) AS dev_ppm,
+                CAST(sum(abs(ppm_late - ppm_early))
+                     OVER (PARTITION BY event_type) AS BIGINT) AS drift_ppm
+         FROM j ORDER BY event_type, bin""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -640,4 +640,24 @@ class PlanSpec extends SparkSuite {
     assert(i.contains("SortMergeJoin") || i.contains("ShuffledHashJoin") ||
       i.contains("BroadcastHashJoin"), i.take(2000))
   }
+
+  test("Q18 IN-HAVING decorrelates to a semi join; replica diff and drift broadcast their tiny sides") {
+    // the IN over the grouped lineitem must become a join against ONE
+    // aggregation of the fact table, never a per-row re-scan
+    val q = plan("q_tpch_q18")
+    assert(q.contains("Semi"), q.take(2000))
+    assert(!q.contains("CartesianProduct"), q.take(2000))
+    // anti-entropy: the dirty-bucket list (≤64 rows) must broadcast into
+    // both repair-side semi joins — shuffling the full replicas to meet
+    // it would defeat the protocol's entire point
+    val r = plan("q_replica_diff")
+    assert(!r.contains("CartesianProduct"), r.take(2000))
+    assert(r.contains("BroadcastHashJoin") && r.contains("LeftSemi"),
+      r.take(2000))
+    // drift: the k-row per-type midpoint table broadcasts over the fact
+    // scan (same shape as the cusum mean join)
+    val d = plan("q_events_drift")
+    assert(d.contains("BroadcastHashJoin"), d.take(2000))
+    assert(!d.contains("CartesianProduct"), d.take(2000))
+  }
 }
