@@ -394,6 +394,55 @@ object TrainingData {
       flat(graft.io.TableIO.readChanges(s, b.root, b.snapWave1, b.snapPre).toDF)
     }),
 
+    // Net-effect CDC changelog from the wave-1 snapshot to the live
+    // head: the window spans the wave-2 inserts, the class-0 merge
+    // (delete+insert pairs) and the class-2 delete, so every op kind
+    // surfaces — and rows both inserted and retired inside the window
+    // (wave-2 ∩ class-2) correctly contribute nothing. Buckets whose
+    // (bucket, version) is unchanged between the manifests are never
+    // read. Oracle: compose the two states from the dumped sidecars,
+    // key-join, classify.
+    "q_table_changelog" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      val (head, _) = graft.io.TableIO.committed(b.root)
+      graft.io.TableIO.changelog(s, b.root, b.snapWave1, head)
+        .select(col("op"), col("conv_id"), col("turn_idx"),
+          col("subject"), col("grade"), col("variant"), col("participant_code"),
+          col("total_score"), col("extracted_text"),
+          to_json(col("scores")).as("scores_json"),
+          to_json(col("span_offsets")).as("offsets_json"),
+          to_json(col("errors")).as("errors_json"),
+          to_json(col("warnings")).as("warnings_json"))
+        .orderBy(col("conv_id"), col("turn_idx"), col("op"))
+    }),
+
+    // Incremental view maintenance: the per-conv aggregate at the live
+    // head reconstructed WITHOUT reading the head — base aggregate over
+    // the wave-1 snapshot plus changelog deltas (insert adds, delete
+    // retracts), fully-retracted convs dropping out. At 100 TB this is
+    // the don't-recompute-the-world pattern: the refresh costs
+    // O(changed buckets), not O(table). Oracle aggregates the composed
+    // final state directly — proving retraction-exact maintenance.
+    "q_table_ivm" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      val (head, _) = graft.io.TableIO.committed(b.root)
+      val base = graft.io.TableIO.readExtracted(s, b.root, b.snapWave1).toDF
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_score").cast("long")).as("sc"))
+      val delta = graft.io.TableIO.changelog(s, b.root, b.snapWave1, head)
+        .groupBy(col("conv_id"))
+        .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("dn"),
+          sum(when(col("op") === "insert", col("total_score").cast("long"))
+            .otherwise(-col("total_score").cast("long"))).as("dsc"))
+      base.join(delta, Seq("conv_id"), "full_outer")
+        .select(col("conv_id"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_turns"),
+          (coalesce(col("sc"), lit(0L)) + coalesce(col("dsc"), lit(0L))).as("sum_score"))
+        .filter(col("n_turns") > 0)
+        .orderBy(col("conv_id"))
+    }),
+
     // Branch read: the "exp" branch carries its own copy-on-write merge
     // on top of the post-merge main state — main's own oracle row
     // (q_table_merge, read AFTER the branch ops ran) doubles as the
@@ -848,6 +897,75 @@ object TrainingData {
             SELECT 1 FROM read_parquet('$tableWave1Path/*.parquet') w
             WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
           ORDER BY conv_id, turn_idx""",
+    // compose the head state from the dumped sidecars (merge ∘ delete),
+    // key-join it against the wave-1 dump, classify: key only in head →
+    // insert, key only in wave-1 → delete, payload differs → both
+    "q_table_changelog" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet')),
+          head AS (
+            SELECT * FROM merged t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+              WHERE d.conv_id = t.conv_id)),
+          a AS (SELECT * FROM read_parquet('$tableWave1Path/*.parquet'))
+          SELECT 'delete' AS op, a.conv_id, a.turn_idx, a.subject, a.grade,
+                 a.variant, a.participant_code, a.total_score,
+                 a.extracted_text, a.scores_json, a.offsets_json,
+                 a.errors_json, a.warnings_json
+          FROM a LEFT JOIN head b
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+          WHERE b.conv_id IS NULL
+             OR (a.subject IS DISTINCT FROM b.subject)
+             OR (a.grade IS DISTINCT FROM b.grade)
+             OR (a.variant IS DISTINCT FROM b.variant)
+             OR (a.participant_code IS DISTINCT FROM b.participant_code)
+             OR (a.total_score IS DISTINCT FROM b.total_score)
+             OR (a.extracted_text IS DISTINCT FROM b.extracted_text)
+             OR (a.scores_json IS DISTINCT FROM b.scores_json)
+             OR (a.offsets_json IS DISTINCT FROM b.offsets_json)
+             OR (a.errors_json IS DISTINCT FROM b.errors_json)
+             OR (a.warnings_json IS DISTINCT FROM b.warnings_json)
+          UNION ALL
+          SELECT 'insert' AS op, b.conv_id, b.turn_idx, b.subject, b.grade,
+                 b.variant, b.participant_code, b.total_score,
+                 b.extracted_text, b.scores_json, b.offsets_json,
+                 b.errors_json, b.warnings_json
+          FROM head b LEFT JOIN a
+            ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+          WHERE a.conv_id IS NULL
+             OR (a.subject IS DISTINCT FROM b.subject)
+             OR (a.grade IS DISTINCT FROM b.grade)
+             OR (a.variant IS DISTINCT FROM b.variant)
+             OR (a.participant_code IS DISTINCT FROM b.participant_code)
+             OR (a.total_score IS DISTINCT FROM b.total_score)
+             OR (a.extracted_text IS DISTINCT FROM b.extracted_text)
+             OR (a.scores_json IS DISTINCT FROM b.scores_json)
+             OR (a.offsets_json IS DISTINCT FROM b.offsets_json)
+             OR (a.errors_json IS DISTINCT FROM b.errors_json)
+             OR (a.warnings_json IS DISTINCT FROM b.warnings_json)
+          ORDER BY conv_id, turn_idx, op""",
+    "q_table_ivm" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet')),
+          head AS (
+            SELECT * FROM merged t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+              WHERE d.conv_id = t.conv_id))
+          SELECT conv_id, count(*) AS n_turns,
+                 CAST(sum(total_score) AS BIGINT) AS sum_score
+          FROM head GROUP BY conv_id ORDER BY conv_id""",
     "q_table_branch" ->
       s"""WITH merged AS (
             SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
