@@ -2833,6 +2833,86 @@ object Relational {
           sum(col("dev_ppm")).over(Window.partitionBy(col("event_type"))))
         .orderBy(col("event_type"), col("bin"))
     }),
+
+    // Pareto-skyline curation: the documents not dominated in
+    // (length, lexical-diversity) — "keep what is long OR unusually
+    // diverse for its length", the multi-objective filter a curation
+    // pass runs instead of two independent thresholds. Scalable
+    // decomposition: ONE hash agg collapses the corpus to its best
+    // diversity per distinct length (bounded), the strict-dominance
+    // test is a value-RANGE window over that aggregated frame only
+    // (never a self-join, never a sort of the raw corpus), and a final
+    // equi-join back recovers the winning docs. The quadratic
+    // NOT-EXISTS oracle proves the decomposition exact, ties included
+    // (equal points don't dominate each other).
+    "q_docs_skyline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        expr("size(array_distinct(split(text, ' '))) * 1000000L" +
+          " div greatest(size(split(text, ' ')), 1)").as("uniq_ppm"))
+      val best = d.groupBy(col("n_chars")).agg(max(col("uniq_ppm")).as("q"))
+      val wLarger = Window.orderBy(col("n_chars").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val frontier = best
+        .withColumn("max_larger", max(col("q")).over(wLarger))
+        .filter(col("max_larger").isNull || col("max_larger") < col("q"))
+        .select(col("n_chars"), col("q").as("uniq_ppm"))
+      d.join(frontier, Seq("n_chars", "uniq_ppm"))
+        .select(col("doc_id"), col("n_chars"), col("uniq_ppm"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+    }),
+
+    // HLL set algebra: the distinct-user sketches of two event types
+    // UNION by per-register max (the merge HLL is mergeable under) and
+    // INTERSECT by inclusion-exclusion over the three estimates — the
+    // sketch-side overlap report ("how many users do both?") that never
+    // re-touches raw data once the 64-register sketches exist. Same
+    // portable md5 registers as q_text_distinct_hll, so every register
+    // and estimate is bit-identical in the oracle.
+    "q_sketch_hll_setops" -> ((s, dir) => {
+      val rho = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_type").as("k"),
+          conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10)
+            .cast("long").as("h"))
+        .select(col("k"), (col("h") % 64).as("bucket"), expr("shiftright(h, 6)").as("w"))
+        .select(col("k"), col("bucket"),
+          when(col("w") === 0, lit(51))
+            .otherwise(lit(51) - length(conv(col("w"), 10, 2))).cast("int").as("rho"))
+      val regs = s.range(0, 64).toDF("bucket")
+        .join(rho.groupBy(col("bucket")).agg(
+          max(when(col("k") === "click", col("rho"))).as("ra"),
+          max(when(col("k") === "error", col("rho"))).as("rb")), Seq("bucket"), "left")
+        .select(coalesce(col("ra"), lit(0)).as("ra"),
+          coalesce(col("rb"), lit(0)).as("rb"))
+        .withColumn("ru", greatest(col("ra"), col("rb")))
+      def est(c: org.apache.spark.sql.Column) =
+        lit(0.709) * lit(64) * lit(64) * lit(2251799813685248.0) /
+          sum(expr(s"shiftleft(cast(1 as bigint), 51 - ${c.toString})"))
+      regs.agg(
+          round(est(col("ra")), 3).as("est_click"),
+          round(est(col("rb")), 3).as("est_error"),
+          round(est(col("ru")), 3).as("est_union"))
+        .withColumn("est_intersect",
+          round(col("est_click") + col("est_error") - col("est_union"), 3))
+    }),
+
+    // Temperature-0.5 mixture weights: per-source sampling weight
+    // proportional to sqrt(token share) relative to the largest source
+    // — the multilingual/multi-source rebalancing exponent LLM corpora
+    // train with. Exact cross-engine: the operand is ONE integer
+    // (tokens·10^12 div max), int→double conversion and sqrt are both
+    // IEEE-exactly-rounded, floor pins the ppm. Window max runs over
+    // the k-row aggregated frame only.
+    "q_sample_temperature" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").groupBy(col("source"))
+        .agg(sum(expr("size(split(text, ' '))")).as("tokens"))
+      tok.withColumn("tmax", max(col("tokens")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("source"), col("tokens"),
+          floor(sqrt(expr("CAST(tokens * 1000000000000L div tmax AS DOUBLE)")))
+            .cast("long").as("weight_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -4669,6 +4749,60 @@ object Relational {
                 CAST(sum(abs(ppm_late - ppm_early))
                      OVER (PARTITION BY event_type) AS BIGINT) AS drift_ppm
          FROM j ORDER BY event_type, bin""",
+    // the quadratic NOT-EXISTS dominance test — proving the
+    // agg-then-window decomposition loses and invents nothing
+    "q_docs_skyline" ->
+      """WITH d AS (
+           SELECT doc_id, n_chars,
+                  len(list_distinct(string_split(text, ' '))) * 1000000
+                    // greatest(len(string_split(text, ' ')), 1) AS uniq_ppm
+           FROM documents)
+         SELECT doc_id, n_chars, uniq_ppm
+         FROM d x
+         WHERE NOT EXISTS (
+           SELECT 1 FROM d y
+           WHERE y.n_chars >= x.n_chars AND y.uniq_ppm >= x.uniq_ppm
+             AND (y.n_chars > x.n_chars OR y.uniq_ppm > x.uniq_ppm))
+         ORDER BY n_chars DESC, doc_id""",
+    // identical md5 registers; union = per-register max; intersect =
+    // inclusion-exclusion over the three estimates
+    "q_sketch_hll_setops" ->
+      """WITH raw AS (SELECT event_type AS k, CAST(user_id AS VARCHAR) AS v
+                      FROM events WHERE event_type IN ('click', 'error')),
+         h AS (SELECT k, ('0x' || substr(md5(v), 1, 14))::UBIGINT AS h FROM raw),
+         b AS (SELECT k, CAST(h % 64 AS BIGINT) AS bucket,
+                      CAST(h >> 6 AS BIGINT) AS w FROM h),
+         r AS (SELECT k, bucket,
+                      CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END AS rho
+               FROM b),
+         regs AS (SELECT s.bucket,
+                    coalesce(max(CASE WHEN r.k = 'click' THEN r.rho END), 0) AS ra,
+                    coalesce(max(CASE WHEN r.k = 'error' THEN r.rho END), 0) AS rb
+                  FROM (SELECT unnest(range(64)) AS bucket) s
+                  LEFT JOIN r ON s.bucket = r.bucket GROUP BY s.bucket),
+         u AS (SELECT ra, rb, greatest(ra, rb) AS ru FROM regs),
+         agg AS (SELECT
+             CAST(sum(1::BIGINT << (51 - ra)) AS BIGINT) AS sa,
+             CAST(sum(1::BIGINT << (51 - rb)) AS BIGINT) AS sb,
+             CAST(sum(1::BIGINT << (51 - ru)) AS BIGINT) AS su FROM u),
+         e AS (SELECT
+             round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / sa, 3) AS est_click,
+             round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / sb, 3) AS est_error,
+             round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / su, 3) AS est_union
+           FROM agg)
+         SELECT est_click, est_error, est_union,
+                round(est_click + est_error - est_union, 3) AS est_intersect
+         FROM e""",
+    // the sqrt operand is one exact integer; int→double and sqrt are
+    // IEEE-exactly-rounded in both engines, floor pins the ppm
+    "q_sample_temperature" ->
+      """WITH tok AS (SELECT source, sum(len(string_split(text, ' '))) AS tokens
+                      FROM documents GROUP BY 1),
+         m AS (SELECT max(tokens) AS tmax FROM tok)
+         SELECT source, CAST(tokens AS BIGINT) AS tokens,
+                CAST(floor(sqrt(CAST(tokens * 1000000000000 // tmax AS DOUBLE)))
+                     AS BIGINT) AS weight_ppm
+         FROM tok, m ORDER BY source""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -660,4 +660,18 @@ class PlanSpec extends SparkSuite {
     assert(d.contains("BroadcastHashJoin"), d.take(2000))
     assert(!d.contains("CartesianProduct"), d.take(2000))
   }
+
+  test("skyline windows the aggregated frame, never self-joins; sketch/temperature stay equi") {
+    // the dominance window must be a value-RANGE frame over the
+    // per-length aggregate — a raw-corpus self-join (the naive skyline)
+    // would be quadratic at 100 TB
+    val sk = plan("q_docs_skyline")
+    assert(sk.contains("RangeFrame") || sk.contains("RANGE BETWEEN"), sk.take(2000))
+    assert(!sk.contains("CartesianProduct") &&
+      !sk.contains("BroadcastNestedLoopJoin"), sk.take(2000))
+    for (name <- Seq("q_sketch_hll_setops", "q_sample_temperature")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
 }
