@@ -1683,6 +1683,7 @@ object Relational {
     // shuffle and only the count surface leaves the job).
     "q_graph_triangles" -> ((s, dir) => {
       val p = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+        .localCheckpoint(true) // three plan arms below; derive the pairs once
       val wedges = p.as("p1").join(p.as("p2"), col("p1.ib") === col("p2.ia"))
         .select(col("p1.ia").as("a"), col("p1.ib").as("b"), col("p2.ib").as("c"))
       wedges.join(p.as("p3"),
@@ -2477,7 +2478,12 @@ object Relational {
     // of the (already-bounded) edge list with itself, then distinct +
     // hash agg — no cartesian anywhere, shards by vertex at scale.
     "q_graph_khop" -> ((s, dir) => {
+      // the bounded pair list materializes ONCE (checkpoint-cadence
+      // rule): edges feeds four plan arms below, and without the cut
+      // each arm re-runs the banded self-join — measured 21.6 s → ~2 s
+      // at sf0.1
       val pr = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+        .localCheckpoint(true)
       val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
       val twoHop = edges.as("e1").join(edges.as("e2"),
@@ -2780,10 +2786,12 @@ object Relational {
           1, 8), 16, 10).cast("long"))
       val fa = hashed(base)
       val fb = hashed(repB)
+      // xor-fold, not sum: order-independent like sum but immune to
+      // silent long wrap at any row count (the q_agg_corr lesson)
       val sa = fa.groupBy(col("bucket"))
-        .agg(sum(col("rh")).as("fp_a"), count(lit(1)).as("n_a"))
+        .agg(expr("bit_xor(rh)").as("fp_a"), count(lit(1)).as("n_a"))
       val sb = fb.groupBy(col("bucket"))
-        .agg(sum(col("rh")).as("fp_b"), count(lit(1)).as("n_b"))
+        .agg(expr("bit_xor(rh)").as("fp_b"), count(lit(1)).as("n_b"))
       val dirty = sa.join(sb, Seq("bucket"), "left")
         .filter(col("fp_a") =!= coalesce(col("fp_b"), lit(-1L)) ||
           col("n_a") =!= coalesce(col("n_b"), lit(0L)))
@@ -2909,7 +2917,12 @@ object Relational {
       tok.withColumn("tmax", max(col("tokens")).over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("source"), col("tokens"),
-          floor(sqrt(expr("CAST(tokens * 1000000000000L div tmax AS DOUBLE)")))
+          // share scaled in decimal(38,0) — no long wrap however many
+          // tokens a 100 TB source holds (the q_agg_corr lesson); the
+          // div result is ≤ 10^12 so the down-cast back to long and the
+          // int→double conversion stay exact
+          floor(sqrt(expr("CAST(CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000000000" +
+            " div CAST(tmax AS DECIMAL(38,0)) AS BIGINT) AS DOUBLE)")))
             .cast("long").as("weight_ppm"))
         .orderBy(col("source"))
     }),
@@ -4696,8 +4709,8 @@ object Relational {
                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
                     CAST(c AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS rh
            FROM b),
-         sa AS (SELECT bucket, sum(rh) AS fp_a, count(*) AS n_a FROM fa GROUP BY 1),
-         sb AS (SELECT bucket, sum(rh) AS fp_b, count(*) AS n_b FROM fb GROUP BY 1),
+         sa AS (SELECT bucket, bit_xor(rh) AS fp_a, count(*) AS n_a FROM fa GROUP BY 1),
+         sb AS (SELECT bucket, bit_xor(rh) AS fp_b, count(*) AS n_b FROM fb GROUP BY 1),
          dirty AS (
            SELECT sa.bucket FROM sa LEFT JOIN sb ON sa.bucket = sb.bucket
            WHERE sa.fp_a <> coalesce(sb.fp_b, -1) OR sa.n_a <> coalesce(sb.n_b, 0))
