@@ -973,6 +973,33 @@ object Relational {
         .orderBy(col("revenue_c").desc, col("n_name"))
     }),
 
+    // TPC-H Q7 shape (volume shipping between two nation groups): the
+    // 6-way join whose locality constraint is DISJUNCTIVE — (supp ∈ A ∧
+    // cust ∈ B) ∨ (supp ∈ B ∧ cust ∈ A) — so it can't fold into either
+    // dim filter alone; both tiny nation sides broadcast, the OR
+    // evaluates after the joins, revenue in exact cents grouped by
+    // shipping year. (The reference pair predicate uses nationkey
+    // classes so every SF returns rows.)
+    "q_tpch_q7" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "lineitem").as("l")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") <= lit("1998-12-31").cast("timestamp"))
+        .join(t(s, dir, "supplier").as("s"), col("s.s_suppkey") === col("l.l_suppkey"))
+        .join(t(s, dir, "orders").as("o"), col("o.o_orderkey") === col("l.l_orderkey"))
+        .join(t(s, dir, "customer").as("c"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("n1")),
+          col("s.s_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(t(s, dir, "nation").as("n2")),
+          col("c.c_nationkey") === col("n2.n_nationkey"))
+        .filter((col("n1.n_nationkey") % 5 === 1 && col("n2.n_nationkey") % 5 === 2) ||
+          (col("n1.n_nationkey") % 5 === 2 && col("n2.n_nationkey") % 5 === 1))
+        .groupBy(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(rev).as("revenue_c"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // null-safe equality join (<=>): null keys MATCH null keys, unlike
     // plain = (which drops them) — the semantic corner ETL hits when
     // joining on nullable derived keys. Both sides are tiny DISTINCT
@@ -4806,6 +4833,20 @@ object Relational {
          SELECT est_click, est_error, est_union,
                 round(est_click + est_error - est_union, 3) AS est_intersect
          FROM e""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem l
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         WHERE l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1998-12-31'
+           AND ((n1.n_nationkey % 5 = 1 AND n2.n_nationkey % 5 = 2)
+             OR (n1.n_nationkey % 5 = 2 AND n2.n_nationkey % 5 = 1))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // the sqrt operand is one exact integer; int→double and sqrt are
     // IEEE-exactly-rounded in both engines, floor pins the ppm
     "q_sample_temperature" ->

@@ -519,6 +519,14 @@ class PlanSpec extends SparkSuite {
     val q3 = plan("q_tpch_q3")
     assert(q3.contains("PushedFilters") && q3.contains("c_mktsegment"),
       s"segment filter not pushed to the scan:\n${q3.take(2500)}")
+    // Q7: both nation sides broadcast; the disjunctive locality
+    // predicate must not degrade the 6-way chain to a cartesian
+    val q7 = plan("q_tpch_q7")
+    assert(q7.contains("BroadcastHashJoin"), q7.take(2000))
+    assert(!q7.contains("CartesianProduct"), q7.take(2000))
+    // the shipdate range reaches the fact scan
+    assert(q7.contains("PushedFilters") && q7.contains("l_shipdate"),
+      s"shipdate range not pushed:\n${q7.take(2500)}")
   }
 
   test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
