@@ -1000,6 +1000,82 @@ object Relational {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join with a NON-KEY predicate inside the join condition (orders
+    // that aren't URGENT still leave the customer behind with count 0 —
+    // a WHERE would silently drop those customers), then a two-level
+    // aggregation: count per customer, then the histogram of those
+    // counts. The outer join shuffles on the key; the second agg is a
+    // near-free rollup over at most a few hundred distinct counts.
+    "q_tpch_q13" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer").as("c")
+        .join(t(s, dir, "orders").as("o"),
+          col("c.c_custkey") === col("o.o_custkey") &&
+            !col("o.o_orderpriority").startsWith("1"), "left")
+        .groupBy(col("c.c_custkey"))
+        .agg(count(col("o.o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // double-correlated subquery — EXISTS(another supplier in the same
+    // order) AND NOT EXISTS(another supplier ALSO late) — which
+    // Catalyst must decorrelate into one LeftSemi and one LeftAnti join
+    // against the same fact table, never a per-row re-scan. "Late" is
+    // shipdate past 1999 (the schema carries no receipt/commit dates);
+    // the nation filter is a key class so every SF returns rows.
+    "q_tpch_q21" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v21")
+      t(s, dir, "orders").createOrReplaceTempView("orders_v21")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v21")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v21")
+      s.sql(
+        """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM supplier_v21 s
+          |JOIN lineitem_v21 l1 ON s.s_suppkey = l1.l_suppkey
+          |JOIN orders_v21 o ON o.o_orderkey = l1.l_orderkey
+          |JOIN nation_v21 n ON s.s_nationkey = n.n_nationkey
+          |WHERE o.o_orderstatus = 'F'
+          |  AND l1.l_shipdate > TIMESTAMP '1999-01-01'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v21 l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v21 l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+          |  AND n.n_nationkey % 5 = 3
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): a scalar aggregate
+    // subquery (the positive-balance mean) feeding the filter of an
+    // anti-joined (never-ordered customers) aggregation. The scalar
+    // lands as a one-row broadcast; the NOT EXISTS decorrelates to a
+    // LeftAnti on custkey. The "above average" compare is done in
+    // exact integers — bal_c * N > SUM(bal_c) — identical semantics to
+    // c_acctbal > avg(...) but with no cross-engine double division.
+    // Country code is a nationkey class (the schema has no phone), and
+    // the anti side is the URGENT-order subset (this corpus gives every
+    // customer SOME order, so the literal never-ordered set is empty).
+    "q_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), (col("c_nationkey") % 7).as("cntrycode"),
+          cents(col("c_acctbal")).as("bal_c"))
+      val avgSide = cust.filter(col("bal_c") > 0)
+        .agg(sum(col("bal_c")).as("s_pos"), count(lit(1)).as("n_pos"))
+      val rich = cust.join(broadcast(avgSide))
+        .filter(col("bal_c") * col("n_pos") > col("s_pos"))
+      rich.join(t(s, dir, "orders").filter(col("o_orderpriority").startsWith("1")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totacctbal_c"))
+        .orderBy(col("cntrycode"))
+    }),
+
     // null-safe equality join (<=>): null keys MATCH null keys, unlike
     // plain = (which drops them) — the semantic corner ETL hits when
     // joining on nullable derived keys. Both sides are tiny DISTINCT
@@ -4847,6 +4923,48 @@ object Relational {
            AND ((n1.n_nationkey % 5 = 1 AND n2.n_nationkey % 5 = 2)
              OR (n1.n_nationkey % 5 = 2 AND n2.n_nationkey % 5 = 1))
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+               FROM customer c LEFT OUTER JOIN orders o
+                 ON c.c_custkey = o.o_custkey
+                AND o.o_orderpriority NOT LIKE '1%'
+               GROUP BY c.c_custkey) d
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q21" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s
+         JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+         JOIN orders o ON o.o_orderkey = l1.l_orderkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE o.o_orderstatus = 'F'
+           AND l1.l_shipdate > TIMESTAMP '1999-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > TIMESTAMP '1999-01-01')
+           AND n.n_nationkey % 5 = 3
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
+    "q_tpch_q22" ->
+      """WITH cust AS (
+           SELECT c_custkey, c_nationkey % 7 AS cntrycode,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+           FROM customer),
+         a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s_pos,
+                      CAST(count(*) AS BIGINT) AS n_pos
+               FROM cust WHERE bal_c > 0)
+         SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+                CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+         FROM cust, a
+         WHERE bal_c * n_pos > s_pos
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = cust.c_custkey
+                             AND o.o_orderpriority LIKE '1%')
+         GROUP BY cntrycode ORDER BY cntrycode""",
     // the sqrt operand is one exact integer; int→double and sqrt are
     // IEEE-exactly-rounded in both engines, floor pins the ppm
     "q_sample_temperature" ->

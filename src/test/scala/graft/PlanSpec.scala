@@ -527,6 +527,25 @@ class PlanSpec extends SparkSuite {
     // the shipdate range reaches the fact scan
     assert(q7.contains("PushedFilters") && q7.contains("l_shipdate"),
       s"shipdate range not pushed:\n${q7.take(2500)}")
+    // Q13: the non-key join predicate must keep the OUTER join (a WHERE
+    // would have let the optimizer degrade it to inner and drop
+    // zero-order customers)
+    val q13 = plan("q_tpch_q13")
+    assert(q13.contains("LeftOuter"), s"outer join lost:\n${q13.take(2000)}")
+    assert(!q13.contains("CartesianProduct"), q13.take(2000))
+    // Q21: EXISTS + NOT EXISTS over the same fact decorrelate to one
+    // semi and one anti join — never a per-row re-scan or cartesian
+    val q21 = plan("q_tpch_q21")
+    assert(q21.contains("Semi"), s"EXISTS not decorrelated:\n${q21.take(2500)}")
+    assert(q21.contains("Anti"), s"NOT EXISTS not decorrelated:\n${q21.take(2500)}")
+    assert(!q21.contains("CartesianProduct"), q21.take(2000))
+    // Q22: the scalar aggregate lands as a broadcast (one row), the
+    // never-ordered set as an anti join
+    val q22 = plan("q_tpch_q22")
+    assert(q22.contains("Anti"), s"NOT EXISTS not decorrelated:\n${q22.take(2500)}")
+    assert(q22.contains("BroadcastNestedLoopJoin") || q22.contains("BroadcastHashJoin"),
+      s"scalar side not broadcast:\n${q22.take(2500)}")
+    assert(!q22.contains("CartesianProduct"), q22.take(2000))
   }
 
   test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
