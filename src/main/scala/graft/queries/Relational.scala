@@ -737,6 +737,45 @@ object Relational {
         .orderBy(col("ia"), col("ib"))
     }),
 
+    // dedup 2c — substring-level duplicate SPAN extraction (the Lee et
+    // al. 2022 "Deduplicating Training Data Makes Language Models
+    // Better" ExactSubstr shape, re-expressed relationally): a 5-token
+    // gram appearing in ≥2 distinct docs marks its positions
+    // duplicated; runs of duplicated positions merge into MAXIMAL spans
+    // (gaps-and-islands — a break opens when the next hit starts past
+    // the previous gram's end+1). At corpus scale every step is a hash
+    // agg / semi join on the gram, and the island window is per-doc
+    // bounded; nothing touches a suffix array. Grams are built inside
+    // the generator so the token array never survives into the shuffle.
+    "q_dedup_spans" -> ((s, dir) => {
+      val K = 5
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= K)
+        .select(col("doc_id"), expr(
+          s"""explode(transform(sequence(0, size(l) - $K),
+             |  x -> struct(x AS i, concat_ws(' ', slice(l, x + 1, $K)) AS gram)))"""
+            .stripMargin).as("g"))
+        .select(col("doc_id"), col("g.i").as("i"), col("g.gram").as("gram"))
+      val dup = grams.groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("gram"))
+      val pos = grams.join(dup, Seq("gram"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      pos
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(w) > K, 1).otherwise(0))
+        .withColumn("grp", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("i")).cast("long").as("span_start"),
+          (max(col("i")) + K - 1).cast("long").as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // dedup 3 — MinHash + LSH band buckets (md5-based, engine-portable)
     "q_dedup_minhash" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
@@ -3029,6 +3068,46 @@ object Relational {
             .cast("long").as("weight_ppm"))
         .orderBy(col("source"))
     }),
+
+    // DSIR-shaped data selection (Xie et al. 2023, "Data Selection via
+    // Importance Resampling"): score every raw document by how much its
+    // hashed-feature profile looks like a target corpus (here the 'en'
+    // slice), then take the top-100. Features are md5-hashed unigrams
+    // folded into 64 buckets; each bucket's importance is the exact
+    // integer lift (t_f/T)/(r_f/R) in ppm — decimal(38,0) products so
+    // nothing wraps at any corpus size, ONE integral division per
+    // bucket (the libm-free analog of DSIR's log-ratio; log is monotone
+    // in each factor so per-bucket ranking is preserved, and the
+    // summed-lift score is a deterministic integer on both engines).
+    // The 64-row lift table broadcasts; the per-doc pass is one hash
+    // agg + broadcast join — O(tokens) end to end, no driver state.
+    "q_sample_importance" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("f", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long") % 64)
+      val raw = toks.groupBy(col("f")).agg(count(lit(1)).as("r_f"))
+      val tgt = toks.filter(col("lang") === "en")
+        .groupBy(col("f")).agg(count(lit(1)).as("t_f"))
+      val lifts = raw.join(tgt, Seq("f"), "left")
+        .withColumn("t_f", coalesce(col("t_f"), lit(0L)))
+        .crossJoin(broadcast(raw.agg(sum(col("r_f")).as("r_tot"))))
+        .crossJoin(broadcast(tgt.agg(sum(col("t_f")).as("t_tot"))))
+        .withColumn("lift_ppm", expr(
+          """CAST((CAST(t_f AS DECIMAL(38,0)) * r_tot * 1000000)
+            |  div (CAST(r_f AS DECIMAL(38,0)) * t_tot) AS BIGINT)""".stripMargin))
+        .select(col("f"), col("lift_ppm"))
+      toks.groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c_f"))
+        .join(broadcast(lifts), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c_f")).as("n_toks"),
+          sum(col("c_f") * col("lift_ppm")).as("score_raw"))
+        .select(col("doc_id"), col("n_toks"),
+          expr("score_raw div n_toks").as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(100)
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -3537,6 +3616,26 @@ object Relational {
          FROM inter JOIN sizes sa ON ia = sa.doc_id JOIN sizes sb ON ib = sb.doc_id
          WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
          ORDER BY ia, ib""",
+    "q_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+                       WHERE len(string_split(text, ' ')) >= 5),
+            grams AS (SELECT doc_id, x AS i, array_to_string(l[x+1:x+5], ' ') AS gram
+                      FROM toks, LATERAL (SELECT unnest(range(len(l) - 4)) AS x) g),
+            dup AS (SELECT gram FROM grams GROUP BY gram
+                    HAVING count(DISTINCT doc_id) >= 2),
+            pos AS (SELECT doc_id, i FROM grams
+                    WHERE gram IN (SELECT gram FROM dup)),
+            brk AS (SELECT doc_id, i,
+                           CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 5
+                                THEN 1 ELSE 0 END AS b
+                    FROM pos),
+            grp AS (SELECT doc_id, i,
+                           sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+                    FROM brk)
+         SELECT doc_id, CAST(min(i) AS BIGINT) AS span_start,
+                CAST(max(i) + 4 AS BIGINT) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_grams
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
     "q_dedup_minhash" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                        FROM documents),
@@ -4975,6 +5074,25 @@ object Relational {
                 CAST(floor(sqrt(CAST(tokens * 1000000000000 // tmax AS DOUBLE)))
                      AS BIGINT) AS weight_ppm
          FROM tok, m ORDER BY source""",
+    "q_sample_importance" ->
+      """WITH u AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            toks AS (SELECT doc_id, lang,
+                            CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) % 64 AS f
+                     FROM u WHERE tok <> ''),
+            raw AS (SELECT f, count(*) AS r_f FROM toks GROUP BY f),
+            tgt AS (SELECT f, count(*) AS t_f FROM toks WHERE lang = 'en' GROUP BY f),
+            tot AS (SELECT (SELECT sum(r_f) FROM raw) AS r_tot,
+                           (SELECT sum(t_f) FROM tgt) AS t_tot),
+            lifts AS (SELECT raw.f,
+                             CAST((COALESCE(t_f, 0)::HUGEINT * r_tot * 1000000)
+                                  // (r_f::HUGEINT * t_tot) AS BIGINT) AS lift_ppm
+                      FROM raw LEFT JOIN tgt ON raw.f = tgt.f, tot),
+            cf AS (SELECT doc_id, f, count(*) AS c_f FROM toks GROUP BY doc_id, f)
+         SELECT doc_id, CAST(sum(c_f) AS BIGINT) AS n_toks,
+                CAST(sum(c_f * lift_ppm) // sum(c_f) AS BIGINT) AS score_ppm
+         FROM cf JOIN lifts ON cf.f = lifts.f
+         GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 100""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

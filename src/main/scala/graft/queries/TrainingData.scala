@@ -68,6 +68,7 @@ object TrainingData {
   val jsonlPath          = s"$oracleRoot/events_jsonl"
   val difflibExpectedPath = s"$oracleRoot/difflib_expected"
   val convTurnsPath       = s"$oracleRoot/conv_turns"
+  val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
   val streamDedupPath     = s"$oracleRoot/stream_dedup_turns"
@@ -804,6 +805,37 @@ object TrainingData {
         .orderBy(col("band"), col("sig"))
     }),
 
+    // context-window tail selection — the packing-time transform every
+    // chat-model pipeline runs: per conversation keep the LONGEST
+    // SUFFIX of turns whose total token count fits the window budget
+    // (most-recent-first), never dropping the final turn even when it
+    // alone overflows. One reverse-ordered window per conversation —
+    // running tail sum + row_number — then a per-conv aggregate; the
+    // window partitions on conv_id so the heavy-tail conversations
+    // (40–99 turns) stay bounded per task and the whole op is one
+    // shuffle at any corpus size.
+    "q_conv_tail_budget" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convBudgetPath)
+      val corpus = s.read.parquet(convBudgetPath)
+        .repartition(s.sparkContext.defaultParallelism)
+      val wDesc = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx").desc)
+      corpus
+        .withColumn("tail_toks", sum(col("n_toks")).over(
+          wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rn", row_number().over(wDesc))
+        .filter(col("rn") === 1 || col("tail_toks") <= 8000)
+        .groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("kept_turns"),
+          min(col("turn_idx")).cast("long").as("first_kept_idx"),
+          sum(col("n_toks")).as("toks_kept"))
+        .orderBy(col("conv_id"))
+    }),
+
     // sketch — bounded-memory heavy hitters: a per-partition
     // Misra-Gries summary (capacity 256) emits a candidate SUPERSET of
     // every token with global frequency > N/100 (if a global heavy
@@ -1015,6 +1047,18 @@ object TrainingData {
                  min(conv_id) AS min_conv
           FROM sigs GROUP BY band, sig HAVING count(*) >= 2
           ORDER BY band, sig""",
+    "q_conv_tail_budget" ->
+      s"""WITH w AS (
+            SELECT conv_id, turn_idx, n_toks,
+                   sum(n_toks) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail_toks,
+                   row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+            FROM read_parquet('$convBudgetPath/*.parquet'))
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS kept_turns,
+                 CAST(min(turn_idx) AS BIGINT) AS first_kept_idx,
+                 CAST(sum(n_toks) AS BIGINT) AS toks_kept
+          FROM w WHERE rn = 1 OR tail_toks <= 8000
+          GROUP BY conv_id ORDER BY conv_id""",
     "q_stream_join" ->
       s"""WITH t AS (SELECT conv_id, turn_idx, ts
                      FROM read_parquet('$streamJoinPath/*.parquet')

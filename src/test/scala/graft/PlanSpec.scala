@@ -645,6 +645,24 @@ class PlanSpec extends SparkSuite {
         e.contains("BroadcastHashJoin")), e.take(2000))
   }
 
+  test("duplicate-span mining semi-joins on the gram; importance lifts broadcast") {
+    // q_dedup_spans: the dup-gram membership check must be a semi join
+    // on the gram key (hash or merge — never a per-row re-scan or
+    // cartesian), and the island merge must run as a real window
+    val sp = plan("q_dedup_spans")
+    assert(!sp.contains("CartesianProduct"), sp.take(2000))
+    assert(sp.contains("Semi"), s"dup-gram check not a semi join:\n${sp.take(2500)}")
+    assert(sp.contains("Window"), s"island merge lost its window:\n${sp.take(2500)}")
+    // q_sample_importance: the 64-row lift table must broadcast back to
+    // the per-doc counts; the only joins are broadcasts (lift + totals)
+    val im = plan("q_sample_importance")
+    assert(!im.contains("CartesianProduct"), im.take(2000))
+    assert(im.contains("BroadcastHashJoin") || im.contains("BroadcastNestedLoopJoin"),
+      s"lift table not broadcast:\n${im.take(2500)}")
+    assert(!im.contains("SortMergeJoin") && !im.contains("ShuffledHashJoin"),
+      s"importance scoring must not shuffle-join:\n${im.take(2500)}")
+  }
+
   test("cusum broadcasts its per-type means; nearest/interval joins stay equi (no cartesian)") {
     // q_events_cusum: the k-row per-type mean table must broadcast back
     // over the fact scan — shuffling 100 TB of events to meet 10 rows
