@@ -161,8 +161,36 @@ object Relational {
       }
     }
 
+  /** simhashPairs is the candidate-edge source for SIX queries (pair
+    * emission, component resolution, component sizes, triangles, k-hop,
+    * pagerank) — memoize ONE checkpointed pair list per (session, dir)
+    * so the simhash pass + banded self-join run once per session
+    * instead of once per query. Same LRU + unpersist-on-evict
+    * discipline as resolveMemo. */
+  private val pairsMemo =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](4, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean = {
+        val evict = size() > 2
+        if (evict) scala.util.Try(e.getValue.unpersist(false))
+        evict
+      }
+    }
+
+  private def simhashPairsShared(s: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      val key = (s, dir)
+      val hit = pairsMemo.get(key)
+      if (hit != null) hit
+      else {
+        val p = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
+        pairsMemo.put(key, p)
+        p
+      }
+    }
+
   private def resolveComponentsUncached(s: SparkSession, dir: String): DataFrame = {
-    val pairs = simhashPairs(t(s, dir, "documents")).localCheckpoint(true)
+    val pairs = simhashPairsShared(s, dir)
     val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
       .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       .localCheckpoint(true)
@@ -1255,7 +1283,7 @@ object Relational {
     // — the 100 TB scale path. Cap mirrors q_dedup_jaccard (no-op at the
     // verify SF).
     "q_dedup_simhash_pairs" -> ((s, dir) =>
-      simhashPairs(t(s, dir, "documents")).orderBy(col("ia"), col("ib"))),
+      simhashPairsShared(s, dir).orderBy(col("ia"), col("ib"))),
 
     // dedup 5b — resolve near-dup candidate PAIRS into connected
     // components and ONE survivor per component ("keep min doc_id per
@@ -1824,8 +1852,7 @@ object Relational {
     // large — 442k triangles at sf0.01 — so the list stays inside the
     // shuffle and only the count surface leaves the job).
     "q_graph_triangles" -> ((s, dir) => {
-      val p = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
-        .localCheckpoint(true) // three plan arms below; derive the pairs once
+      val p = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
       val wedges = p.as("p1").join(p.as("p2"), col("p1.ib") === col("p2.ia"))
         .select(col("p1.ia").as("a"), col("p1.ib").as("b"), col("p2.ib").as("c"))
       wedges.join(p.as("p3"),
@@ -1849,7 +1876,7 @@ object Relational {
     // checkpoint-cadence rule: without it round t re-derives round t-1
     // twice). Oracle: the same three rounds unrolled as CTEs.
     "q_graph_pagerank" -> ((s, dir) => {
-      val pairs = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
       val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
       val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
@@ -2270,6 +2297,10 @@ object Relational {
           size(col("st")).cast("long").as("sz"))
         .withColumn("plen",
           expr("sz - ((9L * sz + 9L) div 10L) + 1L").cast("int"))
+        // three plan arms below (prefix explode + both verify joins)
+        // re-derive the collect_list agg without this cut — the
+        // checkpoint-cadence rule applied to a DAG fan-out
+        .localCheckpoint(true)
       val prefix = docs
         .select(col("doc_id"), explode(expr("slice(ta, 1, plen)")).as("ptok"))
       val cands = prefix.as("a")
@@ -2623,9 +2654,8 @@ object Relational {
       // the bounded pair list materializes ONCE (checkpoint-cadence
       // rule): edges feeds four plan arms below, and without the cut
       // each arm re-runs the banded self-join — measured 21.6 s → ~2 s
-      // at sf0.1
-      val pr = simhashPairs(t(s, dir, "documents")).select(col("ia"), col("ib"))
-        .localCheckpoint(true)
+      // at sf0.1; the session-wide pairsMemo makes it once per SESSION
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
       val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
         .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
       val twoHop = edges.as("e1").join(edges.as("e2"),
@@ -2639,6 +2669,42 @@ object Relational {
         .groupBy(col("src")).agg(count(lit(1)).as("n2"))
       n1.join(reach, Seq("src"))
         .select(col("src").as("doc_id"), col("n1"), col("n2"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // graph 4 — k-core decomposition (k=3) by SIMULTANEOUS peeling:
+    // each round drops every vertex whose CURRENT degree is < k, all at
+    // once (the distributed form — sequential peeling is inherently
+    // serial), capped at 8 rounds with an early fixed-point exit. A
+    // no-op round IS the fixed point, so exiting early returns exactly
+    // the 8-round result the oracle unrolls. Per round: one hash-agg
+    // degree count + two semi joins against the bounded survivor set,
+    // localCheckpoint per round (checkpoint-cadence rule) — the
+    // standard iterative-subgraph shape that shards at 100 TB.
+    "q_graph_kcore" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      var edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      var n = edges.count()
+      var converged = false
+      for (_ <- 1 to 8 if !converged) {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("src").as("keep_id"))
+        val prev = edges
+        edges = edges
+          .join(keep, col("src") === col("keep_id"), "left_semi")
+          .join(keep, col("dst") === col("keep_id"), "left_semi")
+          .localCheckpoint(true)
+        val n2 = edges.count()
+        converged = n2 == n
+        n = n2
+        prev.unpersist()
+      }
+      // the final checkpoint stays alive: the returned plan reads it,
+      // and a localCheckpoint's blocks are not recomputable once freed
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("doc_id"), col("deg"))
         .orderBy(col("doc_id"))
     }),
 
@@ -4718,6 +4784,28 @@ object Relational {
        n2t AS (SELECT src, CAST(count(*) AS BIGINT) AS n2 FROM reach GROUP BY 1)
        SELECT n1.src AS doc_id, n1.n1, n2t.n2
        FROM n1 JOIN n2t ON n1.src = n2t.src ORDER BY doc_id"""),
+    // 8 peel rounds unrolled; a converged round is a no-op, so the
+    // engine's early exit returns the identical relation
+    "q_graph_kcore" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       e0 AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM pairs
+              UNION ALL SELECT ib AS src, ia AS dst FROM pairs)""" +
+      (1 to 8).map(r => s""",
+       k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 3),
+       e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+               WHERE e.src IN (SELECT src FROM k$r)
+                 AND e.dst IN (SELECT src FROM k$r))""").mkString + """
+       SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+       FROM e8 GROUP BY src ORDER BY doc_id"""),
     // each event lands in its two overlapping 600s/300s windows; the
     // integer-second floor never crosses a 300s boundary
     "q_window_hopping" ->

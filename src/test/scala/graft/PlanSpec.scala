@@ -663,6 +663,20 @@ class PlanSpec extends SparkSuite {
       s"importance scoring must not shuffle-join:\n${im.take(2500)}")
   }
 
+  test("k-core peel round: two semi joins on the survivor set, no cartesian") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 3).select(col("src").as("keep_id"))
+    val round = edges
+      .join(keep, col("src") === col("keep_id"), "left_semi")
+      .join(keep, col("dst") === col("keep_id"), "left_semi")
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Semi".r.findAllIn(p).size >= 2, s"expected two semi joins:\n$p")
+  }
+
   test("cusum broadcasts its per-type means; nearest/interval joins stay equi (no cartesian)") {
     // q_events_cusum: the k-row per-type mean table must broadcast back
     // over the fact scan — shuffling 100 TB of events to meet 10 rows
