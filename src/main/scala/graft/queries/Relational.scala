@@ -1918,6 +1918,43 @@ object Relational {
         .orderBy(col("doc_id"), col("tok"))
     }),
 
+    // BM25 retrieval scoring (Robertson/Spärck Jones probabilistic
+    // relevance, the default lexical ranker in every RAG stack) with
+    // EXACT integer arithmetic: k1=6/5 and b=3/4 enter as rationals, so
+    // the tf saturation term (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl))
+    // clears to 44·TT·tf / (20·TT·tf + 6·TT + 18·dl·N) after
+    // multiplying through by 20·TT (TT=total tokens, avgdl=TT/N), and
+    // the idf is the +0.5-smoothed ratio doubled to stay integral —
+    // each factor ONE integral division in ppm, products carried in
+    // decimal(38,0) so nothing wraps at any corpus size (the q_agg_corr
+    // lesson), no libm log anywhere. Per-term stats are two hash aggs;
+    // the 4-row df table and 1-row totals broadcast back.
+    "q_text_bm25" -> ((s, dir) => {
+      val qTerms = Seq("stream", "window", "merge", "hash")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tot = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+      val tf = toks.filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      tf.join(dl, "doc_id").join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf_ppm",
+          expr("(1000000L * (2L * nd - 2L * df + 1L)) div (2L * df + 1L)"))
+        .withColumn("tfs_ppm", expr(
+          """CAST((CAST(44 AS DECIMAL(38,0)) * tt * tf * 1000000)
+            |  div (CAST(20 AS DECIMAL(38,0)) * tt * tf + 6 * tt + 18 * dl * nd)
+            |  AS BIGINT)""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfs_ppm) div 1000000 AS BIGINT)")
+            .as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // dedup — URL canonicalization: the first operator every web-scale
     // corpus runs before any content dedup. A deterministic messy URL
     // is derived per document (mixed-case scheme/host, tracking params,
@@ -4272,6 +4309,23 @@ object Relational {
               FROM scored)
          SELECT doc_id, tok, tf, df, CAST(score AS BIGINT) AS score
          FROM ranked WHERE rn <= 3 ORDER BY doc_id, tok""",
+    "q_text_bm25" ->
+      """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            toks AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            tot AS (SELECT sum(dl)::HUGEINT AS tt, count(*)::HUGEINT AS nd FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('stream', 'window', 'merge', 'hash')
+                   GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                CAST(sum( ((1000000::HUGEINT * (2 * nd - 2 * df + 1)) // (2 * df + 1))
+                        * ((44::HUGEINT * tt * tf * 1000000)
+                           // (20::HUGEINT * tt * tf + 6 * tt + 18 * dl.dl * nd)) )
+                     // 1000000 AS BIGINT) AS score_ppm
+         FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), tot
+         GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 50""",
     // same rule chain; the multi-match tracking-param strip needs
     // DuckDB's 'g' flag to mirror Spark's implicit replace-all
     "q_dedup_url" ->

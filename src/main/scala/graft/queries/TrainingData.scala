@@ -244,6 +244,12 @@ object TrainingData {
         delKeys.toDF("conv_id").coalesce(1)
           .write.mode("overwrite").parquet(tableDeleteKeysPath)
         TableIO.deleteConvs(delKeys, tablePath, buckets = 8)
+        // schema evolution LAST: add-column-with-default recorded in
+        // the manifest schema — zero data files rewritten; readTable
+        // projects the default for every pre-evolution file, and
+        // snapshots at/before the evolution keep the old schema
+        // (ResumeSpec gates the as-of behavior)
+        TableIO.evolveSchema(tablePath, "quality_tier", "STRING", "'unscored'")
         val b = TableBuild(tablePath, snapWave1, snapPre, snapPost)
         tableMemo.put(s, b)
         b
@@ -375,6 +381,21 @@ object TrainingData {
     "q_table_delete" -> ((s, dir) => {
       val b = buildMergeTable(s)
       flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
+    }),
+
+    // Schema evolution read: the live head under the EVOLVED schema —
+    // quality_tier was added (default 'unscored') after every wave, so
+    // zero data files carry it and readTable projects the default for
+    // all rows; the oracle rebuilds the live state from the pre-merge
+    // sidecars and appends the literal. Old snapshots keep the old
+    // schema (ResumeSpec gates the as-of read both sides of the
+    // evolution point).
+    "q_table_evolve" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      graft.io.TableIO.readTable(s, b.root)
+        .select(col("conv_id"), col("turn_idx"), col("total_score"),
+          col("quality_tier"))
+        .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
     // Snapshot time travel THROUGH the merge: the as-of-pre-merge read
@@ -914,6 +935,22 @@ object TrainingData {
             UNION ALL
             SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet'))
           SELECT $flatCols FROM merged t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+            WHERE d.conv_id = t.conv_id)
+          ORDER BY conv_id, turn_idx""",
+    "q_table_evolve" ->
+      s"""WITH merged AS (
+            SELECT conv_id, turn_idx, total_score
+            FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT conv_id, turn_idx, total_score
+            FROM read_parquet('$tableUpdatesPath/*.parquet'))
+          SELECT conv_id, turn_idx, total_score, 'unscored' AS quality_tier
+          FROM merged t
           WHERE NOT EXISTS (
             SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
             WHERE d.conv_id = t.conv_id)
