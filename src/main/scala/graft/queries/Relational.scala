@@ -1143,6 +1143,143 @@ object Relational {
         .orderBy(col("cntrycode"))
     }),
 
+    // TPC-H Q10 shape (returned-item reporting): quarter-filtered
+    // customer⋈orders⋈lineitem with the returnflag filter pushed to the
+    // fact scan, tiny nation broadcast, revenue in exact cents, global
+    // top 20. The orders-side date filter prunes BEFORE the lineitem
+    // join — at 100 TB that is the difference between joining a quarter
+    // and joining seven years.
+    "q_tpch_q10" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "customer").as("c")
+        .join(t(s, dir, "orders").as("o")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+          col("c.c_custkey") === col("o.o_custkey"))
+        .join(t(s, dir, "lineitem").as("l").filter(col("l_returnflag") === "R"),
+          col("l.l_orderkey") === col("o.o_orderkey"))
+        .join(broadcast(t(s, dir, "nation").as("n")),
+          col("c.c_nationkey") === col("n.n_nationkey"))
+        .groupBy(col("c.c_custkey"), col("c.c_name"), col("n.n_name"))
+        .agg(sum(rev).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q12 shape (shipmode line-priority pivot): one fact⋈dim join
+    // followed by a CONDITIONAL two-way aggregation — the classic
+    // "pivot a priority class into columns" form. The schema carries no
+    // l_shipmode/receiptdate, so the mode is a deterministic partkey
+    // class (same grouping cardinality: 3) and "late" is the shipdate
+    // year window.
+    "q_tpch_q12" -> ((s, dir) => {
+      val high = col("o.o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "orders").as("o")
+        .join(t(s, dir, "lineitem").as("l")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+          col("o.o_orderkey") === col("l.l_orderkey"))
+        .withColumn("shipmode",
+          when(col("l.l_partkey") % 3 === 0, "MAIL")
+            .when(col("l.l_partkey") % 3 === 1, "SHIP").otherwise("TRUCK"))
+        .groupBy(col("shipmode"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("shipmode"))
+    }),
+
+    // TPC-H Q14 shape (promo-revenue share): a RATIO OF CONDITIONAL
+    // SUMS over one month of fact⋈part — both sums exact cents, the
+    // share one integral ppm division carried in decimal(38,0) so it
+    // cannot wrap at any SF and never touches cross-engine float
+    // division.
+    "q_tpch_q14" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "lineitem").as("l")
+        .filter(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+        .join(t(s, dir, "part").as("p"), col("l.l_partkey") === col("p.p_partkey"))
+        .agg(sum(when(col("p.p_type") === "PROMO", rev).otherwise(0L)).as("promo_c"),
+          sum(rev).as("total_c"))
+        .select(col("promo_c"), col("total_c"),
+          expr("CAST((1000000 * CAST(promo_c AS DECIMAL(38,0))) div total_c AS BIGINT)")
+            .as("promo_ppm"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // three-branch OR over (brand, size, quantity) that can only be
+    // evaluated AFTER the partkey equi-join — the optimizer must still
+    // extract the common join key and push the derivable single-side
+    // bounds (size ≥ 1, quantity windows' union) rather than fall back
+    // to a cartesian. One-row exact-cents answer plus the match count.
+    "q_tpch_q19" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "lineitem").as("l")
+        .join(t(s, dir, "part").as("p"), col("l.l_partkey") === col("p.p_partkey"))
+        .filter(
+          (col("p.p_brand") === "Brand#11" && col("p.p_size").between(1, 15) &&
+            col("l.l_quantity").between(1, 11)) ||
+          (col("p.p_brand") === "Brand#22" && col("p.p_size").between(1, 25) &&
+            col("l.l_quantity").between(10, 20)) ||
+          (col("p.p_brand") === "Brand#23" && col("p.p_size").between(1, 35) &&
+            col("l.l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue_c"))
+    }),
+
+    // TPC-H Q8 shape (national market share): the 7-way join — fact ⋈
+    // part ⋈ orders ⋈ customer ⋈ nation(market) ⋈ region ⋈ supplier ⋈
+    // nation(supplier) — grouped by order year, share of one supplier
+    // nation as an exact ppm ratio (decimal-carried integral division,
+    // zero float math). Both nation sides and region broadcast.
+    "q_tpch_q8" -> ((s, dir) => {
+      val rev = cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      t(s, dir, "lineitem").as("l")
+        .join(t(s, dir, "part").as("p").filter(col("p_type") === "ECONOMY"),
+          col("l.l_partkey") === col("p.p_partkey"))
+        .join(t(s, dir, "orders").as("o"), col("o.o_orderkey") === col("l.l_orderkey"))
+        .filter(col("o.o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o.o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(t(s, dir, "customer").as("c"), col("c.c_custkey") === col("o.o_custkey"))
+        .join(broadcast(t(s, dir, "nation").as("n1")),
+          col("c.c_nationkey") === col("n1.n_nationkey"))
+        .join(broadcast(t(s, dir, "region").as("r")),
+          col("n1.n_regionkey") === col("r.r_regionkey"))
+        .filter(col("r.r_name") === "ASIA")
+        .join(t(s, dir, "supplier").as("s2"), col("l.l_suppkey") === col("s2.s_suppkey"))
+        .join(broadcast(t(s, dir, "nation").as("n2")),
+          col("s2.s_nationkey") === col("n2.n_nationkey"))
+        .groupBy(year(col("o.o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(when(col("n2.n_name") === "NATION_12", rev).otherwise(0L)).as("nation_c"),
+          sum(rev).as("total_c"))
+        .select(col("o_year"), col("nation_c"), col("total_c"),
+          expr("CAST((1000000 * CAST(nation_c AS DECIMAL(38,0))) div total_c AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): an aggregation VIEW referenced
+    // twice — once as the join input, once inside a scalar MAX subquery
+    // — the canonical max-of-aggregate pattern. Catalyst plans the
+    // scalar side as a one-row broadcast; ties all surface (no LIMIT 1),
+    // matching the spec's "every supplier at the max" semantics.
+    "q_tpch_q15" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v15")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier_v15")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |           AS total_c
+          |  FROM lineitem_v15
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          |    AND l_shipdate <  TIMESTAMP '1997-07-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_c
+          |FROM supplier_v15 JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_c = (SELECT max(total_c) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
     // null-safe equality join (<=>): null keys MATCH null keys, unlike
     // plain = (which drops them) — the semantic corner ETL hits when
     // joining on nullable derived keys. Both sides are tiny DISTINCT
@@ -5206,6 +5343,85 @@ object Relational {
                            WHERE o.o_custkey = cust.c_custkey
                              AND o.o_orderpriority LIKE '1%')
          GROUP BY cntrycode ORDER BY cntrycode""",
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM customer c
+         JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+           AND l.l_returnflag = 'R'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_c DESC, c_custkey LIMIT 20""",
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN l_partkey % 3 = 0 THEN 'MAIL'
+                     WHEN l_partkey % 3 = 1 THEN 'SHIP' ELSE 'TRUCK' END AS shipmode,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q14" ->
+      """WITH s AS (
+           SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS promo_c,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1997-06-01'
+             AND l.l_shipdate <  TIMESTAMP '1997-09-01')
+         SELECT promo_c, total_c,
+                CAST((1000000::HUGEINT * promo_c) // total_c AS BIGINT) AS promo_ppm
+         FROM s""",
+    "q_tpch_q19" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+                CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 25
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+                AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q8" ->
+      """WITH g AS (
+           SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                  CAST(sum(CASE WHEN n2.n_name = 'NATION_12'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS nation_c,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem l
+           JOIN part p ON l.l_partkey = p.p_partkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+           JOIN region r ON n1.n_regionkey = r.r_regionkey
+           JOIN supplier s2 ON l.l_suppkey = s2.s_suppkey
+           JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+           WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+             AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+           GROUP BY 1)
+         SELECT o_year, nation_c, total_c,
+                CAST((1000000::HUGEINT * nation_c) // total_c AS BIGINT) AS share_ppm
+         FROM g ORDER BY o_year""",
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey AS supplier_no,
+                  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_c
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-07-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_c
+         FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         WHERE total_c = (SELECT max(total_c) FROM revenue)
+         ORDER BY s_suppkey""",
     // the sqrt operand is one exact integer; int→double and sqrt are
     // IEEE-exactly-rounded in both engines, floor pins the ppm
     "q_sample_temperature" ->

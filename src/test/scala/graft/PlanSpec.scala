@@ -546,6 +546,33 @@ class PlanSpec extends SparkSuite {
     assert(q22.contains("BroadcastNestedLoopJoin") || q22.contains("BroadcastHashJoin"),
       s"scalar side not broadcast:\n${q22.take(2500)}")
     assert(!q22.contains("CartesianProduct"), q22.take(2000))
+    // Q10: the returnflag filter reaches the fact scan; nation broadcast
+    val q10 = plan("q_tpch_q10")
+    assert(q10.contains("PushedFilters") && q10.contains("l_returnflag"),
+      s"returnflag not pushed:\n${q10.take(2500)}")
+    assert(q10.contains("BroadcastHashJoin") && !q10.contains("CartesianProduct"),
+      q10.take(2000))
+    // Q19: the three-branch OR must keep the partkey EQUI-join — never
+    // a nested-loop or cartesian fallback
+    val q19 = plan("q_tpch_q19")
+    assert(!q19.contains("CartesianProduct") && !q19.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive predicate degraded the join:\n${q19.take(2500)}")
+    // Q8: dims broadcast, the p_type filter pushed to the part scan
+    val q8 = plan("q_tpch_q8")
+    assert(q8.contains("BroadcastHashJoin") && !q8.contains("CartesianProduct"),
+      q8.take(2000))
+    assert(q8.contains("PushedFilters") && q8.contains("p_type"),
+      s"p_type not pushed:\n${q8.take(2500)}")
+    // Q15: the scalar MAX lands as a subquery/broadcast, not a per-row
+    // re-aggregation
+    val q15 = plan("q_tpch_q15")
+    assert(!q15.contains("CartesianProduct"), q15.take(2000))
+    assert(q15.contains("Subquery") || q15.contains("BroadcastNestedLoopJoin") ||
+      q15.contains("BroadcastHashJoin"), s"scalar max not planned once:\n${q15.take(2500)}")
+    for (name <- Seq("q_tpch_q12", "q_tpch_q14")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
   }
 
   test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
