@@ -1280,6 +1280,65 @@ object Relational {
           |ORDER BY s_suppkey""".stripMargin)
     }),
 
+    // bucketed co-located join: both sides written ONCE as 8-bucket
+    // sorted tables on the join key, so the fact⋈fact join plans with
+    // ZERO exchanges and ZERO sorts on either input (gated in PlanSpec)
+    // — at 100 TB this is the difference between re-shuffling both
+    // fact tables on every join and reading pre-co-located buckets.
+    // The merge hint pins SMJ so a small SF can't broadcast away the
+    // very property the query demonstrates; the build is per-(session,
+    // SF) memoized via the catalog.
+    "q_join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ordT, liT) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+      if (!s.catalog.tableExists(ordT)) {
+        // external-path tables under /tmp: a FRESH session's in-memory
+        // catalog forgets the table but the files survive — clear the
+        // location so CREATE TABLE AS doesn't trip LOCATION_ALREADY_EXISTS
+        val base = java.nio.file.Paths.get(s"/tmp/graft-bucketed/$tag")
+        if (java.nio.file.Files.exists(base)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(base)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path])
+            .iterator.asScala.foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+        t(s, dir, "orders").write.bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").option("path", s"$base/orders")
+          .mode("overwrite").saveAsTable(ordT)
+        t(s, dir, "lineitem").write.bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").option("path", s"$base/lineitem")
+          .mode("overwrite").saveAsTable(liT)
+      }
+      s.table(ordT).hint("merge")
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("price_c"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // gaps-and-islands (consecutive-day activity streaks): the classic
+    // day − row_number() island key — one distinct, one window, one
+    // agg, all partitioned by user so nothing global; exact integer day
+    // arithmetic both engines.
+    "q_window_islands" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest"),
+          min(col("start_day")).as("first_day"))
+        .orderBy(col("user_id"))
+    }),
+
     // null-safe equality join (<=>): null keys MATCH null keys, unlike
     // plain = (which drops them) — the semantic corner ETL hits when
     // joining on nullable derived keys. Both sides are tiny DISTINCT
@@ -5422,6 +5481,30 @@ object Relational {
          FROM supplier JOIN revenue ON s_suppkey = supplier_no
          WHERE total_c = (SELECT max(total_c) FROM revenue)
          ORDER BY s_suppkey""",
+    // the bucketed tables carry the same rows as the source parquet, so
+    // the oracle is the plain join
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_window_islands" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id,
+                  CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT) AS day
+           FROM events),
+         g AS (
+           SELECT user_id, day,
+                  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM d),
+         i AS (
+           SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+                  CAST(min(day) AS BIGINT) AS start_day
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+                CAST(max(len) AS BIGINT) AS longest,
+                CAST(min(start_day) AS BIGINT) AS first_day
+         FROM i GROUP BY user_id ORDER BY user_id""",
     // the sqrt operand is one exact integer; int→double and sqrt are
     // IEEE-exactly-rounded in both engines, floor pins the ppm
     "q_sample_temperature" ->

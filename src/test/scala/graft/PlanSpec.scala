@@ -575,6 +575,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("bucketed join is co-located: SMJ with the only exchange being the final agg") {
+    val p = plan("q_join_bucketed")
+    assert(p.contains("SortMergeJoin"), s"merge hint lost:\n${p.take(2000)}")
+    // both join inputs read pre-bucketed files — the ONLY shuffle in the
+    // whole plan is the 3-group final aggregation, never the two fact
+    // tables (that re-shuffle is exactly what bucketing buys at 100 TB)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 exchange (final agg), got $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("optimizer rule strength-reduces self-dot to norm2; non-self dots untouched") {
     import org.apache.spark.sql.functions.{array, col, expr, lit}
     // parquet-backed input — a literal input would constant-fold the
