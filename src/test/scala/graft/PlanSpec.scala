@@ -575,6 +575,42 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("TPC-H partsupp family (Q2/Q9/Q11/Q16/Q20): decorrelated, broadcast, pushed") {
+    // Q2: the correlated per-part MIN must decorrelate into one
+    // aggregate joined back on partkey — never a per-part re-scan of
+    // the supply relation; the part filters reach the scan
+    val q2 = plan("q_tpch_q2")
+    assert(!q2.contains("CartesianProduct"), q2.take(2000))
+    assert(q2.contains("HashAggregate"), s"correlated min not decorrelated to an agg:\n${q2.take(2500)}")
+    assert(q2.contains("PushedFilters") && q2.contains("p_type"),
+      s"part filters not pushed:\n${q2.take(2500)}")
+    // Q9: nation broadcast; the color filter reaches the part scan; the
+    // composite-key supply join stays an equi-join
+    val q9 = plan("q_tpch_q9")
+    assert(q9.contains("BroadcastHashJoin") && !q9.contains("CartesianProduct"),
+      q9.take(2000))
+    assert(q9.contains("PushedFilters") && q9.contains("p_name"),
+      s"p_name color filter not pushed:\n${q9.take(2500)}")
+    // Q11: the one-row (total, n_parts) side joins via broadcast — the
+    // global threshold must not shuffle the per-part aggregate again
+    val q11 = plan("q_tpch_q11")
+    assert(q11.contains("BroadcastNestedLoopJoin") || q11.contains("BroadcastHashJoin"),
+      s"global total not broadcast:\n${q11.take(2500)}")
+    assert(!q11.contains("CartesianProduct"), q11.take(2000))
+    // Q16: the NOT-IN exclusion is a broadcast anti join; the size/type
+    // filters reach the part scan
+    val q16 = plan("q_tpch_q16")
+    assert(q16.contains("Anti"), s"NOT IN not planned as anti join:\n${q16.take(2500)}")
+    assert(q16.contains("PushedFilters") && q16.contains("p_size"),
+      s"part filters not pushed:\n${q16.take(2500)}")
+    assert(!q16.contains("CartesianProduct"), q16.take(2000))
+    // Q20: both IN subqueries decorrelate to semi joins and the
+    // correlated date-window sum plans as agg-then-join
+    val q20 = plan("q_tpch_q20")
+    assert(q20.contains("Semi"), s"IN not decorrelated to semi join:\n${q20.take(2500)}")
+    assert(!q20.contains("CartesianProduct"), q20.take(2000))
+  }
+
   test("bucketed join is co-located: SMJ with the only exchange being the final agg") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"merge hint lost:\n${p.take(2000)}")
