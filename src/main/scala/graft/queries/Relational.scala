@@ -558,6 +558,48 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Preference-pair mining — the RLHF/DPO data-construction step:
+    // within each group of scored candidates (here: a user's purchase
+    // events standing in for a prompt's sampled responses), emit the
+    // (chosen, rejected) pair = best vs worst score with the score
+    // margin. ONE max_by/min_by hash aggregation on a total composite
+    // ordinal (score·1e8 − id — unique while ids < 1e8; at larger id
+    // spaces widen to decimal), so no window sort and no self-join —
+    // at 100 TB this is a single partial+final agg keyed by prompt.
+    "q_pref_pairs" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), cents(col("value")).as("score_c"))
+        .withColumn("ord", col("score_c") * lit(100000000L) - col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_cand"),
+          max_by(col("event_id"), col("ord")).as("chosen_id"),
+          max(col("score_c")).as("chosen_c"),
+          min_by(col("event_id"), col("ord")).as("rejected_id"),
+          min(col("score_c")).as("rejected_c"))
+        .filter(col("n_cand") >= 2)
+        .select(col("user_id"), col("chosen_id"), col("rejected_id"),
+          (col("chosen_c") - col("rejected_c")).as("margin_c"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Deterministic per-key reservoir sample (k=5) — the reproducible
+    // "keep k examples per source" primitive: rank each row by the md5
+    // of its id and keep the k smallest per key. Runs through the
+    // NATIVE TopKPerKey operator (partial per-partition heaps → key
+    // exchange → final), so only ≤ k rows per key per partition ever
+    // shuffle — the window-rank form the oracle uses would sort every
+    // group in full. Hash-ranked, so the sample is stable under
+    // partitioning, re-runs, and engine choice.
+    "q_sample_reservoir" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          md5(col("event_id").cast("string")).as("hkey"))
+      graft.functions.TopK.topKPerKey(e, 5,
+          Seq(col("user_id")), Seq(col("hkey").asc, col("event_id").asc))
+        .orderBy(col("user_id"), col("hkey"), col("event_id"))
+    }),
+
     // Time-RANGE window frame — the rolling 7-day per-user count/sum
     // every transcript table gets asked for: the frame is defined by
     // VALUE distance on event time (epoch seconds), not row position,
@@ -3961,6 +4003,31 @@ object Relational {
          SELECT doc_id, shard, n_tok, start_tok,
                 CAST(start_tok // 2048 AS BIGINT) AS seq_id
          FROM c ORDER BY doc_id""",
+    // arg_max/arg_min on the identical composite ordinal
+    "q_pref_pairs" ->
+      """WITH cand AS (
+           SELECT user_id, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS score_c,
+                  CAST(round(value * 100) AS BIGINT) * 100000000 - event_id AS ord
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id, count(*) AS n_cand,
+                  arg_max(event_id, ord) AS chosen_id,
+                  CAST(max(score_c) AS BIGINT) AS chosen_c,
+                  arg_min(event_id, ord) AS rejected_id,
+                  CAST(min(score_c) AS BIGINT) AS rejected_c
+           FROM cand GROUP BY user_id)
+         SELECT user_id, chosen_id, rejected_id,
+                CAST(chosen_c - rejected_c AS BIGINT) AS margin_c
+         FROM g WHERE n_cand >= 2 ORDER BY user_id""",
+    // the window-rank derivation of the same deterministic k-sample
+    "q_sample_reservoir" ->
+      """SELECT user_id, event_id, hkey FROM (
+           SELECT user_id, event_id, md5(CAST(event_id AS VARCHAR)) AS hkey,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+           FROM events) WHERE rn <= 5
+         ORDER BY user_id, hkey, event_id""",
     "q_window_timerange" ->
       """WITH b AS (
            SELECT user_id, event_id,

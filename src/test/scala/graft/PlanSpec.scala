@@ -611,6 +611,22 @@ class PlanSpec extends SparkSuite {
     assert(!q20.contains("CartesianProduct"), q20.take(2000))
   }
 
+  test("preference pairs aggregate once; reservoir sample runs the native top-k") {
+    // pref pairs: ONE partial+final hash agg keyed by group — no window
+    // sort, no self-join, no cartesian
+    val pp = plan("q_pref_pairs")
+    assert("HashAggregate".r.findAllIn(pp).size >= 2,
+      s"pref pairs not a partial+final agg:\n${pp.take(2000)}")
+    assert(!pp.contains("Window") && !pp.contains("CartesianProduct") &&
+      !pp.contains("SortMergeJoin"), s"pref pairs degraded:\n${pp.take(2000)}")
+    // reservoir: the native two-phase heap operator, never a full
+    // window sort of every group
+    val rs = plan("q_sample_reservoir")
+    assert(rs.contains("TopKPerKeyPartial") && rs.contains("TopKPerKeyFinal"),
+      s"reservoir sample not using the native top-k operator:\n${rs.take(2000)}")
+    assert(!rs.contains("Window"), s"reservoir fell back to a window:\n${rs.take(2000)}")
+  }
+
   test("bucketed join is co-located: SMJ with the only exchange being the final agg") {
     val p = plan("q_join_bucketed")
     assert(p.contains("SortMergeJoin"), s"merge hint lost:\n${p.take(2000)}")
