@@ -558,6 +558,29 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-bucketed batching report — the padding-waste accounting a
+    // training pipeline runs when batches pad to a bucket ceiling
+    // instead of the global max: each doc lands in its power-of-two
+    // token bucket (exact CASE ladder — no cross-engine log2 at the
+    // boundaries), and per bucket the report carries doc count, real
+    // tokens, padded tokens, and waste ppm in exact integers. Scale
+    // shape: scan + scalar map + one partial+final agg over ≤ 9 groups.
+    "q_pack_lenbuckets" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          when(col("n_tok") <= 16, 16L).when(col("n_tok") <= 32, 32L)
+            .when(col("n_tok") <= 64, 64L).when(col("n_tok") <= 128, 128L)
+            .when(col("n_tok") <= 256, 256L).when(col("n_tok") <= 512, 512L)
+            .when(col("n_tok") <= 1024, 1024L).otherwise(2048L))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("real_tok"))
+        .withColumn("padded_tok", col("n_docs") * col("bucket"))
+        .withColumn("waste_ppm",
+          expr("((padded_tok - real_tok) * 1000000L) div padded_tok"))
+        .orderBy(col("bucket"))
+    }),
+
     // Preference-pair mining — the RLHF/DPO data-construction step:
     // within each group of scored candidates (here: a user's purchase
     // events standing in for a prompt's sampled responses), emit the
@@ -2132,6 +2155,38 @@ object Relational {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Hard-negative mining — the retrieval/embedding-training data
+    // step: for each query vector, the top-3 most-similar candidates
+    // with a DIFFERENT label (same label = positive; the high-cosine
+    // other-label neighbors are the "hard" negatives a contrastive
+    // trainer wants). Same exact-integer dot/cosine machinery as
+    // q_ann_topk (×1000 integerized vectors, long dot products, ONE
+    // rounded double division); the tiny query set broadcasts and
+    // candidates stream through the hash join — at 100 TB the
+    // label-mismatch predicate rides the join, never a second pass.
+    "q_ann_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"), col("norm2").as("qn"))
+      val scored = e.as("c")
+        .join(broadcast(q), col("c.label") =!= col("qlabel"))
+        .select(col("qid"), col("c.vec_id").as("nb"), col("c.label").as("nb_label"),
+          graft.functions.ArrayMath.dotL(col("qv"), col("c.v")).as("dot"),
+          col("qn").as("na"), col("c.norm2").as("nb2"))
+        .withColumn("cos", col("dot") / (sqrt(col("na")) * sqrt(col("nb2"))))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
+          col("nb_label").cast("long").as("nb_label"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("qid"), col("rank"))
     }),
@@ -4003,6 +4058,25 @@ object Relational {
          SELECT doc_id, shard, n_tok, start_tok,
                 CAST(start_tok // 2048 AS BIGINT) AS seq_id
          FROM c ORDER BY doc_id""",
+    // identical CASE ladder; all-integer padding arithmetic
+    "q_pack_lenbuckets" ->
+      """WITH d AS (
+           SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         b AS (
+           SELECT CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                       WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                       WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                       WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+                  n_tok
+           FROM d),
+         g AS (
+           SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS real_tok
+           FROM b GROUP BY 1)
+         SELECT bucket, n_docs, real_tok,
+                CAST(n_docs * bucket AS BIGINT) AS padded_tok,
+                CAST((n_docs * bucket - real_tok) * 1000000 // (n_docs * bucket) AS BIGINT) AS waste_ppm
+         FROM g ORDER BY bucket""",
     // arg_max/arg_min on the identical composite ordinal
     "q_pref_pairs" ->
       """WITH cand AS (
@@ -4616,6 +4690,24 @@ object Relational {
               FROM scored)
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // same integerized cosine; negatives = different-label candidates
+    "q_ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nb, c.label AS nb_label,
+                     list_reduce(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]), (x, y) -> x + y)
+                       / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                          * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos
+              FROM e q JOIN e c ON q.vec_id < 20 AND c.label <> q.label),
+            ranked AS (
+              SELECT qid, nb, nb_label, cos,
+                     row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nb) AS rank
+              FROM scored)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, nb,
+                CAST(nb_label AS BIGINT) AS nb_label, round(cos, 6) AS cos
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
     // the oracle runs the UNSALTED join — pinning that salting is a
     // pure physical rewrite with zero semantic drift
     "q_join_skew_salted" ->

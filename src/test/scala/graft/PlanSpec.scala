@@ -625,6 +625,16 @@ class PlanSpec extends SparkSuite {
     assert(rs.contains("TopKPerKeyPartial") && rs.contains("TopKPerKeyFinal"),
       s"reservoir sample not using the native top-k operator:\n${rs.take(2000)}")
     assert(!rs.contains("Window"), s"reservoir fell back to a window:\n${rs.take(2000)}")
+    // hard negatives: the tiny query set is the BROADCAST side of the
+    // label-inequality join (candidates stream); never a cartesian
+    val hn = plan("q_ann_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n${hn.take(2000)}")
+    assert(!hn.contains("CartesianProduct"), hn.take(2000))
+    // length buckets: scan + scalar map + ONE partial+final agg
+    val lb = plan("q_pack_lenbuckets")
+    assert("HashAggregate".r.findAllIn(lb).size >= 2, lb.take(2000))
+    assert(!lb.contains("Join"), s"unexpected join:\n${lb.take(2000)}")
   }
 
   test("bucketed join is co-located: SMJ with the only exchange being the final agg") {
