@@ -198,10 +198,11 @@ object Bench {
     // on executor JVMs; in threads_fallback mode sec4N is itself a
     // local[16]-equivalent run and "parity" would fabricate ~1.0
     // the control's own noise guard: a local[16] draw outside its
-    // documented band (BASELINE.md; ~110–216k turns/s on the standard
-    // corpus) makes any parity computed from it self-labeling garbage
-    // rather than silently publishable (VERDICT r3 what's-wrong #2)
-    val (band16Lo, band16Hi) = (110000.0, 216000.0)
+    // documented band (BASELINE.md; ~110–245k turns/s on the standard
+    // corpus — ceiling moved by the round-5 242.6k measurement) makes
+    // any parity computed from it self-labeling garbage rather than
+    // silently publishable (VERDICT r3 what's-wrong #2)
+    val (band16Lo, band16Hi) = (110000.0, 245000.0)
     val local16InBand =
       if (execMode && nTurns >= 1000000L)
         (tps16 >= band16Lo && tps16 <= band16Hi).toString
@@ -219,13 +220,13 @@ object Bench {
       else f"${parityPairs.minBy(p => math.abs(math.log(p)))}%.3f"
 
     // the documented local[32] noise band for the STANDARD sf0.1 corpus
-    // (BASELINE.md: interleaved best-of measurements across rounds 1-4
-    // ranged 185k to 391.6k turns/s under the evolving engine — headline
+    // (BASELINE.md: interleaved best-of measurements across rounds 1-5
+    // ranged 185k to 440.2k turns/s under the evolving engine — headline
     // draws below it indicate a loud external-load window, not an engine
     // change; the ceiling moves only when a faster measurement is
-    // recorded, round-4 best 391.6k). in_band is null for non-standard
+    // recorded, round-5 best 440.2k). in_band is null for non-standard
     // corpus sizes.
-    val (bandLo, bandHi) = (185000.0, 395000.0)
+    val (bandLo, bandHi) = (185000.0, 445000.0)
     val inBand =
       if (nTurns >= 1000000L) (tps32 >= bandLo && tps32 <= bandHi).toString
       else "null"
