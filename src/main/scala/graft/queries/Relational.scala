@@ -3668,6 +3668,118 @@ object Relational {
         .orderBy(col("score_ppm").desc, col("doc_id"))
         .limit(100)
     }),
+
+    // similarity 5 — PRODUCT QUANTIZATION encode (IVF-PQ's residual
+    // half): 64-dim vectors split into M=4 subspaces × 16 dims; per
+    // subspace an 8-entry codebook (deterministic sample: the 8 lowest
+    // vec_ids — the random-init codebook of a PQ trainer before Lloyd
+    // refinement), every vector encoded to its nearest codeword per
+    // subspace by EXACT integer squared L2 (argmin via min(struct),
+    // ties → lowest code). Output is the codebook utilization +
+    // total quantization error per (subspace, code) cell. Scale shape:
+    // the M×K codebook (32 rows) broadcasts, vectors stream through
+    // ONE hash join after a bounded ×M explode — this is the encode
+    // pass that turns 100 TB of float32 embeddings into 4-byte codes
+    // (64× compression) with zero shuffles of the vector payload.
+    "q_ann_pq" -> ((s, dir) => {
+      val (mSub, dSub, k) = (4, 16, 8)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val subs = e.select(col("vec_id"), expr(
+          s"""explode(transform(sequence(0, ${mSub - 1}),
+             |  m -> struct(m AS sub, slice(v, m * $dSub + 1, $dSub) AS sv)))"""
+            .stripMargin).as("p"))
+        .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+      val codebook = subs.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("code"), col("sub"), col("sv").as("cv"))
+      subs.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"), expr(
+          "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .groupBy(col("sub").cast("long").as("sub"),
+          col("best.code").cast("long").as("code"))
+        .agg(count(lit(1)).as("n"), sum(col("best.d2")).as("sum_err"))
+        .orderBy(col("sub"), col("code"))
+    }),
+
+    // dedup 12 — INCREMENTAL MinHash LSH: the ingest-time shape. The
+    // standing corpus (doc_id % 5 != 0) owns a band-signature index
+    // that at production scale is PRECOMPUTED and stored (here derived
+    // in-query so the oracle can replay it); a new wave (doc_id % 5 =
+    // 0) computes signatures for ITS documents only and probes the
+    // index with one hash join on (band, sig) — O(wave), never
+    // O(corpus), per ingest. Output: each wave doc that collides with
+    // the corpus, how many of its 8 bands hit, and the lowest-id
+    // corpus doc it collides with.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val sigs = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .withColumn("band", explode(sequence(lit(0), lit(7))))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(min(md5(concat(col("band").cast("string"), lit(":"), col("tok")))).as("sig"))
+      val base = sigs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("band"), col("sig"), col("doc_id").as("base_doc"))
+      sigs.filter(col("doc_id") % 5 === 0).as("w")
+        .join(base, Seq("band", "sig"))
+        .groupBy(col("w.doc_id").as("doc_id"))
+        .agg(countDistinct(col("band")).as("n_bands_hit"),
+          min(col("base_doc")).as("first_match"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sequence mining — first-order Markov transition counts over each
+    // user's time-ordered event stream (lead window, tie-broken by
+    // event_id), with an exact integer-ppm row-conditional P(dst|src).
+    // One window pass partitioned by user + one hash agg — nothing
+    // global except the final 5×5-ish transition matrix.
+    "q_events_markov" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .withColumn("ppm", expr("(n * 1000000) div sum(n) over (partition by src)"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // text diversity — distinct-n: per source, total vs distinct word
+    // trigrams and the exact integer-ppm distinct ratio (the standard
+    // mode-collapse / templated-content signal for corpus curation).
+    // Grams are built by the same bounded transform(sequence) as
+    // q_dedup_spans; the agg is one partial+final count-distinct.
+    "q_text_distinct_ngrams" -> ((s, dir) => {
+      val k = 3
+      t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= k)
+        .select(col("source"), expr(
+          s"explode(transform(sequence(0, size(l) - $k), x -> concat_ws(' ', slice(l, x + 1, $k))))")
+          .as("gram"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("gram")).as("n_distinct"))
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          expr("(n_distinct * 1000000) div n_grams").as("diversity_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // relational reshape — native UNPIVOT (wide → long): the inverse of
+    // q_pivot_types, using Dataset.unpivot so Catalyst plans an Expand
+    // (one pass, no per-measure self-union). Measures are exact
+    // integers so the long `value` column is engine-portable.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          sum(cents(col("l_discount"))).as("sum_disc_c"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price_c"), col("sum_disc_c")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -5937,6 +6049,68 @@ object Relational {
                 CAST(sum(c_f * lift_ppm) // sum(c_f) AS BIGINT) AS score_ppm
          FROM cf JOIN lifts ON cf.f = lifts.f
          GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 100""",
+    // same integerization + slicing as the engine; argmin replayed as
+    // a row_number over (d2, code)
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            subs AS (SELECT vec_id, m AS sub, v[m*16+1 : m*16+16] AS sv
+                     FROM e, (SELECT unnest(range(4)) AS m) t),
+            cb AS (SELECT vec_id AS code, sub, sv AS cv FROM subs WHERE vec_id < 8),
+            d AS (SELECT s.vec_id, s.sub, cb.code,
+                         list_reduce(list_transform(list_zip(s.sv, cb.cv),
+                                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                     (x, y) -> x + y) AS d2
+                  FROM subs s JOIN cb ON s.sub = cb.sub),
+            a AS (SELECT vec_id, sub, code, d2,
+                         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+                  FROM d)
+         SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
+                count(*) AS n, CAST(sum(d2) AS BIGINT) AS sum_err
+         FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY sub, code""",
+    "q_dedup_incremental" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            sigs AS (SELECT doc_id, band,
+                            min(md5(CAST(band AS VARCHAR) || ':' || tok)) AS sig
+                     FROM toks, (SELECT unnest(range(8)) AS band) b GROUP BY doc_id, band),
+            base AS (SELECT band, sig, doc_id AS base_doc FROM sigs WHERE doc_id % 5 <> 0),
+            wave AS (SELECT doc_id, band, sig FROM sigs WHERE doc_id % 5 = 0)
+         SELECT w.doc_id, count(DISTINCT w.band) AS n_bands_hit,
+                CAST(min(b.base_doc) AS BIGINT) AS first_match
+         FROM wave w JOIN base b ON w.band = b.band AND w.sig = b.sig
+         GROUP BY w.doc_id ORDER BY w.doc_id""",
+    "q_events_markov" ->
+      """WITH tr AS (SELECT event_type AS src,
+                            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+                     FROM events),
+            cnt AS (SELECT src, dst, count(*) AS n FROM tr
+                    WHERE dst IS NOT NULL GROUP BY src, dst)
+         SELECT src, dst, n,
+                CAST((n * 1000000) // sum(n) OVER (PARTITION BY src) AS BIGINT) AS ppm
+         FROM cnt ORDER BY src, dst""",
+    "q_text_distinct_ngrams" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            grams AS (SELECT source, array_to_string(l[x+1:x+3], ' ') AS gram
+                      FROM toks, LATERAL (SELECT unnest(range(len(l) - 2)) AS x) g)
+         SELECT source, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
+                CAST((count(DISTINCT gram) * 1000000) // count(*) AS BIGINT) AS diversity_ppm
+         FROM grams GROUP BY source ORDER BY source""",
+    "q_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+                              CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+                              CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+                       FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, measure, value FROM (
+           SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'sum_price_c', sum_price_c FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM wide)
+         ORDER BY l_returnflag, measure""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

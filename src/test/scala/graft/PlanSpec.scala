@@ -833,4 +833,25 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("PQ codebook broadcasts; incremental dedup probes by hash join; unpivot expands") {
+    // the 32-row codebook must be the broadcast side — shuffling the
+    // vector stream to meet it would ship the 100 TB payload
+    val pq = plan("q_ann_pq")
+    assert(pq.contains("BroadcastHashJoin"), pq.take(2000))
+    assert(!pq.contains("CartesianProduct") &&
+      !pq.contains("BroadcastNestedLoopJoin"), pq.take(2000))
+    // wave→index probe is an equi hash/SMJ on (band, sig) — at ingest
+    // scale this is O(wave), and never a nested-loop rescan
+    val inc = plan("q_dedup_incremental")
+    assert(!inc.contains("CartesianProduct") &&
+      !inc.contains("BroadcastNestedLoopJoin"), inc.take(2000))
+    // native unpivot plans ONE Expand pass, not a per-measure union of
+    // re-scans (the Expand multiplies rows after the 3-row aggregate)
+    val up = plan("q_unpivot")
+    assert(up.contains("Expand"), up.take(2000))
+    assert("Scan parquet".r.findAllIn(up).size <= 1, up.take(2000))
+    for (name <- Seq("q_events_markov", "q_text_distinct_ngrams"))
+      assert(!plan(name).contains("CartesianProduct"), name)
+  }
 }
