@@ -282,6 +282,28 @@ object Relational {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Integerized per-subspace vector slices (M=4 × 16 dims) and the
+    * 8-entry-per-subspace deterministic-sample codebook, shared by the
+    * PQ encode (q_ann_pq) and ADC search (q_ann_adc). */
+  private def pqSubs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (mSub, dSub, k) = (4, 16, 8)
+    val subs = t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      .select(col("vec_id"), expr(
+        s"""explode(transform(sequence(0, ${mSub - 1}),
+           |  m -> struct(m AS sub, slice(v, m * $dSub + 1, $dSub) AS sv)))"""
+          .stripMargin).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val codebook = subs.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("code"), col("sub"), col("sv").as("cv"))
+    (subs, codebook)
+  }
+
+  /** Exact integer squared L2 between the sv/cv subvector columns. */
+  private def pqSqDist: Column = expr(
+    "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
@@ -3682,27 +3704,85 @@ object Relational {
     // pass that turns 100 TB of float32 embeddings into 4-byte codes
     // (64× compression) with zero shuffles of the vector payload.
     "q_ann_pq" -> ((s, dir) => {
-      val (mSub, dSub, k) = (4, 16, 8)
-      val e = t(s, dir, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
-      val subs = e.select(col("vec_id"), expr(
-          s"""explode(transform(sequence(0, ${mSub - 1}),
-             |  m -> struct(m AS sub, slice(v, m * $dSub + 1, $dSub) AS sv)))"""
-            .stripMargin).as("p"))
-        .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-      val codebook = subs.filter(col("vec_id") < k)
-        .select(col("vec_id").cast("int").as("code"), col("sub"), col("sv").as("cv"))
+      val (subs, codebook) = pqSubs(s, dir)
       subs.join(broadcast(codebook), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("code"), expr(
-          "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-          .as("d2"))
+        .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("code"))).as("best"))
         .groupBy(col("sub").cast("long").as("sub"),
           col("best.code").cast("long").as("code"))
         .agg(count(lit(1)).as("n"), sum(col("best.d2")).as("sum_err"))
         .orderBy(col("sub"), col("code"))
+    }),
+
+    // similarity 5b — ADC search over the PQ codes (asymmetric distance
+    // computation): each query precomputes a |Q|×M×K lookup table of
+    // exact subspace distances to every codeword, and candidate
+    // distances are then LUT sums over the 4-byte codes — the raw
+    // vectors are NEVER touched after encode. Scale shape: the encode
+    // output (codes) is the only corpus-sized input (4 bytes/vector
+    // instead of 256), the 320-row LUT broadcasts, and top-k is one
+    // bounded window per query. This is how 100 TB of embeddings gets
+    // searched from ~1.5 TB of codes.
+    "q_ann_adc" -> ((s, dir) => {
+      val (subs, codebook) = pqSubs(s, dir)
+      val codes = subs.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+      val lut = subs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+        .join(codebook, Seq("sub"))
+        .select(col("qid"), col("sub"), col("code"), pqSqDist.as("lut_d2"))
+      val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+        .filter(col("qid") =!= col("vec_id"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("lut_d2")).as("adc_d2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("nb"), col("adc_d2"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // sequence pattern matching (MATCH_RECOGNIZE-lite): serialize each
+    // user's time-ordered event stream to an initials string (c/e/p/s/v
+    // are distinct) inside ONE hash agg — array_sort over (ts,
+    // event_id, char) structs keeps the order total without a window —
+    // then count non-overlapping signup→view+→purchase runs with a
+    // left-to-right regex scan (identical greedy semantics in both
+    // engines). Per-user state is one bounded string; nothing global.
+    "q_events_pattern" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws("", expr(
+          """transform(array_sort(collect_list(
+            |  struct(ts, event_id, substring(event_type, 1, 1) AS c))), x -> x.c)"""
+            .stripMargin)).as("seq"))
+        .select(col("user_id"), length(col("seq")).cast("long").as("seq_len"),
+          size(expr("regexp_extract_all(seq, 'sv+p', 0)")).cast("long").as("n_matches"))
+        .filter(col("n_matches") >= 1)
+        .orderBy(col("user_id"))
+    }),
+
+    // epoch reshuffle decorrelation — two seeded md5 permutations of
+    // the corpus into 16 shards (epoch 1 vs epoch 2) and the 16×16
+    // shard contingency matrix between them: the check that consecutive
+    // training epochs actually decorrelate batch composition. One scan,
+    // one hash agg; the permutation is pure column math, so at 100 TB
+    // this is exactly the deterministic global-shuffle write pass
+    // (hash key → shard → sort-within-shard) with zero driver state.
+    "q_sample_epochs" -> ((s, dir) => {
+      def shard(seed: Int) =
+        conv(substring(md5(concat(lit(s"$seed:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 16
+      t(s, dir, "documents")
+        .select(col("doc_id"), shard(1).as("shard_e1"), shard(2).as("shard_e2"))
+        .groupBy(col("shard_e1"), col("shard_e2"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("shard_e1"), col("shard_e2"))
     }),
 
     // dedup 12 — INCREMENTAL MinHash LSH: the ingest-time shape. The
@@ -6069,6 +6149,52 @@ object Relational {
          SELECT CAST(sub AS BIGINT) AS sub, CAST(code AS BIGINT) AS code,
                 count(*) AS n, CAST(sum(d2) AS BIGINT) AS sum_err
          FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY sub, code""",
+    // same subs/codebook CTEs; ADC distance replayed as the LUT sum
+    "q_ann_adc" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            subs AS (SELECT vec_id, m AS sub, v[m*16+1 : m*16+16] AS sv
+                     FROM e, (SELECT unnest(range(4)) AS m) t),
+            cb AS (SELECT vec_id AS code, sub, sv AS cv FROM subs WHERE vec_id < 8),
+            d AS (SELECT s.vec_id, s.sub, cb.code,
+                         list_reduce(list_transform(list_zip(s.sv, cb.cv),
+                                                    p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                     (x, y) -> x + y) AS d2
+                  FROM subs s JOIN cb ON s.sub = cb.sub),
+            codes AS (SELECT vec_id, sub, code FROM (
+                        SELECT vec_id, sub, code,
+                               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+                        FROM d) WHERE rn = 1),
+            lut AS (SELECT s.vec_id AS qid, s.sub, cb.code,
+                           list_reduce(list_transform(list_zip(s.sv, cb.cv),
+                                                      p -> (p[1] - p[2]) * (p[1] - p[2])),
+                                       (x, y) -> x + y) AS lut_d2
+                    FROM subs s JOIN cb ON s.sub = cb.sub
+                    WHERE s.vec_id < 10),
+            scored AS (SELECT l.qid, c.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+                       FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+                       WHERE l.qid <> c.vec_id GROUP BY 1, 2),
+            ranked AS (SELECT qid, vec_id, adc_d2,
+                              row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank
+                       FROM scored)
+         SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS nb, adc_d2
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_events_pattern" ->
+      """WITH seqs AS (SELECT user_id,
+                              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+                       FROM events GROUP BY user_id)
+         SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+                CAST(len(regexp_extract_all(seq, 'sv+p')) AS BIGINT) AS n_matches
+         FROM seqs WHERE len(regexp_extract_all(seq, 'sv+p')) >= 1
+         ORDER BY user_id""",
+    "q_sample_epochs" ->
+      """WITH d AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS BIGINT) AS shard_e1,
+                           CAST(('0x' || substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 16 AS BIGINT) AS shard_e2
+                    FROM documents)
+         SELECT shard_e1, shard_e2, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
+         FROM d GROUP BY 1, 2 ORDER BY shard_e1, shard_e2""",
     "q_dedup_incremental" ->
       """WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                        FROM documents),

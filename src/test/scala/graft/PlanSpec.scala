@@ -853,5 +853,13 @@ class PlanSpec extends SparkSuite {
     assert("Scan parquet".r.findAllIn(up).size <= 1, up.take(2000))
     for (name <- Seq("q_events_markov", "q_text_distinct_ngrams"))
       assert(!plan(name).contains("CartesianProduct"), name)
+    // ADC search: both the codebook join and the LUT join broadcast the
+    // tiny side — the corpus-sized codes stream; never a nested loop
+    val adc = plan("q_ann_adc")
+    assert(adc.contains("BroadcastHashJoin"), adc.take(2000))
+    assert(!adc.contains("CartesianProduct") &&
+      !adc.contains("BroadcastNestedLoopJoin"), adc.take(2000))
+    for (name <- Seq("q_events_pattern", "q_sample_epochs"))
+      assert(!plan(name).contains("CartesianProduct"), name)
   }
 }
