@@ -3846,6 +3846,101 @@ object Relational {
         .orderBy(col("source"))
     }),
 
+    // market-basket mining — co-occurring part pairs within orders,
+    // with exact integer-ppm lift. The pair join is an equi self-join
+    // on the order key, so blowup is bounded by basket size (~7), not
+    // corpus size; per-part supports and the order count ride along as
+    // broadcast aggregates; the lift numerator goes through
+    // DECIMAL(38,0) so it cannot wrap at any SF (the q_agg_corr
+    // lesson). Top-100 by support keeps the output bounded.
+    "q_basket_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val tot = li.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .join(tot.select(col("pk").as("p1"), col("s").as("s1")), Seq("p1"))
+        .join(tot.select(col("pk").as("p2"), col("s").as("s2")), Seq("p2"))
+        .crossJoin(broadcast(
+          li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))))
+        .select(col("p1"), col("p2"), col("support"), expr(
+          "CAST((CAST(support AS DECIMAL(38,0)) * n_orders * 1000000) div (CAST(s1 AS DECIMAL(38,0)) * s2) AS BIGINT)")
+          .as("lift_ppm"))
+        .orderBy(col("support").desc, col("p1"), col("p2"))
+        .limit(100)
+    }),
+
+    // retrieval — multi-term AND via postings intersection: the 3
+    // globally most frequent tokens (deterministic tie-break) become
+    // the conjunctive query; a document qualifies when it holds ALL
+    // three. The 3-row term set broadcasts into the postings stream
+    // and the intersection is one hash agg with a HAVING — the
+    // term-at-a-time AND plan of a search engine, never a per-doc
+    // rescan.
+    "q_text_search_and" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val top3 = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(3).select(col("tok"))
+      toks.join(broadcast(top3), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("tok")).as("n_terms"), count(lit(1)).as("tf_sum"))
+        .filter(col("n_terms") === 3)
+        .select(col("doc_id"), col("tf_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // data-quality — referential-integrity audit across the star
+    // schema: each child-parent relation is ONE left join against the
+    // distinct parent key set with a null-hit count (semantically a
+    // NOT EXISTS scan, but returning child totals in the same pass).
+    // At 100 TB each audit is a single shuffle-or-broadcast equi join;
+    // the report itself is 3 rows.
+    "q_quality_fk" -> ((s, dir) => {
+      def audit(rel: String, child: DataFrame, key: Column,
+          parent: DataFrame, pkey: Column): DataFrame =
+        child.select(key.as("k"))
+          .join(parent.select(pkey.as("k")).distinct().withColumn("hit", lit(1)),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1).otherwise(0)).cast("long").as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_orphans"))
+      audit("events.user_id->customer", t(s, dir, "events"), col("user_id"),
+          t(s, dir, "customer"), col("c_custkey"))
+        .unionAll(audit("lineitem->orders", t(s, dir, "lineitem"), col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey")))
+        .unionAll(audit("orders->customer", t(s, dir, "orders"), col("o_custkey"),
+          t(s, dir, "customer"), col("c_custkey")))
+        .orderBy(col("relation"))
+    }),
+
+    // table maintenance — compaction PLANNER: pack 64 bucket extents
+    // into ~8 target output files by cumulative-size assignment
+    // (before-sum div target). The plan runs entirely on manifest-
+    // level metadata (64 rows — the single-partition window is over
+    // the plan, not the data), which is exactly how a 100 TB
+    // compaction pass must be scheduled: plan on metadata, rewrite
+    // only the assigned extents.
+    "q_table_compact_plan" -> ((s, dir) => {
+      val b = t(s, dir, "documents")
+        .withColumn("bucket",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 64)
+        .groupBy(col("bucket")).agg(sum(col("n_chars")).as("bytes"))
+      val w = Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      b.crossJoin(broadcast(b.agg(sum(col("bytes")).as("tb"))))
+        .withColumn("before", coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("out_file", expr("before div ((tb + 7) div 8)"))
+        .groupBy(col("out_file"))
+        .agg(count(lit(1)).as("n_buckets"), sum(col("bytes")).as("bytes"))
+        .orderBy(col("out_file"))
+    }),
+
     // relational reshape — native UNPIVOT (wide → long): the inverse of
     // q_pivot_types, using Dataset.unpivot so Catalyst plans an Expand
     // (one pass, no per-measure self-union). Measures are exact
@@ -6224,6 +6319,57 @@ object Relational {
          SELECT source, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct,
                 CAST((count(DISTINCT gram) * 1000000) // count(*) AS BIGINT) AS diversity_ppm
          FROM grams GROUP BY source ORDER BY source""",
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            tot AS (SELECT pk, count(*) AS s FROM li GROUP BY pk),
+            n_o AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+            pairs AS (SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+                      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                      GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT p1, p2, support,
+                CAST((support::HUGEINT * n_orders * 1000000)
+                     // (t1.s::HUGEINT * t2.s) AS BIGINT) AS lift_ppm
+         FROM pairs JOIN tot t1 ON pairs.p1 = t1.pk
+                    JOIN tot t2 ON pairs.p2 = t2.pk, n_o
+         ORDER BY support DESC, p1, p2 LIMIT 100""",
+    "q_text_search_and" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            top3 AS (SELECT tok FROM nz GROUP BY tok
+                     ORDER BY count(*) DESC, tok LIMIT 3)
+         SELECT doc_id, count(*) AS tf_sum
+         FROM nz WHERE tok IN (SELECT tok FROM top3)
+         GROUP BY doc_id HAVING count(DISTINCT tok) = 3
+         ORDER BY doc_id""",
+    "q_quality_fk" ->
+      """WITH a1 AS (SELECT 'events.user_id->customer' AS relation,
+                            count(*) AS n_child,
+                            CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                     FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                       ON e.user_id = c.c_custkey),
+            a2 AS (SELECT 'lineitem->orders', count(*),
+                          CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                     ON l.l_orderkey = o.o_orderkey),
+            a3 AS (SELECT 'orders->customer', count(*),
+                          CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                     ON r.o_custkey = c.c_custkey)
+         SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3
+         ORDER BY relation""",
+    "q_table_compact_plan" ->
+      """WITH b AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+                           CAST(sum(n_chars) AS BIGINT) AS bytes
+                    FROM documents GROUP BY 1),
+            tb AS (SELECT CAST(sum(bytes) AS BIGINT) AS tb FROM b),
+            pl AS (SELECT bucket, bytes,
+                          COALESCE(CAST(sum(bytes) OVER (ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS before
+                   FROM b)
+         SELECT before // ((tb + 7) // 8) AS out_file,
+                count(*) AS n_buckets, CAST(sum(bytes) AS BIGINT) AS bytes
+         FROM pl, tb GROUP BY 1 ORDER BY out_file""",
     "q_unpivot" ->
       """WITH wide AS (SELECT l_returnflag,
                               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

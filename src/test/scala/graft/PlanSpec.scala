@@ -862,4 +862,17 @@ class PlanSpec extends SparkSuite {
     for (name <- Seq("q_events_pattern", "q_sample_epochs"))
       assert(!plan(name).contains("CartesianProduct"), name)
   }
+
+  test("basket pairs stay an equi self-join; search AND broadcasts its term set") {
+    // pair generation must join on the order key (basket-bounded
+    // blowup), never a cartesian over parts
+    val bp = plan("q_basket_pairs")
+    assert(!bp.contains("CartesianProduct"), bp.take(2000))
+    // the 3-term query set is the broadcast side of the postings probe
+    val sa = plan("q_text_search_and")
+    assert(sa.contains("BroadcastHashJoin"), sa.take(2000))
+    assert(!sa.contains("CartesianProduct"), sa.take(2000))
+    for (name <- Seq("q_quality_fk", "q_table_compact_plan"))
+      assert(!plan(name).contains("CartesianProduct"), name)
+  }
 }
