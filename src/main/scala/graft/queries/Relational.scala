@@ -285,7 +285,7 @@ object Relational {
   /** Integerized per-subspace vector slices (M=4 × 16 dims) and the
     * 8-entry-per-subspace deterministic-sample codebook, shared by the
     * PQ encode (q_ann_pq) and ADC search (q_ann_adc). */
-  private def pqSubs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqSubs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val (mSub, dSub, k) = (4, 16, 8)
     val subs = t(s, dir, "embeddings")
       .select(col("vec_id"),
@@ -303,6 +303,89 @@ object Relational {
   /** Exact integer squared L2 between the sv/cv subvector columns. */
   private def pqSqDist: Column = expr(
     "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** Per-subspace Lloyd refinement of the PQ codebooks (k=8 codewords ×
+    * M=4 subspaces), seeded with the SAME 8 sample vectors as the
+    * unrefined codebook so any error reduction is attributable to the
+    * training alone. All four subspaces train inside the same
+    * distributed jobs: each assignment is ONE broadcast join against
+    * the 32 codeword rows keyed by sub, each update ONE partial+final
+    * agg over (sub, code, dim); the M×k×16 matrix (512 longs) is the
+    * only driver-side state per iteration — the Lloyd driver loop of
+    * kmeansFitUncached, generalized to the product space. Centroid
+    * updates are floored per-dim means (exactness argument as there);
+    * empty codes keep their previous codeword. Returns (sub, code, cv). */
+  private[graft] def pqLloydCodebook(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = pqLloydMemo.synchronized {
+    val key = (s, dir, iters)
+    val hit = pqLloydMemo.get(key)
+    if (hit != null) return hit
+    val (mSub, dSub, k) = (4, 16, 8)
+    val subs = pqSubs(s, dir)._1.persist()
+    var cb: Array[Array[Array[Long]]] =
+      Array.fill(mSub, k)(Array.emptyLongArray)
+    for (r <- subs.filter(col("vec_id") < k)
+        .select(col("sub"), col("vec_id"), col("sv")).collect())
+      cb(r.getInt(0))(r.getLong(1).toInt) = r.getSeq[Long](2).toArray
+    def cbDf(): DataFrame = s.createDataFrame(
+      for (m <- 0 until mSub; c <- 0 until k)
+        yield (m, c, cb(m)(c).toSeq)).toDF("sub", "code", "cv")
+    def assign(): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("code"))
+      subs.join(broadcast(cbDf()), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"), col("sv"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    for (_ <- 0 until iters) {
+      val sums = assign().select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n")).collect()
+      val next = cb.map(_.map(_.clone()))
+      for (r <- sums)
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(r.getLong(3).toDouble / r.getLong(4)).toLong
+      cb = next
+    }
+    subs.unpersist()
+    val out = cbDf()
+    pqLloydMemo.put(key, out)
+    out
+  }
+
+  private val pqLloydMemo =
+    new java.util.LinkedHashMap[(SparkSession, String, Int), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String, Int), DataFrame]): Boolean =
+        size() > 2
+    }
+
+  /** ADC top-5 search against an arbitrary (sub, code, cv) codebook —
+    * shared by q_ann_adc (unrefined sample codebook) and AnnSpec's
+    * trained-vs-sample recall comparison. */
+  private[graft] def adcSearch(s: SparkSession, dir: String,
+      codebook: DataFrame): DataFrame = {
+    val (subs, _) = pqSubs(s, dir)
+    val codes = subs.join(broadcast(codebook), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val lut = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(codebook, Seq("sub"))
+      .select(col("qid"), col("sub"), col("code"), pqSqDist.as("lut_d2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("lut_d2")).as("adc_d2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("nb"), col("adc_d2"))
+      .orderBy(col("qid"), col("rank"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -3724,27 +3807,28 @@ object Relational {
     // instead of 256), the 320-row LUT broadcasts, and top-k is one
     // bounded window per query. This is how 100 TB of embeddings gets
     // searched from ~1.5 TB of codes.
-    "q_ann_adc" -> ((s, dir) => {
-      val (subs, codebook) = pqSubs(s, dir)
-      val codes = subs.join(broadcast(codebook), Seq("sub"))
+    "q_ann_adc" -> ((s, dir) => adcSearch(s, dir, pqSubs(s, dir)._2)),
+
+    // similarity 5c — PQ codebook TRAINING: the Lloyd-refined encode.
+    // Same output shape as q_ann_pq (codebook utilization + total
+    // quantization error per cell), but against codebooks refined by 3
+    // distributed Lloyd iterations per subspace (all four subspaces
+    // share each iteration's broadcast-join assignment and (sub, code,
+    // dim) update agg). AnnSpec asserts the refinement strictly cuts
+    // total quantization error and lifts ADC recall vs the unrefined
+    // sample codebook; the DuckDB oracle replays the identical
+    // iterations as an unrolled CTE chain (exact integer distances,
+    // floored-mean updates — bit-reproducible).
+    "q_ann_pq_lloyd" -> ((s, dir) => {
+      val (subs, _) = pqSubs(s, dir)
+      subs.join(broadcast(pqLloydCodebook(s, dir)), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("code"))).as("best"))
-        .select(col("vec_id"), col("sub"), col("best.code").as("code"))
-      val lut = subs.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-        .join(codebook, Seq("sub"))
-        .select(col("qid"), col("sub"), col("code"), pqSqDist.as("lut_d2"))
-      val scored = codes.join(broadcast(lut), Seq("sub", "code"))
-        .filter(col("qid") =!= col("vec_id"))
-        .groupBy(col("qid"), col("vec_id"))
-        .agg(sum(col("lut_d2")).as("adc_d2"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"),
-          col("vec_id").as("nb"), col("adc_d2"))
-        .orderBy(col("qid"), col("rank"))
+        .groupBy(col("sub").cast("long").as("sub"),
+          col("best.code").cast("long").as("code"))
+        .agg(count(lit(1)).as("n"), sum(col("best.d2")).as("sum_err"))
+        .orderBy(col("sub"), col("code"))
     }),
 
     // sequence pattern matching (MATCH_RECOGNIZE-lite): serialize each
@@ -4163,8 +4247,55 @@ object Relational {
     sb.toString
   }
 
+  /** Unrolled CTE chain replaying [[pqLloydCodebook]] + the final
+    * encode: subspace rows (sub = i div 16, j = i mod 16), init
+    * codebook = vec_id < k, per-iteration argmin assignment and
+    * floored-mean update, exactly as the engine's driver loop. */
+  private def pqLloydOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS (
+              |  SELECT vec_id, CAST(i // 16 AS BIGINT) AS sub, CAST(i % 16 AS BIGINT) AS j,
+              |         CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS x
+              |  FROM embeddings, range(64) t(i)),
+              |c0 AS (
+              |  SELECT sub, CAST(vec_id AS BIGINT) AS code, j, x AS cx
+              |  FROM v WHERE vec_id < $k)""".stripMargin
+    for (n <- 1 to iters) {
+      sb ++= s""",
+                |a$n AS (
+                |  SELECT vec_id, sub, code FROM (
+                |    SELECT vec_id, sub, code,
+                |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                |    FROM (SELECT v.vec_id, v.sub, c.code,
+                |                 sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+                |          FROM v JOIN c${n - 1} c ON v.sub = c.sub AND v.j = c.j
+                |          GROUP BY 1, 2, 3))
+                |  WHERE rn = 1),
+                |c$n AS (
+                |  SELECT p.sub, p.code, p.j, COALESCE(u.cx, p.cx) AS cx
+                |  FROM c${n - 1} p LEFT JOIN (
+                |    SELECT a.sub, a.code, v.j,
+                |           CAST(floor(CAST(sum(v.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+                |    FROM a$n a JOIN v ON v.vec_id = a.vec_id AND v.sub = a.sub
+                |    GROUP BY 1, 2, 3) u
+                |  ON u.sub = p.sub AND u.code = p.code AND u.j = p.j)""".stripMargin
+    }
+    sb ++= s""",
+              |d AS (SELECT v.vec_id, v.sub, c.code,
+              |             sum((v.x - c.cx) * (v.x - c.cx)) AS d2
+              |      FROM v JOIN c$iters c ON v.sub = c.sub AND v.j = c.j
+              |      GROUP BY 1, 2, 3),
+              |a AS (SELECT vec_id, sub, code, d2,
+              |             row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+              |      FROM d)
+              |SELECT sub, code, count(*) AS n, CAST(sum(d2) AS BIGINT) AS sum_err
+              |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY sub, code""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ann_pq_lloyd" -> pqLloydOracleSql(8, 3),
     "q_dedup_embedding_lsh" ->
       """WITH q AS (
            SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS qv

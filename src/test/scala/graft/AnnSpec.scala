@@ -63,4 +63,44 @@ class AnnSpec extends SparkSuite {
     val r4 = curve.last._2
     assert(r4 >= 0.6, s"recall@5 at nprobe=4 is $r4 < 0.6 (k=8 lists, half probed)")
   }
+
+  test("Lloyd-refined PQ codebook cuts quantization error and does not lose ADC recall") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val R = graft.queries.Relational
+    // total quantization error: the trained codebook must beat the
+    // sample codebook it was seeded from (measured: ~34% lower)
+    def err(name: String): Long = R.queries(name)(spark, dir)
+      .agg(sum(col("sum_err"))).as[Long].head()
+    val (eS, eT) = (err("q_ann_pq"), err("q_ann_pq_lloyd"))
+    info(f"quantization error: sample=$eS lloyd=$eT (${eT.toDouble / eS}%.3f×)")
+    assert(eT < eS, s"Lloyd training did not reduce quantization error: $eT >= $eS")
+    // ADC recall vs EXACT integer-L2 truth (recall vs the metric ADC
+    // approximates — isolates quantization loss from metric mismatch)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d2"), col("nb"))
+    val truth = e.join(broadcast(q), col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nb"),
+        expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("qid"), col("nb")).as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, a) => k -> a.map(_._2).toSet }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("qid").cast("long"), col("nb").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, a) => k -> a.map(_._2).toSet }
+      truth.map { case (k, t) =>
+        got.getOrElse(k, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val rS = recall(R.adcSearch(spark, dir, R.pqSubs(spark, dir)._2))
+    val rT = recall(R.adcSearch(spark, dir, R.pqLloydCodebook(spark, dir)))
+    info(f"ADC recall@5 vs exact L2: sample=$rS%.3f lloyd=$rT%.3f")
+    assert(rT >= rS, s"trained-codebook ADC recall $rT fell below sample $rS")
+    assert(rT >= 0.2, s"degenerate trained-codebook recall $rT")
+  }
 }

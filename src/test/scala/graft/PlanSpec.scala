@@ -874,5 +874,10 @@ class PlanSpec extends SparkSuite {
     assert(!sa.contains("CartesianProduct"), sa.take(2000))
     for (name <- Seq("q_quality_fk", "q_table_compact_plan"))
       assert(!plan(name).contains("CartesianProduct"), name)
+    // the Lloyd-trained encode joins the 32-row codebook broadcast-side
+    // exactly like the sample-codebook encode
+    val pql = plan("q_ann_pq_lloyd")
+    assert(pql.contains("BroadcastHashJoin"), pql.take(2000))
+    assert(!pql.contains("CartesianProduct"), pql.take(2000))
   }
 }
