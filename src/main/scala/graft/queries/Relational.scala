@@ -1774,6 +1774,48 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Per-group OLS regression (y = a + b·x) from the same exact
+    // five-sum machinery as q_agg_corr: sums accumulate as
+    // decimal(38,0) (no wrap at any SF), each is cast to double ONCE,
+    // and slope/intercept/r² are each ONE double formula — the
+    // intercept uses the UNROUNDED slope so both engines evaluate the
+    // identical expression tree. The regression-per-segment shape
+    // (trend per event type / per source) is a single partial+final
+    // hash agg at 100 TB; no second pass, no window.
+    "q_agg_regression" -> ((s, dir) => {
+      val x = cents(col("value"))
+      val y = length(col("props")).cast("long")
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"), x.as("x"), y.as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("event_type"), col("n"), col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+          col("sxy").cast("double").as("dsxy"),
+          col("sxx").cast("double").as("dsxx"), col("syy").cast("double").as("dsyy"))
+        .withColumn("slope",
+          (col("dsxy") * col("nd") - col("dsx") * col("dsy")) /
+          (col("dsxx") * col("nd") - col("dsx") * col("dsx")))
+        .select(col("event_type"), col("n"),
+          // + 0.0 collapses IEEE -0.0 (a near-zero slope rounded to
+          // zero keeps its sign bit, and the two engines can disagree
+          // on it) — identity for every other value, mirrored in SQL
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round((col("dsy") - col("slope") * col("dsx")) / col("nd"), 4)
+            + lit(0.0)).as("intercept"),
+          (round(((col("dsxy") * col("nd") - col("dsx") * col("dsy")) *
+                 (col("dsxy") * col("nd") - col("dsx") * col("dsy"))) /
+                ((col("dsxx") * col("nd") - col("dsx") * col("dsx")) *
+                 (col("dsyy") * col("nd") - col("dsy") * col("dsy"))), 6)
+            + lit(0.0)).as("r2"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_window_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
       t(s, dir, "events")
@@ -2262,6 +2304,39 @@ object Relational {
         .select(col("qid"), col("rank").cast("long").as("rank"), col("nb"),
           round(col("cos"), 6).as("cos"))
         .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Matryoshka truncation sweep — the dimension-reduction half of
+    // the ANN cost model: recall@5 of exact L2 search over the FIRST
+    // d dims (d ∈ {16, 32, 64}) against the full-64-dim truth. MRL
+    // embeddings front-load information precisely so a 100 TB index
+    // can store d≪64 prefixes and rescore survivors at full width;
+    // this query measures what each truncation level keeps. One
+    // candidate pass: the tiny query set broadcasts, a 3-row explode
+    // fans each scored pair to its truncation levels (no join), one
+    // bounded window per (dims, query), and the recall arithmetic is
+    // exact integer ppm end-to-end — no doubles anywhere.
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val ranked = e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+        .withColumn("dims", explode(array(lit(16L), lit(32L), lit(64L))))
+        .select(col("dims"), col("qid"), col("c.vec_id").as("nb"),
+          expr("aggregate(zip_with(slice(qv, 1, dims), slice(v, 1, dims), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dims"), col("qid")).orderBy(col("d2"), col("nb"))))
+        .filter(col("rn") <= 5)
+      val truth = ranked.filter(col("dims") === 64)
+        .select(col("qid"), col("nb"), lit(1L).as("hit"))
+      ranked.join(truth, Seq("qid", "nb"), "left")
+        .groupBy(col("dims"))
+        .agg(count(lit(1)).as("n5"), sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("dims"), col("n5"), col("hits"),
+          expr("hits * 1000000L div n5").as("recall_ppm"))
+        .orderBy(col("dims"))
     }),
 
     // Hard-negative mining — the retrieval/embedding-training data
@@ -4838,6 +4913,29 @@ object Relational {
                 round((sxy * nd - sx * sy) /
                       (sqrt(sxx * nd - sx * sx) * sqrt(syy * nd - sy * sy)), 6) AS corr
          FROM s ORDER BY event_type""",
+    // identical five-sum placement; intercept uses the UNROUNDED slope
+    "q_agg_regression" ->
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x,
+                  CAST(length(props) AS BIGINT) AS y
+           FROM events),
+         s AS (
+           SELECT event_type, count(*) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x*y) AS DOUBLE) AS sxy,
+                  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy
+           FROM b GROUP BY event_type),
+         sl AS (
+           SELECT *, (sxy * nd - sx * sy) / (sxx * nd - sx * sx) AS slope
+           FROM s)
+         SELECT event_type, n,
+                round(slope, 6) + 0.0 AS slope,
+                round((sy - slope * sx) / nd, 4) + 0.0 AS intercept,
+                round(((sxy * nd - sx * sy) * (sxy * nd - sx * sy)) /
+                      ((sxx * nd - sx * sx) * (syy * nd - sy * sy)), 6) + 0.0 AS r2
+         FROM sl ORDER BY event_type""",
     "q_window_ntile" ->
       """SELECT user_id, event_id,
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
@@ -5108,6 +5206,28 @@ object Relational {
               FROM scored)
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // exact integer L2 over vector prefixes; all-integer recall ppm
+    "q_ann_matryoshka" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            ranked AS (
+              SELECT d.dims AS dims, s.qid, s.nb, s.d2,
+                     row_number() OVER (PARTITION BY d.dims, s.qid ORDER BY s.d2, s.nb) AS rn
+              FROM (SELECT CAST(unnest([16, 32, 64]) AS BIGINT) AS dims) d
+              CROSS JOIN LATERAL (
+                     SELECT q.vec_id AS qid, c.vec_id AS nb,
+                            list_reduce(list_transform(list_zip(q.v[1:d.dims], c.v[1:d.dims]),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                     FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id) s),
+            r5 AS (SELECT * FROM ranked WHERE rn <= 5),
+            truth AS (SELECT qid, nb FROM r5 WHERE dims = 64)
+         SELECT r5.dims, CAST(count(*) AS BIGINT) AS n5,
+                CAST(sum(CASE WHEN t.qid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+                CAST(sum(CASE WHEN t.qid IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                  * 1000000 // count(*) AS recall_ppm
+         FROM r5 LEFT JOIN truth t ON r5.qid = t.qid AND r5.nb = t.nb
+         GROUP BY r5.dims ORDER BY r5.dims""",
     // same integerized cosine; negatives = different-label candidates
     "q_ann_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label,

@@ -880,4 +880,19 @@ class PlanSpec extends SparkSuite {
     assert(pql.contains("BroadcastHashJoin"), pql.take(2000))
     assert(!pql.contains("CartesianProduct"), pql.take(2000))
   }
+
+  test("matryoshka sweep broadcasts its query set; regression is one hash agg") {
+    // the truncation sweep fans out via a generator (Explode), never a
+    // join against the dims list, and the query side broadcasts —
+    // candidates stream exactly like q_ann_topk
+    val mt = plan("q_ann_matryoshka")
+    assert(mt.contains("Generate explode"), mt.take(2000))
+    assert(!mt.contains("CartesianProduct"), mt.take(2000))
+    // per-group OLS: a single partial+final HashAggregate pair over the
+    // scan — no window, no join, no second pass
+    val rg = plan("q_agg_regression")
+    assert(rg.contains("HashAggregate"), rg.take(2000))
+    assert(!rg.contains("SortAggregate") && !rg.contains("Window") &&
+      !rg.contains("Join"), rg.take(2000))
+  }
 }
