@@ -3047,6 +3047,46 @@ object Relational {
     // analytics table starts with): get_json_object is a codegen'd
     // scalar pass, then one hash agg per event type. No shuffle before
     // the per-row extraction.
+    // Time-decayed trending items — exponential-decay heavy hitters
+    // with a 1-day half-life: each event of item k (the props payload)
+    // contributes weight 2^(20 - age_days) (clamped at 20 days, so the
+    // long tail degrades to weight 1 instead of vanishing), and items
+    // rank by decayed score vs raw count side by side — the freshness
+    // re-ranking every feed/search service runs over its event log.
+    // All-integer: ages clamp, weights are exact powers of two, sums
+    // accumulate as decimal(38,0) (no wrap at any SF). Two-stage agg:
+    // per-(item, day) counts collapse map-side FIRST (the 100 TB
+    // shuffle is |items|×|days| rows, not |events|), the 1-row global
+    // max-day broadcasts into it, and the final per-item agg + two
+    // bounded windows rank 100 items.
+    "q_events_trending" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val byDay = e.groupBy(col("item"), col("day"))
+        .agg(count(lit(1)).as("n_day"))
+      val maxd = e.agg(max(col("day")).as("max_day"))
+      val scored = byDay.crossJoin(broadcast(maxd))
+        .withColumn("w",
+          expr("shiftleft(1L, cast(20 - least(max_day - day, 20) as int))"))
+        .groupBy(col("item"))
+        .agg(sum(col("n_day")).as("n"),
+          sum((col("w") * col("n_day")).cast("decimal(38,0)")).cast("decimal(38,0)")
+            .as("score"))
+      scored
+        .withColumn("rank_decayed", row_number().over(
+          Window.orderBy(col("score").desc, col("item"))).cast("long"))
+        .withColumn("rank_raw", row_number().over(
+          Window.orderBy(col("n").desc, col("item"))).cast("long"))
+        .filter(col("rank_decayed") <= 10)
+        // decayed scores cap at 2^20 × |events|, so BIGINT output is
+        // safe past SF 1000 (the decimal(38,0) accumulator is the
+        // wrap-proof part); DuckDB's HUGEINT sum casts identically
+        .select(col("item"), col("n"), col("score").cast("long").as("score"),
+          col("rank_decayed"), col("rank_raw"))
+        .orderBy(col("rank_decayed"))
+    }),
+
     "q_events_props_json" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_type"),
@@ -3379,6 +3419,46 @@ object Relational {
       // and a localCheckpoint's blocks are not recomputable once freed
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("doc_id"), col("deg"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // graph 5 — multi-source BFS shortest-path distance: hop distance
+    // from the seed set (vertices with doc_id < 50) to every vertex
+    // within 4 hops over the near-dup graph. The missing primitive
+    // between khop (neighborhood SIZES) and resolve (components):
+    // actual distances, the basis of graph sampling radii and
+    // influence features. Frontier expansion is one equi-join of the
+    // current distance table with the edge list plus a min-agg per
+    // round — BFS layers are monotone (a node's first recorded
+    // distance IS its minimum), so a round that adds no node is the
+    // fixed point and the early exit returns exactly the oracle's
+    // 4-round unroll. localCheckpoint per round (checkpoint-cadence
+    // rule); everything shards by vertex at 100 TB.
+    "q_graph_sssp" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      var dist = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .filter(col("node") < 50).distinct()
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      var n = dist.count()
+      var converged = false
+      for (_ <- 1 to 4 if !converged) {
+        val cand = dist.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+        val prev = dist
+        dist = dist.select(col("node"), col("dist")).union(cand)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+        val n2 = dist.count()
+        converged = n2 == n
+        n = n2
+        prev.unpersist()
+      }
+      dist.select(col("node").as("doc_id"), col("dist"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5722,6 +5802,27 @@ object Relational {
                 CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
                 CAST(count(*) AS BIGINT) AS n_absent
          FROM e GROUP BY 1 ORDER BY 1""",
+    // identical clamp-at-20 power-of-two weights; HUGEINT sum → BIGINT
+    "q_events_trending" ->
+      """WITH e AS (
+           SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+         byday AS (
+           SELECT item, day, count(*) AS n_day FROM e GROUP BY 1, 2),
+         m AS (SELECT max(day) AS max_day FROM e),
+         sc AS (
+           SELECT item, CAST(sum(n_day) AS BIGINT) AS n,
+                  CAST(sum((1::BIGINT << CAST(20 - least(m.max_day - day, 20) AS INTEGER))
+                           * n_day) AS BIGINT) AS score
+           FROM byday, m GROUP BY 1),
+         rk AS (
+           SELECT item, n, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, item) AS BIGINT) AS rank_decayed,
+                  CAST(row_number() OVER (ORDER BY n DESC, item) AS BIGINT) AS rank_raw
+           FROM sc)
+         SELECT item, n, score, rank_decayed, rank_raw
+         FROM rk WHERE rank_decayed <= 10 ORDER BY rank_decayed""",
     "q_events_props_json" ->
       """WITH e AS (SELECT event_type,
                            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -5917,6 +6018,33 @@ object Relational {
                  AND e.dst IN (SELECT src FROM k$r))""").mkString + """
        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
        FROM e8 GROUP BY src ORDER BY doc_id"""),
+    // 4 BFS rounds unrolled; a converged round is a no-op, so the
+    // engine's early exit returns the identical relation
+    "q_graph_sssp" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       d0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM
+                (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+              WHERE node < 50)""" +
+      (1 to 4).map(r => s""",
+       d$r AS MATERIALIZED (
+         SELECT node, min(dist) AS dist FROM (
+           SELECT node, dist FROM d${r - 1}
+           UNION ALL
+           SELECT e.dst AS node, d.dist + 1 AS dist
+           FROM d${r - 1} d JOIN edges e ON d.node = e.src)
+         GROUP BY node)""").mkString + """
+       SELECT node AS doc_id, dist FROM d4 ORDER BY doc_id"""),
     // each event lands in its two overlapping 600s/300s windows; the
     // integer-second floor never crosses a 300s boundary
     "q_window_hopping" ->

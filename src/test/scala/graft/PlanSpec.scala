@@ -894,5 +894,13 @@ class PlanSpec extends SparkSuite {
     assert(rg.contains("HashAggregate"), rg.take(2000))
     assert(!rg.contains("SortAggregate") && !rg.contains("Window") &&
       !rg.contains("Join"), rg.take(2000))
+    // trending: the 1-row max-day side broadcasts into the per-(item,
+    // day) partial agg — the event-grain rows never join anything
+    val tr = plan("q_events_trending")
+    assert(tr.contains("Broadcast"), tr.take(2000))
+    assert(!tr.contains("CartesianProduct"), tr.take(2000))
+    // BFS distance: the returned relation reads the converged
+    // checkpoint; no round leaves a cartesian behind
+    assert(!plan("q_graph_sssp").contains("CartesianProduct"))
   }
 }
