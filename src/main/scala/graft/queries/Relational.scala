@@ -360,6 +360,42 @@ object Relational {
         size() > 2
     }
 
+  /** Top principal direction of the embedding cloud by power
+    * iteration. The 100 TB decomposition: ONE distributed pass builds
+    * the 64×64 Gram matrix G = Σ v·vᵀ (a generator fans each vector to
+    * its 4096 outer-product cells; partial+final hash agg over 4096
+    * keys, decimal(38,0) accumulators so no SF wraps), then the power
+    * iterations are driver math on the collected matrix — the same
+    * bounded-driver-state pattern as the k-means centroids (k×64) and
+    * the BPE argmax (1 row). Iterations are exact BigInt: x₀ = 1000·1,
+    * x ← sign(y)·(|y|·1000 div max|y|) after y = G·x — the
+    * normalization divides only non-negative quantities, so floor and
+    * truncation agree and DuckDB's `//` replays it bit-for-bit. */
+  private[graft] def powerIterTop(s: SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val gram = t(s, dir, "embeddings")
+      .select(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      .select(explode(expr(
+        """flatten(transform(v, (xi, i) ->
+           |  transform(v, (xj, j) ->
+           |    named_struct('i', i, 'j', j, 'p', xi * xj))))""".stripMargin)).as("c"))
+      .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+      .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
+    val G = Array.ofDim[BigInt](64, 64)
+    for (r <- gram.collect())
+      G(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    var x = Array.fill(64)(BigInt(1000))
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(64)(i =>
+        (0 until 64).map(j => G(i)(j) * x(j)).sum)
+      val m = y.map(_.abs).max
+      x = y.map(v => if (v < 0) -((-v) * 1000 / m) else v * 1000 / m)
+    }
+    import s.implicits._
+    x.zipWithIndex.map { case (c, d) => (d.toLong, c.toLong) }
+      .toSeq.toDF("dim", "comp").orderBy(col("dim"))
+  }
+
   /** ADC top-5 search against an arbitrary (sub, code, cv) codebook —
     * shared by q_ann_adc (unrefined sample codebook) and AnnSpec's
     * trained-vs-sample recall comparison. */
@@ -2197,6 +2233,48 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // text 4b — winnowing minimizer selection (the MOSS fingerprint
+    // scheme): hash every 5-gram, slide a w=4 window over consecutive
+    // gram hashes, and keep each window's minimum (rightmost on ties —
+    // encoded by packing (hash, reversed position) into ONE bigint so
+    // a single min() window frame does argmin + tie-break). Winnowing
+    // guarantees any shared substring ≥ k+w-1 chars yields a shared
+    // fingerprint, at ~2/(w+1) the density of full k-gram sets — the
+    // storage knob for fingerprint dedup at 100 TB. One generator per
+    // doc (no self-join), one bounded ROWS frame, exact integer
+    // density ppm. Positions are < 2^20 by construction (transcript
+    // cells; guard documented), so the packing never collides.
+    "q_text_minimizers" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, length(text) - 4),
+             |  p -> named_struct(
+             |    'pos', cast(p as bigint),
+             |    'h', aggregate(
+             |      slice(regexp_extract_all(substring(text, p, 5), '.', 0), 2, 5),
+             |      cast(ascii(substring(text, p, 1)) as bigint),
+             |      (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007L))))""".stripMargin))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"),
+          (col("g.h") * lit(1048576L) + (lit(1048575L) - col("g.pos"))).as("key"))
+      val fr = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(0, 3)
+      val sel = grams
+        .select(col("doc_id"),
+          min(col("key")).over(fr).as("mk"), count(lit(1)).over(fr).as("c"))
+        .filter(col("c") === 4)
+        .select(col("doc_id"),
+          (lit(1048575L) - pmod(col("mk"), lit(1048576L))).as("spos"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_selected"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_kgrams"))
+        .join(sel, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kgrams"), col("n_selected"),
+          expr("n_selected * 1000000L div n_kgrams").as("density_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // similarity 3 — IVF-style ANN: the `label` column is the coarse
     // quantizer (inverted list id); candidates are restricted to the
     // query's list — the scale path vs the brute-force baseline below.
@@ -3974,6 +4052,15 @@ object Relational {
     // sample codebook; the DuckDB oracle replays the identical
     // iterations as an unrolled CTE chain (exact integer distances,
     // floored-mean updates — bit-reproducible).
+    // similarity 6 — top principal direction by distributed power
+    // iteration (see powerIterTop): the PCA-lite every embedding
+    // pipeline runs before whitening / ABQ-style binarization. The
+    // corpus is touched ONCE (Gram agg); 3 exact-BigInt driver
+    // iterations on the 64×64 matrix; output is the ±1000-scaled
+    // direction, bit-reproducible against the oracle's unrolled
+    // HUGEINT CTE replay.
+    "q_embed_power_iter" -> ((s, dir) => powerIterTop(s, dir)),
+
     "q_ann_pq_lloyd" -> ((s, dir) => {
       val (subs, _) = pqSubs(s, dir)
       subs.join(broadcast(pqLloydCodebook(s, dir)), Seq("sub"))
@@ -4448,9 +4535,69 @@ object Relational {
     sb.toString
   }
 
+  /** Unrolled CTE replay of [[powerIterTop]]: HUGEINT Gram matrix,
+    * all-1000 start vector, per-iteration matvec + sign-split
+    * normalization (both division operands non-negative, so floor ≡
+    * truncate ≡ the engine's BigInt division). */
+  private def powerIterOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v AS (
+             |  SELECT list_transform(embedding,
+             |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |g AS MATERIALIZED (
+             |  SELECT i.i AS i, j.j AS j,
+             |         sum(CAST(v.v[i.i + 1] AS HUGEINT) * v.v[j.j + 1]) AS g
+             |  FROM v, range(64) i(i), range(64) j(j) GROUP BY 1, 2),
+             |x0 AS (SELECT CAST(t.d AS BIGINT) AS dim, CAST(1000 AS HUGEINT) AS x
+             |       FROM range(64) t(d))""".stripMargin
+    for (n <- 1 to iters) {
+      sb ++= s""",
+                |y$n AS (SELECT g.i AS dim, sum(g.g * x.x) AS y
+                |        FROM g JOIN x${n - 1} x ON g.j = x.dim GROUP BY 1),
+                |m$n AS (SELECT max(abs(y)) AS m FROM y$n),
+                |x$n AS (SELECT dim,
+                |          CASE WHEN y < 0 THEN -(((-y) * 1000) // m)
+                |               ELSE (y * 1000) // m END AS x
+                |        FROM y$n, m$n)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT dim, CAST(x AS BIGINT) AS comp FROM x$iters ORDER BY dim""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
     "q_ann_pq_lloyd" -> pqLloydOracleSql(8, 3),
+    "q_embed_power_iter" -> powerIterOracleSql(3),
+    // same packed (hash, reversed-pos) argmin; `//`/`%` on non-negatives
+    "q_text_minimizers" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+         g AS (
+           SELECT doc_id, CAST(ps.p AS BIGINT) AS pos,
+                  list_reduce(list_transform(
+                      regexp_extract_all(substr(text, CAST(ps.p AS INTEGER), 5), '.'),
+                      c -> CAST(ascii(c) AS BIGINT)),
+                    (a, b) -> (a * 31 + b) % 1000000007) AS h
+           FROM d, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS p) ps),
+         kk AS (SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key FROM g),
+         wm AS (
+           SELECT doc_id, pos,
+                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+                  count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+           FROM kk),
+         sel AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_selected FROM (
+             SELECT DISTINCT doc_id, 1048575 - (mk % 1048576) AS spos
+             FROM wm WHERE c = 4)
+           GROUP BY doc_id),
+         nk AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kgrams FROM g GROUP BY 1)
+         SELECT nk.doc_id, nk.n_kgrams, sel.n_selected,
+                sel.n_selected * 1000000 // nk.n_kgrams AS density_ppm
+         FROM nk JOIN sel ON nk.doc_id = sel.doc_id
+         ORDER BY nk.doc_id""",
     "q_dedup_embedding_lsh" ->
       """WITH q AS (
            SELECT vec_id, i, CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS qv

@@ -103,4 +103,35 @@ class AnnSpec extends SparkSuite {
     assert(rT >= rS, s"trained-codebook ADC recall $rT fell below sample $rS")
     assert(rT >= 0.2, s"degenerate trained-codebook recall $rT")
   }
+
+  test("power iteration raises the Rayleigh quotient over the start vector") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // variance of the cloud along direction d ∝ Σ (v·d)²; power
+    // iteration on the PSD Gram matrix never decreases this, so the
+    // returned direction must capture at least as much variance as the
+    // all-ones start — and strictly more on any non-isotropic cloud
+    val d = graft.queries.Relational.queries("q_embed_power_iter")(spark, dir)
+      .orderBy(col("dim")).select(col("comp")).as[Long].collect()
+    assert(d.length == 64 && d.map(math.abs).max == 1000,
+      s"direction not ±1000-normalized: max=${d.map(math.abs).max}")
+    def energy(dir64: Array[Long]): BigInt = {
+      val lits = dir64.mkString("array(", "L, ", "L)")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+        .select(expr(
+          s"aggregate(zip_with(v, $lits, (a, b) -> a * b), 0L, (acc, x) -> acc + x)").as("p"))
+        .select(sum((col("p") * col("p")).cast("decimal(38,0)")).as("e"))
+        .head().getDecimal(0)
+      BigInt(e.toBigInteger)
+    }
+    // compare per unit of squared direction norm: e(d)/|d|² vs e(1)/|1|²
+    val ones = Array.fill(64)(1000L)
+    val (eD, eO) = (energy(d), energy(ones))
+    val n2D = d.map(c => BigInt(c) * c).sum
+    val n2O = ones.map(c => BigInt(c) * c).sum
+    info(s"Rayleigh (scaled): trained=${eD / n2D} ones=${eO / n2O}")
+    assert(eD * n2O >= eO * n2D,
+      s"power iteration lowered the Rayleigh quotient: $eD/$n2D < $eO/$n2O")
+  }
 }

@@ -902,5 +902,10 @@ class PlanSpec extends SparkSuite {
     // BFS distance: the returned relation reads the converged
     // checkpoint; no round leaves a cartesian behind
     assert(!plan("q_graph_sssp").contains("CartesianProduct"))
+    // winnowing: one generator + one bounded ROWS frame — fingerprint
+    // selection never self-joins the gram stream
+    val wn = plan("q_text_minimizers")
+    assert(wn.contains("Generate") && wn.contains("Window"), wn.take(2000))
+    assert(!wn.contains("CartesianProduct"), wn.take(2000))
   }
 }
