@@ -1852,6 +1852,35 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Exponentially weighted rolling value — the smoothed-metric
+    // window every monitoring/feature pipeline wants next to plain
+    // rolling means: per user, each event's EWMA over its last ≤8
+    // observations with weight 2^(position) (newest highest, exact
+    // halving per step back) normalized by the geometric total
+    // 2^len − 1. All-integer: the frame materializes as a bounded
+    // ≤8-element list (collect_list over a ROWS frame preserves frame
+    // order in both engines), the weighted sum is one higher-order
+    // fold, and the scaled division has non-negative operands. One
+    // window, shuffles by user exactly once at any SF.
+    "q_window_ewma" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-7, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents(col("value")).as("c"))
+        .withColumn("fr", collect_list(col("c")).over(w))
+        .select(col("user_id"), col("event_id"),
+          size(col("fr")).cast("long").as("n_frame"),
+          expr("""aggregate(
+                 |  zip_with(fr, sequence(1, size(fr)),
+                 |    (x, i) -> x * shiftleft(1L, cast(i - 1 as int))),
+                 |  0L, (acc, x) -> acc + x) * 100L
+                 |div (shiftleft(1L, size(fr)) - 1)""".stripMargin)
+            .as("ewma_c100"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     "q_window_ntile" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
       t(s, dir, "events")
@@ -2900,6 +2929,48 @@ object Relational {
         .filter(col("cnt") >= 5)
         .select(col("w1"), col("w2"), col("cnt"), col("tot"),
           expr("(cnt * 1000000L) div tot").as("cond_ppm"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // Interpolated Kneser-Ney bigram smoothing — the LM-quality
+    // companion to q_text_bigram_lm's raw MLE table: discount D=3/4
+    // moves mass from observed bigrams to a continuation distribution
+    // (how many distinct LEFT contexts a word follows — the "Francisco
+    // problem" fix), P_KN(w2|w1) = (c−D)/c(w1) + λ(w1)·Pcont(w2).
+    // All-integer with D=3/4 via multiply-by-4: term1 = (4c−3)·1e6 div
+    // 4c(w1) (c≥1 so the max(·,0) clamp is vacuous), λ and Pcont are
+    // each one ppm floor division, term2 their ppm product — every
+    // intermediate ≤ ~1e13 at ANY SF (counts enter each division at
+    // ppm scale, never multiplied together raw). Shape: the bigram
+    // type table materializes ONCE (localCheckpoint — it feeds four
+    // plan arms), then left-context totals, right-continuation counts,
+    // and the 1-row type total are hash aggs over TYPES (vocab²-
+    // bounded, not corpus-bounded); the 1-row total broadcasts.
+    "q_text_kneser_ney" -> ((s, dir) => {
+      val big = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+             i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))"""))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val left = big.groupBy(col("w1"))
+        .agg(sum(col("cnt")).as("c1"), count(lit(1)).as("n1w1"))
+      val right = big.groupBy(col("w2")).agg(count(lit(1)).as("n1w2"))
+      val nall = big.agg(count(lit(1)).as("n1all"))
+      big.join(left, Seq("w1")).join(right, Seq("w2"))
+        .crossJoin(broadcast(nall))
+        .filter(col("cnt") >= 5)
+        .select(col("w1"), col("w2"), col("cnt"),
+          expr("(cnt * 1000000L) div c1").as("mle_ppm"),
+          expr("""((4 * cnt - 3) * 1000000L) div (4 * c1)
+                 | + (((3 * n1w1 * 1000000L) div (4 * c1))
+                 |    * ((n1w2 * 1000000L) div n1all)) div 1000000L""".stripMargin)
+            .as("kn_ppm"))
         .orderBy(col("w1"), col("w2"))
     }),
 
@@ -5163,6 +5234,21 @@ object Relational {
                 round(((sxy * nd - sx * sy) * (sxy * nd - sx * sy)) /
                       ((sxx * nd - sx * sx) * (syy * nd - sy * sy)), 6) + 0.0 AS r2
          FROM sl ORDER BY event_type""",
+    // identical ordered ROWS-frame list, identical power-of-two
+    // weighted fold and scaled division (operands non-negative)
+    "q_window_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events WHERE user_id < 20),
+            f AS (SELECT user_id, event_id,
+                         list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fr
+                  FROM e)
+         SELECT user_id, event_id, CAST(len(fr) AS BIGINT) AS n_frame,
+                (CAST(list_sum(list_transform(list_zip(fr, range(1, len(fr) + 1)),
+                   p -> p[1] * (1::BIGINT << CAST(p[2] - 1 AS INTEGER)))) AS BIGINT)
+                 * 100) // ((1::BIGINT << len(fr)) - 1) AS ewma_c100
+         FROM f ORDER BY user_id, event_id""",
     "q_window_ntile" ->
       """SELECT user_id, event_id,
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
@@ -5816,6 +5902,30 @@ object Relational {
                     FROM big GROUP BY 1)
          SELECT b.w1, b.w2, b.cnt, t.tot, (b.cnt * 1000000) // t.tot AS cond_ppm
          FROM big b JOIN tot t ON b.w1 = t.w1
+         WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // identical pair extraction; identical per-term ppm floor
+    // divisions (term1, λ, Pcont, term2 — same factorization, same
+    // order, so every floor lands identically)
+    "q_text_kneser_ney" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE len(string_split(text, ' ')) >= 2),
+            ix AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM d),
+            p AS (SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM ix),
+            big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+                    FROM p GROUP BY 1, 2),
+            lft AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS c1,
+                           CAST(count(*) AS BIGINT) AS n1w1
+                    FROM big GROUP BY 1),
+            rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1w2
+                    FROM big GROUP BY 1),
+            alln AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM big)
+         SELECT b.w1, b.w2, b.cnt,
+                (b.cnt * 1000000) // l.c1 AS mle_ppm,
+                ((4 * b.cnt - 3) * 1000000) // (4 * l.c1)
+                 + (((3 * l.n1w1 * 1000000) // (4 * l.c1))
+                    * ((r.n1w2 * 1000000) // a.n1all)) // 1000000 AS kn_ppm
+         FROM big b JOIN lft l ON b.w1 = l.w1
+                    JOIN rgt r ON b.w2 = r.w2, alln a
          WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
     // window totals over the k-row aggregated frame, identical integer
     // share/weight arithmetic

@@ -907,5 +907,13 @@ class PlanSpec extends SparkSuite {
     val wn = plan("q_text_minimizers")
     assert(wn.contains("Generate") && wn.contains("Window"), wn.take(2000))
     assert(!wn.contains("CartesianProduct"), wn.take(2000))
+    // Kneser-Ney: type-table aggs join back hash-side; the 1-row type
+    // total broadcasts; nothing degrades to a cartesian
+    val kn = plan("q_text_kneser_ney")
+    assert(kn.contains("Broadcast"), kn.take(2000))
+    assert(!kn.contains("CartesianProduct"), kn.take(2000))
+    // EWMA: exactly one window shuffle, no join anywhere
+    val ew = plan("q_window_ewma")
+    assert(ew.contains("Window") && !ew.contains("Join"), ew.take(2000))
   }
 }
