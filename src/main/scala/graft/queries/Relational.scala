@@ -2699,6 +2699,71 @@ object Relational {
         .limit(50)
     }),
 
+    // Reciprocal-rank fusion — the standard hybrid-retrieval combiner:
+    // fuse a LEXICAL ranking (BM25 over the fixed term set, identical
+    // machinery to q_text_bm25) with a VECTOR ranking (exact integer
+    // L2 to the query vector — rank-equivalent to cosine ordering for
+    // retrieval and needs no doubles) via RRF(d) = Σ 1/(60 + rank_r(d))
+    // in exact ppm floor divisions. A document missing from one ranker
+    // contributes 0 for it (FULL OUTER + coalesce — the textbook RRF
+    // treatment of disjoint candidate pools). Both rankings are
+    // corpus-streaming (terms/query broadcast); the fusion join keys on
+    // the shared id, and the final top-10 is one bounded sort. This is
+    // how a 100 TB corpus serves hybrid search from two indexes that
+    // never see each other.
+    "q_text_rrf" -> ((s, dir) => {
+      val qTerms = Seq("stream", "window", "merge", "hash")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val tot = dl.agg(sum(col("dl")).as("tt"), count(lit(1)).as("nd"))
+      val tf = toks.filter(col("tok").isin(qTerms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val lex = tf.join(dl, "doc_id").join(broadcast(dfreq), "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("idf_ppm",
+          expr("(1000000L * (2L * nd - 2L * df + 1L)) div (2L * df + 1L)"))
+        .withColumn("tfs_ppm", expr(
+          """CAST((CAST(44 AS DECIMAL(38,0)) * tt * tf * 1000000)
+            |  div (CAST(20 AS DECIMAL(38,0)) * tt * tf + 6 * tt + 18 * dl * nd)
+            |  AS BIGINT)""".stripMargin))
+        .groupBy(col("doc_id"))
+        .agg(expr("CAST(sum(CAST(idf_ppm AS DECIMAL(38,0)) * tfs_ppm) div 1000000 AS BIGINT)")
+          .as("score_ppm"))
+        // distributed top-k (TakeOrderedAndProject) bounds the list
+        // BEFORE the single-partition ranking window touches it
+        .orderBy(col("score_ppm").desc, col("doc_id")).limit(100)
+        .select(col("doc_id").as("id"), col("score_ppm"),
+          row_number().over(Window.orderBy(col("score_ppm").desc, col("doc_id")))
+            .cast("long").as("rank_lex"))
+        .select(col("id"), col("rank_lex"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"))
+      val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(100)
+        .select(col("vec_id").as("id"), col("d2"),
+          row_number().over(Window.orderBy(col("d2"), col("vec_id")))
+            .cast("long").as("rank_vec"))
+        .select(col("id"), col("rank_vec"))
+      lex.join(vec, Seq("id"), "full_outer")
+        .select(col("id"), col("rank_lex"), col("rank_vec"),
+          (coalesce(expr("1000000L div (60 + rank_lex)"), lit(0L)) +
+           coalesce(expr("1000000L div (60 + rank_vec)"), lit(0L))).as("rrf_ppm"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_ppm").desc, col("id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("id"), col("rank_lex"), col("rank_vec"),
+          col("rrf_ppm"))
+        .orderBy(col("rank"))
+    }),
+
     // dedup — URL canonicalization: the first operator every web-scale
     // corpus runs before any content dedup. A deterministic messy URL
     // is derived per document (mixed-case scheme/host, tracking params,
@@ -3234,6 +3299,33 @@ object Relational {
         .select(col("item"), col("n"), col("score").cast("long").as("score"),
           col("rank_decayed"), col("rank_raw"))
         .orderBy(col("rank_decayed"))
+    }),
+
+    // Conversion-lag cohorts — the activation metric behind every
+    // growth dashboard: per signup-day cohort, how many users signed
+    // up, how many ever purchased AFTER signing up, and the median
+    // signup→first-purchase lag. The per-user reduction is one
+    // conditional min over a left join (purchases BEFORE signup don't
+    // count, users with zero purchases stay as non-converted rows —
+    // the filter rides the aggregation, never drops users); cohort
+    // stats are one hash agg with a null-skipping percentile. At
+    // 100 TB both joins/aggs shard by user, then by cohort day.
+    "q_events_conversion_lag" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts_s")).as("s_ts"))
+      val pu = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_s").as("p_raw"))
+      su.join(pu, Seq("user_id"), "left")
+        .groupBy(col("user_id"), col("s_ts"))
+        .agg(min(when(col("p_raw") >= col("s_ts"), col("p_raw"))).as("p_ts"))
+        .groupBy(expr("s_ts div 86400").as("cohort_day"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("p_ts")).as("n_converted"),
+          round(expr("percentile(p_ts - s_ts, 0.5)"), 4).as("median_lag_s"))
+        .orderBy(col("cohort_day"))
     }),
 
     "q_events_props_json" -> ((s, dir) =>
@@ -5696,6 +5788,53 @@ object Relational {
                      // 1000000 AS BIGINT) AS score_ppm
          FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), tot
          GROUP BY doc_id ORDER BY score_ppm DESC, doc_id LIMIT 50""",
+    // identical BM25 machinery, identical exact-L2 vector ranking,
+    // identical 1/(60+rank) ppm floor terms; QUALIFY ≡ the engine's
+    // deterministic top-k on the same total order
+    "q_text_rrf" ->
+      """WITH u AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            toks AS (SELECT doc_id, tok FROM u WHERE tok <> ''),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            tot AS (SELECT sum(dl)::HUGEINT AS tt, count(*)::HUGEINT AS nd FROM dl),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                   WHERE tok IN ('stream', 'window', 'merge', 'hash')
+                   GROUP BY 1, 2),
+            df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            lexs AS (
+              SELECT doc_id,
+                     CAST(sum( ((1000000::HUGEINT * (2 * nd - 2 * df + 1)) // (2 * df + 1))
+                             * ((44::HUGEINT * tt * tf * 1000000)
+                                // (20::HUGEINT * tt * tf + 6 * tt + 18 * dl.dl * nd)) )
+                          // 1000000 AS BIGINT) AS score_ppm
+              FROM tf JOIN dl USING (doc_id) JOIN df USING (tok), tot
+              GROUP BY doc_id),
+            lex AS (
+              SELECT doc_id AS id,
+                     CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS BIGINT)
+                       AS rank_lex
+              FROM lexs QUALIFY rank_lex <= 100),
+            e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                  FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            vecs AS (
+              SELECT c.vec_id,
+                     list_reduce(list_transform(list_zip(c.v, q.qv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+              FROM e c, q WHERE c.vec_id <> 0),
+            vec AS (
+              SELECT vec_id AS id,
+                     CAST(row_number() OVER (ORDER BY d2, vec_id) AS BIGINT) AS rank_vec
+              FROM vecs QUALIFY rank_vec <= 100),
+            f AS (
+              SELECT COALESCE(l.id, v.id) AS id, l.rank_lex, v.rank_vec,
+                     COALESCE(1000000 // (60 + l.rank_lex), 0)
+                       + COALESCE(1000000 // (60 + v.rank_vec), 0) AS rrf_ppm
+              FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+         SELECT CAST(row_number() OVER (ORDER BY rrf_ppm DESC, id) AS BIGINT) AS rank,
+                id, rank_lex, rank_vec, rrf_ppm
+         FROM f QUALIFY rank <= 10 ORDER BY rank""",
     // same rule chain; the multi-match tracking-param strip needs
     // DuckDB's 'g' flag to mirror Spark's implicit replace-all
     "q_dedup_url" ->
@@ -6059,6 +6198,25 @@ object Relational {
                 CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
                 CAST(count(*) AS BIGINT) AS n_absent
          FROM e GROUP BY 1 ORDER BY 1""",
+    // identical conditional-min reduction; quantile_cont ≡ Spark's
+    // percentile on the null-skipped lag set
+    "q_events_conversion_lag" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+                    FROM events),
+            su AS (SELECT user_id, min(ts_s) AS s_ts FROM e
+                   WHERE event_type = 'signup' GROUP BY 1),
+            pu AS (SELECT user_id, ts_s AS p_raw FROM e
+                   WHERE event_type = 'purchase'),
+            c AS (SELECT su.user_id, su.s_ts,
+                         min(CASE WHEN pu.p_raw >= su.s_ts THEN pu.p_raw END) AS p_ts
+                  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+                  GROUP BY 1, 2)
+         SELECT s_ts // 86400 AS cohort_day,
+                CAST(count(*) AS BIGINT) AS n_signups,
+                CAST(count(p_ts) AS BIGINT) AS n_converted,
+                round(quantile_cont(p_ts - s_ts, 0.5), 4) AS median_lag_s
+         FROM c GROUP BY 1 ORDER BY 1""",
     // identical clamp-at-20 power-of-two weights; HUGEINT sum → BIGINT
     "q_events_trending" ->
       """WITH e AS (

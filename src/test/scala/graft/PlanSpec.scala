@@ -915,5 +915,14 @@ class PlanSpec extends SparkSuite {
     // EWMA: exactly one window shuffle, no join anywhere
     val ew = plan("q_window_ewma")
     assert(ew.contains("Window") && !ew.contains("Join"), ew.take(2000))
+    // RRF: both rankers bound their lists with a distributed top-k
+    // BEFORE the single-partition ranking window; tiny sides broadcast
+    val rr = plan("q_text_rrf")
+    assert(rr.contains("TakeOrderedAndProject"), rr.take(2000))
+    assert(rr.contains("Broadcast"), rr.take(2000))
+    assert(!rr.contains("CartesianProduct"), rr.take(2000))
+    // conversion lag: user-sharded left join + two hash aggs
+    val cl = plan("q_events_conversion_lag")
+    assert(!cl.contains("CartesianProduct"), cl.take(2000))
   }
 }
