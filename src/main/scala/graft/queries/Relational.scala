@@ -2564,6 +2564,47 @@ object Relational {
       graft.core.Sketches.hllSketch(
         t(s, dir, "documents").select(explode(split(col("text"), " ")).as("tok")))),
 
+    // layout 2 — zone-map data skipping, layout A/B: the same rows
+    // bucketed two ways (hash on the join key vs value-range on the
+    // filter column), per-bucket min/max "zone maps" computed for
+    // both, and a fixed 30-day window predicate evaluated AGAINST THE
+    // ZONE MAPS ONLY — reporting how many buckets (and rows) each
+    // layout lets the scan skip. This is the quantified argument for
+    // range-clustering a 100 TB table on its hot filter column: the
+    // hash layout's zones all straddle the predicate (skip ≈ 0), the
+    // range layout's zones are disjoint from it (skip ≈ 1 − 30/span).
+    // The global min/max is a 1-row broadcast; everything else is two
+    // hash aggs over (layout, bucket) — the data is read once per
+    // layout arm and never sorted.
+    "q_table_zonemap" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("d"))
+      val mm = li.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      val b = li.crossJoin(broadcast(mm))
+        .select(col("d"), col("dmin"),
+          (col("l_orderkey") % 64).as("bh"),
+          expr("((d - dmin) * 64) div (dmax - dmin + 1)").as("bs"))
+      val zones = b.select(lit("hash").as("layout"), col("bh").as("bucket"),
+          col("d"), col("dmin"))
+        .union(b.select(lit("range").as("layout"), col("bs").as("bucket"),
+          col("d"), col("dmin")))
+        .groupBy(col("layout"), col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("d")).as("zmin"),
+          max(col("d")).as("zmax"), min(col("dmin")).as("dmin"))
+      zones
+        .withColumn("skip",
+          col("zmax") < col("dmin") + 200 || col("zmin") >= col("dmin") + 230)
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("skip"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(when(col("skip"), col("n")).otherwise(0L)).as("rows_skipped"),
+          sum(col("n")).as("rows_total"))
+        .select(col("layout"), col("n_buckets"), col("n_skipped"),
+          col("rows_skipped"),
+          expr("(rows_skipped * 1000000L) div rows_total").as("skip_ppm"))
+        .orderBy(col("layout"))
+    }),
+
     // layout — z-order (Morton) clustering summary: bit-interleave two
     // join/filter dimensions into one z-value, bucket by the z-prefix,
     // and report per-bucket extents. The per-bucket min/max columns ARE
@@ -5703,6 +5744,32 @@ object Relational {
          SELECT CAST(64 AS BIGINT) AS m, CAST(nonzero AS BIGINT) AS nonzero, s_scaled,
                 round(0.709::DOUBLE * 64 * 64 * 2251799813685248.0 / s_scaled, 3) AS hll_est
          FROM agg""",
+    // identical two-layout bucketing, zone maps, and window predicate
+    // evaluated against zones only
+    "q_table_zonemap" ->
+      """WITH li AS (SELECT l_orderkey,
+                            CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+                     FROM lineitem),
+            mm AS (SELECT min(d) AS dmin, max(d) AS dmax FROM li),
+            b AS (SELECT d, dmin, l_orderkey % 64 AS bh,
+                         ((d - dmin) * 64) // (dmax - dmin + 1) AS bs
+                  FROM li, mm),
+            z AS (SELECT 'hash' AS layout, bh AS bucket, d, dmin FROM b
+                  UNION ALL
+                  SELECT 'range' AS layout, bs AS bucket, d, dmin FROM b),
+            zones AS (SELECT layout, bucket, count(*) AS n, min(d) AS zmin,
+                             max(d) AS zmax, min(dmin) AS dmin
+                      FROM z GROUP BY 1, 2),
+            sk AS (SELECT layout, n,
+                          CASE WHEN zmax < dmin + 200 OR zmin >= dmin + 230
+                               THEN 1 ELSE 0 END AS skip
+                   FROM zones)
+         SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(skip) AS BIGINT) AS n_skipped,
+                CAST(sum(CASE WHEN skip = 1 THEN n ELSE 0 END) AS BIGINT) AS rows_skipped,
+                (CAST(sum(CASE WHEN skip = 1 THEN n ELSE 0 END) AS BIGINT) * 1000000)
+                  // CAST(sum(n) AS BIGINT) AS skip_ppm
+         FROM sk GROUP BY 1 ORDER BY 1""",
     // identical unrolled interleave formula (generated from the same
     // helper) — the z-values agree bit-for-bit across engines
     "q_zorder_layout" ->

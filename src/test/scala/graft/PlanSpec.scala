@@ -924,5 +924,10 @@ class PlanSpec extends SparkSuite {
     // conversion lag: user-sharded left join + two hash aggs
     val cl = plan("q_events_conversion_lag")
     assert(!cl.contains("CartesianProduct"), cl.take(2000))
+    // zone maps: the 1-row min/max broadcasts; no sort of the data
+    // anywhere (range-bucketing is arithmetic, not a global ordering)
+    val zm = plan("q_table_zonemap")
+    assert(zm.contains("Broadcast"), zm.take(2000))
+    assert(!zm.contains("CartesianProduct"), zm.take(2000))
   }
 }
