@@ -2446,6 +2446,51 @@ object Relational {
         .orderBy(col("dims"))
     }),
 
+    // MMR diversity re-ranking — maximal marginal relevance at λ=1/2
+    // over similarity = −(exact integer L2): after the DISTRIBUTED
+    // top-20 pool selection (query broadcast, candidates stream,
+    // TakeOrderedAndProject bounds the list), the greedy k=5 selection
+    // is O(k·|pool|) driver math on the 20 collected vectors — the
+    // bounded-collect pattern every production reranker uses (the
+    // corpus-sized work is the pool selection; rerank state is 20×64
+    // longs). score(c) = −d2(q,c) + min_{s∈selected} d2(c,s), argmax
+    // with min-id tie-break; the oracle unrolls the identical greedy
+    // steps as correlated-subquery CTEs. This is the diversity pass
+    // between retrieval and context assembly in RAG dataset curation.
+    "q_ann_mmr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val qv = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val pool = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("v"),
+          expr("aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2q"))
+        .orderBy(col("d2q"), col("vec_id")).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      def d2(a: Array[Long], b: Array[Long]): Long = {
+        var s = 0L; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        s
+      }
+      val first = pool.minBy { case (id, _, dq) => (dq, id) }
+      var selected = Vector(first)
+      while (selected.size < 5) {
+        val chosen = pool.filterNot(c => selected.exists(_._1 == c._1))
+          .map { case (id, v, dq) =>
+            (id, v, dq, -dq + selected.map(sv => d2(v, sv._2)).min)
+          }
+          // argmax score, tie-break smallest id (maxBy on (score, -id))
+          .maxBy { case (id, _, _, sc) => (sc, -id) }
+        selected :+= ((chosen._1, chosen._2, chosen._3))
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, _, dq), i) => (i.toLong + 1, id, dq) }
+        .toDF("ord", "vec_id", "d2q")
+        .orderBy(col("ord"))
+    }),
+
     // Hard-negative mining — the retrieval/embedding-training data
     // step: for each query vector, the top-3 most-similar candidates
     // with a DIFFERENT label (same label = positive; the high-cosine
@@ -4770,8 +4815,52 @@ object Relational {
     sb.toString
   }
 
+  /** Unrolled greedy replay of q_ann_mmr: identical top-20 pool,
+    * identical score = −d2q + min d2-to-selected, identical argmax with
+    * min-id tie-break, one CTE pair per selection step. */
+  private def mmrOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH e AS (SELECT vec_id,
+             |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+             |  FROM embeddings),
+             |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+             |pool AS MATERIALIZED (
+             |  SELECT c.vec_id AS cid, c.v,
+             |         list_reduce(list_transform(list_zip(c.v, q.qv),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2q
+             |  FROM e c, q WHERE c.vec_id <> 0
+             |  ORDER BY d2q, cid LIMIT 20),
+             |pd AS MATERIALIZED (
+             |  SELECT a.cid AS a, b.cid AS b,
+             |         list_reduce(list_transform(list_zip(a.v, b.v),
+             |           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+             |  FROM pool a JOIN pool b ON a.cid <> b.cid),
+             |sel1 AS (SELECT cid, CAST(1 AS BIGINT) AS ord
+             |         FROM pool ORDER BY d2q, cid LIMIT 1)""".stripMargin
+    for (r <- 2 to k) {
+      sb ++= s""",
+                |c$r AS (
+                |  SELECT p.cid,
+                |         -p.d2q + (SELECT min(pd.d2) FROM pd
+                |                   WHERE pd.a = p.cid
+                |                     AND pd.b IN (SELECT cid FROM sel${r - 1})) AS score
+                |  FROM pool p
+                |  WHERE p.cid NOT IN (SELECT cid FROM sel${r - 1})),
+                |sel$r AS (
+                |  SELECT * FROM sel${r - 1}
+                |  UNION ALL
+                |  SELECT cid, CAST($r AS BIGINT) AS ord
+                |  FROM (SELECT cid FROM c$r ORDER BY score DESC, cid LIMIT 1))""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT s.ord, s.cid AS vec_id, p.d2q
+              |FROM sel$k s JOIN pool p ON p.cid = s.cid ORDER BY s.ord""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    "q_ann_mmr" -> mmrOracleSql(5),
     "q_ann_pq_lloyd" -> pqLloydOracleSql(8, 3),
     "q_embed_power_iter" -> powerIterOracleSql(3),
     // same packed (hash, reversed-pos) argmin; `//`/`%` on non-negatives

@@ -104,6 +104,29 @@ class AnnSpec extends SparkSuite {
     assert(rT >= 0.2, s"degenerate trained-codebook recall $rT")
   }
 
+  test("MMR selection is strictly more diverse than the plain top-5") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val q = vecs(0L)
+    val plainTop5 = vecs.toSeq.filter(_._1 != 0L)
+      .sortBy { case (id, v) => (d2(q, v), id) }.take(5).map(_._1)
+    val mmr = graft.queries.Relational.queries("q_ann_mmr")(spark, dir)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    def minPairwise(ids: Seq[Long]): Long =
+      (for (a <- ids; b <- ids if a < b) yield d2(vecs(a), vecs(b))).min
+    val (dM, dP) = (minPairwise(mmr), minPairwise(plainTop5))
+    info(s"min pairwise d2: mmr=$dM plain=$dP")
+    // the first pick ties the plain ranking; diversity must not regress
+    // and on this corpus is strictly better
+    assert(dM > dP, s"MMR selection no more diverse than plain top-5: $dM <= $dP")
+  }
+
   test("power iteration raises the Rayleigh quotient over the start vector") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
