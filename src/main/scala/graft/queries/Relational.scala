@@ -3387,6 +3387,71 @@ object Relational {
         .orderBy(col("rank_decayed"))
     }),
 
+    // Band self-join (|x−y| ≤ δ) without a theta join — the
+    // pre-aggregate-then-bucket trick: collapse events to the VALUE
+    // grain first (one hash agg — the pair math then rides counts, so
+    // a hot value contributes arithmetic, not row blowup), bucket by
+    // c div 4 (δ=3 < 4 ⇒ a partner lives in the same or next bucket),
+    // fan each probe value to its 2 candidate buckets with a 2-row
+    // explode, and equi-join on (type, bucket) with the band predicate
+    // riding the join. Same-value pairs are C(n,2) closed-form. The
+    // count of close pairs is exact and the shuffle is value-grain —
+    // the shape that survives a 100 TB skewed-value event log where
+    // the naive self-join is quadratic in the hottest value.
+    "q_join_band" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val vals = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds the probe, build, and C(n,2) arms
+      val a = vals.withColumn("pb",
+        explode(array(expr("c div 4"), expr("c div 4 + 1"))))
+      val b = vals.select(col("event_type").as("bt"), col("c").as("cb"),
+        col("n").as("nb"), expr("c div 4").as("bb"))
+      val crossP = a.join(b, col("event_type") === col("bt") &&
+          col("pb") === col("bb") &&
+          col("cb") > col("c") && col("cb") - col("c") <= 3)
+        .groupBy(col("event_type"))
+        .agg(expr(s"cast(sum(cast(n as $dec) * nb) as bigint)").as("cross_pairs"))
+      vals.groupBy(col("event_type"))
+        .agg(expr(s"cast(sum(cast(n * (n - 1) div 2 as $dec)) as bigint)")
+          .as("same_pairs"), count(lit(1)).as("n_values"))
+        .join(crossP, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_values"),
+          (coalesce(col("cross_pairs"), lit(0L)) + col("same_pairs"))
+            .as("n_close_pairs"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Last-touch attribution — assign each purchase's revenue to the
+    // user's most recent click within the 7 preceding days. The whole
+    // lookup is ONE RANGE-framed window over the user's event stream:
+    // click rows contribute (ts, item) packed into a single bigint
+    // (ts·1024 + item — item < 1024 by construction), purchases read
+    // max() over RANGE 604800 PRECEDING, and decode item = enc % 1024;
+    // max on the packed key IS "latest click wins" with no join, no
+    // self-join, no per-purchase subquery. Purchases with no click in
+    // the lookback attribute to item −1. One shuffle by user; the
+    // attribution agg shards by item.
+    "q_events_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-604800L, 0L)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .withColumn("click_enc",
+          when(col("event_type") === "click",
+            col("ts_s") * 1024L + col("item")))
+        .withColumn("last_click", max(col("click_enc")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(pmod(col("last_click"), lit(1024L)), lit(-1L))
+          .as("attr_item"), col("c"))
+        .groupBy(col("attr_item"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("c")).as("revenue_cents"))
+        .orderBy(col("attr_item"))
+    }),
+
     // Conversion-lag cohorts — the activation metric behind every
     // growth dashboard: per signup-day cohort, how many users signed
     // up, how many ever purchased AFTER signing up, and the median
@@ -6354,6 +6419,50 @@ object Relational {
                 CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k,
                 CAST(count(*) AS BIGINT) AS n_absent
          FROM e GROUP BY 1 ORDER BY 1""",
+    // identical value-grain pre-aggregation, 2-bucket fan-out, and
+    // closed-form C(n,2); HUGEINT casts mirror the decimal accumulators
+    "q_join_band" ->
+      """WITH vals AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, c, n, unnest([c // 4, c // 4 + 1]) AS pb
+                  FROM vals),
+            b AS (SELECT event_type AS bt, c AS cb, n AS nb, c // 4 AS bb
+                  FROM vals),
+            crossp AS (
+              SELECT a.event_type,
+                     CAST(sum(CAST(a.n AS HUGEINT) * b.nb) AS BIGINT) AS cross_pairs
+              FROM a JOIN b ON a.event_type = b.bt AND a.pb = b.bb
+                           AND b.cb > a.c AND b.cb - a.c <= 3
+              GROUP BY 1),
+            same AS (
+              SELECT event_type,
+                     CAST(sum(CAST(n * (n - 1) // 2 AS HUGEINT)) AS BIGINT) AS same_pairs,
+                     CAST(count(*) AS BIGINT) AS n_values
+              FROM vals GROUP BY 1)
+         SELECT s.event_type, s.n_values,
+                COALESCE(c.cross_pairs, 0) + s.same_pairs AS n_close_pairs
+         FROM same s LEFT JOIN crossp c ON s.event_type = c.event_type
+         ORDER BY 1""",
+    // identical packed-bigint RANGE-frame lookup; % on non-negatives
+    "q_events_attribution" ->
+      """WITH e AS (SELECT user_id, event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+                    FROM events),
+            w AS (SELECT *,
+                         max(CASE WHEN event_type = 'click'
+                                  THEN ts_s * 1024 + item END)
+                           OVER (PARTITION BY user_id ORDER BY ts_s
+                                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                           AS last_click
+                  FROM e)
+         SELECT COALESCE(last_click % 1024, -1) AS attr_item,
+                CAST(count(*) AS BIGINT) AS n_purchases,
+                CAST(sum(c) AS BIGINT) AS revenue_cents
+         FROM w WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     // identical conditional-min reduction; quantile_cont ≡ Spark's
     // percentile on the null-skipped lag set
     "q_events_conversion_lag" ->

@@ -929,5 +929,14 @@ class PlanSpec extends SparkSuite {
     val zm = plan("q_table_zonemap")
     assert(zm.contains("Broadcast"), zm.take(2000))
     assert(!zm.contains("CartesianProduct"), zm.take(2000))
+    // attribution: ONE RANGE-framed window, no join of any kind
+    val at = plan("q_events_attribution")
+    assert(at.contains("Window") && !at.contains("Join"), at.take(2000))
+    // band join: value-grain fan-out joins on (type, bucket) — an
+    // equi hash/merge join, never a theta/cartesian
+    val bj = plan("q_join_band")
+    assert(bj.contains("Generate"), bj.take(2000))
+    assert(!bj.contains("CartesianProduct") &&
+      !bj.contains("BroadcastNestedLoopJoin"), bj.take(2000))
   }
 }
