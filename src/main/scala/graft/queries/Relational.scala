@@ -3125,6 +3125,59 @@ object Relational {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // Gini concentration per source — the inequality measure curation
+    // dashboards put next to the mixture table: how unevenly document
+    // mass (n_chars) is distributed within each source. Exact integer
+    // form of the rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) on
+    // the ascending (x, doc_id) order — permuting tied x values leaves
+    // Σi·xᵢ unchanged, so the doc_id tiebreak is for determinism, not
+    // semantics. One window (rank within source) + one hash agg;
+    // decimal(38,0) accumulators so n²·x never wraps at any SF.
+    "q_agg_gini" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val dec = "decimal(38,0)"
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast(dec)).as("sx"),
+          sum((col("i") * col("n_chars")).cast(dec)).as("sxi"))
+        .select(col("source"), col("n"),
+          expr(s"""cast(((2 * sxi - (n + 1) * sx) * 1000000)
+                  |  div (cast(n as $dec) * sx) as bigint)""".stripMargin)
+            .as("gini_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Pareto concentration — the 80/20 readout: per event type, what
+    // share of total value the top decile of users contributes. Users
+    // aggregate first (one hash agg), rank by (total desc, user_id)
+    // within type, k = ceil(n/10) in integer form, and the share is
+    // one ppm floor division. Window is over the USER-grain aggregate
+    // (bounded by distinct users per type), never the event stream.
+    "q_events_power_users" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tot").desc, col("user_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("c")).as("tot"))
+        .withColumn("r", row_number().over(w).cast("long"))
+        .withColumn("nu",
+          count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("tot")).as("total_cents"),
+          sum(when(col("r") <= expr("(nu + 9) div 10"), col("tot"))
+            .otherwise(0L)).as("top_cents"))
+        .select(col("event_type"), col("n_users"), col("total_cents"),
+          col("top_cents"),
+          expr("(top_cents * 1000000L) div total_cents").as("top_decile_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
     // Mixture rebalancing — the source-reweighting computation every
     // training-corpus recipe starts from: per-source token mass, its
     // ppm share, and the scaled-integer weight that would equalize the
@@ -6287,6 +6340,38 @@ object Relational {
          FROM big b JOIN lft l ON b.w1 = l.w1
                     JOIN rgt r ON b.w2 = r.w2, alln a
          WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // identical rank formula on the identical ascending order; HUGEINT
+    // mirrors the decimal accumulators
+    "q_agg_gini" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+                           CAST(row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars, doc_id) AS BIGINT) AS i
+                    FROM documents),
+            a AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(n_chars AS HUGEINT)) AS sx,
+                         sum(CAST(i * n_chars AS HUGEINT)) AS sxi
+                  FROM r GROUP BY 1)
+         SELECT source, n,
+                CAST(((2 * sxi - (n + 1) * sx) * 1000000)
+                     // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+         FROM a ORDER BY source""",
+    // identical user-grain aggregate, rank, ceil-decile and ppm share
+    "q_events_power_users" ->
+      """WITH u AS (SELECT event_type, user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+                    FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, user_id, tot,
+                         CAST(row_number() OVER (PARTITION BY event_type
+                           ORDER BY tot DESC, user_id) AS BIGINT) AS r,
+                         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nu
+                  FROM u)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(tot) AS BIGINT) AS total_cents,
+                CAST(sum(CASE WHEN r <= (nu + 9) // 10 THEN tot ELSE 0 END) AS BIGINT)
+                  AS top_cents,
+                (CAST(sum(CASE WHEN r <= (nu + 9) // 10 THEN tot ELSE 0 END) AS BIGINT)
+                  * 1000000) // CAST(sum(tot) AS BIGINT) AS top_decile_ppm
+         FROM r GROUP BY 1 ORDER BY 1""",
     // window totals over the k-row aggregated frame, identical integer
     // share/weight arithmetic
     "q_sample_mixture" ->

@@ -938,5 +938,10 @@ class PlanSpec extends SparkSuite {
     assert(bj.contains("Generate"), bj.take(2000))
     assert(!bj.contains("CartesianProduct") &&
       !bj.contains("BroadcastNestedLoopJoin"), bj.take(2000))
+    // concentration metrics: windows over aggregates, no joins
+    for (name <- Seq("q_agg_gini", "q_events_power_users")) {
+      val p = plan(name)
+      assert(p.contains("Window") && !p.contains("Join"), name + ": " + p.take(1500))
+    }
   }
 }
