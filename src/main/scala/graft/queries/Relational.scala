@@ -373,17 +373,26 @@ object Relational {
     * truncation agree and DuckDB's `//` replays it bit-for-bit. */
   private[graft] def powerIterTop(s: SparkSession, dir: String,
       iters: Int = 3): DataFrame = {
+    // G is symmetric — generate only the upper triangle (2080 of 4096
+    // cells, half the rows through the hash agg) and mirror on the
+    // driver; exactness is untouched
     val gram = t(s, dir, "embeddings")
       .select(expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
       .select(explode(expr(
-        """flatten(transform(v, (xi, i) ->
-           |  transform(v, (xj, j) ->
-           |    named_struct('i', i, 'j', j, 'p', xi * xj))))""".stripMargin)).as("c"))
+        """flatten(transform(sequence(1, 64), i ->
+           |  transform(sequence(i, 64), j ->
+           |    named_struct('i', i - 1, 'j', j - 1,
+           |      'p', element_at(v, cast(i as int)) * element_at(v, cast(j as int))))))""".stripMargin))
+        .as("c"))
       .groupBy(col("c.i").as("i"), col("c.j").as("j"))
       .agg(sum(col("c.p").cast("decimal(38,0)")).as("g"))
     val G = Array.ofDim[BigInt](64, 64)
-    for (r <- gram.collect())
-      G(r.getInt(0))(r.getInt(1)) = BigInt(r.getDecimal(2).toBigInteger)
+    for (r <- gram.collect()) {
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getDecimal(2).toBigInteger)
+      G(i)(j) = v
+      G(j)(i) = v
+    }
     var x = Array.fill(64)(BigInt(1000))
     for (_ <- 1 to iters) {
       val y = Array.tabulate(64)(i =>
@@ -2274,16 +2283,22 @@ object Relational {
     // density ppm. Positions are < 2^20 by construction (transcript
     // cells; guard documented), so the packing never collides.
     "q_text_minimizers" -> ((s, dir) => {
+      // the char-code array is computed ONCE per doc (one regex pass),
+      // then every gram hash is an unrolled 5-step fold over array
+      // slots — identical value to the per-gram aggregate fold, ~2×
+      // faster (no per-position regex/substring)
+      val h5 = (1 to 4).foldLeft("element_at(cs, cast(p as int))") {
+        case (acc, k) =>
+          s"pmod(($acc) * 31 + element_at(cs, cast(p + $k as int)), 1000000007L)"
+      }
       val grams = t(s, dir, "documents")
         .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), expr(
+          "transform(regexp_extract_all(text, '.', 0), c -> cast(ascii(c) as bigint))")
+          .as("cs"))
         .select(col("doc_id"), explode(expr(
-          """transform(sequence(1, length(text) - 4),
-             |  p -> named_struct(
-             |    'pos', cast(p as bigint),
-             |    'h', aggregate(
-             |      slice(regexp_extract_all(substring(text, p, 5), '.', 0), 2, 5),
-             |      cast(ascii(substring(text, p, 1)) as bigint),
-             |      (acc, c) -> pmod(acc * 31 + ascii(c), 1000000007L))))""".stripMargin))
+          s"""transform(sequence(1, size(cs) - 4),
+             |  p -> named_struct('pos', cast(p as bigint), 'h', $h5))""".stripMargin))
           .as("g"))
         .select(col("doc_id"), col("g.pos").as("pos"),
           (col("g.h") * lit(1048576L) + (lit(1048575L) - col("g.pos"))).as("key"))
