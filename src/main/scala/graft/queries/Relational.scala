@@ -1861,6 +1861,36 @@ object Relational {
         .orderBy(col("event_type"))
     }),
 
+    // Rolling regression slope — the five-sum OLS trick lifted onto a
+    // ROWS frame: per user, the trend of spend vs time over the
+    // trailing ≤30 events, from five windowed integer sums (n, Σx, Σy,
+    // Σxy, Σx²) over the same frame. x is re-origined to the 2024-01-01
+    // epoch so x²·30 stays far below a long at any SF; the one double
+    // division is guarded by nullif(denom, 0) in BOTH engines (Spark's
+    // 0/0 NaN vs DuckDB's NULL would otherwise diverge on degenerate
+    // frames). One window shuffle by user — the streaming-adjacent
+    // trend feature a 100 TB event log computes per entity.
+    "q_window_rolling_slope" -> ((s, dir) => {
+      val fr = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id")).rowsBetween(-29, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("y"))
+        .withColumn("x", col("ts_s") - 1704067200L)
+        .withColumn("n", count(lit(1)).over(fr).cast("long"))
+        .withColumn("sx", sum(col("x")).over(fr))
+        .withColumn("sy", sum(col("y")).over(fr))
+        .withColumn("sxy", sum(col("x") * col("y")).over(fr))
+        .withColumn("sxx", sum(col("x") * col("x")).over(fr))
+        .select(col("user_id"), col("event_id"), col("n").as("n_frame"),
+          (round(expr("""(cast(n as double) * sxy - cast(sx as double) * sy)
+                        | / nullif(cast(n as double) * sxx
+                        |          - cast(sx as double) * sx, 0.0d)""".stripMargin), 6)
+            + lit(0.0)).as("slope"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // Exponentially weighted rolling value — the smoothed-metric
     // window every monitoring/feature pipeline wants next to plain
     // rolling means: per user, each event's EWMA over its last ≤8
@@ -3097,6 +3127,54 @@ object Relational {
           expr("(cnt * 1000000L) div tot").as("cond_ppm"))
         .orderBy(col("w1"), col("w2"))
     }),
+
+    // Vocabulary coverage curve — what share of total token mass the
+    // top-k most frequent words carry, at k ∈ {10, 100, 1000}: the
+    // no-logarithm Zipf readout behind stopword lists and vocab-size
+    // decisions. The corpus collapses to the VOCAB grain first (one
+    // hash agg); the rank window runs over word types, never tokens;
+    // coverage is three conditional sums in one agg, exact ppm.
+    "q_text_coverage" -> ((s, dir) => {
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds the totals arm and the top-k arm
+      val tot = vocab.agg(count(lit(1)).as("vocab"), sum(col("cnt")).as("mass"))
+      // distributed top-k bounds the list BEFORE the rank window — the
+      // window orders 1000 rows, never the vocabulary
+      val top = vocab.orderBy(col("cnt").desc, col("tok")).limit(1000)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("cnt").desc, col("tok"))).cast("long"))
+        .agg(sum(when(col("r") <= 10, col("cnt")).otherwise(0L)).as("m10"),
+          sum(when(col("r") <= 100, col("cnt")).otherwise(0L)).as("m100"),
+          sum(col("cnt")).as("m1000"))
+      tot.crossJoin(broadcast(top))
+        .select(col("vocab"), col("mass"),
+          expr("(m10 * 1000000L) div mass").as("cov10_ppm"),
+          expr("(m100 * 1000000L) div mass").as("cov100_ppm"),
+          expr("(m1000 * 1000000L) div mass").as("cov1000_ppm"))
+    }),
+
+    // Hapax ratio per source — the vocabulary-growth quality signal:
+    // the share of word TYPES that occur exactly once in the source
+    // (high hapax ⇒ open vocabulary / noisy text; near-zero ⇒
+    // templated or collapsed text), next to the type/token ratio in
+    // the same pass. Two hash aggs (token → (source, word) counts →
+    // per-source rollup); everything shards by source at 100 TB.
+    "q_text_hapax" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(col("cnt")).as("tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+        .select(col("source"), col("vocab"), col("tokens"), col("hapax"),
+          expr("(hapax * 1000000L) div vocab").as("hapax_ppm"),
+          expr("(vocab * 1000000L) div tokens").as("ttr_ppm"))
+        .orderBy(col("source"))),
 
     // Interpolated Kneser-Ney bigram smoothing — the LM-quality
     // companion to q_text_bigram_lm's raw MLE table: discount D=3/4
@@ -5589,6 +5667,28 @@ object Relational {
                 round(((sxy * nd - sx * sy) * (sxy * nd - sx * sy)) /
                       ((sxx * nd - sx * sx) * (syy * nd - sy * sy)), 6) + 0.0 AS r2
          FROM sl ORDER BY event_type""",
+    // identical five windowed sums on the identical frame; the single
+    // double formula mirrors cast placement and the nullif guard
+    "q_window_rolling_slope" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS y
+                    FROM events WHERE user_id < 20),
+            w AS (SELECT user_id, event_id,
+                         ts_s - 1704067200 AS x, y,
+                         CAST(count(*) OVER fr AS BIGINT) AS n,
+                         CAST(sum(ts_s - 1704067200) OVER fr AS BIGINT) AS sx,
+                         CAST(sum(y) OVER fr AS BIGINT) AS sy,
+                         CAST(sum((ts_s - 1704067200) * y) OVER fr AS BIGINT) AS sxy,
+                         CAST(sum((ts_s - 1704067200) * (ts_s - 1704067200)) OVER fr AS BIGINT) AS sxx
+                  FROM e
+                  WINDOW fr AS (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, n AS n_frame,
+                round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / nullif(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0.0),
+                      6) + 0.0 AS slope
+         FROM w ORDER BY user_id, event_id""",
     // identical ordered ROWS-frame list, identical power-of-two
     // weighted fold and scaled division (operands non-negative)
     "q_window_ewma" ->
@@ -6331,6 +6431,38 @@ object Relational {
          SELECT b.w1, b.w2, b.cnt, t.tot, (b.cnt * 1000000) // t.tot AS cond_ppm
          FROM big b JOIN tot t ON b.w1 = t.w1
          WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // global-rank form ≡ the engine's top-k-then-rank on the same
+    // deterministic order
+    "q_text_coverage" ->
+      """WITH u AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            v AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM u WHERE tok <> '' GROUP BY 1),
+            r AS (SELECT cnt,
+                         CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS r
+                  FROM v)
+         SELECT CAST(count(*) AS BIGINT) AS vocab,
+                CAST(sum(cnt) AS BIGINT) AS mass,
+                (CAST(sum(CASE WHEN r <= 10 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) AS BIGINT) AS cov10_ppm,
+                (CAST(sum(CASE WHEN r <= 100 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) AS BIGINT) AS cov100_ppm,
+                (CAST(sum(CASE WHEN r <= 1000 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) AS BIGINT) AS cov1000_ppm
+         FROM r""",
+    // identical (source, word)-grain counts and per-source rollup
+    "q_text_hapax" ->
+      """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            w AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM u WHERE tok <> '' GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+                CAST(sum(cnt) AS BIGINT) AS tokens,
+                CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+                (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                  // CAST(count(*) AS BIGINT) AS hapax_ppm,
+                (CAST(count(*) AS BIGINT) * 1000000)
+                  // CAST(sum(cnt) AS BIGINT) AS ttr_ppm
+         FROM w GROUP BY 1 ORDER BY 1""",
     // identical pair extraction; identical per-term ppm floor
     // divisions (term1, λ, Pcont, term2 — same factorization, same
     // order, so every floor lands identically)

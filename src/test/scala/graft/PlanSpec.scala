@@ -943,5 +943,16 @@ class PlanSpec extends SparkSuite {
       val p = plan(name)
       assert(p.contains("Window") && !p.contains("Join"), name + ": " + p.take(1500))
     }
+    // rolling slope: one window shuffle, five frame sums, no join
+    val rs = plan("q_window_rolling_slope")
+    assert(rs.contains("Window") && !rs.contains("Join"), rs.take(2000))
+    // coverage: the rank window runs AFTER the distributed top-k
+    val cv = plan("q_text_coverage")
+    assert(cv.contains("TakeOrderedAndProject"), cv.take(2000))
+    assert(!cv.contains("CartesianProduct"), cv.take(2000))
+    // hapax: two hash aggs, nothing else
+    val hx = plan("q_text_hapax")
+    assert(hx.contains("HashAggregate") && !hx.contains("Join") &&
+      !hx.contains("Window"), hx.take(2000))
   }
 }
