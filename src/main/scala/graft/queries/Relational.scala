@@ -3960,6 +3960,59 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // graph 6 — link prediction features: for every OPEN wedge (2-hop
+    // pair that is NOT already an edge), the common-neighbor count and
+    // neighbor-set Jaccard — the classic "who should be connected"
+    // scores, and in dedup terms the transitive-pair candidates the
+    // banding missed. Wedge build is one equi-join on the middle
+    // vertex, open-ness is one anti join against the edge list,
+    // degrees attach by two more equi-joins, and the top-20 is a
+    // distributed TakeOrdered — exact integer ppm, no cartesian, all
+    // sharded by vertex at 100 TB.
+    "q_graph_link_pred" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val cand = edges.as("e1").join(edges.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+        .groupBy(col("a"), col("c")).agg(count(lit(1)).as("cn"))
+        .join(pr, col("a") === col("ia") && col("c") === col("ib"), "left_anti")
+      cand
+        .join(deg.select(col("src").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("src").as("c"), col("deg").as("dc")), Seq("c"))
+        .select(col("a"), col("c"), col("cn"), col("da"), col("dc"),
+          expr("(cn * 1000000L) div (da + dc - cn)").as("jaccard_ppm"))
+        .orderBy(col("cn").desc, col("a"), col("c")).limit(20)
+    }),
+
+    // Class-balanced downsampling — equalize every label to the
+    // MINORITY class size with a deterministic md5 order: the
+    // imbalance fix applied before classifier training. The per-class
+    // quota is the one collected scalar (bounded driver state, the
+    // kmeans-centroid pattern); selection runs through the NATIVE
+    // TopKPerKey operator — partial per-partition heaps below the
+    // label exchange, so at most k rows per label per partition
+    // shuffle, never a full per-label sort. Output proves selection
+    // identity via count + id-sum checksums per label.
+    "q_sample_balanced" -> ((s, dir) => {
+      val lab = t(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n_orig"))
+      val minN = lab.agg(min(col("n_orig"))).head().getLong(0).toInt
+      val ranked = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"),
+          md5(col("vec_id").cast("string")).as("hkey"))
+      graft.functions.TopK.topKPerKey(ranked, minN,
+          Seq(col("label")), Seq(col("hkey").asc, col("vec_id").asc))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("kept_sum"))
+        .join(broadcast(lab), Seq("label"))
+        .select(col("label").cast("long").as("label"), col("n_orig"),
+          col("n_kept"), col("kept_sum"))
+        .orderBy(col("label"))
+    }),
+
     // graph 5 — multi-source BFS shortest-path distance: hop distance
     // from the seed set (vertices with doc_id < 50) to every vertex
     // within 4 hops over the near-dup graph. The missing primitive
@@ -6930,6 +6983,45 @@ object Relational {
                  AND e.dst IN (SELECT src FROM k$r))""").mkString + """
        SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
        FROM e8 GROUP BY src ORDER BY doc_id"""),
+    // identical wedge/anti-join/degree joins and top-20 total order
+    "q_graph_link_pred" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       cn AS (SELECT e1.src AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS cn
+              FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+              GROUP BY 1, 2),
+       openw AS (SELECT cn.* FROM cn
+                 WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                   WHERE p.ia = cn.a AND p.ib = cn.c))
+       SELECT o.a, o.c, o.cn, da.deg AS da, dc.deg AS dc,
+              (o.cn * 1000000) // (da.deg + dc.deg - o.cn) AS jaccard_ppm
+       FROM openw o JOIN deg da ON da.src = o.a JOIN deg dc ON dc.src = o.c
+       ORDER BY o.cn DESC, o.a, o.c LIMIT 20"""),
+    // identical md5 order, per-label quota = min class size
+    "q_sample_balanced" ->
+      """WITH l AS (SELECT label, CAST(count(*) AS BIGINT) AS n_orig
+                    FROM embeddings GROUP BY 1),
+            m AS (SELECT min(n_orig) AS min_n FROM l),
+            r AS (SELECT label, vec_id,
+                         row_number() OVER (PARTITION BY label
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS r
+                  FROM embeddings),
+            k AS (SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+                         CAST(sum(vec_id) AS BIGINT) AS kept_sum
+                  FROM r, m WHERE r.r <= m.min_n GROUP BY 1)
+         SELECT CAST(l.label AS BIGINT) AS label, l.n_orig, k.n_kept, k.kept_sum
+         FROM l JOIN k ON l.label = k.label ORDER BY 1""",
     // 4 BFS rounds unrolled; a converged round is a no-op, so the
     // engine's early exit returns the identical relation
     "q_graph_sssp" -> (simhashCte(" WHERE doc_id < 1000") + """,

@@ -954,5 +954,15 @@ class PlanSpec extends SparkSuite {
     val hx = plan("q_text_hapax")
     assert(hx.contains("HashAggregate") && !hx.contains("Join") &&
       !hx.contains("Window"), hx.take(2000))
+    // link prediction: wedge equi-join + anti join, top-20 is a
+    // distributed TakeOrdered, no cartesian
+    val lp = plan("q_graph_link_pred")
+    assert(lp.contains("TakeOrderedAndProject"), lp.take(2000))
+    assert(!lp.contains("CartesianProduct"), lp.take(2000))
+    // balanced sampling runs the native per-key top-k (partial heaps
+    // below the label exchange), not a window rank
+    val sb = plan("q_sample_balanced")
+    assert(sb.contains("TopKPerKey") || sb.contains("topk"), sb.take(2000))
+    assert(!sb.contains("Window"), sb.take(2000))
   }
 }
