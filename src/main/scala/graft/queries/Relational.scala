@@ -3218,6 +3218,31 @@ object Relational {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // Weighted median — the robust price point: per return flag, the
+    // smallest price v where the cumulative quantity weight reaches
+    // half the total (2·cumw ≥ totw — all-integer, no interpolation
+    // ambiguity). Collapses to the VALUE grain first (one hash agg, so
+    // the cumsum window runs over distinct prices, not line items),
+    // then one cumulative window + one conditional min. The weighted
+    // quantile machinery behind cost models and fair-price audits.
+    "q_agg_weighted_median" -> ((s, dir) => {
+      val grain = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          cents(col("l_extendedprice")).as("v"),
+          col("l_quantity").cast("long").as("w"))
+        .groupBy(col("flag"), col("v")).agg(sum(col("w")).as("w"))
+      val wc = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wt = Window.partitionBy(col("flag"))
+      grain
+        .withColumn("cumw", sum(col("w")).over(wc))
+        .withColumn("tw", sum(col("w")).over(wt))
+        .groupBy(col("flag"))
+        .agg(max(col("tw")).as("total_weight"),
+          min(when(col("cumw") * 2 >= col("tw"), col("v"))).as("wmedian_cents"))
+        .orderBy(col("flag"))
+    }),
+
     // Gini concentration per source — the inequality measure curation
     // dashboards put next to the mixture table: how unevenly document
     // mass (n_chars) is distributed within each source. Exact integer
@@ -6540,6 +6565,20 @@ object Relational {
          FROM big b JOIN lft l ON b.w1 = l.w1
                     JOIN rgt r ON b.w2 = r.w2, alln a
          WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // identical value-grain cumsum and 2·cumw ≥ totw pick
+    "q_agg_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+                           CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT flag, v, w,
+                         CAST(sum(w) OVER (PARTITION BY flag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+                         CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+                  FROM g)
+         SELECT flag, max(tw) AS total_weight,
+                min(CASE WHEN cumw * 2 >= tw THEN v END) AS wmedian_cents
+         FROM c GROUP BY 1 ORDER BY 1""",
     // identical rank formula on the identical ascending order; HUGEINT
     // mirrors the decimal accumulators
     "q_agg_gini" ->

@@ -964,5 +964,10 @@ class PlanSpec extends SparkSuite {
     val sb = plan("q_sample_balanced")
     assert(sb.contains("TopKPerKey") || sb.contains("topk"), sb.take(2000))
     assert(!sb.contains("Window"), sb.take(2000))
+    // weighted median: cumsum windows run over the value grain (after
+    // the hash agg), no join anywhere
+    val wm = plan("q_agg_weighted_median")
+    assert(wm.contains("Window") && wm.contains("HashAggregate") &&
+      !wm.contains("Join"), wm.take(2000))
   }
 }
