@@ -3218,6 +3218,46 @@ object Relational {
         .orderBy(col("w1"), col("w2"))
     }),
 
+    // Higher moments — skewness and excess kurtosis per event type
+    // from EXACT power sums (n, Σx, Σx², Σx³, Σx⁴): x² stays a long,
+    // x⁴ is formed as decimal(38,0)·long so nothing wraps at any SF,
+    // each sum casts to double ONCE, and the population-moment
+    // formulas are each one double expression mirrored verbatim in the
+    // oracle (the q_agg_corr discipline extended to 3rd/4th moments).
+    // One partial+final hash agg — the shape that distinguishes a
+    // heavy-tailed metric from a skewed one at 100 TB without a
+    // second pass.
+    "q_agg_moments" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("s1"),
+          sum((col("x") * col("x")).cast(dec)).as("s2"),
+          sum(expr(s"cast(x * x as $dec) * x")).as("s3"),
+          sum(expr(s"cast(x * x as $dec) * (x * x)")).as("s4"))
+        .select(col("event_type"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("s1").cast("double").as("d1"), col("s2").cast("double").as("d2"),
+          col("s3").cast("double").as("d3"), col("s4").cast("double").as("d4"))
+        .withColumn("mu", col("d1") / col("nd"))
+        .withColumn("m2", col("d2") / col("nd") - col("mu") * col("mu"))
+        .withColumn("m3", col("d3") / col("nd")
+          - lit(3.0) * col("mu") * (col("d2") / col("nd"))
+          + lit(2.0) * col("mu") * col("mu") * col("mu"))
+        .withColumn("m4", col("d4") / col("nd")
+          - lit(4.0) * col("mu") * (col("d3") / col("nd"))
+          + lit(6.0) * col("mu") * col("mu") * (col("d2") / col("nd"))
+          - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+        .select(col("event_type"), col("n"),
+          (round(col("m3") / (sqrt(col("m2")) * col("m2")), 6) + lit(0.0))
+            .as("skewness"),
+          (round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6) + lit(0.0))
+            .as("kurtosis_excess"))
+        .orderBy(col("event_type"))
+    }),
+
     // Weighted median — the robust price point: per return flag, the
     // smallest price v where the cumulative quantity weight reaches
     // half the total (2·cumw ≥ totw — all-integer, no interpolation
@@ -6565,6 +6605,30 @@ object Relational {
          FROM big b JOIN lft l ON b.w1 = l.w1
                     JOIN rgt r ON b.w2 = r.w2, alln a
          WHERE b.cnt >= 5 ORDER BY b.w1, b.w2""",
+    // identical power sums (HUGEINT ≙ decimal), identical cast-once
+    // placement and double formulas
+    "q_agg_moments" ->
+      """WITH b AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            s AS (SELECT event_type, count(*) AS n,
+                         CAST(count(*) AS DOUBLE) AS nd,
+                         CAST(sum(x) AS DOUBLE) AS d1,
+                         CAST(sum(x * x) AS DOUBLE) AS d2,
+                         CAST(sum(CAST(x * x AS HUGEINT) * x) AS DOUBLE) AS d3,
+                         CAST(sum(CAST(x * x AS HUGEINT) * (x * x)) AS DOUBLE) AS d4
+                  FROM b GROUP BY 1),
+            m AS (SELECT *, d1 / nd AS mu FROM s),
+            mm AS (SELECT *,
+                          d2 / nd - mu * mu AS m2,
+                          d3 / nd - 3.0 * mu * (d2 / nd) + 2.0 * mu * mu * mu AS m3,
+                          d4 / nd - 4.0 * mu * (d3 / nd)
+                            + 6.0 * mu * mu * (d2 / nd)
+                            - 3.0 * mu * mu * mu * mu AS m4
+                   FROM m)
+         SELECT event_type, n,
+                round(m3 / (sqrt(m2) * m2), 6) + 0.0 AS skewness,
+                round(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurtosis_excess
+         FROM mm ORDER BY event_type""",
     // identical value-grain cumsum and 2·cumw ≥ totw pick
     "q_agg_weighted_median" ->
       """WITH g AS (SELECT l_returnflag AS flag,

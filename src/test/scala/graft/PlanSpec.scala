@@ -969,5 +969,9 @@ class PlanSpec extends SparkSuite {
     val wm = plan("q_agg_weighted_median")
     assert(wm.contains("Window") && wm.contains("HashAggregate") &&
       !wm.contains("Join"), wm.take(2000))
+    // higher moments: one partial+final hash agg, no window, no join
+    val mo = plan("q_agg_moments")
+    assert(mo.contains("HashAggregate") && !mo.contains("Window") &&
+      !mo.contains("Join"), mo.take(2000))
   }
 }
