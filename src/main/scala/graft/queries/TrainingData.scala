@@ -75,6 +75,7 @@ object TrainingData {
   val streamEnrichPath    = s"$oracleRoot/stream_enrich_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
+  val partitionedPath     = s"$oracleRoot/events_partitioned"
   val tablePath           = s"$oracleRoot/merge_table"
   val tableInitialPath    = s"$oracleRoot/table_initial"
   val tableWave1Path      = s"$oracleRoot/table_wave1"
@@ -698,6 +699,26 @@ object TrainingData {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // Hive-partitioned layout round trip: write partitioned BY the
+    // filter column, read back with a partition predicate — the
+    // directory-pruning contract every 100 TB lake table rests on.
+    // PlanSpec pins PartitionFilters ON the scan (whole directories
+    // never open); the DuckDB oracle reads the SAME partitioned files
+    // with hive_partitioning=1, so the layout itself is what's
+    // verified, not a recomputation from the source table.
+    "q_source_partitioned" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(partitionedPath)
+      s.read.parquet(partitionedPath)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     "q_source_jsonl" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("event_type"),
@@ -1212,6 +1233,16 @@ object TrainingData {
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
           FROM read_json('$jsonlPath/*.json', format='newline_delimited')
+          GROUP BY event_type ORDER BY event_type""",
+    // reads the engine-written hive layout itself (partition column
+    // comes from the directory names)
+    "q_source_partitioned" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_c,
+                 CAST(min(event_id) AS BIGINT) AS min_id,
+                 CAST(max(event_id) AS BIGINT) AS max_id
+          FROM read_parquet('$partitionedPath/*/*.parquet', hive_partitioning=1)
+          WHERE event_type IN ('click', 'purchase')
           GROUP BY event_type ORDER BY event_type""",
     "q_media_agg" ->
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

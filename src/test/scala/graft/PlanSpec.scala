@@ -973,5 +973,13 @@ class PlanSpec extends SparkSuite {
     val mo = plan("q_agg_moments")
     assert(mo.contains("HashAggregate") && !mo.contains("Window") &&
       !mo.contains("Join"), mo.take(2000))
+    // hive-partitioned read: the predicate lands in PartitionFilters
+    // (directory pruning), not a post-scan Filter on the partition col
+    // (lives in TrainingData — it writes the layout before reading)
+    val sp = graft.queries.TrainingData.queries("q_source_partitioned")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("PartitionFilters: [") &&
+      sp.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"), sp.take(2000))
   }
 }
