@@ -36,6 +36,11 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (8L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (512L << 10).toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // DPP's stats-based benefit check rejects pruning on KB-scale
+      // test tables, making the q_source_dpp plan shape SF-dependent;
+      // the fallback-ratio heuristic plants the same semantics-
+      // preserving subquery the 100 TB layout would get
+      .config("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

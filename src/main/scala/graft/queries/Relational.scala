@@ -3156,6 +3156,39 @@ object Relational {
           expr("(m1000 * 1000000L) div mass").as("cov1000_ppm"))
     }),
 
+    // Word-distribution drift per source — χ² divergence against the
+    // corpus-wide distribution, the no-logarithm domain-shift signal
+    // (KL needs libm; χ² is exact rational): for each source, Σ over
+    // its words of (p−q)²/q with p, q as exact ppm shares, each term
+    // one integer floor division. Word counts per source and corpus
+    // totals are two hash aggs over the vocab grain; the corpus share
+    // joins back by word (equi). High χ² ⇒ the source speaks a
+    // different language than the mixture — the flag before reweighting.
+    "q_text_chisq_drift" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val bySrc = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds per-source totals, corpus agg, and the join
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("c")).as("st"))
+      val corpus = bySrc.groupBy(col("tok")).agg(sum(col("c")).as("cc"))
+      val corpusTot = corpus.agg(sum(col("cc")).as("ct"))
+      bySrc.join(srcTot, Seq("source"))
+        .join(corpus, Seq("tok"))
+        .crossJoin(broadcast(corpusTot))
+        .select(col("source"),
+          expr("(c * 1000000L) div st").as("p_ppm"),
+          expr("(cc * 1000000L) div ct").as("q_ppm"))
+        .filter(col("q_ppm") > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr(
+            "cast(((p_ppm - q_ppm) * (p_ppm - q_ppm)) div q_ppm as decimal(38,0))"))
+            .cast("long").as("chisq_scaled"))
+        .orderBy(col("source"))
+    }),
+
     // Hapax ratio per source — the vocabulary-growth quality signal:
     // the share of word TYPES that occur exactly once in the source
     // (high hapax ⇒ open vocabulary / noisy text; near-zero ⇒
@@ -6567,6 +6600,26 @@ object Relational {
                 (CAST(sum(CASE WHEN r <= 1000 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
                   // CAST(sum(cnt) AS BIGINT) AS cov1000_ppm
          FROM r""",
+    // identical ppm shares and per-term floor division; q_ppm > 0
+    // filter mirrored (rare corpus words can floor to 0 ppm)
+    "q_text_chisq_drift" ->
+      """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            b AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+                  FROM u WHERE tok <> '' GROUP BY 1, 2),
+            st AS (SELECT source, CAST(sum(c) AS BIGINT) AS st FROM b GROUP BY 1),
+            cw AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM b GROUP BY 1),
+            ct AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM cw),
+            pq AS (SELECT b.source,
+                          (b.c * 1000000) // st.st AS p_ppm,
+                          (cw.cc * 1000000) // ct.ct AS q_ppm
+                   FROM b JOIN st ON b.source = st.source
+                          JOIN cw ON b.tok = cw.tok, ct)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+                CAST(sum(((p_ppm - q_ppm) * (p_ppm - q_ppm)) // q_ppm) AS BIGINT)
+                  AS chisq_scaled
+         FROM pq WHERE q_ppm > 0
+         GROUP BY 1 ORDER BY 1""",
     // identical (source, word)-grain counts and per-source rollup
     "q_text_hapax" ->
       """WITH u AS (SELECT source, unnest(string_split(text, ' ')) AS tok

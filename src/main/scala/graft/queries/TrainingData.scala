@@ -719,6 +719,35 @@ object TrainingData {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // Dynamic partition pruning — the star-join contract at lake
+    // scale: the fact side is the hive-partitioned layout, the dim
+    // side a tiny filtered lookup joined ON the partition column;
+    // Spark plants a dynamicpruning subquery INTO the fact scan's
+    // PartitionFilters, so only the dim-selected partitions are ever
+    // listed — at 100 TB this is the difference between scanning two
+    // directories and scanning two hundred. PlanSpec pins the
+    // dynamicpruningexpression; the oracle applies the dim selection
+    // to the same hive layout.
+    "q_source_dpp" -> ((s, dir) => {
+      import s.implicits._
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(partitionedPath)
+      // the dim must be a REAL table read (a pre-filtered local
+      // relation has no Filter node, and DPP requires a selective
+      // predicate on the pruning side)
+      Seq(("click", 1L), ("purchase", 2L), ("view", 3L),
+          ("signup", 4L), ("error", 5L)).toDF("etype", "weight")
+        .write.mode("overwrite").parquet(s"$partitionedPath-dim")
+      val dim = s.read.parquet(s"$partitionedPath-dim")
+      s.read.parquet(partitionedPath)
+        .join(dim.filter(col("weight") <= 2), col("event_type") === col("etype"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"))
+        .orderBy(col("event_type"))
+    }),
     "q_source_jsonl" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("event_type"),
@@ -1233,6 +1262,14 @@ object TrainingData {
     "q_source_jsonl" ->
       s"""SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
           FROM read_json('$jsonlPath/*.json', format='newline_delimited')
+          GROUP BY event_type ORDER BY event_type""",
+    // the dim selection (weight <= 2 ⇒ click, purchase) applied to the
+    // same engine-written hive layout
+    "q_source_dpp" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_c
+          FROM read_parquet('$partitionedPath/*/*.parquet', hive_partitioning=1)
+          WHERE event_type IN ('click', 'purchase')
           GROUP BY event_type ORDER BY event_type""",
     // reads the engine-written hive layout itself (partition column
     // comes from the directory names)

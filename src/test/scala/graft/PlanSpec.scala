@@ -981,5 +981,15 @@ class PlanSpec extends SparkSuite {
     assert(sp.contains("PartitionFilters: [") &&
       sp.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("event_type"), sp.take(2000))
+    // star join on the partition column: Spark plants a dynamic
+    // pruning subquery into the fact scan — only dim-selected
+    // partition directories are ever listed
+    val dp = graft.queries.TrainingData.queries("q_source_dpp")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(dp.toLowerCase.contains("dynamicpruning"), dp.take(3000))
+    // chi-square drift: vocab-grain aggs + equi joins, no cartesian
+    // (the 1-row corpus total broadcasts)
+    val cq = plan("q_text_chisq_drift")
+    assert(!cq.contains("CartesianProduct"), cq.take(2000))
   }
 }
