@@ -2491,6 +2491,30 @@ object Relational {
         .orderBy(col("dims"))
     }),
 
+    // Radius (range) search — the other ANN query shape: not "the 5
+    // nearest" but "EVERYTHING within distance R" (dedup thresholds,
+    // collision checks, safety filters want a radius, not a count).
+    // Exact integer L2 against the broadcast query set; the per-query
+    // result is an aggregate (match count + min/max distance + id
+    // checksum), so the output stays bounded even when a query sits
+    // in a dense cluster — the candidates stream, nothing ranks.
+    "q_ann_range" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("d2"))
+        .filter(col("d2") <= 40000000L)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_in_range"),
+          min(col("d2")).as("min_d2"), max(col("d2")).as("max_d2"),
+          sum(col("nb")).as("nb_sum"))
+        .orderBy(col("qid"))
+    }),
+
     // MMR diversity re-ranking — maximal marginal relevance at λ=1/2
     // over similarity = −(exact integer L2): after the DISTRIBUTED
     // top-20 pool selection (query broadcast, candidates stream,
@@ -6125,6 +6149,20 @@ object Relational {
               FROM scored)
          SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    // identical exact-L2 radius predicate and per-query rollup
+    "q_ann_range" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            d AS (SELECT q.vec_id AS qid, c.vec_id AS nb,
+                         list_reduce(list_transform(list_zip(q.v, c.v),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+         SELECT qid, CAST(count(*) AS BIGINT) AS n_in_range,
+                min(d2) AS min_d2, max(d2) AS max_d2,
+                CAST(sum(nb) AS BIGINT) AS nb_sum
+         FROM d WHERE d2 <= 40000000
+         GROUP BY qid ORDER BY qid""",
     // exact integer L2 over vector prefixes; all-integer recall ppm
     "q_ann_matryoshka" ->
       """WITH e AS (SELECT vec_id,

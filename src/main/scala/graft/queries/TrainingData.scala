@@ -76,6 +76,7 @@ object TrainingData {
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
   val partitionedPath     = s"$oracleRoot/events_partitioned"
+  val mergeSchemaPath     = s"$oracleRoot/events_mergeschema"
   val tablePath           = s"$oracleRoot/merge_table"
   val tableInitialPath    = s"$oracleRoot/table_initial"
   val tableWave1Path      = s"$oracleRoot/table_wave1"
@@ -719,6 +720,31 @@ object TrainingData {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // Parquet schema evolution ON READ — two file waves with different
+    // schemas in one directory (the second wave adds a column), read
+    // back with mergeSchema=true: old-wave rows surface NULL for the
+    // added column, exactly the add-column-with-default contract a
+    // lake table needs without rewriting history. The oracle reads the
+    // SAME files with DuckDB's union_by_name, so the on-disk layout is
+    // what's verified.
+    "q_source_mergeschema" -> ((s, dir) => {
+      val base = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      base.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("cents"))
+        .write.mode("overwrite").parquet(s"$mergeSchemaPath/wave=1")
+      base.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$mergeSchemaPath/wave=2")
+      s.read.option("mergeSchema", "true").parquet(mergeSchemaPath)
+        .groupBy(col("wave"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+          count(col("event_type")).as("n_typed"))
+        .select(col("wave").cast("long").as("wave"), col("n"),
+          col("sum_c"), col("n_typed"))
+        .orderBy(col("wave"))
+    }),
+
     // Dynamic partition pruning — the star-join contract at lake
     // scale: the fact side is the hive-partitioned layout, the dim
     // side a tiny filtered lookup joined ON the partition column;
@@ -1263,6 +1289,15 @@ object TrainingData {
       s"""SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_c
           FROM read_json('$jsonlPath/*.json', format='newline_delimited')
           GROUP BY event_type ORDER BY event_type""",
+    // union_by_name over the same two waves; count(event_type) counts
+    // only wave-2 rows (wave-1 files lack the column → NULL)
+    "q_source_mergeschema" ->
+      s"""SELECT CAST(wave AS BIGINT) AS wave, count(*) AS n,
+                 CAST(sum(cents) AS BIGINT) AS sum_c,
+                 CAST(count(event_type) AS BIGINT) AS n_typed
+          FROM read_parquet('$mergeSchemaPath/*/*.parquet',
+                            hive_partitioning=1, union_by_name=1)
+          GROUP BY 1 ORDER BY 1""",
     // the dim selection (weight <= 2 ⇒ click, purchase) applied to the
     // same engine-written hive layout
     "q_source_dpp" ->

@@ -991,5 +991,9 @@ class PlanSpec extends SparkSuite {
     // (the 1-row corpus total broadcasts)
     val cq = plan("q_text_chisq_drift")
     assert(!cq.contains("CartesianProduct"), cq.take(2000))
+    // radius search: query set broadcasts, candidates stream, the
+    // per-query rollup keeps output bounded — no window, no rank
+    val rq = plan("q_ann_range")
+    assert(rq.contains("Broadcast") && !rq.contains("Window"), rq.take(2000))
   }
 }
