@@ -3615,6 +3615,44 @@ object Relational {
     // analytics table starts with): get_json_object is a codegen'd
     // scalar pass, then one hash agg per event type. No shuffle before
     // the per-row extraction.
+    // Daily-seasonality autocorrelation — does the metric repeat on a
+    // 24-hour cycle? Per event type: hourly counts, self-joined at
+    // lag 24 (one equi-join on the shifted hour key — never a window
+    // over the raw stream), then the exact five-sum Pearson r between
+    // c(h) and c(h+24). r ≈ 1 ⇒ strong daily rhythm (schedule load
+    // shedding by it); r ≈ 0 ⇒ arrivals are flat/noisy. The hour-grain
+    // table is tiny at any SF (hours × types), so everything after the
+    // first agg is bounded by the time span, not the event count.
+    "q_events_autocorr" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 3600").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val lagged = hourly.select(col("event_type").as("lt"),
+        (col("h") - 24).as("lh"), col("c").as("lc"))
+      val dec = "decimal(38,0)"
+      hourly.join(lagged,
+          col("event_type") === col("lt") && col("h") === col("lh"))
+        .select(col("event_type"), col("c").as("x"), col("lc").as("y"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("event_type"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+          col("sxy").cast("double").as("dsxy"),
+          col("sxx").cast("double").as("dsxx"), col("syy").cast("double").as("dsyy"))
+        .select(col("event_type"), col("n"),
+          (round((col("dsxy") * col("nd") - col("dsx") * col("dsy")) /
+            (sqrt(col("dsxx") * col("nd") - col("dsx") * col("dsx")) *
+             sqrt(col("dsyy") * col("nd") - col("dsy") * col("dsy"))), 6)
+            + lit(0.0)).as("autocorr_24h"))
+        .orderBy(col("event_type"))
+    }),
+
     // Time-decayed trending items — exponential-decay heavy hitters
     // with a 1-day half-life: each event of item k (the props payload)
     // contributes weight 2^(20 - age_days) (clamped at 20 days, so the
@@ -6923,6 +6961,29 @@ object Relational {
                 COALESCE(c.cross_pairs, 0) + s.same_pairs AS n_close_pairs
          FROM same s LEFT JOIN crossp c ON s.event_type = c.event_type
          ORDER BY 1""",
+    // identical hour-grain self-join at lag 24 and five-sum Pearson;
+    // IMPORTANT: only hours PRESENT in both series pair up (inner
+    // join), mirrored exactly
+    "q_events_autocorr" ->
+      """WITH h AS (SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type, a.c AS x, b.c AS y
+                  FROM h a JOIN h b
+                    ON a.event_type = b.event_type AND a.h = b.h - 24),
+            s AS (SELECT event_type, count(*) AS n,
+                         CAST(count(*) AS DOUBLE) AS nd,
+                         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                         CAST(sum(x * y) AS DOUBLE) AS sxy,
+                         CAST(sum(x * x) AS DOUBLE) AS sxx,
+                         CAST(sum(y * y) AS DOUBLE) AS syy
+                  FROM p GROUP BY 1)
+         SELECT event_type, n,
+                round((sxy * nd - sx * sy) /
+                      (sqrt(sxx * nd - sx * sx) * sqrt(syy * nd - sy * sy)), 6)
+                  + 0.0 AS autocorr_24h
+         FROM s ORDER BY event_type""",
     // identical packed-bigint RANGE-frame lookup; % on non-negatives
     "q_events_attribution" ->
       """WITH e AS (SELECT user_id, event_type,

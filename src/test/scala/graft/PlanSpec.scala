@@ -995,5 +995,10 @@ class PlanSpec extends SparkSuite {
     // per-query rollup keeps output bounded — no window, no rank
     val rq = plan("q_ann_range")
     assert(rq.contains("Broadcast") && !rq.contains("Window"), rq.take(2000))
+    // autocorrelation: the lag-24 pairing is an equi self-join on the
+    // HOUR-grain aggregate, never a window over the event stream
+    val ac = plan("q_events_autocorr")
+    assert(!ac.contains("Window") && !ac.contains("CartesianProduct"),
+      ac.take(2000))
   }
 }
