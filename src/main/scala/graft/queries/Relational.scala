@@ -3615,6 +3615,30 @@ object Relational {
     // analytics table starts with): get_json_object is a codegen'd
     // scalar pass, then one hash agg per event type. No shuffle before
     // the per-row extraction.
+    // One-pass Poisson bootstrap — confidence intervals without
+    // resampling passes: every row fans to R=4 replicas (one 4-row
+    // generator, no join), each replica draws a deterministic
+    // Poisson(1)-approximating weight w ∈ {0,1,2} from one md5 byte of
+    // (event_id, replica) — thresholds 94/187 ≈ e⁻¹ mass — and each
+    // (type, replica) emits its weighted mean in ONE hash agg. The
+    // spread across replicas IS the sampling distribution of the mean;
+    // at 100 TB this replaces R full passes with a 4× generator fan.
+    // Fully deterministic: both engines read the same md5 byte.
+    "q_sample_bootstrap" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+        .withColumn("r", explode(expr("sequence(0L, 3L)")))
+        .withColumn("h",
+          conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+            col("r").cast("string"))), 1, 2), 16, 10).cast("long"))
+        .withColumn("w",
+          when(col("h") < 94, 0L).when(col("h") < 187, 1L).otherwise(2L))
+        .groupBy(col("event_type"), col("r").as("replica"))
+        .agg(sum(col("w")).as("n_eff"),
+          expr("(sum(w * c) * 100L) div sum(w)").as("mean_c100"))
+        .orderBy(col("event_type"), col("replica"))
+    }),
+
     // Daily-seasonality autocorrelation — does the metric repeat on a
     // 24-hour cycle? Per event type: hourly counts, self-joined at
     // lag 24 (one equi-join on the shifted hour key — never a window
@@ -6961,6 +6985,23 @@ object Relational {
                 COALESCE(c.cross_pairs, 0) + s.same_pairs AS n_close_pairs
          FROM same s LEFT JOIN crossp c ON s.event_type = c.event_type
          ORDER BY 1""",
+    // identical md5 byte, thresholds, and weighted-mean floor division
+    "q_sample_bootstrap" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS c,
+                           unnest([0, 1, 2, 3]) AS r
+                    FROM events),
+            w AS (SELECT event_type, CAST(r AS BIGINT) AS replica, c,
+                         CASE WHEN h < 94 THEN 0
+                              WHEN h < 187 THEN 1 ELSE 2 END AS w
+                  FROM (SELECT *,
+                          CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':'
+                            || CAST(r AS VARCHAR)), 1, 2))::UBIGINT AS BIGINT) AS h
+                        FROM e))
+         SELECT event_type, replica, CAST(sum(w) AS BIGINT) AS n_eff,
+                (CAST(sum(w * c) AS BIGINT) * 100) // CAST(sum(w) AS BIGINT)
+                  AS mean_c100
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical hour-grain self-join at lag 24 and five-sum Pearson;
     // IMPORTANT: only hours PRESENT in both series pair up (inner
     // join), mirrored exactly

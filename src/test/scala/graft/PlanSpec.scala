@@ -1000,5 +1000,9 @@ class PlanSpec extends SparkSuite {
     val ac = plan("q_events_autocorr")
     assert(!ac.contains("Window") && !ac.contains("CartesianProduct"),
       ac.take(2000))
+    // bootstrap: replicas come from a generator fan (no join), one
+    // partial+final hash agg
+    val bs = plan("q_sample_bootstrap")
+    assert(bs.contains("Generate") && !bs.contains("Join"), bs.take(2000))
   }
 }
