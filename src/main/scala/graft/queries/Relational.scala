@@ -3615,6 +3615,73 @@ object Relational {
     // analytics table starts with): get_json_object is a codegen'd
     // scalar pass, then one hash agg per event type. No shuffle before
     // the per-row extraction.
+    // DAU/MAU stickiness — the engagement ratio product dashboards
+    // live on: per day, what share of that (30-day) month's active
+    // users were active today. Two exact distinct-count aggs (day
+    // grain and month grain — both user-deduplicated hash aggs, no
+    // approximation) joined on the month key; exact ppm.
+    "q_events_stickiness" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .withColumn("month", expr("day div 30"))
+      val dau = e.groupBy(col("day"), col("month"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val mau = e.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(broadcast(mau), Seq("month"))
+        .select(col("day"), col("dau"), col("mau"),
+          expr("(dau * 1000000L) div mau").as("stickiness_ppm"))
+        .orderBy(col("day"))
+    }),
+
+    // CUPED variance reduction — the experimentation workhorse:
+    // adjust each arm's outcome mean by the pre-period covariate,
+    // mean_adj = mean_y − θ·(mean_x_arm − mean_x_global) with
+    // θ = cov(x,y)/var(x) POOLED. Users reduce to one (x, y) row
+    // (pre/post split at day 15, conditional sums in one agg), arms
+    // are user_id % 2, θ comes from the same exact five-sum discipline
+    // as q_agg_corr (decimal accumulators, cast-once doubles), and the
+    // two arm rows join the 1-row global by broadcast. One pass over
+    // events, user-sharded; the arithmetic is bounded by arms, not
+    // users.
+    "q_events_cuped" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), cents(col("value")).as("c"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val mind = ev.agg(min(col("day")).as("mind")) // 1-row broadcast,
+      // never a global window over the event stream
+      val users = ev.crossJoin(broadcast(mind))
+        .withColumn("rel", col("day") - col("mind"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("rel") < 15, col("c")).otherwise(0L)).as("x"),
+          sum(when(col("rel") >= 15, col("c")).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2L)))
+        .localCheckpoint(true) // feeds the pooled-θ arm and the per-arm agg
+      val g = users.agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .select(col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("gsx"), col("sy").cast("double").as("gsy"),
+          col("sxy").cast("double").as("gsxy"), col("sxx").cast("double").as("gsxx"))
+        .withColumn("theta",
+          (col("gsxy") * col("nd") - col("gsx") * col("gsy")) /
+          (col("gsxx") * col("nd") - col("gsx") * col("gsx")))
+        .withColumn("gmean_x", col("gsx") / col("nd"))
+      users.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("x").cast(dec)).as("asx"), sum(col("y").cast(dec)).as("asy"))
+        .crossJoin(broadcast(g.select(col("theta"), col("gmean_x"))))
+        .select(col("arm"), col("n_users"),
+          (round(col("asy").cast("double") / col("n_users").cast("double"), 4)
+            + lit(0.0)).as("mean_y"),
+          (round(col("asy").cast("double") / col("n_users").cast("double")
+            - col("theta") * (col("asx").cast("double") / col("n_users").cast("double")
+              - col("gmean_x")), 4) + lit(0.0)).as("mean_y_cuped"))
+        .orderBy(col("arm"))
+    }),
+
     // One-pass Poisson bootstrap — confidence intervals without
     // resampling passes: every row fans to R=4 replicas (one 4-row
     // generator, no join), each replica draws a deterministic
@@ -6985,6 +7052,50 @@ object Relational {
                 COALESCE(c.cross_pairs, 0) + s.same_pairs AS n_close_pairs
          FROM same s LEFT JOIN crossp c ON s.event_type = c.event_type
          ORDER BY 1""",
+    // identical exact distinct counts at day and (30-day) month grain
+    "q_events_stickiness" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events),
+            m AS (SELECT user_id, day, day // 30 AS month FROM e),
+            dau AS (SELECT day, month, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+                    FROM m GROUP BY 1, 2),
+            mau AS (SELECT month, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                    FROM m GROUP BY 1)
+         SELECT dau.day, dau.dau, mau.mau,
+                (dau.dau * 1000000) // mau.mau AS stickiness_ppm
+         FROM dau JOIN mau ON dau.month = mau.month
+         ORDER BY dau.day""",
+    // identical user-grain (x, y) reduction, pooled five-sum θ, and
+    // cast-once double arithmetic
+    "q_events_cuped" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events),
+            md AS (SELECT min(day) AS mind FROM e),
+            u AS (SELECT user_id,
+                         CAST(sum(CASE WHEN day - mind < 15 THEN c ELSE 0 END) AS BIGINT) AS x,
+                         CAST(sum(CASE WHEN day - mind >= 15 THEN c ELSE 0 END) AS BIGINT) AS y,
+                         user_id % 2 AS arm
+                  FROM e, md GROUP BY user_id),
+            g AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+                         CAST(sum(x) AS DOUBLE) AS gsx, CAST(sum(y) AS DOUBLE) AS gsy,
+                         CAST(sum(x * y) AS DOUBLE) AS gsxy,
+                         CAST(sum(x * x) AS DOUBLE) AS gsxx
+                  FROM u),
+            t AS (SELECT (gsxy * nd - gsx * gsy) / (gsxx * nd - gsx * gsx) AS theta,
+                         gsx / nd AS gmean_x
+                  FROM g),
+            a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(x) AS DOUBLE) AS asx,
+                         CAST(sum(y) AS DOUBLE) AS asy
+                  FROM u GROUP BY 1)
+         SELECT a.arm, a.n_users,
+                round(a.asy / CAST(a.n_users AS DOUBLE), 4) + 0.0 AS mean_y,
+                round(a.asy / CAST(a.n_users AS DOUBLE)
+                      - t.theta * (a.asx / CAST(a.n_users AS DOUBLE) - t.gmean_x),
+                      4) + 0.0 AS mean_y_cuped
+         FROM a, t ORDER BY a.arm""",
     // identical md5 byte, thresholds, and weighted-mean floor division
     "q_sample_bootstrap" ->
       """WITH e AS (SELECT event_type, event_id,
