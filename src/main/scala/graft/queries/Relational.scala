@@ -5045,6 +5045,221 @@ object Relational {
           "measure", "value")
         .orderBy(col("l_returnflag"), col("measure"))
     }),
+
+    // ── privacy-audit family ─────────────────────────────────────────
+
+    // k-anonymity / l-diversity audit — the pre-release privacy gate a
+    // training corpus runs before distribution: group documents by
+    // their quasi-identifier tuple (lang, 100-char length bucket) and
+    // report each equivalence class's size (the k) and its count of
+    // distinct sensitive values (the l; here: source). A class below
+    // k=5 or carrying a single sensitive value re-identifies. ONE
+    // partial+final hash agg sharded by the quasi tuple — the audit
+    // costs one shuffle at any corpus size.
+    "q_privacy_kanon" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 100").as("len_bucket"),
+          col("source"))
+        .groupBy(col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct(col("source")).as("n_sensitive"))
+        .select(col("lang"), col("len_bucket"), col("class_size"),
+          col("n_sensitive"),
+          when(col("class_size") >= 5, 1).otherwise(0).as("k_anon"),
+          when(col("n_sensitive") >= 2, 1).otherwise(0).as("l_diverse"))
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
+
+    // ε-differentially-private histogram via the GEOMETRIC mechanism
+    // (the discrete optimal mechanism, Ghosh et al.) at ε = ln 2: the
+    // per-cell noise is two-sided geometric with p = 1/2, drawn by
+    // EXACT dyadic inverse-CDF — magnitude = floor(−log2 u) over a
+    // 19-bit md5-derived uniform via the bin()-length trick, sign from
+    // the 20th bit — so the release is reproducible (seeded) and the
+    // oracle replays the identical draw with no floating-point log
+    // anywhere. The true count stays in the output because this query
+    // AUDITS the mechanism (per-cell noise realization and scale), it
+    // is not the release itself. Scalar per group row — free at scale.
+    "q_privacy_dp_hist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("h20",
+          conv(substring(md5(col("source")), 1, 5), 16, 10).cast("long"))
+        .withColumn("mag",
+          lit(19L) - (length(expr("bin((h20 div 2) + 1)")) - 1).cast("long"))
+        .withColumn("noise",
+          when(pmod(col("h20"), lit(2L)) === 1, col("mag"))
+            .otherwise(-col("mag")))
+        .select(col("source"), col("n_docs"), col("noise"),
+          (col("n_docs") + col("noise")).as("dp_count"))
+        .orderBy(col("source"))
+    }),
+
+    // ── corpus-law statistics ────────────────────────────────────────
+
+    // Zipf decade slope — the corpus-law check: token frequency should
+    // halve (roughly) every time rank doubles, so the OLS slope of
+    // floor(log2 freq) on floor(log2 rank) over a source's ranked
+    // vocabulary sits near −1 for natural text and near 0 for
+    // templated/boilerplate sources. Both axes integerize via the
+    // exact bin()-length log2 (no libm), the five OLS sums accumulate
+    // as decimals, and the slope is ONE double division rounded — the
+    // corr/regression discipline. Plan: one (source, token) hash agg,
+    // one ranking window partitioned by source, one final agg.
+    "q_text_zipf_decades" -> ((s, dir) => {
+      val cnts = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok"))
+      val dec = "decimal(38,0)"
+      cnts
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select(col("source"),
+          (length(bin(col("rnk"))) - 1).cast("long").as("x"),
+          (length(bin(col("cnt"))) - 1).cast("long").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .select(col("source"), col("n"),
+          round((col("sxy").cast("double") * col("n").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("sxx").cast("double") * col("n").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("zipf_slope"))
+        .orderBy(col("source"))
+    }),
+
+    // Term burstiness — Church/Gale dispersion: for the corpus's top-20
+    // tokens, the variance-to-mean ratio of per-document counts
+    // (Poisson scatter ⇒ VMR ≈ 1; bursty content words ⇒ ≫ 1). The
+    // zero-count documents are real observations, so the moments use
+    // the GLOBAL document count N with Σx/Σx² accumulated over only
+    // the documents that contain the token — no N-way zero fan-out.
+    // Exact decimal sums, one double division, round(6).
+    "q_text_burstiness" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dec = "decimal(38,0)"
+      val perDoc = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("x"))
+      val top = perDoc.groupBy(col("tok"))
+        .agg(sum(col("x")).as("cnt"), count(lit(1)).as("df"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+      top.crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("cnt"), col("df"),
+          round((col("n_docs").cast("double") * col("sxx").cast("double")
+              - col("cnt").cast("double") * col("cnt").cast("double")) /
+            (col("n_docs").cast("double") * col("cnt").cast("double")), 6)
+            .as("vmr"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
+    // Cross-document repeated n-gram audit — the memorization-risk
+    // report (Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better"): for n ∈ {5, 10, 20}, how many distinct word
+    // n-grams appear in ≥2 DIFFERENT documents, and how many documents
+    // carry at least one shared gram. Pure shingle → distinct →
+    // hash-agg pipeline per n (the contamination machinery generalized
+    // to a sweep); grams shard by value, documents by id — no
+    // all-pairs anywhere, and the n-sweep unions BEFORE the shuffle so
+    // the three sizes ride one aggregation.
+    "q_text_repeated_ngrams" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(n: Int): DataFrame = docs.select(lit(n).as("n"),
+          col("doc_id"), explode(expr(
+            s"""case when size(split(text, ' ')) >= $n then
+               |  transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+               |            i -> concat_ws(' ', slice(split(text, ' '), i, $n)))
+               |else array() end""".stripMargin)).as("gram"))
+        .distinct()
+      val all = grams(5).union(grams(10)).union(grams(20))
+      val rep = all.groupBy(col("n"), col("gram"))
+        .agg(count(lit(1)).as("n_docs_gram"))
+        .filter(col("n_docs_gram") >= 2)
+      val nGrams = rep.groupBy(col("n"))
+        .agg(count(lit(1)).as("n_repeated_grams"),
+          max(col("n_docs_gram")).as("max_docs_per_gram"))
+      val nDocs = all.join(rep.select(col("n"), col("gram")), Seq("n", "gram"))
+        .select(col("n"), col("doc_id")).distinct()
+        .groupBy(col("n")).agg(count(lit(1)).as("n_docs_affected"))
+      nGrams.join(nDocs, Seq("n")).orderBy(col("n"))
+    }),
+
+    // ── survival / drift ─────────────────────────────────────────────
+
+    // Discrete-time churn hazard — the survival-analysis life table
+    // (the Kaplan-Meier input) in exact integer arithmetic: a user
+    // whose last event lands ≥7 days before corpus end CHURNED at that
+    // day; later users are right-censored and leave the risk set after
+    // their last day without a churn event. At each departure day d
+    // the risk set is every user still alive (last_day ≥ d), so
+    // hazard_ppm = churns(d)·1e6 div at_risk(d), and cumulative churn
+    // reads off a running window. Two hash aggs shard by user; the
+    // final window runs over ≤ n_days rows (bounded, driver-free).
+    "q_events_churn_hazard" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      val last = e.groupBy(col("user_id")).agg(max(col("day")).as("last_day"))
+      val maxd = last.agg(max(col("last_day")).as("maxd"))
+      val lab = last.crossJoin(broadcast(maxd))
+        .withColumn("churned", col("last_day") <= col("maxd") - 7)
+      val byDay = lab.groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("n_leave"),
+          sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"))
+      val n = lab.agg(count(lit(1)).as("n_users"))
+      val wPrev = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay.crossJoin(broadcast(n))
+        .withColumn("at_risk",
+          col("n_users") - coalesce(sum(col("n_leave")).over(wPrev), lit(0L)))
+        .withColumn("hazard_ppm", expr("(n_churn * 1000000L) div at_risk"))
+        .withColumn("cum_churn", sum(col("n_churn")).over(wCur))
+        .select(col("day"), col("at_risk"), col("n_churn"),
+          col("hazard_ppm"), col("cum_churn"))
+        .orderBy(col("day"))
+    }),
+
+    // Exact Kolmogorov–Smirnov drift per event type — the
+    // distribution-free companion to the chi-square drift test (that
+    // one bins; KS compares whole ECDFs, no binning decisions to
+    // defend): split each type's values at relative day 15, build both
+    // ECDFs on the merged value grid with one cumulative window each,
+    // and take max |Fa − Fb| in ppm — floor-div integers throughout.
+    // Plan: two hash aggs on (type, cents), one sorted window per type
+    // over the DISTINCT value grid (≪ row count), one final max agg.
+    "q_events_ks_drift" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val mind = ev.agg(min(col("day")).as("mind"))
+      val sides = ev.crossJoin(broadcast(mind))
+        .withColumn("half",
+          when(col("day") - col("mind") < 15, "a").otherwise("b"))
+      val grid = sides.groupBy(col("event_type"), col("c"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+      val tot = sides.groupBy(col("event_type"))
+        .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("ta"),
+          sum(when(col("half") === "b", 1L).otherwise(0L)).as("tb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.withColumn("ca", sum(col("na")).over(w))
+        .withColumn("cb", sum(col("nb")).over(w))
+        .join(tot, Seq("event_type"))
+        .select(col("event_type"), col("ta"), col("tb"),
+          abs(expr("(ca * 1000000L) div ta")
+            - expr("(cb * 1000000L) div tb")).as("d"))
+        .groupBy(col("event_type"), col("ta"), col("tb"))
+        .agg(max(col("d")).as("ks_ppm"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -8173,6 +8388,146 @@ object Relational {
            UNION ALL
            SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM wide)
          ORDER BY l_returnflag, measure""",
+    // identical quasi-identifier bucketing and thresholds
+    "q_privacy_kanon" ->
+      """SELECT lang, n_chars // 100 AS len_bucket,
+                CAST(count(*) AS BIGINT) AS class_size,
+                CAST(count(DISTINCT source) AS BIGINT) AS n_sensitive,
+                CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END AS k_anon,
+                CASE WHEN count(DISTINCT source) >= 2 THEN 1 ELSE 0 END AS l_diverse
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical md5-derived 20-bit draw and dyadic inverse-CDF
+    "q_privacy_dp_hist" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY 1),
+            h AS (SELECT source, n_docs,
+                         CAST(('0x' || substr(md5(source), 1, 5))::UBIGINT AS BIGINT) AS h20
+                  FROM c),
+            m AS (SELECT source, n_docs, h20,
+                         19 - (length(bin((h20 // 2) + 1)) - 1) AS mag
+                  FROM h)
+         SELECT source, n_docs,
+                CAST(CASE WHEN h20 % 2 = 1 THEN mag ELSE -mag END AS BIGINT) AS noise,
+                CAST(n_docs + CASE WHEN h20 % 2 = 1 THEN mag ELSE -mag END AS BIGINT) AS dp_count
+         FROM m ORDER BY source""",
+    // identical bin()-length log2 axes, rank tie-break, and cast-once
+    // double slope
+    "q_text_zipf_decades" ->
+      """WITH c AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM c GROUP BY 1, 2),
+            pts AS (SELECT source,
+                           length(bin(CAST(row_number() OVER (PARTITION BY source
+                             ORDER BY cnt DESC, tok) AS BIGINT))) - 1 AS x,
+                           length(bin(cnt)) - 1 AS y
+                    FROM cnts),
+            sums AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                            sum(CAST(x AS HUGEINT)) AS sx,
+                            sum(CAST(y AS HUGEINT)) AS sy,
+                            sum(CAST(x * y AS HUGEINT)) AS sxy,
+                            sum(CAST(x * x AS HUGEINT)) AS sxx
+                     FROM pts GROUP BY 1)
+         SELECT source, n,
+                round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                      6) AS zipf_slope
+         FROM sums ORDER BY source""",
+    // identical top-20 tie-break and global-N moment arithmetic
+    "q_text_burstiness" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+            td AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+            pd AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS x
+                   FROM td GROUP BY 1, 2),
+            tt AS (SELECT tok, CAST(sum(x) AS BIGINT) AS cnt,
+                          CAST(count(*) AS BIGINT) AS df,
+                          sum(CAST(x * x AS HUGEINT)) AS sxx
+                   FROM pd GROUP BY 1
+                   ORDER BY cnt DESC, tok LIMIT 20)
+         SELECT tok, cnt, df,
+                round((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+                      / (CAST(n_docs AS DOUBLE) * CAST(cnt AS DOUBLE)),
+                      6) AS vmr
+         FROM tt, nd ORDER BY cnt DESC, tok""",
+    // identical per-n shingling (inclusive 1-based slices) and ≥2-doc
+    // threshold
+    "q_text_repeated_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                       FROM documents),
+            g AS (
+              SELECT DISTINCT n, doc_id, gram FROM (
+                SELECT 5 AS n, doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)
+                UNION ALL
+                SELECT 10, doc_id, array_to_string(w[i:i+9], ' ')
+                FROM toks, unnest(range(1, greatest(len(w) - 9, 0) + 1)) AS t(i)
+                UNION ALL
+                SELECT 20, doc_id, array_to_string(w[i:i+19], ' ')
+                FROM toks, unnest(range(1, greatest(len(w) - 19, 0) + 1)) AS t(i))),
+            rep AS (SELECT n, gram, CAST(count(*) AS BIGINT) AS n_docs_gram
+                    FROM g GROUP BY 1, 2 HAVING count(*) >= 2),
+            ng AS (SELECT n, CAST(count(*) AS BIGINT) AS n_repeated_grams,
+                          max(n_docs_gram) AS max_docs_per_gram
+                   FROM rep GROUP BY 1),
+            nd AS (SELECT n, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+                   FROM g JOIN rep USING (n, gram) GROUP BY 1)
+         SELECT ng.n, n_repeated_grams, max_docs_per_gram, n_docs_affected
+         FROM ng JOIN nd ON ng.n = nd.n ORDER BY ng.n""",
+    // identical churn horizon, risk-set windows, and floor-div hazard
+    "q_events_churn_hazard" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events),
+            lastd AS (SELECT user_id, max(day) AS last_day FROM e GROUP BY 1),
+            mx AS (SELECT max(last_day) AS maxd FROM lastd),
+            lab AS (SELECT user_id, last_day,
+                           CASE WHEN last_day <= maxd - 7 THEN 1 ELSE 0 END AS churned
+                    FROM lastd, mx),
+            byday AS (SELECT last_day AS day,
+                             CAST(count(*) AS BIGINT) AS n_leave,
+                             CAST(sum(churned) AS BIGINT) AS n_churn
+                      FROM lab GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lab),
+            rs AS (SELECT day, n_churn,
+                          n_users - CAST(COALESCE(sum(n_leave) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS at_risk,
+                          CAST(sum(n_churn) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_churn
+                   FROM byday, n)
+         SELECT day, at_risk, n_churn,
+                (n_churn * 1000000) // at_risk AS hazard_ppm, cum_churn
+         FROM rs ORDER BY day""",
+    // identical half split, merged value grid, and ppm ECDF floor-div
+    "q_events_ks_drift" ->
+      """WITH ev AS (SELECT event_type,
+                            CAST(round(value * 100) AS BIGINT) AS c,
+                            CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                     FROM events),
+            md AS (SELECT min(day) AS mind FROM ev),
+            sides AS (SELECT event_type, c,
+                             CASE WHEN day - mind < 15 THEN 'a' ELSE 'b' END AS half
+                      FROM ev, md),
+            grid AS (SELECT event_type, c,
+                            CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                            CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                     FROM sides GROUP BY 1, 2),
+            tot AS (SELECT event_type,
+                           CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                           CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+                    FROM sides GROUP BY 1),
+            cum AS (SELECT g.event_type, ta, tb,
+                           CAST(sum(na) OVER (PARTITION BY g.event_type ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                           CAST(sum(nb) OVER (PARTITION BY g.event_type ORDER BY c
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+                    FROM grid g JOIN tot ON g.event_type = tot.event_type)
+         SELECT event_type, ta, tb,
+                max(abs((ca * 1000000) // ta - (cb * 1000000) // tb)) AS ks_ppm
+         FROM cum GROUP BY 1, 2, 3 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
