@@ -5260,6 +5260,47 @@ object Relational {
         .agg(max(col("d")).as("ks_ppm"))
         .orderBy(col("event_type"))
     }),
+
+    // IVF recall curve — the index-tuning evidence, driver-visible:
+    // recall@5 of the multi-probe IVF search at nprobe ∈ {1, 2, 4}
+    // against the exact brute-force truth, as integer ppm. The brute
+    // side is the documented-baseline all-pairs scan (bounded: 10
+    // query vectors broadcast against the corpus), checkpointed once
+    // and shared by all three probe arms; each IVF arm reuses the
+    // memoized k-means fit, so the sweep costs three candidate-join
+    // passes, not three trainings. At 100 TB only the IVF arms remain
+    // (brute truth comes from a held-out sample exactly like this).
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))").as("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm2").as("qn"))
+      val bscored = e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          (graft.functions.ArrayMath.dotL(col("qv"), col("c.v")) /
+            (sqrt(col("qn")) * sqrt(col("c.norm2")))).as("cos"))
+      val wB = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nb"))
+      val brute = bscored.withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 5).select(col("qid"), col("nb"))
+        .localCheckpoint(true) // shared by 3 probe arms + the count
+      val nTruth = brute.agg(count(lit(1)).as("n_truth"))
+      val ivf = Seq(1, 2, 4).map(np =>
+          ivfMultiprobeSearch(s, dir, np)
+            .select(lit(np.toLong).as("nprobe"), col("qid"), col("nb")))
+        .reduce(_ union _)
+      ivf.join(broadcast(brute.withColumn("hit", lit(1L))),
+          Seq("qid", "nb"), "left")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_returned"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .crossJoin(broadcast(nTruth))
+        .select(col("nprobe"), col("n_returned"), col("hits"),
+          expr("(hits * 1000000L) div n_truth").as("recall_ppm"))
+        .orderBy(col("nprobe"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -5431,6 +5472,65 @@ object Relational {
          |  JOIN norms nb2 ON nb2.vec_id = nb)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, nb, round(cos, 6) AS cos
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** Unrolled recall-curve oracle: one kmeans CTE chain + the brute
+    * truth + one probe/score/rank arm per nprobe, joined for the ppm
+    * recall — replays [[ivfMultiprobeSearch]] per arm exactly as
+    * [[ivfMultiprobeOracleSql]] does for a single nprobe. */
+  private def ivfRecallOracleSql(k: Int, iters: Int, nprobes: Seq[Int]): String = {
+    val arms = nprobes.map { np =>
+      s""",
+         |probes$np AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c$iters c ON v.i = c.i WHERE v.vec_id < 10 GROUP BY 1, 2))
+         |  WHERE rn <= $np),
+         |scored$np AS (
+         |  SELECT p.qid, ca.vec_id AS nb, sum(qv.x * cv.x) AS dot
+         |  FROM probes$np p
+         |  JOIN af ca ON ca.cid = p.cid AND ca.vec_id <> p.qid
+         |  JOIN v qv ON qv.vec_id = p.qid
+         |  JOIN v cv ON cv.vec_id = ca.vec_id AND cv.i = qv.i
+         |  GROUP BY 1, 2),
+         |ranked$np AS (
+         |  SELECT qid, nb,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY dot / (sqrt(na.n2) * sqrt(nb2.n2)) DESC, nb) AS rank
+         |  FROM scored$np JOIN norms na ON na.vec_id = qid
+         |  JOIN norms nb2 ON nb2.vec_id = nb)""".stripMargin
+    }.mkString
+    val ivfUnion = nprobes.map(np =>
+      s"SELECT CAST($np AS BIGINT) AS nprobe, qid, nb FROM ranked$np WHERE rank <= 5")
+      .mkString("\n                 UNION ALL ")
+    kmeansCtes(k, iters) +
+      s""",
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c$iters c ON v.i = c.i GROUP BY 1, 2))
+         |  WHERE rn = 1),
+         |norms AS (SELECT vec_id, sum(x * x) AS n2 FROM v GROUP BY 1)""".stripMargin +
+      arms +
+      s""",
+         |ivf AS ($ivfUnion),
+         |bruter AS (
+         |  SELECT qid, nb, row_number() OVER (PARTITION BY qid
+         |           ORDER BY dot / (sqrt(na.n2) * sqrt(nb2.n2)) DESC, nb) AS rank
+         |  FROM (SELECT qv.vec_id AS qid, cv.vec_id AS nb, sum(qv.x * cv.x) AS dot
+         |        FROM v qv JOIN v cv ON qv.vec_id < 10 AND cv.vec_id <> qv.vec_id AND cv.i = qv.i
+         |        GROUP BY 1, 2) s
+         |  JOIN norms na ON na.vec_id = s.qid
+         |  JOIN norms nb2 ON nb2.vec_id = s.nb),
+         |brute AS (SELECT qid, nb FROM bruter WHERE rank <= 5),
+         |bc AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM brute)
+         |SELECT i.nprobe, CAST(count(*) AS BIGINT) AS n_returned,
+         |       CAST(sum(CASE WHEN b.nb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |       (sum(CASE WHEN b.nb IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // max(n_truth) AS recall_ppm
+         |FROM ivf i LEFT JOIN brute b ON b.qid = i.qid AND b.nb = i.nb, bc
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   // Quantization parity note (all embedding oracles): Spark promotes
   // FLOAT * 1000 to DOUBLE before rounding; DuckDB would multiply in
@@ -6478,6 +6578,7 @@ object Relational {
     "q_ann_kmeans" -> kmeansOracleSql(8, 3),
     "q_ann_ivf_kmeans" -> ivfKmeansOracleSql(8, 3),
     "q_ann_ivf_multiprobe" -> ivfMultiprobeOracleSql(8, 3, 2),
+    "q_ann_ivf_recall" -> ivfRecallOracleSql(8, 3, Seq(1, 2, 4)),
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
                     FROM embeddings),
