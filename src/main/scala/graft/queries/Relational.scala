@@ -5301,6 +5301,114 @@ object Relational {
           expr("(hits * 1000000L) div n_truth").as("recall_ppm"))
         .orderBy(col("nprobe"))
     }),
+
+    // Per-dimension embedding health — the vector-column QA report a
+    // feature store runs before indexing: mean, population variance,
+    // and range per dimension (a near-zero-variance or wildly
+    // off-center dimension signals a broken encoder or a truncated
+    // export). One posexplode + one hash agg keyed by dim (64 groups);
+    // the moments follow the exact decimal-sum / cast-once-double
+    // discipline. Scale shape: a single partial+final agg, no joins.
+    "q_embed_dimstats" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")))
+        .toDF("dim", "x")
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .select(col("dim").cast("long").as("dim"), col("n"),
+          round(col("sx").cast("double") / col("n").cast("double"), 4)
+            .as("mean"),
+          round((col("sxx").cast("double") * col("n").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")) /
+            (col("n").cast("double") * col("n").cast("double")), 4)
+            .as("var_pop"),
+          col("min_x"), col("max_x"))
+        .orderBy(col("dim"))
+    }),
+
+    // Simpson diversity index per source — the collision-probability
+    // complement to the entropy report (q_agg_entropy): the chance two
+    // tokens drawn without replacement are the same type,
+    // Σ nᵢ(nᵢ−1) / (N(N−1)). The pair counts accumulate as exact
+    // decimals (nᵢ(nᵢ−1) wraps no earlier than the corpus itself) and
+    // the index is ONE double division rounded. Two hash aggs sharded
+    // by (source, token) then source.
+    "q_docs_simpson" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+          sum((col("cnt") * (col("cnt") - 1)).cast(dec)).as("pairs"))
+        .select(col("source"), col("n_tokens"), col("n_distinct"),
+          round(col("pairs").cast("double") /
+            (col("n_tokens").cast("double")
+              * (col("n_tokens").cast("double") - 1.0)), 6).as("simpson"))
+        .orderBy(col("source"))
+    }),
+
+    // Benford first-digit audit — the fraud/integrity screen for a
+    // value column: the leading-digit distribution of the positive
+    // cents amounts per event type in exact ppm (synthetic uniform-ish
+    // data will NOT follow Benford — the point of the query is the
+    // report shape, and the deviation itself is the signal a real
+    // ledger is judged by). First digit via string head — exact, no
+    // float log10 anywhere. One scalar pass + two hash aggs.
+    "q_events_benford" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit",
+          substring(col("c").cast("string"), 1, 1).cast("long"))
+      val tot = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      e.groupBy(col("event_type"), col("digit")).agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("digit"), col("n"),
+          expr("(n * 1000000L) div n_total").as("pct_ppm"))
+        .orderBy(col("event_type"), col("digit"))
+    }),
+
+    // Growth accounting — the new/retained/resurrected/churned daily
+    // matrix every product dashboard leads with: per active (user,
+    // day), the user is NEW (no prior activity), RETAINED (active
+    // yesterday), or RESURRECTED (returning after a gap); CHURNED(d)
+    // counts users active on d−1 but not d. One distinct + one lag
+    // window partitioned by user (shards at any scale), a bounded
+    // per-day rollup, and a full-outer day merge for the churn column.
+    "q_events_lifecycle" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val lab = act
+        .withColumn("prev", lag(col("day"), 1).over(wU))
+        .withColumn("nxt", lead(col("day"), 1).over(wU))
+      val daily = lab.groupBy(col("day"))
+        .agg(sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("prev") === col("day") - 1, 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+            .otherwise(0L)).as("n_resurrected"))
+      val maxd = act.agg(max(col("day")).as("maxd"))
+      val churn = lab.crossJoin(broadcast(maxd))
+        .filter(col("day") < col("maxd") &&
+          (col("nxt").isNull || col("nxt") > col("day") + 1))
+        .groupBy((col("day") + 1).as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      daily.join(churn, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("day"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -8629,6 +8737,84 @@ object Relational {
          SELECT event_type, ta, tb,
                 max(abs((ca * 1000000) // ta - (cb * 1000000) // tb)) AS ks_ppm
          FROM cum GROUP BY 1, 2, 3 ORDER BY 1""",
+    // identical ×1000 double-first quantization and five-sum moments
+    "q_embed_dimstats" ->
+      """WITH v AS (
+           SELECT CAST(i AS BIGINT) AS dim,
+                  CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS x
+           FROM embeddings, range(64) t(i)),
+           s AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                        sum(CAST(x AS HUGEINT)) AS sx,
+                        sum(CAST(x * x AS HUGEINT)) AS sxx,
+                        min(x) AS min_x, max(x) AS max_x
+                 FROM v GROUP BY 1)
+         SELECT dim, n,
+                round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) AS mean,
+                round((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS var_pop,
+                min_x, max_x
+         FROM s ORDER BY dim""",
+    // identical pair-count accumulation and cast-once double index
+    "q_docs_simpson" ->
+      """WITH cnts AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                 FROM documents) GROUP BY 1, 2),
+           s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_distinct,
+                        sum(CAST(cnt * (cnt - 1) AS HUGEINT)) AS pairs
+                 FROM cnts GROUP BY 1)
+         SELECT source, n_tokens, n_distinct,
+                round(CAST(pairs AS DOUBLE)
+                      / (CAST(n_tokens AS DOUBLE) * (CAST(n_tokens AS DOUBLE) - 1.0)),
+                      6) AS simpson
+         FROM s ORDER BY source""",
+    // identical positive-cents filter and string-head first digit
+    "q_events_benford" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            d AS (SELECT event_type,
+                         CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                  FROM e WHERE c > 0),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+                    FROM d GROUP BY 1),
+            g AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1, 2)
+         SELECT g.event_type, digit, n, (n * 1000000) // n_total AS pct_ppm
+         FROM g JOIN tot ON g.event_type = tot.event_type
+         ORDER BY 1, 2""",
+    // identical lag/lead labeling and day+1 churn attribution
+    "q_events_lifecycle" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+           FROM events),
+           lab AS (
+             SELECT user_id, day,
+                    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+                    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+             FROM act),
+           daily AS (
+             SELECT day,
+                    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                    CAST(sum(CASE WHEN prev = day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+             FROM lab GROUP BY 1),
+           mx AS (SELECT max(day) AS maxd FROM act),
+           churn AS (
+             SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_churned
+             FROM lab, mx
+             WHERE day < maxd AND (nxt IS NULL OR nxt > day + 1)
+             GROUP BY 1)
+         SELECT COALESCE(daily.day, churn.day) AS day,
+                COALESCE(n_new, 0) AS n_new,
+                COALESCE(n_retained, 0) AS n_retained,
+                COALESCE(n_resurrected, 0) AS n_resurrected,
+                COALESCE(n_churned, 0) AS n_churned
+         FROM daily FULL OUTER JOIN churn ON daily.day = churn.day
+         ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
