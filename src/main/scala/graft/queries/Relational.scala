@@ -5409,6 +5409,108 @@ object Relational {
           coalesce(col("n_churned"), lit(0L)).as("n_churned"))
         .orderBy(col("day"))
     }),
+
+    // Label-margin audit — the embedding-space classifier-health
+    // report: for every label pair, the squared distance between
+    // class centroids against the classes' within-dispersion (a
+    // Fisher-style separability ratio; a collapsed pair predicts
+    // confusion before any model run). Centroids are exact floored
+    // per-dim means (the k-means discipline), dispersions exact
+    // integer sums, and the margin is ONE double division of exact
+    // integers — margin = d²·na·nb / (swa·nb + swb·na), i.e.
+    // d² / (msdₐ + msd_b) cleared of fractions. Bounded: 10 labels →
+    // 45 pairs; every distributed step is a hash agg or equi-join.
+    "q_embed_label_margin" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val v = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"), posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")))
+        .toDF("label", "dim", "x")
+      val cent = v.groupBy(col("label"), col("dim"))
+        .agg(expr("cast(floor(cast(sum(x) as double) / count(1)) as bigint)")
+          .as("cx"))
+        .localCheckpoint(true) // feeds within-dispersion AND both pair sides
+      val nv = t(s, dir, "embeddings")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("nv"))
+      val sw = v.join(cent, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum(((col("x") - col("cx")) * (col("x") - col("cx"))).cast(dec))
+          .as("sw"))
+        .join(nv, Seq("label"))
+      val d2 = cent.as("a").join(cent.as("b"),
+          col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("la"), col("b.label").as("lb"))
+        .agg(sum((col("a.cx") - col("b.cx")) * (col("a.cx") - col("b.cx")))
+          .as("d2"))
+      d2.join(sw.select(col("label").as("la"), col("sw").as("swa"),
+          col("nv").as("na")), Seq("la"))
+        .join(sw.select(col("label").as("lb"), col("sw").as("swb"),
+          col("nv").as("nb")), Seq("lb"))
+        .select(col("la"), col("lb"), col("d2"),
+          round((col("d2").cast("double") * col("na").cast("double")
+              * col("nb").cast("double")) /
+            (col("swa").cast("double") * col("nb").cast("double")
+              + col("swb").cast("double") * col("na").cast("double")), 6)
+            .as("margin"))
+        .orderBy(col("la"), col("lb"))
+    }),
+
+    // Cohort LTV curve — cumulative value per signup cohort by age:
+    // users cohort on their first active day, every event's cents
+    // land in (cohort_day, age) cells, and the running-sum window per
+    // cohort yields the curve product teams read as "LTV by day N".
+    // Per-user normalization is exact floor-div. Shapes: two hash
+    // aggs sharded by user then (cohort, age), one window over a
+    // bounded days×days grid.
+    "q_events_cohort_ltv" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), cents(col("value")).as("c"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sized = cohort.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      val cells = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age"))
+        .agg(sum(col("c")).as("cents"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cells.withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(broadcast(sized), Seq("cohort_day"))
+        .select(col("cohort_day"), col("age"), col("cohort_size"),
+          col("cum_cents"),
+          expr("cum_cents div cohort_size").as("ltv_cents_per_user"))
+        .orderBy(col("cohort_day"), col("age"))
+    }),
+
+    // Corpus novelty curve — the diminishing-returns report for a
+    // crawl: treating doc_id order as crawl order in batches of 100,
+    // what share of each batch's distinct 3-grams was never seen in
+    // any earlier batch. The first-occurrence batch per gram is one
+    // min-agg (no ordered scan over the corpus), so the whole curve
+    // is three hash aggs sharded by gram then batch — the curve that
+    // tells a 100 TB pipeline when more of the same source stops
+    // adding vocabulary.
+    "q_text_novelty" -> ((s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(expr("doc_id div 100").as("batch"), col("doc_id"),
+          explode(expr(
+            """case when size(split(text, ' ')) >= 3 then
+              |  transform(sequence(1, size(split(text, ' ')) - 2),
+              |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+              |else array() end""".stripMargin)).as("gram"))
+        .select(col("batch"), col("gram")).distinct()
+      val firstB = grams.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
+      val perBatch = grams.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_distinct_grams"))
+      val newPer = firstB.groupBy(col("fb").as("batch"))
+        .agg(count(lit(1)).as("n_new_grams"))
+      perBatch.join(newPer, Seq("batch"), "left")
+        .select(col("batch"), col("n_distinct_grams"),
+          coalesce(col("n_new_grams"), lit(0L)).as("n_new_grams"))
+        .withColumn("novelty_ppm",
+          expr("(n_new_grams * 1000000L) div n_distinct_grams"))
+        .orderBy(col("batch"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -8815,6 +8917,73 @@ object Relational {
                 COALESCE(n_churned, 0) AS n_churned
          FROM daily FULL OUTER JOIN churn ON daily.day = churn.day
          ORDER BY 1""",
+    // identical floored centroids, exact dispersions, and
+    // fraction-cleared margin
+    "q_embed_label_margin" ->
+      """WITH v AS (
+           SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                  CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000) AS BIGINT) AS x
+           FROM embeddings, range(64) t(i)),
+           cent AS (
+             SELECT label, dim,
+                    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+             FROM v GROUP BY 1, 2),
+           nv AS (SELECT CAST(label AS BIGINT) AS label,
+                         CAST(count(*) AS BIGINT) AS nv
+                  FROM embeddings GROUP BY 1),
+           sw AS (
+             SELECT v.label, sum(CAST((x - cx) * (x - cx) AS HUGEINT)) AS sw
+             FROM v JOIN cent ON v.label = cent.label AND v.dim = cent.dim
+             GROUP BY 1),
+           d2 AS (
+             SELECT a.label AS la, b.label AS lb,
+                    CAST(sum((a.cx - b.cx) * (a.cx - b.cx)) AS BIGINT) AS d2
+             FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+             GROUP BY 1, 2)
+         SELECT la, lb, d2,
+                round((CAST(d2 AS DOUBLE) * CAST(na.nv AS DOUBLE) * CAST(nb.nv AS DOUBLE))
+                      / (CAST(swa.sw AS DOUBLE) * CAST(nb.nv AS DOUBLE)
+                         + CAST(swb.sw AS DOUBLE) * CAST(na.nv AS DOUBLE)),
+                      6) AS margin
+         FROM d2 JOIN sw swa ON swa.label = la JOIN sw swb ON swb.label = lb
+              JOIN nv na ON na.label = la JOIN nv nb ON nb.label = lb
+         ORDER BY la, lb""",
+    // identical first-day cohorting and running-sum LTV grid
+    "q_events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+            sized AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                      FROM cohort GROUP BY 1),
+            cells AS (SELECT cohort_day, day - cohort_day AS age,
+                             CAST(sum(c) AS BIGINT) AS cents
+                      FROM e JOIN cohort USING (user_id) GROUP BY 1, 2),
+            cum AS (SELECT cohort_day, age, cents,
+                           CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+                    FROM cells)
+         SELECT cohort_day, age, cohort_size, cum_cents,
+                cum_cents // cohort_size AS ltv_cents_per_user
+         FROM cum JOIN sized USING (cohort_day)
+         ORDER BY cohort_day, age""",
+    // identical batching, 3-gram shingles, and min-batch novelty
+    "q_text_novelty" ->
+      """WITH toks AS (SELECT doc_id // 100 AS batch,
+                              string_split(text, ' ') AS w
+                       FROM documents),
+            g AS (SELECT DISTINCT batch, array_to_string(w[i:i+2], ' ') AS gram
+                  FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)),
+            fb AS (SELECT gram, min(batch) AS batch FROM g GROUP BY 1),
+            per AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_distinct_grams
+                    FROM g GROUP BY 1),
+            nw AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_new_grams
+                   FROM fb GROUP BY 1)
+         SELECT per.batch, n_distinct_grams,
+                COALESCE(n_new_grams, 0) AS n_new_grams,
+                (COALESCE(n_new_grams, 0) * 1000000) // n_distinct_grams AS novelty_ppm
+         FROM per LEFT JOIN nw ON per.batch = nw.batch
+         ORDER BY per.batch""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
