@@ -5511,6 +5511,148 @@ object Relational {
           expr("(n_new_grams * 1000000L) div n_distinct_grams"))
         .orderBy(col("batch"))
     }),
+
+    // Peak concurrency by sweep line — the capacity question every
+    // serving table answers: treating each event as a 300-second
+    // lease, the maximum number simultaneously open per event type.
+    // Classic +1/−1 sweep with the close-before-open convention at
+    // equal timestamps, expressed as two inclusive cumulative windows
+    // over the per-second start/end counts (conc(t) = starts≤t −
+    // ends≤t) — no interval self-join, no explode-per-second. The
+    // windows run over the DISTINCT timestamp grid per type.
+    "q_events_peak_concurrency" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), unix_timestamp(col("ts")).as("t0"))
+      val starts = e.groupBy(col("event_type"), col("t0").as("t"))
+        .agg(count(lit(1)).as("s_cnt"))
+      val ends = e.groupBy(col("event_type"), (col("t0") + 300).as("t"))
+        .agg(count(lit(1)).as("e_cnt"))
+      val grid = starts.join(ends, Seq("event_type", "t"), "full_outer")
+        .select(col("event_type"), col("t"),
+          coalesce(col("s_cnt"), lit(0L)).as("s_cnt"),
+          coalesce(col("e_cnt"), lit(0L)).as("e_cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.withColumn("conc", sum(col("s_cnt")).over(w) - sum(col("e_cnt")).over(w))
+        .groupBy(col("event_type"))
+        .agg(sum(col("s_cnt")).as("n_events"), max(col("conc")).as("peak"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Inter-arrival profile — the burst/load-model histogram capacity
+    // planning reads: per event type, successive-event gaps in
+    // seconds, bucketed by exact floor(log2(gap+1)) (the bin()-length
+    // trick — bucket 0 is the same-second burst bin) with per-type
+    // share in ppm. One lag window sharded by type, two hash aggs.
+    "q_events_interarrival_hist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val gaps = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("bucket", (length(bin(col("gap") + 1)) - 1).cast("long"))
+      val tot = gaps.groupBy(col("event_type")).agg(count(lit(1)).as("n_gaps"))
+      gaps.groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("n"))
+        .join(broadcast(tot), Seq("event_type"))
+        .select(col("event_type"), col("bucket"), col("n"),
+          expr("(n * 1000000L) div n_gaps").as("share_ppm"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // Source vocabulary overlap — the corpus-composition similarity
+    // matrix: token-set Jaccard between every source pair (near-twin
+    // sources mean the mixture is narrower than its source count
+    // suggests). The pair fan-out is bounded by the SOURCE count, not
+    // the corpus: each distinct (token) row joins only the ≤20 source
+    // rows sharing it, so the self-join emits ≤ C(20,2) rows per
+    // token — an equi-join on token, never all-pairs on documents.
+    "q_docs_source_overlap" -> ((s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .distinct()
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n_toks"))
+      val inter = g.as("a").join(g.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("source").as("sa"), col("n_toks").as("na")), Seq("sa"))
+        .join(sizes.select(col("source").as("sb"), col("n_toks").as("nb")), Seq("sb"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"), col("inter"),
+          expr("(inter * 1000000L) div (na + nb - inter)").as("jaccard_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Mann–Whitney U — the nonparametric A/B test (no normality
+    // assumption, unlike the CUPED/variant mean tests): arms are
+    // user_id parity, and the rank-sum statistic is EXACT through tie
+    // handling by working at the value grain with DOUBLED ranks —
+    // the average rank of a tie group is (2·cum_prev + n + 1)/2, so
+    // 2U_A = Σ n_a·(2·cum_prev + n + 1) − n_A(n_A+1) stays integral.
+    // The reported effect is the common-language AUC in ppm,
+    // P(a > b) + ½P(a = b) = U_A / (n_A·n_B). One value-grain hash
+    // agg, one cumulative window per type over the distinct grid.
+    "q_events_mann_whitney" -> ((s, dir) => {
+      val grid = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          pmod(col("user_id"), lit(2L)).as("arm"))
+        .groupBy(col("event_type"), col("c"))
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"))
+        .withColumn("n", col("na") + col("nb"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dec = "decimal(38,0)"
+      grid.withColumn("cum_prev", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("rank2", lit(2L) * col("cum_prev") + col("n") + 1)
+        .groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+          // rank·count products grow ~quadratically with rows — decimal
+          // accumulation (the q_agg_corr lesson), ONE double cast below
+          sum((col("na") * col("rank2")).cast(dec)).as("ranksum2"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round((col("ranksum2").cast("double")
+              - col("n_a").cast("double") * (col("n_a").cast("double") + 1.0)) /
+            (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")), 6)
+            .as("auc"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Clustering quality vs ground-truth labels — purity and the
+    // exact pair-counting Rand index of the k-means assignment
+    // against the embedding labels, the eval that decides whether the
+    // IVF coarse quantizer respects semantics. The contingency table
+    // is one hash agg over the memoized fit (k×labels cells); purity
+    // and RI are exact integer ppm: RI = (total + 2a − rows − cols) /
+    // total over C(·,2) pair counts. One output row.
+    "q_ann_kmeans_purity" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val lbl = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      val cells = kmeansFit(s, dir).select(col("vec_id"), col("cid"))
+        .join(lbl, Seq("vec_id"))
+        .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("nij"))
+        .localCheckpoint(true) // feeds the four bounded rollups below
+      val base = cells.agg(sum(col("nij")).as("n"),
+        sum((col("nij") * (col("nij") - 1)).cast(dec)).as("a2"))
+      val rows = cells.groupBy(col("cid")).agg(sum(col("nij")).as("ni"))
+        .agg(sum((col("ni") * (col("ni") - 1)).cast(dec)).as("rows2"))
+      val colsum = cells.groupBy(col("label")).agg(sum(col("nij")).as("nj"))
+        .agg(sum((col("nj") * (col("nj") - 1)).cast(dec)).as("cols2"))
+      val pur = cells.groupBy(col("cid")).agg(max(col("nij")).as("mx"))
+        .agg(sum(col("mx")).as("pur"))
+      base.crossJoin(broadcast(rows)).crossJoin(broadcast(colsum))
+        .crossJoin(broadcast(pur))
+        .select(col("n").as("n_vectors"),
+          expr("(pur * 1000000L) div n").as("purity_ppm"),
+          round((col("n").cast("double") * (col("n").cast("double") - 1.0)
+              + lit(2.0) * col("a2").cast("double")
+              - col("rows2").cast("double") - col("cols2").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - 1.0)), 6)
+            .as("rand_index"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -8984,6 +9126,120 @@ object Relational {
                 (COALESCE(n_new_grams, 0) * 1000000) // n_distinct_grams AS novelty_ppm
          FROM per LEFT JOIN nw ON per.batch = nw.batch
          ORDER BY per.batch""",
+    // identical 300 s lease, close-before-open inclusive cumulatives
+    "q_events_peak_concurrency" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS t0
+                    FROM events),
+            st AS (SELECT event_type, t0 AS t, CAST(count(*) AS BIGINT) AS s_cnt
+                   FROM e GROUP BY 1, 2),
+            en AS (SELECT event_type, t0 + 300 AS t, CAST(count(*) AS BIGINT) AS e_cnt
+                   FROM e GROUP BY 1, 2),
+            grid AS (SELECT COALESCE(st.event_type, en.event_type) AS event_type,
+                            COALESCE(st.t, en.t) AS t,
+                            COALESCE(s_cnt, 0) AS s_cnt, COALESCE(e_cnt, 0) AS e_cnt
+                     FROM st FULL OUTER JOIN en
+                       ON st.event_type = en.event_type AND st.t = en.t),
+            conc AS (SELECT event_type, s_cnt,
+                            sum(s_cnt) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            - sum(e_cnt) OVER (PARTITION BY event_type ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+                     FROM grid)
+         SELECT event_type, CAST(sum(s_cnt) AS BIGINT) AS n_events,
+                CAST(max(conc) AS BIGINT) AS peak
+         FROM conc GROUP BY 1 ORDER BY 1""",
+    // identical lag ordering (ts, event_id) and log2 bucket trick
+    "q_events_interarrival_hist" ->
+      """WITH g AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT)
+                  - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                      PARTITION BY event_type
+                      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+           FROM events),
+            b AS (SELECT event_type,
+                         CAST(length(bin(gap + 1)) - 1 AS BIGINT) AS bucket
+                  FROM g WHERE gap IS NOT NULL),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps
+                    FROM b GROUP BY 1),
+            h AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+                  FROM b GROUP BY 1, 2)
+         SELECT h.event_type, bucket, n, (n * 1000000) // n_gaps AS share_ppm
+         FROM h JOIN tot ON h.event_type = tot.event_type
+         ORDER BY 1, 2""",
+    // identical distinct token sets and per-token bounded pair join
+    "q_docs_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT source, tok FROM (
+                      SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)),
+            sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_toks
+                      FROM g GROUP BY 1),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             CAST(count(*) AS BIGINT) AS inter
+                      FROM g a JOIN g b
+                        ON a.tok = b.tok AND a.source < b.source
+                      GROUP BY 1, 2)
+         SELECT sa, sb, na.n_toks AS na, nb.n_toks AS nb, inter,
+                (inter * 1000000) // (na.n_toks + nb.n_toks - inter) AS jaccard_ppm
+         FROM inter JOIN sizes na ON na.source = sa
+              JOIN sizes nb ON nb.source = sb
+         ORDER BY sa, sb""",
+    // identical doubled tie-average ranks and cast-once double AUC
+    "q_events_mann_whitney" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                           user_id % 2 AS arm
+                    FROM events),
+            grid AS (SELECT event_type, c,
+                            CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                            CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+                     FROM e GROUP BY 1, 2),
+            g2 AS (SELECT event_type, c, na, nb, na + nb AS n FROM grid),
+            r AS (SELECT event_type, na, nb,
+                         2 * CAST(COALESCE(sum(n) OVER (PARTITION BY event_type ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                         + n + 1 AS rank2
+                  FROM g2),
+            s AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS n_a,
+                         CAST(sum(nb) AS BIGINT) AS n_b,
+                         sum(CAST(na * rank2 AS HUGEINT)) AS ranksum2
+                  FROM r GROUP BY 1)
+         SELECT event_type, n_a, n_b,
+                round((CAST(ranksum2 AS DOUBLE)
+                       - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0))
+                      / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS auc
+         FROM s ORDER BY 1""",
+    // identical k-means assignment replay, contingency rollups, and
+    // pair-count Rand arithmetic
+    "q_ann_kmeans_purity" -> (kmeansCtes(8, 3) +
+      """,
+        |af AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+        |          FROM v JOIN c3 c ON v.i = c.i GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |cells AS (SELECT a.cid, CAST(e.label AS BIGINT) AS label,
+        |                 CAST(count(*) AS BIGINT) AS nij
+        |          FROM af a JOIN embeddings e ON e.vec_id = a.vec_id
+        |          GROUP BY 1, 2),
+        |base AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |                sum(CAST(nij * (nij - 1) AS HUGEINT)) AS a2
+        |         FROM cells),
+        |r AS (SELECT sum(CAST(ni * (ni - 1) AS HUGEINT)) AS rows2
+        |      FROM (SELECT cid, CAST(sum(nij) AS BIGINT) AS ni
+        |            FROM cells GROUP BY 1)),
+        |cc AS (SELECT sum(CAST(nj * (nj - 1) AS HUGEINT)) AS cols2
+        |       FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS nj
+        |             FROM cells GROUP BY 1)),
+        |p AS (SELECT CAST(sum(mx) AS BIGINT) AS pur
+        |      FROM (SELECT cid, max(nij) AS mx FROM cells GROUP BY 1))
+        |SELECT n AS n_vectors, (pur * 1000000) // n AS purity_ppm,
+        |       round((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+        |              + 2.0 * CAST(a2 AS DOUBLE)
+        |              - CAST(rows2 AS DOUBLE) - CAST(cols2 AS DOUBLE))
+        |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS rand_index
+        |FROM base, r, cc, p""".stripMargin),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
