@@ -466,9 +466,17 @@ object TableIO {
       // means THIS branch produced that (bucket, version)
       val bdir = branch.map(n => branchDataDir(root, n, l.bucket, l.version))
       if (bdir.exists(Files.isDirectory(_))) bdir.get
-      else if (current.getOrElse(l.bucket, l.version) == l.version)
-        Paths.get(root, s"bucket=${l.bucket}")
-      else archiveDir(root, l.bucket, l.version)
+      else if (current.getOrElse(l.bucket, l.version) == l.version) {
+        // live resolution — but a bucket DROPPED from the head by a
+        // rollback keeps its bytes only in the archive; fall back there
+        // so the rolled-past snapshots stay readable
+        val live = Paths.get(root, s"bucket=${l.bucket}")
+        if (listDir(live).exists(_.getFileName.toString.endsWith(".parquet"))) live
+        else {
+          val arch = archiveDir(root, l.bucket, l.version)
+          if (Files.isDirectory(arch)) arch else live
+        }
+      } else archiveDir(root, l.bucket, l.version)
     }.filter(d => listDir(d).exists(_.getFileName.toString.endsWith(".parquet")))
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -874,6 +882,48 @@ object TableIO {
       .sortBy(_.bucket)
     writeManifestCas(branchSnapDir(root, name), snapId, all)
     newLin
+  }
+
+  /** Roll the table head back to an earlier snapshot — Iceberg's
+    * rollback semantics: publish a NEW head snapshot whose manifest is
+    * exactly the target's lineage (buckets added after the target drop
+    * out of the live tree into the archive; merged/deleted buckets
+    * return to the target's archived versions). History is preserved —
+    * the rolled-past snapshots stay time-travel-readable via the
+    * archive — and the CAS manifest publish conflicts loudly with a
+    * concurrent writer.
+    *
+    * Crash safety rides the merge contract: step 1 parks every
+    * divergent live bucket at its CURRENT version (the in-flight
+    * marker `recoverMerge` honors), so a crash before the publish
+    * restores the pre-rollback head, and a crash after it lets the
+    * next entry's `recoverMerge` finish restoring the target's
+    * versions to live. Returns the new head snapshot id. */
+  def rollbackTo(root: String, snap: Int): Int = {
+    recoverCompaction(root)
+    recoverMerge(root)
+    val target = lineageAtStrict(root, snap)
+    val (head, _) = committed(root)
+    require(snap <= head, s"cannot roll forward: snapshot $snap is beyond head $head")
+    val id = head + 1
+    val targetV = target.map(l => l.bucket -> l.version).toMap
+    // 1. park every live bucket the target does not pin at its current
+    //    version
+    for (l <- lineageAt(root, head)
+         if !targetV.get(l.bucket).contains(l.version)) {
+      val live = Paths.get(root, s"bucket=${l.bucket}")
+      if (Files.isDirectory(live)) {
+        val park = archiveDir(root, l.bucket, l.version)
+        Files.createDirectories(park.getParent)
+        Files.move(live, park, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // 2. publish the target lineage as the new head (CAS)
+    writeManifestCas(snapDir(root), id, target)
+    // 3. restore the target's archived versions to live — exactly the
+    //    archive-at-current-version contract recoverMerge implements
+    recoverMerge(root)
+    id
   }
 
   private def tagDir(root: String) = Paths.get(root, "_tags")

@@ -5074,19 +5074,22 @@ object Relational {
     // (the discrete optimal mechanism, Ghosh et al.) at ε = ln 2: the
     // per-cell noise is two-sided geometric with p = 1/2, drawn by
     // EXACT dyadic inverse-CDF — magnitude = floor(−log2 u) over a
-    // 19-bit md5-derived uniform via the bin()-length trick, sign from
-    // the 20th bit — so the release is reproducible (seeded) and the
-    // oracle replays the identical draw with no floating-point log
-    // anywhere. The true count stays in the output because this query
-    // AUDITS the mechanism (per-cell noise realization and scale), it
-    // is not the release itself. Scalar per group row — free at scale.
+    // 19-bit md5-derived uniform u = (h+1)/2^19, computed with pure
+    // integer arithmetic via floor(log2(a/b)) = len(bin(a div b)) − 1
+    // (a valid identity for integral a, b ≥ 1); sign from the 20th
+    // bit — so the release is reproducible (seeded) and the oracle
+    // replays the identical draw with no floating-point log anywhere.
+    // P(|noise| = j) = 2^−(j+1) exactly for j ≤ 18 (QueryPropsSpec
+    // enumerates all 2^20 draws). The true count stays in the output
+    // because this query AUDITS the mechanism (per-cell noise
+    // realization and scale), it is not the release itself.
     "q_privacy_dp_hist" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .withColumn("h20",
           conv(substring(md5(col("source")), 1, 5), 16, 10).cast("long"))
         .withColumn("mag",
-          lit(19L) - (length(expr("bin((h20 div 2) + 1)")) - 1).cast("long"))
+          (length(expr("bin(524288 div ((h20 div 2) + 1))")) - 1).cast("long"))
         .withColumn("noise",
           when(pmod(col("h20"), lit(2L)) === 1, col("mag"))
             .otherwise(-col("mag")))
@@ -8857,7 +8860,7 @@ object Relational {
                          CAST(('0x' || substr(md5(source), 1, 5))::UBIGINT AS BIGINT) AS h20
                   FROM c),
             m AS (SELECT source, n_docs, h20,
-                         19 - (length(bin((h20 // 2) + 1)) - 1) AS mag
+                         length(bin(524288 // ((h20 // 2) + 1))) - 1 AS mag
                   FROM h)
          SELECT source, n_docs,
                 CAST(CASE WHEN h20 % 2 = 1 THEN mag ELSE -mag END AS BIGINT) AS noise,

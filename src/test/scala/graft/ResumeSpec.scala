@@ -509,6 +509,36 @@ class ResumeSpec extends SparkSuite {
       .select("quality_tier").collect().forall(_.getString(0) == "unscored"))
   }
 
+  test("rollback: head returns to the target state; rolled-past snapshots stay readable") {
+    val root = freshDir("graft-rollback")
+    def dumpAsOf(snap: Int): Seq[String] =
+      TableIO.readExtracted(spark, root, snap)
+        .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2, stopAfterWaves = 1)
+    val (snap1, _) = TableIO.committed(root)
+    val content1 = dump(root)
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val (snap2, _) = TableIO.committed(root)
+    val content2 = dump(root)
+    assert(content1 != content2)
+
+    // rollback publishes a NEW head that reads as the target state
+    val head = TableIO.rollbackTo(root, snap1)
+    assert(head > snap2)
+    assert(TableIO.committed(root)._1 == head)
+    assert(dump(root) == content1)
+    assert(dumpAsOf(head) == content1)
+    // history preserved: the rolled-past snapshot still time-travels
+    assert(dumpAsOf(snap2) == content2)
+    // rolling forward is refused
+    intercept[IllegalArgumentException] { TableIO.rollbackTo(root, head + 5) }
+    // resume semantics after rollback: the missing buckets re-commit
+    // and the table returns to the full deterministic state
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    assert(dump(root) == content2)
+  }
+
   test("snapshot publish is a compare-and-swap: double-publish of an id fails loudly") {
     val root = freshDir("graft-cas")
     TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
