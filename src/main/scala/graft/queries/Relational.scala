@@ -5656,6 +5656,92 @@ object Relational {
             (col("n").cast("double") * (col("n").cast("double") - 1.0)), 6)
             .as("rand_index"))
     }),
+
+    // TPC-H Q1 proper — the faithful pricing summary (q_agg_pricing is
+    // the reference-derived simplification): the 90-day shipdate
+    // cutoff, the disc_price and charge measures, and the three
+    // averages. Exactness: disc_price accumulates in 10⁻⁴ dollars
+    // (price_c·(100−disc_c)) and charge in 10⁻⁶ dollars, both as
+    // decimal(38,0) (the corr lesson — these wrap a long around
+    // sf≈30), averages are ONE double division each. With this entry
+    // all 22 TPC-H shapes are registered under their own names.
+    "q_tpch_q1" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= timestamp'1998-09-02 00:00:00'"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c"),
+          cents(col("l_discount")).as("disc_c"),
+          cents(col("l_tax")).as("tax_c"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty")).as("sum_qty"),
+          sum(col("price_c")).as("sum_base_price_c"),
+          sum((col("price_c") * (lit(100L) - col("disc_c"))).cast(dec))
+            .as("sum_disc_price_c4"),
+          sum((col("price_c") * (lit(100L) - col("disc_c"))
+            * (lit(100L) + col("tax_c"))).cast(dec)).as("sum_charge_c6"),
+          sum(col("disc_c")).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_price_c"), col("sum_disc_price_c4"),
+          col("sum_charge_c6"), col("count_order"),
+          round(col("sum_qty").cast("double")
+            / col("count_order").cast("double"), 4).as("avg_qty"),
+          round(col("sum_base_price_c").cast("double")
+            / (col("count_order").cast("double") * 100.0), 4).as("avg_price"),
+          round(col("sum_disc_c").cast("double")
+            / (col("count_order").cast("double") * 100.0), 6).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // RFM segmentation — the classic customer-value grid: per user,
+    // Recency (days since last activity), Frequency (events), Monetary
+    // (total cents), each cut into terciles by ntile over a total
+    // order (metric + user_id tie-break, so the cut is deterministic
+    // and engine-portable), rolled up to segment counts. Windows shard
+    // by nothing here (one global ntile per dimension over the USER
+    // table, not events — bounded by users, and at 100 TB the tercile
+    // cuts come from exact per-dimension quantiles instead).
+    "q_events_rfm" -> ((s, dir) => {
+      val maxd = t(s, dir, "events")
+        .agg(max(expr("unix_timestamp(ts) div 86400")).as("maxd"))
+      val users = t(s, dir, "events")
+        .select(col("user_id"), cents(col("value")).as("c"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+          sum(col("c")).as("m"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("r", col("maxd") - col("last_day"))
+      val seg = users
+        .withColumn("rt", ntile(3).over(
+          Window.orderBy(col("r"), col("user_id"))))
+        .withColumn("ft", ntile(3).over(
+          Window.orderBy(col("f").desc, col("user_id"))))
+        .withColumn("mt", ntile(3).over(
+          Window.orderBy(col("m").desc, col("user_id"))))
+      seg.groupBy((col("rt") * 100 + col("ft") * 10 + col("mt")).as("segment"))
+        .agg(count(lit(1)).as("n_users"), sum(col("m")).as("sum_cents"))
+        .orderBy(col("segment"))
+    }),
+
+    // Calendar heatmap — the day-of-week × hour load matrix, from
+    // pure integer epoch math (no timezone/locale functions, so both
+    // engines agree bit-for-bit): dow 0 = Sunday via the +4 epoch-day
+    // offset. One hash agg over 168 cells plus the global total.
+    "q_events_calendar" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(unix_timestamp(col("ts")).as("t"))
+        .select(pmod(expr("t div 86400") + 4, lit(7L)).as("dow"),
+          expr("(t % 86400) div 3600").as("hour"))
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      e.groupBy(col("dow"), col("hour")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("hour"), col("n"),
+          expr("(n * 1000000L) div n_total").as("share_ppm"))
+        .orderBy(col("dow"), col("hour"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -9243,6 +9329,53 @@ object Relational {
         |              - CAST(rows2 AS DOUBLE) - CAST(cols2 AS DOUBLE))
         |             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) AS rand_index
         |FROM base, r, cc, p""".stripMargin),
+    // identical 90-day cutoff and c4/c6 integer measure units
+    "q_tpch_q1" ->
+      """WITH l AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+                  CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+         SELECT l_returnflag, l_linestatus,
+                CAST(sum(qty) AS BIGINT) AS sum_qty,
+                CAST(sum(price_c) AS BIGINT) AS sum_base_price_c,
+                sum(CAST(price_c * (100 - disc_c) AS HUGEINT)) AS sum_disc_price_c4,
+                sum(CAST(price_c * (100 - disc_c) * (100 + tax_c) AS HUGEINT)) AS sum_charge_c6,
+                CAST(count(*) AS BIGINT) AS count_order,
+                round(CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS avg_qty,
+                round(CAST(sum(price_c) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_price,
+                round(CAST(sum(disc_c) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS avg_disc
+         FROM l GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical tercile cuts (metric + user_id total order)
+    "q_events_rfm" ->
+      """WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS maxd
+                     FROM events),
+            u AS (SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+                         CAST(count(*) AS BIGINT) AS f,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+                  FROM events GROUP BY 1),
+            seg AS (SELECT maxd - last_day AS r, f, m, user_id,
+                           ntile(3) OVER (ORDER BY maxd - last_day, user_id) AS rt,
+                           ntile(3) OVER (ORDER BY f DESC, user_id) AS ft,
+                           ntile(3) OVER (ORDER BY m DESC, user_id) AS mt
+                    FROM u, mx)
+         SELECT rt * 100 + ft * 10 + mt AS segment,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(m) AS BIGINT) AS sum_cents
+         FROM seg GROUP BY 1 ORDER BY 1""",
+    // identical +4 epoch-day dow offset and pure integer hour math
+    "q_events_calendar" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+            d AS (SELECT (t // 86400 + 4) % 7 AS dow,
+                         (t % 86400) // 3600 AS hour
+                  FROM e),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM d)
+         SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
+                (count(*) * 1000000) // n_total AS share_ppm
+         FROM d, tot GROUP BY 1, 2, n_total ORDER BY 1, 2""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
