@@ -5742,6 +5742,36 @@ object Relational {
           expr("(n * 1000000L) div n_total").as("share_ppm"))
         .orderBy(col("dow"), col("hour"))
     }),
+
+    // Corpus data card — the datasheet a training-corpus release ships
+    // with, one row per (lang, source) cell: documents, whitespace
+    // tokens, characters, exact-duplicate documents (normalized-md5
+    // fingerprint shared with ANY other document corpus-wide, not just
+    // in-cell — cross-source copies are the interesting ones), and the
+    // chars-per-token fertility proxy in ppm. Every column is an exact
+    // integer; the dup join is fingerprint-equi (never doc-pairs). At
+    // 100 TB this is two hash aggs + one equi-join, sharded by
+    // fingerprint then by the cell key.
+    "q_docs_datacard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      val dupFp = docs.groupBy(col("fp")).agg(count(lit(1)).as("nfp"))
+        .filter(col("nfp") >= 2).select(col("fp"))
+      val flagged = docs.join(dupFp, Seq("fp"), "left_semi")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_dup_docs"))
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .join(flagged, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          expr("(n_chars * 1000000L) div n_tokens").as("chars_per_token_ppm"),
+          expr("n_tokens div n_docs").as("tokens_per_doc"))
+        .orderBy(col("lang"), col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -9376,6 +9406,28 @@ object Relational {
          SELECT dow, hour, CAST(count(*) AS BIGINT) AS n,
                 (count(*) * 1000000) // n_total AS share_ppm
          FROM d, tot GROUP BY 1, 2, n_total ORDER BY 1, 2""",
+    // identical normalized fingerprint and corpus-wide dup semi-join
+    "q_docs_datacard" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, source, n_chars,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+           FROM documents),
+            dupfp AS (SELECT fp FROM docs GROUP BY fp HAVING count(*) >= 2),
+            flagged AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_dup_docs
+                        FROM docs WHERE fp IN (SELECT fp FROM dupfp)
+                        GROUP BY 1, 2),
+            cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                             CAST(sum(n_chars) AS BIGINT) AS n_chars
+                      FROM docs GROUP BY 1, 2)
+         SELECT c.lang, c.source, n_docs, n_tokens, c.n_chars,
+                COALESCE(n_dup_docs, 0) AS n_dup_docs,
+                (c.n_chars * 1000000) // n_tokens AS chars_per_token_ppm,
+                n_tokens // n_docs AS tokens_per_doc
+         FROM cells c LEFT JOIN flagged f
+           ON c.lang = f.lang AND c.source = f.source
+         ORDER BY c.lang, c.source""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
