@@ -5772,6 +5772,89 @@ object Relational {
           expr("n_tokens div n_docs").as("tokens_per_doc"))
         .orderBy(col("lang"), col("source"))
     }),
+
+    // Activity bitmap rollup — the roaring-bitmap pattern in a single
+    // BIGINT: each user's first-63-days activity packs into one
+    // bit_or-aggregated mask, then days-active histograms and
+    // week1∧week2 retention read off bit_count and mask arithmetic —
+    // no per-day rows survive the first aggregation, which is the
+    // whole point at 100 TB (the engagement matrix compresses to one
+    // long per user).
+    "q_events_bitmap" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      val mind = e.agg(min(col("day")).as("mind"))
+      val masks = e.crossJoin(broadcast(mind))
+        .withColumn("rel", col("day") - col("mind"))
+        .filter(col("rel") < 63) // one mask word; the corpus spans 30 days
+        .select(col("user_id"),
+          expr("shiftleft(1L, cast(rel as int))").as("bit"))
+        .groupBy(col("user_id")).agg(expr("bit_or(bit)").as("mask"))
+        .select(col("user_id"),
+          expr("cast(bit_count(mask) as bigint)").as("days_active"),
+          (expr("mask & 127L") =!= 0).cast("long").as("w1"),
+          (expr("mask & 16256L") =!= 0).cast("long").as("w2"))
+      masks.groupBy(col("days_active"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("w1") * col("w2")).as("n_both_weeks"))
+        .orderBy(col("days_active"))
+    }),
+
+    // Interval-union active time — "how long was each user actually
+    // active" under 300-second leases, overlaps merged exactly by the
+    // running-max-end sweep (new coverage = lease end − max(own start,
+    // furthest end so far); no interval self-join, no per-second
+    // explode), rolled up to a 10-minute-bucket user histogram. One
+    // window sharded by user, two hash aggs.
+    "q_events_active_time" -> ((s, dir) => {
+      val wPrev = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cov = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("t"))
+        .withColumn("prev_end", max(col("t") + 300).over(wPrev))
+        .withColumn("covered", greatest(lit(0L),
+          col("t") + 300
+            - greatest(col("t"), coalesce(col("prev_end"), col("t")))))
+      cov.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("covered")).as("active_secs"))
+        .groupBy(expr("active_secs div 600").as("bucket"))
+        .agg(count(lit(1)).as("n_users"), sum(col("active_secs")).as("sum_secs"),
+          sum(col("n_events")).as("sum_events"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Degree assortativity — the network-science mixing coefficient
+    // over the near-dup candidate graph: Pearson correlation of
+    // endpoint degrees across directed edges (positive = hubs attach
+    // to hubs; dis-assortative dedup graphs mean a few templates link
+    // everything — a curation smell). Rides the session-memoized pair
+    // list; five exact decimal sums, one double formula (the corr
+    // discipline).
+    "q_graph_assortativity" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val dec = "decimal(38,0)"
+      edges
+        .join(deg.select(col("src"), col("deg").as("x")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("deg").as("y")), Seq("dst"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("n_edges"),
+          round((col("sxy").cast("double") * col("n_edges").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("sxx").cast("double") * col("n_edges").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("syy").cast("double") * col("n_edges").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("assortativity"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -9428,6 +9511,75 @@ object Relational {
          FROM cells c LEFT JOIN flagged f
            ON c.lang = f.lang AND c.source = f.source
          ORDER BY c.lang, c.source""",
+    // identical one-word mask pack and week-window mask tests
+    "q_events_bitmap" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events),
+            md AS (SELECT min(day) AS mind FROM e),
+            m AS (SELECT user_id,
+                         bit_or(1::BIGINT << CAST(day - mind AS INTEGER)) AS mask
+                  FROM e, md WHERE day - mind < 63 GROUP BY 1),
+            u AS (SELECT CAST(bit_count(mask) AS BIGINT) AS days_active,
+                         CASE WHEN (mask & 127) <> 0 THEN 1 ELSE 0 END AS w1,
+                         CASE WHEN (mask & 16256) <> 0 THEN 1 ELSE 0 END AS w2
+                  FROM m)
+         SELECT days_active, CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(w1 * w2) AS BIGINT) AS n_both_weeks
+         FROM u GROUP BY 1 ORDER BY 1""",
+    // identical running-max-end sweep and 10-minute buckets
+    "q_events_active_time" ->
+      """WITH c AS (
+           SELECT user_id, event_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS t
+           FROM events),
+            cov AS (
+              SELECT user_id,
+                     greatest(0, t + 300
+                       - greatest(t, COALESCE(max(t + 300) OVER (
+                           PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), t))) AS covered
+              FROM c),
+            pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                          CAST(sum(covered) AS BIGINT) AS active_secs
+                   FROM cov GROUP BY 1)
+         SELECT active_secs // 600 AS bucket,
+                CAST(count(*) AS BIGINT) AS n_users,
+                CAST(sum(active_secs) AS BIGINT) AS sum_secs,
+                CAST(sum(n_events) AS BIGINT) AS sum_events
+         FROM pu GROUP BY 1 ORDER BY 1""",
+    // identical edge list, degree join, and five-sum correlation
+    "q_graph_assortativity" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       pts AS (SELECT dx.deg AS x, dy.deg AS y
+               FROM edges e JOIN deg dx ON dx.src = e.src
+                    JOIN deg dy ON dy.src = e.dst),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                    sum(CAST(x * y AS HUGEINT)) AS sxy,
+                    sum(CAST(x * x AS HUGEINT)) AS sxx,
+                    sum(CAST(y * y AS HUGEINT)) AS syy
+             FROM pts)
+       SELECT n_edges,
+              round((CAST(sxy AS DOUBLE) * CAST(n_edges AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (sqrt(CAST(sxx AS DOUBLE) * CAST(n_edges AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * sqrt(CAST(syy AS DOUBLE) * CAST(n_edges AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
+       FROM s"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
