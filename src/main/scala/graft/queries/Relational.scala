@@ -5855,6 +5855,23 @@ object Relational {
                 - col("sy").cast("double") * col("sy").cast("double"))), 6)
             .as("assortativity"))
     }),
+
+    // Multiple exact COUNT(DISTINCT) in ONE aggregate — the Expand
+    // plan shape (Catalyst fans each row once per distinct group and
+    // null-pads; one shuffle serves all three cardinalities + the
+    // plain count, instead of three self-joined subqueries). The
+    // user/day/user-day triple is the daily-report staple.
+    "q_agg_multi_distinct" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("day")).as("n_days"),
+          countDistinct(col("user_id"), col("day")).as("n_user_days"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -9580,6 +9597,16 @@ object Relational {
                        * sqrt(CAST(syy AS DOUBLE) * CAST(n_edges AS DOUBLE)
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS assortativity
        FROM s"""),
+    // identical day grain and distinct triples
+    "q_agg_multi_distinct" ->
+      """WITH e AS (SELECT event_type, user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+                    FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+                CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_user_days
+         FROM e GROUP BY 1 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -960,6 +960,30 @@ object TrainingData {
         .select(col("conv_id"), col("turn_idx"), explode(col("errors")).as("error"))
         .orderBy(col("conv_id"), col("turn_idx"), col("error"))
     }),
+
+    // Extraction QA rollup — the per-subject report an operator reads
+    // after a corpus run: turn counts, exact score totals, warning /
+    // error / participant-code rates in ppm. The ENGINE side runs the
+    // real salted pipeline; the oracle aggregates the generator's
+    // independent ground-truth sidecar — so a green row here is the
+    // end-to-end extraction report verified field-for-field, rolled
+    // up the way a transcript-corpus dashboard would read it.
+    "q_extract_qa" -> ((s, dir) => {
+      val turns = genWithSidecar(s)
+      graft.pipeline.Pipeline.extractTurnsSalted(turns, 32).toDF()
+        .groupBy(coalesce(col("subject"), lit("<none>")).as("subject"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("total_score").cast("long")).as("sum_score"),
+          sum(when(col("warnings").isNotNull, 1L).otherwise(0L)).as("n_warned"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("n_errored"),
+          sum(when(col("participant_code").isNotNull, 1L).otherwise(0L))
+            .as("n_coded"))
+        .select(col("subject"), col("n_turns"), col("sum_score"),
+          expr("(n_warned * 1000000L) div n_turns").as("warn_ppm"),
+          expr("(n_errored * 1000000L) div n_turns").as("err_ppm"),
+          expr("(n_coded * 1000000L) div n_turns").as("code_ppm"))
+        .orderBy(col("subject"))
+    }),
   )
 
   /** DuckDB oracles for the sidecar-backed queries (the sidecar parquet
@@ -1140,6 +1164,21 @@ object TrainingData {
       s"""SELECT conv_id, turn_idx, error
           FROM read_parquet('$expectedErrorsPath/*.parquet')
           ORDER BY conv_id, turn_idx, error""",
+    // the same rollup over the generator's INDEPENDENT ground truth
+    // (warnings/errors are to_json'd arrays in the sidecar — NULL in
+    // JSON iff the array was NULL in the engine)
+    "q_extract_qa" ->
+      s"""SELECT COALESCE(subject, '<none>') AS subject,
+                 CAST(count(*) AS BIGINT) AS n_turns,
+                 CAST(sum(total_score) AS BIGINT) AS sum_score,
+                 (sum(CASE WHEN warnings_json IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                   // count(*) AS warn_ppm,
+                 (sum(CASE WHEN errors_json IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                   // count(*) AS err_ppm,
+                 (sum(CASE WHEN participant_code IS NOT NULL THEN 1 ELSE 0 END) * 1000000)
+                   // count(*) AS code_ppm
+          FROM read_parquet('$expectedTurnsPath/*.parquet')
+          GROUP BY 1 ORDER BY 1""",
     "q_join_difflib" ->
       s"""SELECT subject_key, closest_config_key, best_ratio
           FROM read_parquet('$difflibExpectedPath/*.parquet')
