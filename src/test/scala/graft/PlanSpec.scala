@@ -678,6 +678,38 @@ class PlanSpec extends SparkSuite {
       p.toLowerCase.contains("long_array_dot"), p.take(2000))
   }
 
+  test("no session-6 query degrades to a cartesian; key new shapes hold") {
+    for (name <- Seq("q_events_stickiness", "q_events_cuped",
+        "q_privacy_kanon", "q_privacy_dp_hist", "q_text_zipf_decades",
+        "q_text_burstiness", "q_text_repeated_ngrams",
+        "q_events_churn_hazard", "q_events_ks_drift", "q_ann_ivf_recall",
+        "q_embed_dimstats", "q_docs_simpson", "q_events_benford",
+        "q_events_lifecycle", "q_embed_label_margin", "q_events_cohort_ltv",
+        "q_text_novelty", "q_events_peak_concurrency",
+        "q_events_interarrival_hist", "q_docs_source_overlap",
+        "q_events_mann_whitney", "q_ann_kmeans_purity", "q_tpch_q1",
+        "q_events_rfm", "q_events_calendar", "q_docs_datacard",
+        "q_events_bitmap", "q_events_active_time", "q_graph_assortativity",
+        "q_agg_multi_distinct")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // multi-distinct must ride ONE Expand (not distinct subquery joins)
+    assert(plan("q_agg_multi_distinct").contains("Expand"),
+      plan("q_agg_multi_distinct").take(2000))
+    // the data card's corpus-wide dup flags are a semi join on the
+    // fingerprint, never a doc-pair join
+    assert(plan("q_docs_datacard").contains("Semi"),
+      plan("q_docs_datacard").take(2000))
+    // Q1 proper: the shipdate cutoff dies at the parquet scan
+    assert(plan("q_tpch_q1").contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      plan("q_tpch_q1").take(2000))
+    // the recall sweep's candidate arms broadcast (query set + brute
+    // truth + centroids), so candidates stream through hash joins
+    assert(plan("q_ann_ivf_recall").contains("BroadcastHashJoin"),
+      plan("q_ann_ivf_recall").take(2000))
+  }
+
   test("no round-5-late query degrades to a cartesian; Q6 predicates reach the scan") {
     for (name <- Seq("q_graph_pagerank", "q_text_tfidf", "q_dedup_url",
         "q_events_retention", "q_text_countmin", "q_agg_quantiles",
