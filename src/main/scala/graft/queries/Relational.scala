@@ -434,6 +434,124 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Herfindahl–Hirschman concentration per event type — the market-
+    // concentration number next to Gini on a curation dashboard: how
+    // much of each event type's value mass sits with few users.
+    // HHI = Σ shareᵢ² over user shares, in exact ppm: user-grain hash
+    // agg first (bounded by distinct users), then one k-row agg; the
+    // squared sums accumulate in decimal(38,0) so tot² never wraps.
+    "q_agg_hhi" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("c")).as("tot"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("tot")).as("total_cents"),
+          sum((col("tot").cast(dec) * col("tot")).cast(dec)).as("ss"))
+        .select(col("event_type"), col("n_users"), col("total_cents"),
+          expr(s"cast((ss * 1000000) div (cast(total_cents as $dec) * total_cents) as bigint)")
+            .as("hhi_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Cohen's kappa — inter-annotator agreement on labels, the label-QA
+    // gate every human-annotation pipeline runs before training on the
+    // labels. Annotator A = label % 4; annotator B = a deterministic
+    // "80%-faithful" relabel drawn from the md5 of the row key (both
+    // engines replay the identical draw). Exact integer form: po and pe
+    // in ppm floor divisions, kappa from those two integers — three
+    // bounded hash aggs (≤4 rows each) and one 4-row join, never a
+    // second pass over the data.
+    "q_eval_kappa" -> ((s, dir) => {
+      val h = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val lab = t(s, dir, "embeddings")
+        .select((col("label") % 4).cast("long").as("a"), h.as("h"))
+        .select(col("a"),
+          when(col("h") % 10 < 6, col("a"))
+            .otherwise((col("a") + lit(1L) + col("h") % 3) % 4).as("b"))
+      val base = lab.agg(count(lit(1)).as("n"),
+        sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+      val ma = lab.groupBy(col("a").as("k")).agg(count(lit(1)).as("na"))
+      val mb = lab.groupBy(col("b").as("k")).agg(count(lit(1)).as("nb"))
+      val joint = ma.join(mb, "k")
+        .agg(sum(col("na") * col("nb")).as("joint"))
+      base.crossJoin(joint)
+        .select(col("n"), col("agree"),
+          expr("(agree * 1000000L) div n").as("po_ppm"),
+          expr("(joint * 1000000L) div (n * n)").as("pe_ppm"))
+        .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"),
+          expr("((po_ppm - pe_ppm) * 1000000L) div (1000000L - pe_ppm)")
+            .as("kappa_ppm"))
+    }),
+
+    // Welch's t statistic per event type — the A/B significance readout
+    // between two deterministic day-of-cycle cohorts (day%7 < 2 vs the
+    // rest; pure epoch arithmetic, no calendar functions, so both
+    // engines draw identical groups). Exact integer n/Σx/Σx² per arm in
+    // one conditional-sum hash agg; ONE cast to double, then the
+    // identical IEEE formula in both engines, 6dp round with -0.0
+    // collapsed. Pairs with q_events_mann_whitney (rank test) and
+    // q_events_cuped (variance reduction).
+    "q_events_ttest" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("x"),
+          (expr("cast(floor(unix_timestamp(ts)) as bigint) div 86400") % 7 < 2)
+            .as("g"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g"), col("x")).otherwise(0L).cast(dec)).as("s1"),
+          sum(when(col("g"), col("x") * col("x")).otherwise(0L).cast(dec))
+            .as("ss1"),
+          sum(when(!col("g"), 1L).otherwise(0L)).as("n0"),
+          sum(when(!col("g"), col("x")).otherwise(0L).cast(dec)).as("s0"),
+          sum(when(!col("g"), col("x") * col("x")).otherwise(0L).cast(dec))
+            .as("ss0"))
+        .select(col("event_type"), col("n1").as("n_a"), col("n0").as("n_b"),
+          ((col("s1").cast("double") / col("n1")) -
+            (col("s0").cast("double") / col("n0"))).as("md"),
+          ((col("ss1").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") / col("n1")) /
+            (col("n1") - 1) / col("n1")).as("va"),
+          ((col("ss0").cast("double") -
+            col("s0").cast("double") * col("s0").cast("double") / col("n0")) /
+            (col("n0") - 1) / col("n0")).as("vb"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          (round(col("md") / sqrt(col("va") + col("vb")), 6) + lit(0.0))
+            .as("t_welch"))
+        .orderBy(col("event_type"))
+    }),
+
+    // first/last/nth_value window frames — the "what did this user do
+    // first, second, and most recently" per-entity summary, read off
+    // ONE full-frame window pass ordered by (ts, event_id) (unique key
+    // breaks timestamp ties deterministically). The windows run over
+    // the event stream but the output is one row per user (row_number
+    // = 1 pick), so result size is bounded by distinct users.
+    "q_window_nth" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("c"), col("event_type"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("n", count(lit(1)).over(full))
+        .withColumn("first_cents", first(col("c")).over(full))
+        .withColumn("second_cents", nth_value(col("c"), 2).over(full))
+        .withColumn("last_cents", last(col("c")).over(full))
+        .withColumn("first_type", first(col("event_type")).over(full))
+        .withColumn("last_type", last(col("event_type")).over(full))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n"), col("first_type"), col("last_type"),
+          col("first_cents"), col("second_cents"), col("last_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // S7/P1/P8 — scan + filter + projection (pushdown-friendly)
     "q_scan_filter" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -6261,6 +6379,88 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // identical user-grain totals; HUGEINT mirrors decimal(38,0)
+    "q_agg_hhi" ->
+      """WITH u AS (SELECT event_type, user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+                    FROM events GROUP BY 1, 2),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(tot) AS BIGINT) AS total_cents,
+                         sum(CAST(tot AS HUGEINT) * tot) AS ss
+                  FROM u GROUP BY 1)
+         SELECT event_type, n_users, total_cents,
+                CAST((ss * 1000000) // (CAST(total_cents AS HUGEINT) * total_cents)
+                  AS BIGINT) AS hhi_ppm
+         FROM a ORDER BY event_type""",
+    // identical md5 relabel draw, identical ppm floor divisions
+    "q_eval_kappa" ->
+      """WITH l AS (SELECT CAST(label % 4 AS BIGINT) AS a,
+                           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+                             AS BIGINT) AS h
+                    FROM embeddings),
+            ab AS (SELECT a, CASE WHEN h % 10 < 6 THEN a
+                                  ELSE (a + 1 + h % 3) % 4 END AS b FROM l),
+            base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+                     FROM ab),
+            ma AS (SELECT a AS k, CAST(count(*) AS BIGINT) AS na FROM ab GROUP BY 1),
+            mb AS (SELECT b AS k, CAST(count(*) AS BIGINT) AS nb FROM ab GROUP BY 1),
+            j AS (SELECT CAST(sum(na * nb) AS BIGINT) AS joint
+                  FROM ma JOIN mb USING (k)),
+            p AS (SELECT n, agree,
+                         (agree * 1000000) // n AS po_ppm,
+                         (joint * 1000000) // (n * n) AS pe_ppm
+                  FROM base, j)
+         SELECT n, agree, po_ppm, pe_ppm,
+                ((po_ppm - pe_ppm) * 1000000) // (1000000 - pe_ppm) AS kappa_ppm
+         FROM p""",
+    // identical epoch-cycle cohorts, exact sums, one cast placement
+    "q_events_ttest" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(round(value * 100) AS BIGINT) AS x,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 < 2 AS g
+                    FROM events),
+            a AS (SELECT event_type,
+                         CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                         sum(CASE WHEN g THEN CAST(x AS HUGEINT) ELSE 0 END) AS s1,
+                         sum(CASE WHEN g THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS ss1,
+                         CAST(sum(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                         sum(CASE WHEN g THEN 0 ELSE CAST(x AS HUGEINT) END) AS s0,
+                         sum(CASE WHEN g THEN 0 ELSE CAST(x AS HUGEINT) * x END) AS ss0
+                  FROM e GROUP BY 1),
+            d AS (SELECT event_type, n_a, n_b,
+                         CAST(s1 AS DOUBLE) / n_a - CAST(s0 AS DOUBLE) / n_b AS md,
+                         (CAST(ss1 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_a)
+                           / (n_a - 1) / n_a AS va,
+                         (CAST(ss0 AS DOUBLE)
+                           - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n_b)
+                           / (n_b - 1) / n_b AS vb
+                  FROM a)
+         SELECT event_type, n_a, n_b,
+                round(md / sqrt(va + vb), 6) + 0.0 AS t_welch
+         FROM d ORDER BY event_type""",
+    // identical full-frame windows over the identical (ts, event_id) order
+    "q_window_nth" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT user_id,
+                         row_number() OVER o AS rn,
+                         CAST(count(*) OVER f AS BIGINT) AS n,
+                         first_value(event_type) OVER f AS first_type,
+                         last_value(event_type) OVER f AS last_type,
+                         first_value(c) OVER f AS first_cents,
+                         nth_value(c, 2) OVER f AS second_cents,
+                         last_value(c) OVER f AS last_cents
+                  FROM e
+                  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+                         f AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING))
+         SELECT user_id, n, first_type, last_type,
+                first_cents, second_cents, last_cents
+         FROM w WHERE rn = 1 ORDER BY user_id""",
     "q_ann_mmr" -> mmrOracleSql(5),
     "q_ann_pq_lloyd" -> pqLloydOracleSql(8, 3),
     "q_embed_power_iter" -> powerIterOracleSql(3),
