@@ -434,6 +434,151 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Lorenz curve per event type — the distribution view behind the
+    // single-number Gini (q_agg_gini): rank users by their value total,
+    // bucket into deciles, report each decile's cumulative share of the
+    // value mass in exact ppm. User-grain hash agg first (bounded by
+    // distinct users), ntile over the unique (tot, user_id) order, then
+    // 10-row-per-type window sums; the ppm numerator accumulates in
+    // decimal(38,0) so cum*1e6 never wraps at any corpus size.
+    "q_events_lorenz" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val byDec = Window.partitionBy(col("event_type")).orderBy(col("decile"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), cents(col("value")).as("c"))
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("c")).as("tot"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("tot"), col("user_id"))))
+        .groupBy(col("event_type"), col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("tot")).as("dec_cents"))
+        .withColumn("cum_cents", sum(col("dec_cents")).over(
+          byDec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total_cents", sum(col("dec_cents")).over(
+          byDec.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .select(col("event_type"), col("decile").cast("long").as("decile"),
+          col("n_users"), col("dec_cents"), col("cum_cents"),
+          expr(s"cast((cast(cum_cents as $dec) * 1000000) div total_cents as bigint)")
+            .as("cum_share_ppm"))
+        .orderBy(col("event_type"), col("decile"))
+    }),
+
+    // Rolling exact median over the last-5-events frame per user — the
+    // robust rolling center a monitoring dashboard wants where a rolling
+    // mean would chase outliers. The frame's values ride a sorted
+    // collect_list window (bounded: 5 longs per row), the median is kept
+    // exact by doubling (med2 = 2×mid for odd frames, mid+mid+1 for
+    // even — no .5 floats), and the output folds to one row per user
+    // (last/min/max of the rolling track), so result size is bounded by
+    // distinct users, not events.
+    "q_window_rolling_median" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = ord.rowsBetween(-4, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("c"))
+        .withColumn("win", sort_array(collect_list(col("c")).over(frame)))
+        .withColumn("k", size(col("win")))
+        .withColumn("med2", expr(
+          """case when k % 2 = 1
+            |     then 2 * element_at(win, cast((k + 1) div 2 as int))
+            |     else element_at(win, cast(k div 2 as int))
+            |        + element_at(win, cast(k div 2 + 1 as int))
+            |end""".stripMargin))
+        .withColumn("rn", row_number().over(ord))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("med2")).as("min_med2"),
+          max(col("med2")).as("max_med2"),
+          max(struct(col("rn"), col("med2"))).getField("med2")
+            .as("last_med2"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Embedding covariance matrix (first 8 dims) in ONE pass — the
+    // anisotropy/correlated-dims readout next to per-dim q_embed_dimstats
+    // when auditing an embedding space. No explode, no self-join: all 36
+    // upper-triangle product sums plus 8 dim sums ride a single
+    // partial+final hash aggregate over the table (values quantized to
+    // 1e-6 units, products exact in decimal(38,0)), then the 1-row agg
+    // explodes into 36 (dim_i, dim_j, cov) rows driver-free. Both
+    // engines cast the identical exact integers to double and divide
+    // once, so the 9dp-rounded covariances are bit-equal.
+    "q_embed_covariance" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val D = 8
+      val qs = (0 until D).map(i => expr(
+        s"cast(round(cast(element_at(embedding, ${i + 1}) as double) * 1000000) as bigint)")
+        .as(s"q$i"))
+      val sums = (0 until D).map(i => sum(col(s"q$i").cast(dec)).as(s"s$i")) ++
+        (for { i <- 0 until D; j <- i until D } yield
+          sum((col(s"q$i") * col(s"q$j")).cast(dec)).as(s"p${i}_$j"))
+      val aggd = t(s, dir, "embeddings").select(qs: _*)
+        .agg(count(lit(1)).as("n"), sums: _*)
+      val nd = col("n").cast("double")
+      val covCols = for { i <- 0 until D; j <- i until D } yield
+        struct(lit(i.toLong).as("dim_i"), lit(j.toLong).as("dim_j"),
+          round((col(s"p${i}_$j").cast("double") * nd
+            - col(s"s$i").cast("double") * col(s"s$j").cast("double"))
+            / (nd * nd * lit(1e12)), 9).as("cov"))
+      aggd.select(explode(array(covCols: _*)).as("kv"))
+        .select(col("kv.dim_i").as("dim_i"), col("kv.dim_j").as("dim_j"),
+          (col("kv.cov") + lit(0.0)).as("cov"))
+        .orderBy(col("dim_i"), col("dim_j"))
+    }),
+
+    // 2×2 contingency odds ratio per event type — the effect-size number
+    // that belongs next to the chi-square drift test (q_text_chisq_drift
+    // answers "is there an association", this answers "how strong"):
+    // weekend-cohort × high-value cells a/b/c/d from ONE conditional-sum
+    // hash agg, odds ratio (ad/bc) and relative risk in exact ppm floor
+    // divisions over decimal(38,0) (a*d*1e6 wraps int64 around SF100),
+    // zero-count denominators nulled rather than poisoned.
+    "q_events_odds_ratio" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (expr("cast(floor(unix_timestamp(ts)) as bigint) div 86400") % 7 < 2)
+            .as("g"),
+          (cents(col("value")) >= 3500).as("hi"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("g") && col("hi"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("g") && !col("hi"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("g") && col("hi"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("g") && !col("hi"), 1L).otherwise(0L)).as("d"))
+        .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+          expr(s"cast((cast(a as $dec) * d * 1000000) div nullif(cast(b as $dec) * c, 0) as bigint)")
+            .as("or_ppm"),
+          expr(s"cast((cast(a as $dec) * (c + d) * 1000000) div nullif(cast(c as $dec) * (a + b), 0) as bigint)")
+            .as("rr_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Recency-weighted user value with EXACT dyadic decay — the scoring
+    // a freshness-aware sampler or retrieval ranker uses, kept
+    // cross-engine exact by decaying in powers of two (cents >> halved
+    // per 3-day half-life, age capped at 40 shifts) instead of libm
+    // exp(): floor(age/halflife) integer buckets, one shiftleft divide
+    // per row, one hash agg per user. The corpus max timestamp is a
+    // 1-row agg broadcast against the stream, never a driver collect.
+    "q_events_decay_score" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"),
+          cents(col("value")).as("c"))
+      e.crossJoin(e.agg(max(col("sec")).as("max_sec")))
+        .withColumn("age", expr("least((max_sec - sec) div 259200, 40L)"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("c div shiftleft(cast(1 as bigint), cast(age as int))"))
+            .as("decayed_cents"),
+          sum(col("c")).as("raw_cents"))
+        .orderBy(col("user_id"))
+    }),
+
     // Herfindahl–Hirschman concentration per event type — the market-
     // concentration number next to Gini on a curation dashboard: how
     // much of each event type's value mass sits with few users.
@@ -6379,6 +6524,105 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // identical ntile over the unique (tot, user_id) order, HUGEINT ppm
+    "q_events_lorenz" ->
+      """WITH u AS (SELECT event_type, user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS tot
+                    FROM events GROUP BY 1, 2),
+            d AS (SELECT event_type, user_id, tot,
+                         ntile(10) OVER (PARTITION BY event_type
+                                         ORDER BY tot, user_id) AS decile
+                  FROM u),
+            g AS (SELECT event_type, CAST(decile AS BIGINT) AS decile,
+                         CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(tot) AS BIGINT) AS dec_cents
+                  FROM d GROUP BY 1, 2),
+            w AS (SELECT event_type, decile, n_users, dec_cents,
+                         CAST(sum(dec_cents) OVER (PARTITION BY event_type
+                               ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_cents,
+                         CAST(sum(dec_cents) OVER (PARTITION BY event_type)
+                           AS BIGINT) AS total_cents
+                  FROM g)
+         SELECT event_type, decile, n_users, dec_cents, cum_cents,
+                CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total_cents
+                  AS BIGINT) AS cum_share_ppm
+         FROM w ORDER BY event_type, decile""",
+    // identical sorted 5-row frame lists and doubled exact medians
+    "q_window_rolling_median" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT user_id,
+                         row_number() OVER o AS rn,
+                         list_sort(list(c) OVER f) AS win
+                  FROM e
+                  WINDOW o AS (PARTITION BY user_id ORDER BY ts, event_id),
+                         f AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+            m AS (SELECT user_id, rn,
+                         CASE WHEN len(win) % 2 = 1
+                              THEN 2 * win[(len(win) + 1) // 2]
+                              ELSE win[len(win) // 2] + win[len(win) // 2 + 1]
+                          END AS med2
+                  FROM w)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(med2) AS BIGINT) AS min_med2,
+                CAST(max(med2) AS BIGINT) AS max_med2,
+                CAST(max_by(med2, rn) AS BIGINT) AS last_med2
+         FROM m GROUP BY 1 ORDER BY user_id""",
+    // identical 1e-6 quantization, exact HUGEINT product sums, one
+    // identically-associated double division per pair
+    "q_embed_covariance" ->
+      """WITH q AS (SELECT vec_id, i,
+                           CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+                             AS BIGINT) AS x
+                    FROM embeddings, range(8) t(i)),
+            p AS (SELECT a.i AS di, b.i AS dj,
+                         CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(a.x AS HUGEINT) * b.x) AS pij,
+                         sum(CAST(a.x AS HUGEINT)) AS si,
+                         sum(CAST(b.x AS HUGEINT)) AS sj
+                  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+                  GROUP BY 1, 2)
+         SELECT CAST(di AS BIGINT) AS dim_i, CAST(dj AS BIGINT) AS dim_j,
+                round((CAST(pij AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(si AS DOUBLE) * CAST(sj AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * 1000000000000.0), 9) + 0.0 AS cov
+         FROM p ORDER BY dim_i, dim_j""",
+    // identical epoch-cycle cohort, cents threshold, HUGEINT ppm
+    "q_events_odds_ratio" ->
+      """WITH e AS (SELECT event_type,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 < 2 AS g,
+                           CAST(round(value * 100) AS BIGINT) >= 3500 AS hi
+                    FROM events),
+            t AS (SELECT event_type,
+                         CAST(sum(CASE WHEN g AND hi THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(sum(CASE WHEN g AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(sum(CASE WHEN NOT g AND hi THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(sum(CASE WHEN NOT g AND NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM e GROUP BY 1)
+         SELECT event_type, a, b, c, d,
+                CAST((CAST(a AS HUGEINT) * d * 1000000)
+                     // nullif(CAST(b AS HUGEINT) * c, 0) AS BIGINT) AS or_ppm,
+                CAST((CAST(a AS HUGEINT) * (c + d) * 1000000)
+                     // nullif(CAST(c AS HUGEINT) * (a + b), 0) AS BIGINT) AS rr_ppm
+         FROM t ORDER BY event_type""",
+    // identical dyadic age buckets and shift-divide decay
+    "q_events_decay_score" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            m AS (SELECT max(sec) AS max_sec FROM e),
+            a AS (SELECT user_id, c,
+                         least((max_sec - sec) // 259200, 40) AS age
+                  FROM e, m)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(c // (CAST(1 AS BIGINT) << age)) AS BIGINT) AS decayed_cents,
+                CAST(sum(c) AS BIGINT) AS raw_cents
+         FROM a GROUP BY 1 ORDER BY user_id""",
     // identical user-grain totals; HUGEINT mirrors decimal(38,0)
     "q_agg_hhi" ->
       """WITH u AS (SELECT event_type, user_id,
