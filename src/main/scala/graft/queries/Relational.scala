@@ -434,6 +434,132 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Local clustering coefficient per node over the near-dup candidate
+    // graph — the per-vertex companion to the global q_graph_triangles
+    // count: how clique-like each document's near-dup neighborhood is
+    // (high coeff ⇒ a tight duplicate cluster, low ⇒ a hub stitching
+    // unrelated groups — exactly the node a dedup auditor inspects).
+    // Triangles enumerate through the standard two equi-join wedge+
+    // closure shape on the a<b<c ordered pair list, then each triangle
+    // credits all three vertices via a 3-row explode (stays inside the
+    // shuffle); degrees are one hash agg over the symmetrized edges.
+    // coeff = 2T/(d(d-1)) in exact ppm, d<2 nulled.
+    "q_graph_clustering_coeff" -> ((s, dir) => {
+      val p = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val tri = p.as("p1").join(p.as("p2"), col("p1.ib") === col("p2.ia"))
+        .select(col("p1.ia").as("a"), col("p1.ib").as("b"), col("p2.ib").as("c"))
+        .join(p.as("p3"),
+          col("a") === col("p3.ia") && col("c") === col("p3.ib"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      val deg = p.select(col("ia").as("node"))
+        .union(p.select(col("ib").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      deg.join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          expr("(coalesce(n_tri, 0L) * 2000000L) div nullif(deg * (deg - 1), 0)")
+            .as("coeff_ppm"))
+        .orderBy(col("node"))
+    }),
+
+    // Asymmetric shingle CONTAINMENT pairs — the near-dup case jaccard
+    // structurally misses: a short document embedded verbatim inside a
+    // much longer one (boilerplate-wrapped reposts, quote-expansions)
+    // has tiny jaccard but containment ≈ 1 on the short side. Same
+    // skew-resistant 3-gram inverted-index machinery as
+    // q_dedup_ngram_jaccard (hashed shingles, a<b candidate equi-join),
+    // but the score is |A∩B|/|A| per direction in EXACT ppm floor
+    // divisions — the ≥0.8 keep-filter compares integers, so no float
+    // boundary can flip a pair between engines.
+    "q_dedup_containment" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """case when size(split(text, ' ')) >= 3 then
+            |  transform(sequence(1, size(split(text, ' ')) - 2),
+            |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+            |else array() end""".stripMargin))).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      sh.as("a")
+        .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("ia") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("ib") === col("sb.doc_id"))
+        .select(col("ia"), col("ib"), col("inter"),
+          expr("(inter * 1000000L) div sa.sz").as("cont_a_ppm"),
+          expr("(inter * 1000000L) div sb.sz").as("cont_b_ppm"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 800000L)
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Seasonal-naive forecast backtest per event type — the sanity
+    // baseline every volume-forecasting effort must beat: predict each
+    // day's event count by the same weekday one week earlier, score MAE
+    // and signed bias over the scorable days. Day-grain hash agg first
+    // (30 rows per type), then a self-equi-join on (type, day−7) — gap
+    // tolerant, unlike lag(7) — and the errors are exact integer count
+    // differences (mae reported in centi-events: sae·100 div n).
+    "q_events_forecast_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(floor(unix_timestamp(ts)) as bigint) div 86400").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.as("cur")
+        .join(daily.as("prev"),
+          col("cur.event_type") === col("prev.event_type") &&
+            col("cur.day") === col("prev.day") + 7)
+        .select(col("cur.event_type").as("event_type"),
+          (col("cur.cnt") - col("prev.cnt")).as("err"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("err"))).as("sum_abs_err"),
+          sum(col("err")).as("bias"))
+        .select(col("event_type"), col("n_days"), col("sum_abs_err"),
+          col("bias"),
+          expr("(sum_abs_err * 100L) div n_days").as("mae_centi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // kNN-graph reciprocity per label — the hubness diagnostic an
+    // embedding-space audit runs before trusting ANN retrieval: in a
+    // healthy space most "a's neighbor is b" edges are mutual; hubs
+    // (high in-degree, low reciprocity) degrade retrieval and dedup
+    // alike. Directed 5-NN edges by EXACT integer L2 over the bounded
+    // audit subset (queries broadcast, candidates stream — the brute
+    // q_ann_topk shape), mutuality via one self-equi-join on the
+    // reversed key, and the per-label rollup is exact ppm.
+    "q_ann_reciprocity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+            .as("v"))
+      val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+      val edges = e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("qlabel"), col("c.vec_id").as("nb"),
+          expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d2"), col("nb"))))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("qlabel"), col("nb"))
+      edges.as("f")
+        .join(edges.as("r").select(col("qid").as("rq"), col("nb").as("rn2")),
+          col("f.qid") === col("rn2") && col("f.nb") === col("rq"), "left")
+        .groupBy(col("qlabel").as("label"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum(when(col("rq").isNotNull, 1L).otherwise(0L)).as("n_mutual"))
+        .select(col("label"), col("n_edges"), col("n_mutual"),
+          expr("(n_mutual * 1000000L) div n_edges").as("recip_ppm"))
+        .orderBy(col("label"))
+    }),
+
     // Lorenz curve per event type — the distribution view behind the
     // single-number Gini (q_agg_gini): rank users by their value total,
     // bucket into deciles, report each decile's cumulative share of the
@@ -6524,6 +6650,100 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // identical band-bucket pair list, 3-way vertex credit, ppm coeff
+    "q_graph_clustering_coeff" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       tri AS (
+         SELECT p1.ia AS a, p1.ib AS b, p2.ib AS c
+         FROM pairs p1 JOIN pairs p2 ON p1.ib = p2.ia
+              JOIN pairs p3 ON p1.ia = p3.ia AND p2.ib = p3.ib
+       ),
+       tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (SELECT a AS node FROM tri
+                    UNION ALL SELECT b AS node FROM tri
+                    UNION ALL SELECT c AS node FROM tri)
+              GROUP BY 1),
+       deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+               FROM (SELECT ia AS node FROM pairs
+                     UNION ALL SELECT ib AS node FROM pairs)
+               GROUP BY 1)
+       SELECT d.node, d.deg, coalesce(tn.n_tri, 0) AS n_tri,
+              (coalesce(tn.n_tri, 0) * 2000000)
+                // nullif(d.deg * (d.deg - 1), 0) AS coeff_ppm
+       FROM deg d LEFT JOIN tn ON d.node = tn.node
+       ORDER BY d.node"""),
+    // identical hashed-shingle index; the keep-filter compares ppm ints
+    "q_dedup_containment" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE doc_id < 1000),
+            grams AS (SELECT DISTINCT doc_id,
+                             CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT AS BIGINT) AS h
+                      FROM (SELECT doc_id,
+                                   unnest(CASE WHEN len(w) >= 3 THEN
+                                     list_transform(range(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                   ELSE [] END) AS g
+                            FROM words)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM grams GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                             CAST(count(*) AS BIGINT) AS inter
+                      FROM grams a JOIN grams b
+                        ON a.h = b.h AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            sc AS (SELECT ia, ib, inter,
+                          (inter * 1000000) // sa.sz AS cont_a_ppm,
+                          (inter * 1000000) // sb.sz AS cont_b_ppm
+                   FROM inter JOIN sizes sa ON ia = sa.doc_id
+                        JOIN sizes sb ON ib = sb.doc_id)
+         SELECT ia, ib, inter, cont_a_ppm, cont_b_ppm
+         FROM sc WHERE greatest(cont_a_ppm, cont_b_ppm) >= 800000
+         ORDER BY ia, ib""",
+    // identical day-grain counts and (type, day-7) self-join
+    "q_events_forecast_backtest" ->
+      """WITH d AS (SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                           CAST(count(*) AS BIGINT) AS cnt
+                    FROM events GROUP BY 1, 2),
+            e AS (SELECT cur.event_type, cur.cnt - prev.cnt AS err
+                  FROM d cur JOIN d prev
+                    ON cur.event_type = prev.event_type
+                   AND cur.day = prev.day + 7)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err,
+                CAST(sum(err) AS BIGINT) AS bias,
+                (CAST(sum(abs(err)) AS BIGINT) * 100)
+                  // CAST(count(*) AS BIGINT) AS mae_centi
+         FROM e GROUP BY 1 ORDER BY event_type""",
+    // identical exact-L2 directed 5-NN edges and reversed-key self-join
+    "q_ann_reciprocity" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings WHERE vec_id < 200),
+            sc AS (SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS nb,
+                          list_reduce(list_transform(list_zip(q.v, c.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                   FROM e q JOIN e c ON c.vec_id <> q.vec_id),
+            ranked AS (SELECT qid, qlabel, nb,
+                              row_number() OVER (PARTITION BY qid ORDER BY d2, nb) AS rn
+                       FROM sc),
+            edges AS (SELECT qid, qlabel, nb FROM ranked WHERE rn <= 5)
+         SELECT f.qlabel AS label, CAST(count(*) AS BIGINT) AS n_edges,
+                CAST(sum(CASE WHEN r.qid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_mutual,
+                (CAST(sum(CASE WHEN r.qid IS NULL THEN 0 ELSE 1 END) AS BIGINT) * 1000000)
+                  // CAST(count(*) AS BIGINT) AS recip_ppm
+         FROM edges f LEFT JOIN edges r ON f.qid = r.nb AND f.nb = r.qid
+         GROUP BY 1 ORDER BY label""",
     // identical ntile over the unique (tot, user_id) order, HUGEINT ppm
     "q_events_lorenz" ->
       """WITH u AS (SELECT event_type, user_id,
