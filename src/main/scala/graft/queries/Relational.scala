@@ -434,6 +434,145 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Haar wavelet energy decomposition of the daily volume series per
+    // event type — the multi-resolution burstiness readout (which
+    // timescale carries the variance: day-to-day jitter vs weekly
+    // swings vs the monthly trend). The series is EXACT integer counts
+    // on a 32-slot dyadic spine (observed days left-joined, gaps = 0),
+    // and each of the 5 Haar levels is one tiny hash agg pairing
+    // adjacent slots into sums (carried down) and differences (squared
+    // into the level's energy, accumulated in decimal(38,0)). Only the
+    // day-grain agg touches the corpus; everything after is ≤ 5×32 rows.
+    "q_events_haar_energy" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(floor(unix_timestamp(ts)) as bigint) div 86400").as("day"))
+      val daily = ev.crossJoin(ev.agg(min(col("day")).as("d0")))
+        .select(col("event_type"), (col("day") - col("d0")).as("slot"))
+        .filter(col("slot") < 32)
+        .groupBy(col("event_type"), col("slot"))
+        .agg(count(lit(1)).as("v"))
+      val spine = daily.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(31L))).as("slot"))
+      var cur = spine.join(daily, Seq("event_type", "slot"), "left")
+        .select(col("event_type"), col("slot"), coalesce(col("v"), lit(0L)).as("v"))
+      val levels = (1 to 5).map { l =>
+        val paired = cur.groupBy(col("event_type"),
+            expr("slot div 2").as("slot"))
+          .agg(sum(when(col("slot") % 2 === 0, col("v")).otherwise(0L)).as("ev"),
+            sum(when(col("slot") % 2 === 1, col("v")).otherwise(0L)).as("od"))
+        val energy = paired
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_coefs"),
+            sum(((col("ev") - col("od")) * (col("ev") - col("od"))).cast(dec))
+              .as("endec"))
+          .select(col("event_type"), lit(l.toLong).as("level"),
+            col("n_coefs"), col("endec").cast("long").as("energy"))
+        cur = paired.select(col("event_type"), col("slot"),
+          (col("ev") + col("od")).as("v"))
+        energy
+      }
+      levels.reduce(_.unionByName(_))
+        .orderBy(col("event_type"), col("level"))
+    }),
+
+    // Two-cohort QQ comparison per event type — the distribution-shift
+    // view behind a mean test (q_events_ttest says "the means differ",
+    // this says WHERE in the distribution): exact deciles of the
+    // weekend vs weekday cohorts side by side. Deciles come from the
+    // scalable rank-pick shape (row_number over a total (cents,
+    // event_id) order per (type, cohort), pick rank ceil(q·n/10) via
+    // integer formulas — values are PICKED, never averaged), then the
+    // two 45-row decile sets equi-join on (type, q). No collect_list,
+    // no per-group materialization.
+    "q_events_qq" -> ((s, dir) => {
+      val ranked = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"), col("event_id"),
+          (expr("cast(floor(unix_timestamp(ts)) as bigint) div 86400") % 7 < 2)
+            .as("g"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"), col("g"))
+            .orderBy(col("c"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"), col("g"))))
+      val deciles = ranked
+        .select(col("event_type"), col("g"), col("c"),
+          explode(sequence(lit(1L), lit(9L))).as("q"), col("rn"), col("n"))
+        .filter(col("rn") === expr("(q * n + 9) div 10"))
+        .groupBy(col("event_type"), col("g"), col("q"))
+        .agg(max(col("c")).as("val"))
+      deciles.filter(col("g")).as("a")
+        .join(deciles.filter(!col("g")).as("b"),
+          col("a.event_type") === col("b.event_type") && col("a.q") === col("b.q"))
+        .select(col("a.event_type").as("event_type"), col("a.q").as("q"),
+          col("a.val").as("weekend_cents"), col("b.val").as("weekday_cents"),
+          (col("a.val") - col("b.val")).as("qq_diff_cents"))
+        .orderBy(col("event_type"), col("q"))
+    }),
+
+    // Grid-bucketed spatial ε-neighbor join — the 2D cousin of the 1D
+    // band join: points (md5-derived integer coords, both engines draw
+    // the same plane) pair up when within L∞ ε=8, found by replicating
+    // each point into its 3×3 neighbor cells (cell = coord div 8) and
+    // equi-joining probes against home cells — each point has ONE home
+    // cell, so every surviving pair appears exactly once and the O(n²)
+    // cross join never exists. The oracle is the brute-force quadratic
+    // join: identical output, which is precisely the point — the grid
+    // plan is the 100 TB-shaped rewrite of the naive one.
+    "q_join_spatial_grid" -> ((s, dir) => {
+      val pts = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"),
+          (conv(substring(md5(concat(lit("x"), col("doc_id"))), 1, 8), 16, 10)
+            .cast("long") % 1000).as("x"),
+          (conv(substring(md5(concat(lit("y"), col("doc_id"))), 1, 8), 16, 10)
+            .cast("long") % 1000).as("y"))
+      val probes = pts
+        .select(col("doc_id").as("ia"), col("x").as("xa"), col("y").as("ya"),
+          explode(expr(
+            "flatten(transform(sequence(-1, 1), dx -> transform(sequence(-1, 1), dy -> struct(x div 8 + dx AS cx, y div 8 + dy AS cy))))"))
+            .as("cell"))
+        .select(col("ia"), col("xa"), col("ya"),
+          col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+      val homes = pts.select(col("doc_id").as("ib"), col("x").as("xb"),
+        col("y").as("yb"), expr("x div 8").as("hx"), expr("y div 8").as("hy"))
+      probes.join(homes, col("cx") === col("hx") && col("cy") === col("hy"))
+        .filter(col("ia") < col("ib") &&
+          abs(col("xa") - col("xb")) <= 8 && abs(col("ya") - col("yb")) <= 8)
+        .select(col("ia"), col("ib"), (col("xa") - col("xb")).as("dx"),
+          (col("ya") - col("yb")).as("dy"))
+        .orderBy(col("ia"), col("ib"))
+    }),
+
+    // Batch-hard triplet mining over the labeled audit subset — the
+    // metric-learning data op: per anchor, the HARDEST positive
+    // (farthest same-label point) and HARDEST negative (nearest
+    // other-label point) by exact integer L2, and the margin between
+    // them (negative margin ⇒ the anchor violates the triplet
+    // constraint — those rows are the training batch a miner emits).
+    // One broadcast of the anchor set against the streaming candidate
+    // side, one conditional min/max hash agg — no per-pair shuffle
+    // survives the agg.
+    "q_embed_triplet" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+            .as("v"))
+      val anchors = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("v").as("qv"))
+      e.as("c").join(broadcast(anchors), col("qid") =!= col("c.vec_id"))
+        .select(col("qid"), col("qlabel"),
+          (col("c.label") === col("qlabel")).as("same"),
+          expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("qid"), col("qlabel").as("label"))
+        .agg(max(when(col("same"), col("d2"))).as("hard_pos_d2"),
+          min(when(!col("same"), col("d2"))).as("hard_neg_d2"))
+        .select(col("qid"), col("label"), col("hard_pos_d2"), col("hard_neg_d2"),
+          (col("hard_neg_d2") - col("hard_pos_d2")).as("margin"))
+        .orderBy(col("qid"))
+    }),
+
     // Local clustering coefficient per node over the near-dup candidate
     // graph — the per-vertex companion to the global q_graph_triangles
     // count: how clique-like each document's near-dup neighborhood is
@@ -6650,6 +6789,95 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // identical 32-slot spine and 5 unrolled sum/diff levels (k aliases
+    // avoid DuckDB's lateral alias capture of the regrouped slot)
+    "q_events_haar_energy" -> {
+      val lvl = (1 to 5).map { l =>
+        val src = if (l == 1) "s0" else s"s${l - 1}"
+        s"""p$l AS (SELECT event_type, slot // 2 AS k,
+           |              CAST(sum(CASE WHEN slot % 2 = 0 THEN v ELSE 0 END) AS BIGINT) AS ev,
+           |              CAST(sum(CASE WHEN slot % 2 = 1 THEN v ELSE 0 END) AS BIGINT) AS od
+           |       FROM $src GROUP BY 1, 2),
+           |e$l AS (SELECT event_type, CAST($l AS BIGINT) AS level,
+           |               CAST(count(*) AS BIGINT) AS n_coefs,
+           |               CAST(sum(CAST((ev - od) * (ev - od) AS HUGEINT)) AS BIGINT) AS energy
+           |        FROM p$l GROUP BY 1),
+           |s$l AS (SELECT event_type, k AS slot, ev + od AS v FROM p$l)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT event_type,
+         |                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |            FROM events),
+         |m AS (SELECT min(day) AS d0 FROM ev),
+         |daily AS (SELECT event_type, day - d0 AS slot,
+         |                 CAST(count(*) AS BIGINT) AS v
+         |          FROM ev, m WHERE day - d0 < 32 GROUP BY 1, 2),
+         |spine AS (SELECT t.event_type, s.slot
+         |          FROM (SELECT DISTINCT event_type FROM daily) t,
+         |               (SELECT CAST(unnest(range(32)) AS BIGINT) AS slot) s),
+         |s0 AS (SELECT spine.event_type, spine.slot, coalesce(daily.v, 0) AS v
+         |       FROM spine LEFT JOIN daily
+         |         ON spine.event_type = daily.event_type
+         |        AND spine.slot = daily.slot),
+         |$lvl
+         |SELECT * FROM (SELECT event_type, level, n_coefs, energy FROM e1
+         |  UNION ALL SELECT event_type, level, n_coefs, energy FROM e2
+         |  UNION ALL SELECT event_type, level, n_coefs, energy FROM e3
+         |  UNION ALL SELECT event_type, level, n_coefs, energy FROM e4
+         |  UNION ALL SELECT event_type, level, n_coefs, energy FROM e5)
+         |ORDER BY event_type, level""".stripMargin
+    },
+    // identical rank-pick deciles per cohort, identical decile join
+    "q_events_qq" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                           event_id,
+                           (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 < 2 AS g
+                    FROM events),
+            r AS (SELECT event_type, g, c,
+                         row_number() OVER (PARTITION BY event_type, g
+                                            ORDER BY c, event_id) AS rn,
+                         count(*) OVER (PARTITION BY event_type, g) AS n
+                  FROM e),
+            d AS (SELECT event_type, g, CAST(q AS BIGINT) AS q,
+                         CAST(max(c) AS BIGINT) AS val
+                  FROM r, (SELECT unnest(range(1, 10)) AS q) qs
+                  WHERE rn = (q * n + 9) // 10
+                  GROUP BY 1, 2, 3)
+         SELECT a.event_type, a.q, a.val AS weekend_cents,
+                b.val AS weekday_cents, a.val - b.val AS qq_diff_cents
+         FROM d a JOIN d b ON a.event_type = b.event_type AND a.q = b.q
+                          AND a.g AND NOT b.g
+         ORDER BY a.event_type, a.q""",
+    // the BRUTE-FORCE quadratic neighbor join — identical output to the
+    // grid-bucketed plan is the proof the rewrite is lossless
+    "q_join_spatial_grid" ->
+      """WITH p AS (SELECT doc_id,
+                           CAST(('0x' || substr(md5('x' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                             AS BIGINT) % 1000 AS x,
+                           CAST(('0x' || substr(md5('y' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                             AS BIGINT) % 1000 AS y
+                    FROM documents WHERE doc_id < 2000)
+         SELECT a.doc_id AS ia, b.doc_id AS ib,
+                a.x - b.x AS dx, a.y - b.y AS dy
+         FROM p a JOIN p b ON a.doc_id < b.doc_id
+         WHERE abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+         ORDER BY ia, ib""",
+    // identical exact-L2 scores, conditional min/max per anchor
+    "q_embed_triplet" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings WHERE vec_id < 200),
+            sc AS (SELECT q.vec_id AS qid, q.label AS qlabel,
+                          c.label = q.label AS same,
+                          list_reduce(list_transform(list_zip(q.v, c.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                   FROM e q JOIN e c ON c.vec_id <> q.vec_id)
+         SELECT qid, qlabel AS label,
+                CAST(max(CASE WHEN same THEN d2 END) AS BIGINT) AS hard_pos_d2,
+                CAST(min(CASE WHEN NOT same THEN d2 END) AS BIGINT) AS hard_neg_d2,
+                CAST(min(CASE WHEN NOT same THEN d2 END)
+                     - max(CASE WHEN same THEN d2 END) AS BIGINT) AS margin
+         FROM sc GROUP BY 1, 2 ORDER BY qid""",
     // identical band-bucket pair list, 3-way vertex credit, ppm coeff
     "q_graph_clustering_coeff" -> (simhashCte(" WHERE doc_id < 1000") + """,
        bands AS (
