@@ -434,6 +434,106 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Rolling z-score anomaly flags WITHOUT floats — the monitoring
+    // primitive ("is this event 3σ off this user's recent behavior")
+    // kept cross-engine exact by clearing denominators: z > 3 over the
+    // trailing-20 frame ⟺ (n·x − s)² > 9·(n·ss − s²), all integer
+    // window sums (frame is bounded, so every product fits a long at
+    // any corpus size). One window pass per user, one hash agg; flags
+    // need ≥10 frame rows so cold-start rows can't alarm.
+    "q_events_rolling_zscore" -> ((s, dir) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("x"))
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("sf", sum(col("x")).over(frame))
+        .withColumn("ssf", sum(col("x") * col("x")).over(frame))
+        .withColumn("flag",
+          (col("n") >= 10) &&
+            ((col("n") * col("x") - col("sf")) * (col("n") * col("x") - col("sf"))
+              > lit(9L) * (col("n") * col("ssf") - col("sf") * col("sf"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_anomalies"))
+        .orderBy(col("user_id"))
+    }),
+
+    // SQ8 scalar quantization error per dimension — the third leg of
+    // the vector-compression audit (PQ codebooks in q_ann_pq, prefix
+    // truncation in q_ann_matryoshka; SQ8 is what most 100 TB indexes
+    // actually ship): per-dim min/max from one agg, 0..255 codes and
+    // reconstructions via integer floor arithmetic, absolute error
+    // summed exactly. The per-dim range table is a 64-row broadcast
+    // back against the exploded values — no second corpus pass, no
+    // driver collect.
+    "q_embed_sq8_error" -> ((s, dir) => {
+      val vals = t(s, dir, "embeddings")
+        .select(posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))")))
+        .toDF("dim", "q")
+      val ranges = vals.groupBy(col("dim"))
+        .agg(min(col("q")).as("mn"), max(col("q")).as("mx"))
+      vals.join(broadcast(ranges), Seq("dim"))
+        .withColumn("code",
+          expr("((q - mn) * 255) div nullif(mx - mn, 0)"))
+        .withColumn("recon",
+          expr("mn + (coalesce(code, 0) * (mx - mn)) div 255"))
+        .withColumn("err", abs(col("q") - col("recon")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), max(col("mn")).as("mn"),
+          max(col("mx")).as("mx"),
+          sum(col("err")).as("sum_abs_err"), max(col("err")).as("max_abs_err"))
+        .select(col("dim").cast("long").as("dim"), col("n"), col("mn"),
+          col("mx"), col("sum_abs_err"), col("max_abs_err"),
+          expr("sum_abs_err div n").as("mean_abs_err"))
+        .orderBy(col("dim"))
+    }),
+
+    // Total-variation distance between source unigram distributions —
+    // the drift metric that needs NO logarithm (χ² in
+    // q_text_chisq_drift is significance; TV = ½Σ|p−q| is effect size
+    // on the same vocabulary): kept exact by clearing denominators —
+    // Σ|ca·Nb − cb·Na| accumulates in decimal(38,0) and one ppm floor
+    // division by 2·Na·Nb lands the distance. Source-pair fan-out is a
+    // broadcast of the k-row totals; the token-level work is one full
+    // outer equi-join on (pair, token) — missing tokens count as zero
+    // mass, which the join's nulls encode for free.
+    "q_text_tv_distance" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val ct = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val tot = ct.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      val prs = tot.as("ta").crossJoin(tot.as("tb"))
+        .filter(col("ta.source") < col("tb.source"))
+        .select(col("ta.source").as("sa"), col("tb.source").as("sb"),
+          col("ta.n").as("na"), col("tb.n").as("nb"))
+      val a = ct.join(broadcast(prs), col("source") === col("sa"))
+        .select(col("sa"), col("sb"), col("tok"), col("cnt").as("ca"))
+      val b = ct.join(broadcast(prs), col("source") === col("sb"))
+        .select(col("sa").as("sa2"), col("sb").as("sb2"), col("tok").as("tok2"),
+          col("cnt").as("cb"))
+      a.join(b, col("sa") === col("sa2") && col("sb") === col("sb2") &&
+          col("tok") === col("tok2"), "full_outer")
+        .select(coalesce(col("sa"), col("sa2")).as("sa"),
+          coalesce(col("sb"), col("sb2")).as("sb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .join(broadcast(prs.select(col("sa").as("psa"), col("sb").as("psb"),
+          col("na"), col("nb"))),
+          col("sa") === col("psa") && col("sb") === col("psb"))
+        .groupBy(col("sa"), col("sb"))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(abs(col("ca").cast(dec) * col("nb") - col("cb").cast(dec) * col("na")))
+            .as("sdiff"))
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          expr(s"cast((sdiff * 1000000) div (cast(2 as $dec) * na * nb) as bigint)")
+            .as("tv_ppm"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
     // Haar wavelet energy decomposition of the daily volume series per
     // event type — the multi-resolution burstiness readout (which
     // timescale carries the variance: day-to-day jitter vs weekly
@@ -6789,6 +6889,73 @@ object Relational {
 
   /** DuckDB oracles — same semantics, same aliases, same ORDER BY. */
   val oracleSql: Map[String, String] = Map(
+    // identical trailing-20 integer window sums and cleared-denominator
+    // z-test
+    "q_events_rolling_zscore" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            w AS (SELECT user_id, x,
+                         CAST(count(*) OVER f AS BIGINT) AS n,
+                         CAST(sum(x) OVER f AS BIGINT) AS s,
+                         CAST(sum(x * x) OVER f AS BIGINT) AS ss
+                  FROM e
+                  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+            fl AS (SELECT user_id,
+                          n >= 10 AND
+                          (n * x - s) * (n * x - s) > 9 * (n * ss - s * s) AS flag
+                   FROM w)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         FROM fl GROUP BY 1 ORDER BY user_id""",
+    // identical per-dim ranges, integer codes and reconstructions
+    "q_embed_sq8_error" ->
+      """WITH v AS (SELECT CAST(i AS BIGINT) AS dim,
+                           CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+                             AS BIGINT) AS q
+                    FROM embeddings, range(64) t(i)),
+            r AS (SELECT dim, min(q) AS mn, max(q) AS mx FROM v GROUP BY 1),
+            c AS (SELECT v.dim, v.q, r.mn, r.mx,
+                         ((v.q - r.mn) * 255) // nullif(r.mx - r.mn, 0) AS code
+                  FROM v JOIN r ON v.dim = r.dim),
+            e AS (SELECT dim, mn, mx,
+                         abs(q - (mn + (coalesce(code, 0) * (mx - mn)) // 255)) AS err
+                  FROM c)
+         SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx,
+                CAST(sum(err) AS BIGINT) AS sum_abs_err,
+                CAST(max(err) AS BIGINT) AS max_abs_err,
+                CAST(sum(err) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_abs_err
+         FROM e GROUP BY 1 ORDER BY dim""",
+    // identical cleared-denominator |ca·Nb − cb·Na| sums over the full
+    // outer token join, HUGEINT ppm
+    "q_text_tv_distance" ->
+      """WITH ct AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                           FROM documents) GROUP BY 1, 2),
+            tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+                    FROM ct GROUP BY 1),
+            prs AS (SELECT ta.source AS sa, tb.source AS sb,
+                           ta.n AS na, tb.n AS nb
+                    FROM tot ta JOIN tot tb ON ta.source < tb.source),
+            a AS (SELECT p.sa, p.sb, ct.tok, ct.cnt AS ca
+                  FROM ct JOIN prs p ON ct.source = p.sa),
+            b AS (SELECT p.sa AS sa2, p.sb AS sb2, ct.tok AS tok2, ct.cnt AS cb
+                  FROM ct JOIN prs p ON ct.source = p.sb),
+            m AS (SELECT coalesce(a.sa, b.sa2) AS sa, coalesce(a.sb, b.sb2) AS sb,
+                         coalesce(a.ca, 0) AS ca, coalesce(b.cb, 0) AS cb
+                  FROM a FULL OUTER JOIN b
+                    ON a.sa = b.sa2 AND a.sb = b.sb2 AND a.tok = b.tok2),
+            g AS (SELECT m.sa, m.sb, max(p.na) AS na, max(p.nb) AS nb,
+                         sum(abs(CAST(m.ca AS HUGEINT) * p.nb
+                                 - CAST(m.cb AS HUGEINT) * p.na)) AS sdiff
+                  FROM m JOIN prs p ON m.sa = p.sa AND m.sb = p.sb
+                  GROUP BY 1, 2)
+         SELECT sa, sb, na, nb,
+                CAST((sdiff * 1000000) // (CAST(2 AS HUGEINT) * na * nb)
+                  AS BIGINT) AS tv_ppm
+         FROM g ORDER BY sa, sb""",
     // identical 32-slot spine and 5 unrolled sum/diff levels (k aliases
     // avoid DuckDB's lateral alias capture of the regrouped slot)
     "q_events_haar_energy" -> {
