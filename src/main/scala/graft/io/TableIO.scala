@@ -726,11 +726,7 @@ object TableIO {
       // manifest, a TAGGED snapshot, or any BRANCH manifest — a branch
       // created before a merge pins the pre-merge (archived) versions
       // and must stay readable for as long as the branch exists
-      val referenced: Set[(Int, Int)] =
-        (snapshotIds(root) ++ tags(root).map(tagSnapshotId(root, _)))
-          .flatMap(id => lineageAt(root, id).map(l => (l.bucket, l.version))).toSet ++
-        branches(root).flatMap(n => branchSnapshotIds(root, n)
-          .flatMap(id => branchLineageAt(root, n, id).map(l => (l.bucket, l.version))))
+      val referenced = referencedVersions(root)
       for (bdir <- listDir(archRoot);
            bname = bdir.getFileName.toString if bname.startsWith("bucket=");
            vdir <- listDir(bdir); vname = vdir.getFileName.toString
@@ -1148,5 +1144,87 @@ object TableIO {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Orphan-file maintenance (Iceberg's remove_orphan_files contract)
+  // ---------------------------------------------------------------
+
+  /** One orphan candidate: a directory no surviving snapshot, tag, or
+    * branch references. `kind` ∈ staging | live-bucket | archive. */
+  final case class Orphan(path: String, kind: String, bytes: Long)
+
+  /** Every (bucket, version) any surviving main snapshot, tagged
+    * snapshot, or branch manifest still references (the liveness set
+    * expireSnapshots vacuums against). */
+  private def referencedVersions(root: String): Set[(Int, Int)] =
+    (snapshotIds(root) ++ tags(root).map(tagSnapshotId(root, _)))
+      .flatMap(id => lineageAt(root, id).map(l => (l.bucket, l.version))).toSet ++
+      branches(root).flatMap(n => branchSnapshotIds(root, n)
+        .flatMap(id => branchLineageAt(root, n, id).map(l => (l.bucket, l.version))))
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (!Files.isDirectory(p)) 0L
+    else {
+      val s = Files.walk(p)
+      try s.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(Files.size).sum
+      finally s.close()
+    }
+
+  /** DRY-RUN orphan scan — the reclaimable-storage report a table
+    * maintenance job prints before vacuuming: walks the data tree and
+    * subtracts everything any surviving snapshot/tag/branch manifest
+    * references. Crash-recovery runs FIRST so a legitimately in-flight
+    * compaction/merge is repaired, never reported as garbage. Reports:
+    *  - staging leftovers (replayable by construction once recovery
+    *    has run — the layout doc's invariant),
+    *  - live `bucket=<b>` dirs for buckets absent from EVERY manifest
+    *    (a crashed pre-publish wave),
+    *  - `_archive/bucket=<b>/v<k>` versions nothing references (what
+    *    expireSnapshots deletes; surfaced here without deleting). */
+  def planOrphans(root: String): Seq[Orphan] = {
+    recoverCompaction(root)
+    recoverMerge(root)
+    val referenced = referencedVersions(root)
+    val liveBuckets = referenced.map(_._1)
+    val staging = listDir(Paths.get(root, "_staging"))
+      .map(p => Orphan(p.toString, "staging", dirBytes(p)))
+    val liveOrphans = listDir(Paths.get(root))
+      .filter(p => p.getFileName.toString.startsWith("bucket="))
+      .filter(p => !liveBuckets(p.getFileName.toString.stripPrefix("bucket=").toInt))
+      .map(p => Orphan(p.toString, "live-bucket", dirBytes(p)))
+    val archOrphans =
+      for (bdir <- listDir(Paths.get(root, "_archive"));
+           bname = bdir.getFileName.toString if bname.startsWith("bucket=");
+           vdir <- listDir(bdir); vname = vdir.getFileName.toString
+           if vname.startsWith("v")
+           if !referenced((bname.stripPrefix("bucket=").toInt,
+             vname.stripPrefix("v").toInt)))
+        yield Orphan(vdir.toString, "archive", dirBytes(vdir))
+    (staging ++ liveOrphans ++ archOrphans).sortBy(_.path)
+  }
+
+  /** Execute the orphan plan. `olderThanMs` is Iceberg's age guard
+    * (remove_orphan_files' older_than): only candidates whose newest
+    * file predates now−olderThanMs are deleted, so a writer that is
+    * mid-flight right now (staged bytes newer than the guard) is never
+    * swept. Production callers should pass a multi-hour guard; 0 sweeps
+    * everything planned. Returns what was deleted. */
+  def removeOrphans(root: String, olderThanMs: Long = 0L): Seq[Orphan] = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def newestMs(p: java.nio.file.Path): Long =
+      if (!Files.isDirectory(p)) 0L
+      else {
+        val s = Files.walk(p)
+        try {
+          val times = s.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(Files.getLastModifiedTime(_).toMillis).toSeq
+          if (times.isEmpty) 0L else times.max
+        } finally s.close()
+      }
+    val swept = planOrphans(root).filter(o => newestMs(Paths.get(o.path)) <= cutoff)
+    swept.foreach(o => deleteRecursively(Paths.get(o.path)))
+    swept
   }
 }

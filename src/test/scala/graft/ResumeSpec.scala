@@ -710,4 +710,63 @@ class ResumeSpec extends SparkSuite {
     assert(files.forall(f => dirty.exists(bkt => f.contains(s"bucket=$bkt/"))),
       s"changelog read a clean bucket:\n${files.mkString("\n")}")
   }
+
+  test("orphan scan: clean table reports nothing; planted garbage is found, swept, and reads survive") {
+    val root = freshDir("graft-orphans")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val before = dump(root)
+    // a healthy table has zero orphans
+    assert(TableIO.planOrphans(root).isEmpty,
+      s"clean table reported orphans: ${TableIO.planOrphans(root)}")
+
+    // plant all three garbage kinds: a staging leftover (crashed wave),
+    // a live bucket dir no manifest references (crashed pre-publish
+    // write), and an unreferenced archive version
+    val staging = Paths.get(root, "_staging", "wave-9")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("part-000.parquet"), "garbage")
+    val deadLive = Paths.get(root, "bucket=99")
+    Files.createDirectories(deadLive)
+    Files.writeString(deadLive.resolve("part-000.parquet"), "garbage")
+    val deadArch = Paths.get(root, "_archive", "bucket=3", "v7")
+    Files.createDirectories(deadArch)
+    Files.writeString(deadArch.resolve("part-000.parquet"), "garbage")
+
+    val plan = TableIO.planOrphans(root)
+    assert(plan.map(_.kind).sorted == Seq("archive", "live-bucket", "staging"),
+      s"plan found: $plan")
+    assert(plan.forall(_.bytes > 0))
+
+    // the age guard protects bytes newer than the cutoff: nothing is
+    // swept with a 1-hour guard (all garbage was written just now)...
+    assert(TableIO.removeOrphans(root, olderThanMs = 3600L * 1000).isEmpty)
+    assert(Files.exists(staging) && Files.exists(deadLive) && Files.exists(deadArch))
+    // ...and a zero guard sweeps exactly the plan
+    val swept = TableIO.removeOrphans(root)
+    assert(swept.map(_.kind).sorted == Seq("archive", "live-bucket", "staging"))
+    assert(!Files.exists(staging) && !Files.exists(deadLive) && !Files.exists(deadArch))
+    // table reads byte-identically after the sweep
+    assert(dump(root) == before)
+    assert(TableIO.planOrphans(root).isEmpty)
+  }
+
+  test("orphan scan never touches referenced bytes: archive versions pinned by a branch survive") {
+    val root = freshDir("graft-orphans-branch")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    TableIO.createBranch(root, "audit", preSnap)
+    // a merge archives the replaced versions; the branch pins them
+    import spark.implicits._
+    val upd = TableIO.readExtracted(spark, root).limit(3)
+      .map(t => t.copy(warnings =
+        Some(t.warnings.getOrElse(Nil) :+ "orphan-spec touch")))
+    TableIO.mergeExtracted(upd, root, buckets = 8)
+    val archived = TableIO.planOrphans(root)
+    assert(archived.isEmpty,
+      s"branch-pinned archive reported as orphan: $archived")
+    assert(TableIO.removeOrphans(root).isEmpty)
+    // branch still reads the pre-merge state
+    assert(TableIO.readBranch(spark, root, "audit").count() == ds.count())
+  }
 }
