@@ -6500,6 +6500,125 @@ object Relational {
           countDistinct(col("user_id"), col("day")).as("n_user_days"))
         .orderBy(col("event_type"))
     }),
+
+    // One-way ANOVA F — does the metric's mean differ ACROSS the k
+    // event types beyond noise (the k-group generalization of the
+    // two-cohort q_events_ttest)? The five group sums accumulate
+    // exactly as decimal(38,0) in ONE partial+final hash agg; each
+    // group's s²/n is three IEEE ops on exactly-representable casts,
+    // and the cross-group Σ s²/n folds an event_type-SORTED list so
+    // both engines add the same doubles in the same order (double
+    // addition is not associative — an unordered SUM would be
+    // engine-dependent). F = (SSB/(k−1)) / (SSW/(N−k)) is one mirrored
+    // formula. At 100 TB the group agg shards by key; the final fold
+    // sees k rows on the driver-side-free single reducer.
+    "q_agg_anova" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(col("x").cast(dec)).as("s_g"),
+          sum((col("x") * col("x")).cast(dec)).as("ss_g"))
+        .select(col("event_type"), col("n_g"), col("s_g"), col("ss_g"),
+          (col("s_g").cast("double") * col("s_g").cast("double") /
+            col("n_g").cast("double")).as("t_g"))
+        .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+          sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+          aggregate(
+            sort_array(collect_list(struct(col("event_type"), col("t_g")))),
+            lit(0.0d), (acc, e) => acc + e.getField("t_g")).as("t"))
+        .select(col("k"), col("n"),
+          round(col("t") - col("s").cast("double") * col("s").cast("double") /
+            col("n").cast("double"), 6).as("ssb"),
+          round(col("ss").cast("double") - col("t"), 6).as("ssw"),
+          round(((col("t") - col("s").cast("double") * col("s").cast("double") /
+              col("n").cast("double")) / (col("k") - 1).cast("double")) /
+            ((col("ss").cast("double") - col("t")) /
+              (col("n") - col("k")).cast("double")), 6).as("f_stat"))
+    }),
+
+    // Linear-interpolation gap fill — the step up from q_window_locf's
+    // staircase: interior holes (same deterministic cents%7 nulling)
+    // are filled on the TIME axis between the surrounding
+    // observations, leading/trailing holes stay null. Two bounded
+    // window frames (running last-non-null backward, first-non-null
+    // forward) over ONE user-keyed shuffle carry value AND timestamp
+    // of each neighbor; the lerp is a single mirrored double formula
+    // on exact integer cents/epochs, tie-guarded when both neighbors
+    // share a second.
+    "q_window_interpolate" -> ((s, dir) => {
+      val wb = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .withColumn("et", expr("unix_timestamp(ts)"))
+        .withColumn("c",
+          when(cents(col("value")) % 7 === 0, lit(null).cast("long"))
+            .otherwise(cents(col("value"))))
+        .withColumn("pv", last(col("c"), ignoreNulls = true).over(wb))
+        .withColumn("pt",
+          last(when(col("c").isNotNull, col("et")), ignoreNulls = true).over(wb))
+        .withColumn("nv", first(col("c"), ignoreNulls = true).over(wf))
+        .withColumn("nt",
+          first(when(col("c").isNotNull, col("et")), ignoreNulls = true).over(wf))
+        .select(col("user_id"), col("event_id"), col("c"),
+          round(when(col("c").isNotNull, col("c").cast("double"))
+            .when(col("pv").isNull || col("nv").isNull,
+              lit(null).cast("double"))
+            .when(col("nt") === col("pt"), col("pv").cast("double"))
+            .otherwise(col("pv").cast("double") +
+              (col("nv") - col("pv")).cast("double") *
+                (col("et") - col("pt")).cast("double") /
+                (col("nt") - col("pt")).cast("double")), 6).as("filled"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    // are maximal stopword-free token runs (phrase id = running count
+    // of stopword boundaries, one doc-keyed window); word degree =
+    // Σ phrase-length over a word's occurrences, word frequency = its
+    // occurrence count, both from ONE corpus-wide hash agg on the
+    // token key; a word's score deg/freq is kept EXACT as integer ppm
+    // so the phrase score (Σ over its words) is an order-free integer
+    // sum — no float accumulation anywhere. Output: multi-word
+    // phrases recurring ≥2×, top 50 by score. At 100 TB every stage
+    // is a token/phrase-key hash agg or equi-join; the final top-50
+    // is a distributed TakeOrdered.
+    "q_text_rake" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .select(col("doc_id"), posexplode(col("l")).as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("is_stop", col("tok").isin(stop: _*))
+        .withColumn("phrase_id",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+        .filter(!col("is_stop"))
+        .select(col("doc_id"), col("phrase_id"), col("pos"), col("tok"))
+      val plens = words.groupBy(col("doc_id"), col("phrase_id"))
+        .agg(count(lit(1)).as("plen"))
+      val occ = words.join(plens, Seq("doc_id", "phrase_id"))
+      val wordScore = occ.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("tok"), expr("(deg * 1000000L) div freq").as("score_ppm"))
+      occ.join(wordScore, Seq("tok"))
+        .groupBy(col("doc_id"), col("phrase_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(" +
+            "struct(pos, tok))), e -> e.tok), ' ')").as("phrase"),
+          sum(col("score_ppm")).as("score_ppm"),
+          count(lit(1)).as("plen"))
+        .groupBy(col("phrase"), col("plen"))
+        .agg(count(lit(1)).as("n_occ"), min(col("score_ppm")).as("score_ppm"))
+        .filter(col("n_occ") >= 2 && col("plen") >= 2)
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(50)
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -10666,6 +10785,103 @@ object Relational {
                 CAST(count(DISTINCT day) AS BIGINT) AS n_days,
                 CAST(count(DISTINCT (user_id, day)) AS BIGINT) AS n_user_days
          FROM e GROUP BY 1 ORDER BY 1""",
+    // identical HUGEINT moment sums, identical event_type-ordered
+    // left fold of the per-group s²/n doubles (list_reduce folds
+    // x1+x2+…, Spark folds 0.0+x1+x2+… — 0.0+x1 = x1 exactly)
+    "q_agg_anova" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+                           sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS s_g,
+                           sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                    * CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS ss_g
+                    FROM events GROUP BY 1),
+            tg AS (SELECT event_type, n_g, s_g, ss_g,
+                          CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                            / CAST(n_g AS DOUBLE) AS t_g
+                   FROM g),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(sum(n_g) AS BIGINT) AS n,
+                         sum(s_g) AS s, sum(ss_g) AS ss,
+                         list_reduce(list(t_g ORDER BY event_type),
+                                     (x, y) -> x + y) AS t
+                  FROM tg)
+         SELECT k, n,
+                round(t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE), 6) AS ssb,
+                round(CAST(ss AS DOUBLE) - t, 6) AS ssw,
+                round(((t - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+                      / ((CAST(ss AS DOUBLE) - t)
+                         / CAST(n - k AS DOUBLE)), 6) AS f_stat
+         FROM a""",
+    // identical deterministic nulling, identical backward/forward
+    // IGNORE NULLS frames carrying (value, epoch), identical
+    // single-formula lerp with the shared-second tie guard
+    "q_window_interpolate" ->
+      """WITH c AS (SELECT user_id, event_id, ts,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS et,
+                           CASE WHEN CAST(round(value * 100) AS BIGINT) % 7 = 0
+                                THEN NULL
+                                ELSE CAST(round(value * 100) AS BIGINT) END AS c
+                    FROM events),
+            w AS (SELECT user_id, event_id, c, et,
+                         last_value(c IGNORE NULLS) OVER pb AS pv,
+                         last_value(CASE WHEN c IS NOT NULL THEN et END
+                                    IGNORE NULLS) OVER pb AS pt,
+                         first_value(c IGNORE NULLS) OVER pf AS nv,
+                         first_value(CASE WHEN c IS NOT NULL THEN et END
+                                     IGNORE NULLS) OVER pf AS nt
+                  FROM c
+                  WINDOW pb AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         pf AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, event_id, c,
+                round(CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+                           WHEN pv IS NULL OR nv IS NULL THEN NULL
+                           WHEN nt = pt THEN CAST(pv AS DOUBLE)
+                           ELSE CAST(pv AS DOUBLE)
+                                + CAST(nv - pv AS DOUBLE)
+                                  * CAST(et - pt AS DOUBLE)
+                                  / CAST(nt - pt AS DOUBLE) END, 6) AS filled
+         FROM w ORDER BY user_id, event_id""",
+    // identical stopword set, running-boundary phrase ids, integer-ppm
+    // word scores, and order-free integer phrase-score sums
+    "q_text_rake" ->
+      """WITH raw AS (SELECT doc_id,
+                             unnest(string_split(text, ' ')) AS tok,
+                             unnest(range(len(string_split(text, ' ')))) AS pos
+                      FROM documents),
+            tk AS (SELECT doc_id, pos, tok,
+                          CASE WHEN tok IN ('the', 'a', 'of', 'and')
+                               THEN 1 ELSE 0 END AS is_stop
+                   FROM raw WHERE tok <> ''),
+            ph AS (SELECT doc_id, pos, tok, is_stop,
+                          sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS phrase_id
+                   FROM tk),
+            words AS (SELECT doc_id, phrase_id, pos, tok
+                      FROM ph WHERE is_stop = 0),
+            plens AS (SELECT doc_id, phrase_id,
+                             CAST(count(*) AS BIGINT) AS plen
+                      FROM words GROUP BY 1, 2),
+            occ AS (SELECT w.doc_id, w.phrase_id, w.pos, w.tok, p.plen
+                    FROM words w JOIN plens p USING (doc_id, phrase_id)),
+            ws AS (SELECT tok,
+                          (CAST(sum(plen) AS BIGINT) * 1000000)
+                            // CAST(count(*) AS BIGINT) AS score_ppm
+                   FROM occ GROUP BY 1),
+            po AS (SELECT o.doc_id, o.phrase_id,
+                          string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+                          CAST(sum(s.score_ppm) AS BIGINT) AS score_ppm,
+                          CAST(count(*) AS BIGINT) AS plen
+                   FROM occ o JOIN ws s USING (tok)
+                   GROUP BY 1, 2)
+         SELECT phrase, plen, CAST(count(*) AS BIGINT) AS n_occ,
+                CAST(min(score_ppm) AS BIGINT) AS score_ppm
+         FROM po GROUP BY 1, 2
+         HAVING count(*) >= 2 AND plen >= 2
+         ORDER BY score_ppm DESC, phrase LIMIT 50""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

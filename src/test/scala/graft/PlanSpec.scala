@@ -1037,4 +1037,25 @@ class PlanSpec extends SparkSuite {
     val bs = plan("q_sample_bootstrap")
     assert(bs.contains("Generate") && !bs.contains("Join"), bs.take(2000))
   }
+
+  test("session-8 additions: anova/interpolate/rake plan shapes") {
+    // ANOVA: the k-group moment sums are ONE partial+final hash agg
+    // (map-side combine before the event_type shuffle); the final
+    // k-row fold must not plan a second pass over the events scan
+    val an = plan("q_agg_anova")
+    assert(an.contains("partial"), an.take(2000))
+    assert(!an.contains("CartesianProduct"), an.take(2000))
+    // interpolation: both neighbor frames ride ONE user-keyed window
+    // shuffle — a second exchange would double the 100 TB sort cost
+    val ip = plan("q_window_interpolate")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(ip).length
+    assert(exchanges == 1, s"expected 1 user-keyed exchange, got $exchanges:\n${ip.take(2000)}")
+    // RAKE: every stage is a hash agg or equi-join on token/phrase
+    // keys; the top-50 must be a distributed TakeOrdered, not a global
+    // sort materializing every phrase
+    val rk = plan("q_text_rake")
+    assert(!rk.contains("CartesianProduct"), rk.take(2000))
+    assert(rk.contains("TakeOrderedAndProject"), rk.take(2000))
+  }
 }
