@@ -6619,6 +6619,127 @@ object Relational {
         .orderBy(col("score_ppm").desc, col("phrase"))
         .limit(50)
     }),
+
+    // Label-propagation community detection (Raghavan et al. 2007) —
+    // 3 synchronous rounds over the shared simhash near-dup graph:
+    // every node adopts the MOST FREQUENT label among its neighbors,
+    // ties to the smallest label, isolated nodes keep their own. The
+    // total (count desc, lbl) order makes the classic deterministic
+    // and engine-reproducible. Per round: one edges⋈labels equi-join,
+    // one (dst,lbl) hash agg, one per-dst top-1 window on bounded
+    // keys, one left join back — the Pregel superstep shape — with
+    // localCheckpoint per round (checkpoint-cadence rule). Distinct
+    // from q_dedup_resolve: min-label CC merges everything reachable;
+    // frequency-vote LPA splits dense regions into communities.
+    "q_graph_label_prop" -> ((s, dir) => {
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id")).distinct()
+      var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val prev = labels
+        val top = edges.join(prev, col("src") === col("id"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("dst"))
+              .orderBy(col("c").desc, col("lbl"))))
+          .filter(col("rn") === 1)
+          .select(col("dst"), col("lbl").as("nbr"))
+        labels = prev.join(top, prev("id") === top("dst"), "left")
+          .select(prev("id"), coalesce(col("nbr"), prev("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      edges.unpersist()
+      labels.select(col("id").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Change-point detection by binary segmentation (first split) —
+    // per event type, the split minimizing total within-segment
+    // variance over the (ts, event_id)-ordered series: prefix
+    // count/sum/sum-of-squares ride ONE running frame on the SAME
+    // type-keyed window shuffle as the grand totals (unbounded frame),
+    // the split cost is a single mirrored double formula on
+    // exactly-accumulated decimal(38,0) moments, and the argmin
+    // tie-breaks on the earliest index. The 100 TB shape: one window
+    // sort per type, one top-1 — no self-join over candidate splits.
+    "q_events_changepoint" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val wRun = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          cents(col("value")).as("x"))
+        .withColumn("i", count(lit(1)).over(wRun))
+        .withColumn("si", sum(col("x").cast(dec)).over(wRun))
+        .withColumn("qi", sum((col("x") * col("x")).cast(dec)).over(wRun))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("s", sum(col("x").cast(dec)).over(wAll))
+        .withColumn("q", sum((col("x") * col("x")).cast(dec)).over(wAll))
+        .filter(col("i") < col("n"))
+        .withColumn("cost",
+          (col("qi").cast("double") -
+            col("si").cast("double") * col("si").cast("double") /
+              col("i").cast("double")) +
+          ((col("q") - col("qi")).cast("double") -
+            (col("s") - col("si")).cast("double") *
+              (col("s") - col("si")).cast("double") /
+              (col("n") - col("i")).cast("double")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("cost"), col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n"), col("i").as("split_i"),
+          round(col("cost"), 4).as("cost"),
+          round(col("si").cast("double") / col("i").cast("double"), 4)
+            .as("mean_left_c"),
+          round((col("s") - col("si")).cast("double") /
+            (col("n") - col("i")).cast("double"), 4).as("mean_right_c"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Gopher-style quality-rule battery (Rae et al. 2021 §A1.1) — the
+    // named pretraining document filter as per-doc integer flags:
+    // word-count bounds, mean-word-length band (×100 fixed point),
+    // minimum alphabetic-word share (ppm), and the ≥2-distinct-
+    // stopwords evidence rule; pass = every flag. All in-row scalar
+    // arithmetic over one scan — the 100 TB cost is the read itself.
+    // q_text_quality scores a ratio; this is the RULESET gate a corpus
+    // is actually filtered with.
+    "q_docs_gopher_rules" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .withColumn("l", expr("filter(split(text, ' '), w -> w <> '')"))
+        .withColumn("n_words", size(col("l")).cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("mwl_c", expr(
+          "(aggregate(l, 0L, (a, w) -> a + length(w)) * 100L) div n_words"))
+        .withColumn("alpha_ppm", expr(
+          "(size(filter(l, w -> w rlike '[a-zA-Z]')) * 1000000L) div n_words"))
+        .withColumn("n_stop",
+          (array_contains(col("l"), "the").cast("long") +
+            array_contains(col("l"), "a").cast("long") +
+            array_contains(col("l"), "of").cast("long") +
+            array_contains(col("l"), "and").cast("long")))
+      base.select(col("doc_id"), col("n_words"), col("mwl_c"),
+          col("alpha_ppm"), col("n_stop"),
+          (col("n_words") >= 10 && col("n_words") <= 100000)
+            .cast("int").as("f_words"),
+          (col("mwl_c") >= 300 && col("mwl_c") <= 1000)
+            .cast("int").as("f_mwl"),
+          (col("alpha_ppm") >= 800000).cast("int").as("f_alpha"),
+          (col("n_stop") >= 2).cast("int").as("f_stop"))
+        .withColumn("pass",
+          (col("f_words") * col("f_mwl") * col("f_alpha") * col("f_stop"))
+            .cast("int"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -10882,6 +11003,111 @@ object Relational {
          FROM po GROUP BY 1, 2
          HAVING count(*) >= 2 AND plen >= 2
          ORDER BY score_ppm DESC, phrase LIMIT 50""",
+    // same banded simhash graph as the pagerank oracle; the three LPA
+    // rounds unroll as CTEs with the identical (count desc, lbl)
+    // frequency-vote tie-break
+    "q_graph_label_prop" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       l0 AS (SELECT id, id AS lbl FROM nodes),""" +
+      (1 to 3).map { r =>
+        s"""
+       t$r AS (SELECT dst, lbl AS nbr FROM (
+                SELECT e.dst, l.lbl,
+                       row_number() OVER (PARTITION BY e.dst
+                         ORDER BY count(*) DESC, l.lbl) AS rn
+                FROM edges e JOIN l${r - 1} l ON l.id = e.src
+                GROUP BY e.dst, l.lbl) WHERE rn = 1),
+       l$r AS (SELECT p.id, COALESCE(t.nbr, p.lbl) AS lbl
+               FROM l${r - 1} p LEFT JOIN t$r t ON t.dst = p.id)"""
+      }.mkString(",") + """
+       SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id"""),
+    // identical HUGEINT prefix/grand moments on the identical unique
+    // order, identical single-formula split cost, earliest-index
+    // argmin tie-break
+    "q_events_changepoint" ->
+      """WITH e AS (SELECT event_type, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            p AS (SELECT event_type, ts, event_id,
+                         CAST(count(*) OVER r AS BIGINT) AS i,
+                         sum(CAST(x AS HUGEINT)) OVER r AS si,
+                         sum(CAST(x * x AS HUGEINT)) OVER r AS qi,
+                         CAST(count(*) OVER a AS BIGINT) AS n,
+                         sum(CAST(x AS HUGEINT)) OVER a AS s,
+                         sum(CAST(x * x AS HUGEINT)) OVER a AS q
+                  FROM e
+                  WINDOW r AS (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                         a AS (PARTITION BY event_type
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)),
+            c AS (SELECT event_type, n, i, si, s,
+                         (CAST(qi AS DOUBLE)
+                          - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                            / CAST(i AS DOUBLE))
+                         + (CAST(q - qi AS DOUBLE)
+                            - CAST(s - si AS DOUBLE) * CAST(s - si AS DOUBLE)
+                              / CAST(n - i AS DOUBLE)) AS cost
+                  FROM p WHERE i < n),
+            b AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY cost, i) AS rn
+                  FROM c)
+         SELECT event_type, n, i AS split_i, round(cost, 4) AS cost,
+                round(CAST(si AS DOUBLE) / CAST(i AS DOUBLE), 4) AS mean_left_c,
+                round(CAST(s - si AS DOUBLE) / CAST(n - i AS DOUBLE), 4)
+                  AS mean_right_c
+         FROM b WHERE rn = 1 ORDER BY event_type""",
+    // identical empty-token filter, ×100 fixed-point mean word length,
+    // ppm alpha share, 4-term stopword evidence, and rule thresholds
+    "q_docs_gopher_rules" ->
+      """WITH d AS (SELECT doc_id,
+                           list_filter(string_split(text, ' '),
+                                       w -> w <> '') AS l
+                    FROM documents),
+            m AS (SELECT doc_id, l, CAST(len(l) AS BIGINT) AS n_words
+                  FROM d WHERE len(l) > 0),
+            f AS (SELECT doc_id, n_words,
+                         (CAST(list_reduce(list_prepend(0,
+                            list_transform(l, w -> length(w))),
+                            (a, b) -> a + b) AS BIGINT) * 100) // n_words
+                           AS mwl_c,
+                         (CAST(len(list_filter(l,
+                            w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT)
+                          * 1000000) // n_words AS alpha_ppm,
+                         CAST(CASE WHEN list_contains(l, 'the') THEN 1 ELSE 0 END
+                            + CASE WHEN list_contains(l, 'a') THEN 1 ELSE 0 END
+                            + CASE WHEN list_contains(l, 'of') THEN 1 ELSE 0 END
+                            + CASE WHEN list_contains(l, 'and') THEN 1 ELSE 0 END
+                            AS BIGINT) AS n_stop
+                  FROM m)
+         SELECT doc_id, n_words, mwl_c, alpha_ppm, n_stop,
+                CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+                     AS INTEGER) AS f_words,
+                CAST(CASE WHEN mwl_c BETWEEN 300 AND 1000 THEN 1 ELSE 0 END
+                     AS INTEGER) AS f_mwl,
+                CAST(CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END
+                     AS INTEGER) AS f_alpha,
+                CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+                     AS INTEGER) AS f_stop,
+                CAST(CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+                     * CASE WHEN mwl_c BETWEEN 300 AND 1000 THEN 1 ELSE 0 END
+                     * CASE WHEN alpha_ppm >= 800000 THEN 1 ELSE 0 END
+                     * CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
+                     AS INTEGER) AS pass
+         FROM f ORDER BY doc_id""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1057,5 +1057,20 @@ class PlanSpec extends SparkSuite {
     val rk = plan("q_text_rake")
     assert(!rk.contains("CartesianProduct"), rk.take(2000))
     assert(rk.contains("TakeOrderedAndProject"), rk.take(2000))
+    // change point: prefix AND grand moments ride ONE type-keyed
+    // window shuffle — a join against a separate totals agg would
+    // re-shuffle the event stream
+    val cp = plan("q_events_changepoint")
+    val cpEx = "Exchange hashpartitioning".r.findAllIn(cp).length
+    assert(cpEx == 1, s"expected 1 type-keyed exchange, got $cpEx:\n${cp.take(2000)}")
+    assert(!cp.contains("Join"), cp.take(2000))
+    // Gopher rules: pure in-row scalar pass — no shuffle before the
+    // presentation sort, no join, no window
+    val gr = plan("q_docs_gopher_rules")
+    assert(!gr.contains("Join") && !gr.contains("Window"), gr.take(2000))
+    // LPA rounds materialize via localCheckpoint; the final read must
+    // not re-derive the graph (checkpoint-cadence rule)
+    val lp = plan("q_graph_label_prop")
+    assert(!lp.contains("CartesianProduct"), lp.take(2000))
   }
 }
