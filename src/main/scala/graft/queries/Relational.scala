@@ -6740,6 +6740,81 @@ object Relational {
             .cast("int"))
         .orderBy(col("doc_id"))
     }),
+
+    // Snake-draft bin packing — balanced size-aware sharding within
+    // each source group: docs ranked by (n_chars desc, doc_id) are
+    // dealt across 8 bins boustrophedon (0..7, 7..0, …), the
+    // classical O(1)-per-item near-optimal balancer for long-tailed
+    // sizes (plain round-robin parks every big doc in bin rank%8).
+    // Output: per-(source, bin) doc count + byte total, plus the
+    // group's max/min byte imbalance in ppm. One source-keyed window
+    // shuffle, one hash agg on the same key — the rank is PER GROUP,
+    // never a global total order (the 100 TB trap a single
+    // Window.orderBy would plan: all rows to one partition).
+    "q_pack_binpack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(w) - 1)
+        .withColumn("bin",
+          when(expr("(rk div 8) % 2 = 0"), expr("rk % 8"))
+            .otherwise(expr("7 - (rk % 8)")))
+        .groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("bin_bytes"))
+        .withColumn("imbalance_ppm", expr(
+          "((max(bin_bytes) OVER (PARTITION BY source) " +
+            "- min(bin_bytes) OVER (PARTITION BY source)) * 1000000L) " +
+            "div max(bin_bytes) OVER (PARTITION BY source)"))
+        .select(col("source"), col("bin"), col("n_docs"), col("bin_bytes"),
+          col("imbalance_ppm"))
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // Feature hashing (the hashing trick, Weinberger et al. 2009) —
+    // 32-dim signed bag-of-words embedding with NO vocabulary: dim =
+    // md5(tok) low 5 bits, sign = bit 5, weight = signed occurrence
+    // sum. The vocabulary-free property is what scales: no dictionary
+    // broadcast, no OOV path, one (doc, dim) hash agg over the token
+    // stream. Output exploded as (doc_id, dim, weight) rows — the
+    // sparse representation downstream trainers consume.
+    "q_text_feature_hash" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .withColumn("h",
+          conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+        .withColumn("dim", pmod(col("h"), lit(32L)))
+        .withColumn("sign",
+          when(pmod(expr("h div 32"), lit(2L)) === 0, 1L).otherwise(-1L))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sign")).as("weight"))
+        .filter(col("weight") =!= 0)
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
+    // Maximum drawdown per user — the largest peak-to-trough fall of
+    // the cumulative metric (the stability readout for any running
+    // balance/score series): running sum and running max ride ONE
+    // user-keyed window sort, the per-user rollup reuses the same
+    // hash partitioning (no second exchange). All-long arithmetic.
+    "q_window_drawdown" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("x"))
+        .withColumn("cum", sum(col("x")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          max(col("peak") - col("cum")).as("max_drawdown_c"),
+          max(col("peak")).as("peak_c"),
+          sum(col("x")).as("final_c"))
+        .orderBy(col("user_id"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -11108,6 +11183,62 @@ object Relational {
                      * CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END
                      AS INTEGER) AS pass
          FROM f ORDER BY doc_id""",
+    // identical per-source (n_chars desc, doc_id) rank, boustrophedon
+    // deal, and ppm imbalance window
+    "q_pack_binpack" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+                           row_number() OVER (PARTITION BY source
+                             ORDER BY n_chars DESC, doc_id) - 1 AS rk
+                    FROM documents),
+            b AS (SELECT source, n_chars,
+                         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+                              ELSE 7 - (rk % 8) END AS bin
+                  FROM r),
+            g AS (SELECT source, CAST(bin AS BIGINT) AS bin,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS bin_bytes
+                  FROM b GROUP BY 1, 2)
+         SELECT source, bin, n_docs, bin_bytes,
+                ((max(bin_bytes) OVER (PARTITION BY source)
+                  - min(bin_bytes) OVER (PARTITION BY source)) * 1000000)
+                  // max(bin_bytes) OVER (PARTITION BY source) AS imbalance_ppm
+         FROM g ORDER BY source, bin""",
+    // identical md5-low-bits dim, bit-5 sign, and signed occurrence sum
+    "q_text_feature_hash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents WHERE doc_id < 2000),
+            h AS (SELECT doc_id,
+                         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT
+                              AS BIGINT) AS h
+                  FROM toks WHERE tok <> ''),
+            s AS (SELECT doc_id, h % 32 AS dim,
+                         CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS sign
+                  FROM h)
+         SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+                CAST(sum(sign) AS BIGINT) AS weight
+         FROM s GROUP BY 1, 2 HAVING sum(sign) <> 0
+         ORDER BY doc_id, dim""",
+    // identical running sum/max on the unique order; final_c is the
+    // order-free total (≡ last cumulative by construction)
+    "q_window_drawdown" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            w1 AS (SELECT user_id, ts, event_id, x,
+                          sum(x) OVER r AS cum
+                   FROM e
+                   WINDOW r AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+            w AS (SELECT user_id, x, cum,
+                         max(cum) OVER r2 AS peak
+                  FROM w1
+                  WINDOW r2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                CAST(max(peak - cum) AS BIGINT) AS max_drawdown_c,
+                CAST(max(peak) AS BIGINT) AS peak_c,
+                CAST(sum(x) AS BIGINT) AS final_c
+         FROM w GROUP BY 1 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1072,5 +1072,17 @@ class PlanSpec extends SparkSuite {
     // not re-derive the graph (checkpoint-cadence rule)
     val lp = plan("q_graph_label_prop")
     assert(!lp.contains("CartesianProduct"), lp.take(2000))
+    // bin packing: the rank is PER SOURCE — a global Window.orderBy
+    // would single-partition the corpus at 100 TB
+    val bp = plan("q_pack_binpack")
+    assert(!bp.contains("SinglePartition"), bp.take(2000))
+    // drawdown: window + rollup share ONE user-keyed exchange
+    val dd = plan("q_window_drawdown")
+    val ddEx = "Exchange hashpartitioning".r.findAllIn(dd).length
+    assert(ddEx == 1, s"expected 1 user-keyed exchange, got $ddEx:\n${dd.take(2000)}")
+    // feature hashing: vocabulary-free — no join, no broadcast, one
+    // (doc, dim) hash agg over the token stream
+    val fh = plan("q_text_feature_hash")
+    assert(!fh.contains("Join"), fh.take(2000))
   }
 }
