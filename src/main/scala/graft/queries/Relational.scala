@@ -6815,6 +6815,104 @@ object Relational {
           sum(col("x")).as("final_c"))
         .orderBy(col("user_id"))
     }),
+
+    // Kaplan–Meier survival estimator with right-censoring — the
+    // product-limit curve over user lifetimes (days between first and
+    // last event): users whose last event falls in the corpus's final
+    // 7 days are CENSORED (they exit the risk set without counting as
+    // deaths — dropping them would bias survival down, the classic
+    // mistake). Per lifetime t: deaths d_t, censored c_t, risk set
+    // n_t = Σ_{u≥t}(d_u+c_u) via one descending running frame; S(t)
+    // folds the (n_u−d_u)/n_u factors in ascending-t order through a
+    // window collect so both engines multiply the same exact-ratio
+    // doubles in the same order. Day-grain rows are bounded by the
+    // corpus time span, so the global window is O(days), not O(rows).
+    "q_events_kaplan_meier" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("birth"), max(col("day")).as("death"))
+      val horizon = users.agg(max(col("death")).as("d_max"))
+      val lives = users.join(broadcast(horizon))
+        .select((col("death") - col("birth")).as("t"),
+          when(col("death") > col("d_max") - 7, 1L).otherwise(0L).as("cens"))
+      val byT = lives.groupBy(col("t"))
+        .agg(sum(lit(1L) - col("cens")).as("d"), sum(col("cens")).as("c"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+        .withColumn("factor",
+          (col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double"))
+        .withColumn("survival",
+          round(aggregate(collect_list(col("factor")).over(wAsc),
+            lit(1.0d), (a, x) => a * x), 6))
+        .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+        .orderBy(col("t"))
+    }),
+
+    // Cramér's V — association strength between two categorical
+    // columns (lang × source: "does language depend on provenance?"),
+    // the normalized chi-square every corpus data card reports next
+    // to the contingency table. Cell counts come from ONE hash agg;
+    // row/column margins ride bounded window sums over the cells; the
+    // chi-square sums its per-cell terms through a (lang, source)-
+    // SORTED fold so both engines add the same doubles in the same
+    // order; V = sqrt(χ²/(N·min(R−1,C−1))) is one mirrored formula.
+    "q_agg_cramers_v" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val wr = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wc = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("r", sum(col("o")).over(wr))
+        .withColumn("c", sum(col("o")).over(wc))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("lang")).as("n_rows"),
+          countDistinct(col("source")).as("n_cols"),
+          sum(col("o")).as("n"),
+          aggregate(
+            sort_array(collect_list(struct(col("lang"), col("source"),
+              col("o"), col("r"), col("c")))),
+            lit(0.0d), (a, e) => a + {
+              val o = e.getField("o").cast("double")
+              val r = e.getField("r").cast("double")
+              val c = e.getField("c").cast("double")
+              (o * o) / (r * c)
+            }).as("phi_sum"))
+        .select(col("n_cells"), col("n_rows"), col("n_cols"), col("n"),
+          round(col("n").cast("double") * (col("phi_sum") - 1.0d), 6)
+            .as("chi2"),
+          round(sqrt((col("phi_sum") - 1.0d) /
+            least(col("n_rows") - 1, col("n_cols") - 1).cast("double")), 6)
+            .as("cramers_v"))
+    }),
+
+    // Grouped K-fold assignment — the data-leakage guard for
+    // train/validation splits: ALL of a user's events land in the
+    // same fold (fold = md5(user) % 5), so no user straddles the
+    // boundary — the group-level invariant plain row-hash splits
+    // violate. Deterministic under partitioning and engine (the
+    // md5 mixture rule q_sample_stratified established). Output:
+    // per-fold group/event/byte totals + event share in ppm.
+    "q_sample_group_kfold" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("fold", pmod(
+          conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"), lit(5L)))
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("sum_c"))
+        .withColumn("share_ppm",
+          expr("(n_events * 1000000L) div (sum(n_events) OVER ())"))
+        .orderBy(col("fold"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -11239,6 +11337,77 @@ object Relational {
                 CAST(max(peak) AS BIGINT) AS peak_c,
                 CAST(sum(x) AS BIGINT) AS final_c
          FROM w GROUP BY 1 ORDER BY 1""",
+    // identical day grain, 7-day censoring horizon, descending risk
+    // frame, and ascending-t product fold of the same exact-ratio
+    // doubles
+    "q_events_kaplan_meier" ->
+      """WITH u AS (SELECT user_id,
+                           min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS birth,
+                           max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS death
+                    FROM events GROUP BY 1),
+            h AS (SELECT max(death) AS d_max FROM u),
+            lv AS (SELECT (death - birth) AS t,
+                          CASE WHEN death > d_max - 7 THEN 1 ELSE 0 END AS cens
+                   FROM u, h),
+            bt AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d,
+                          CAST(sum(cens) AS BIGINT) AS c
+                   FROM lv GROUP BY 1),
+            nr AS (SELECT t, d, c,
+                          CAST(sum(d + c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS n_risk
+                   FROM bt),
+            f AS (SELECT t, n_risk, d, c,
+                         CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                           AS factor
+                  FROM nr),
+            sv AS (SELECT t, n_risk, d, c,
+                          list(factor) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS fs
+                   FROM f)
+         SELECT t, n_risk, d, c,
+                round(list_reduce(fs, (a, b) -> a * b), 6) AS survival
+         FROM sv ORDER BY t""",
+    // identical φ²-sum fold in (lang, source) order, identical margins
+    // and min(R−1, C−1) normalization
+    "q_agg_cramers_v" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                        FROM documents GROUP BY 1, 2),
+            m AS (SELECT lang, source, o,
+                         CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+                         CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS c
+                  FROM cells),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                         CAST(count(DISTINCT lang) AS BIGINT) AS n_rows,
+                         CAST(count(DISTINCT source) AS BIGINT) AS n_cols,
+                         CAST(sum(o) AS BIGINT) AS n,
+                         list_reduce(list(
+                           CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+                             / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+                           ORDER BY lang, source), (x, y) -> x + y) AS phi_sum
+                  FROM m)
+         SELECT n_cells, n_rows, n_cols, n,
+                round(CAST(n AS DOUBLE) * (phi_sum - 1.0), 6) AS chi2,
+                round(sqrt((phi_sum - 1.0)
+                      / CAST(least(n_rows - 1, n_cols - 1) AS DOUBLE)), 6)
+                  AS cramers_v
+         FROM a""",
+    // identical md5 group hash, fold modulus, and ppm share
+    "q_sample_group_kfold" ->
+      """WITH e AS (SELECT user_id, value,
+                           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                 1, 8))::UBIGINT AS BIGINT) % 5 AS fold
+                    FROM events),
+            g AS (SELECT fold,
+                         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                         CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(CAST(round(value * 100) AS BIGINT))
+                              AS BIGINT) AS sum_c
+                  FROM e GROUP BY 1)
+         SELECT fold, n_users, n_events, sum_c,
+                (n_events * 1000000) // (sum(n_events) OVER ()) AS share_ppm
+         FROM g ORDER BY fold""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

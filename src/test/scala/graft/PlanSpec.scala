@@ -1084,5 +1084,19 @@ class PlanSpec extends SparkSuite {
     // (doc, dim) hash agg over the token stream
     val fh = plan("q_text_feature_hash")
     assert(!fh.contains("Join"), fh.take(2000))
+    // Kaplan–Meier: the horizon joins in as a 1-row broadcast; the
+    // global windows run over bounded day-grain rows only
+    val km = plan("q_events_kaplan_meier")
+    assert(km.contains("Broadcast") && !km.contains("CartesianProduct"),
+      km.take(2000))
+    // grouped k-fold: one hash agg, no join (the leakage guard is the
+    // hash, not a lookup)
+    val kf = plan("q_sample_group_kfold")
+    assert(!kf.contains("Join"), kf.take(2000))
+    // Cramér's V: margins ride bounded window sums over the CELLS,
+    // never a second pass over the documents scan
+    val cv = plan("q_agg_cramers_v")
+    val cvScans = "Scan parquet".r.findAllIn(cv).length
+    assert(cvScans == 1, s"expected 1 documents scan, got $cvScans:\n${cv.take(2000)}")
   }
 }
