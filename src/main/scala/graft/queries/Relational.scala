@@ -93,6 +93,37 @@ object Relational {
     * hamming ≤ 3 shares ≥1 intact band (pigeonhole), so the band-bucket
     * equi-join finds exactly the brute-force pair set while replacing
     * the O(n²) cross join with a shuffle join on (band, key). */
+  /** LPA oracle prefix: the banded simhash graph CTEs plus three
+    * unrolled frequency-vote rounds ending at l3(id, lbl). Shared by
+    * the q_graph_label_prop and q_graph_modularity oracles. */
+  private def lpaCte: String = simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       l0 AS (SELECT id, id AS lbl FROM nodes),""" +
+    (1 to 3).map { r =>
+      s"""
+       t$r AS (SELECT dst, lbl AS nbr FROM (
+                SELECT e.dst, l.lbl,
+                       row_number() OVER (PARTITION BY e.dst
+                         ORDER BY count(*) DESC, l.lbl) AS rn
+                FROM edges e JOIN l${r - 1} l ON l.id = e.src
+                GROUP BY e.dst, l.lbl) WHERE rn = 1),
+       l$r AS (SELECT p.id, COALESCE(t.nbr, p.lbl) AS lbl
+               FROM l${r - 1} p LEFT JOIN t$r t ON t.dst = p.id)"""
+    }.mkString(",")
+
   private def simhashPairs(docs: DataFrame): DataFrame = {
     val bands = simhashes(docs.filter(col("doc_id") < 1000))
       .select(col("doc_id"), col("simhash"),
@@ -171,6 +202,38 @@ object Relational {
         evict
       }
     }
+
+  /** Three synchronous frequency-vote LPA rounds over the shared
+    * simhash near-dup graph (deterministic: count desc then smallest
+    * label; isolated nodes keep their own). Returns (id, lbl). Shared
+    * by q_graph_label_prop and q_graph_modularity — the partition one
+    * produces, the other scores. localCheckpoint per round
+    * (checkpoint-cadence rule for iterative ops). */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      .localCheckpoint(true)
+    val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id").cast("long").as("id")).distinct()
+    var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val prev = labels
+      val top = edges.join(prev, col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("c").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("lbl").as("nbr"))
+      labels = prev.join(top, prev("id") === top("dst"), "left")
+        .select(prev("id"), coalesce(col("nbr"), prev("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      prev.unpersist()
+    }
+    edges.unpersist()
+    labels
+  }
 
   private def resolveComponents(s: SparkSession, dir: String): DataFrame =
     resolveMemo.synchronized {
@@ -6631,32 +6694,10 @@ object Relational {
     // localCheckpoint per round (checkpoint-cadence rule). Distinct
     // from q_dedup_resolve: min-label CC merges everything reachable;
     // frequency-vote LPA splits dense regions into communities.
-    "q_graph_label_prop" -> ((s, dir) => {
-      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
-      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
-        .localCheckpoint(true)
-      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
-        .select(col("doc_id").cast("long").as("id")).distinct()
-      var labels = nodes.withColumn("lbl", col("id")).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        val prev = labels
-        val top = edges.join(prev, col("src") === col("id"))
-          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("dst"))
-              .orderBy(col("c").desc, col("lbl"))))
-          .filter(col("rn") === 1)
-          .select(col("dst"), col("lbl").as("nbr"))
-        labels = prev.join(top, prev("id") === top("dst"), "left")
-          .select(prev("id"), coalesce(col("nbr"), prev("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        prev.unpersist()
-      }
-      edges.unpersist()
-      labels.select(col("id").as("doc_id"), col("lbl").as("community"))
-        .orderBy(col("doc_id"))
-    }),
+    "q_graph_label_prop" -> ((s, dir) =>
+      lpaLabels(s, dir)
+        .select(col("id").as("doc_id"), col("lbl").as("community"))
+        .orderBy(col("doc_id"))),
 
     // Change-point detection by binary segmentation (first split) —
     // per event type, the split minimizing total within-segment
@@ -6912,6 +6953,71 @@ object Relational {
         .withColumn("share_ppm",
           expr("(n_events * 1000000L) div (sum(n_events) OVER ())"))
         .orderBy(col("fold"))
+    }),
+
+    // Newman modularity of the LPA partition — the quality score that
+    // tells you whether the detected communities are real structure
+    // or noise: Q = Σ_c (e_in,c/2m − (d_c/2m)²) over directed-double
+    // edges. Per-community intra-edge and degree masses come from one
+    // edges⋈labels⋈labels equi-join + hash agg; the cross-community
+    // sum folds a community-SORTED list (deterministic double order,
+    // the q_agg_anova rule); 2m rides an OVER () on the bounded
+    // community rows. Edge-free communities contribute exactly 0, so
+    // the edge-based fold IS the full sum.
+    "q_graph_modularity" -> ((s, dir) => {
+      val labels = lpaLabels(s, dir)
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+      val la = labels.select(col("id").as("src"), col("lbl").as("lc_src"))
+      val lb = labels.select(col("id").as("dst"), col("lbl").as("lc_dst"))
+      val perC = edges.join(la, Seq("src")).join(lb, Seq("dst"))
+        .groupBy(col("lc_src"))
+        .agg(count(lit(1)).as("d_c"),
+          sum(when(col("lc_src") === col("lc_dst"), 1L).otherwise(0L))
+            .as("din_c"))
+        .withColumnRenamed("lc_src", "community")
+        .withColumn("m2", expr("sum(d_c) OVER ()"))
+      val nTotal = labels.agg(countDistinct(col("lbl")).as("n_communities"))
+      perC.agg(count(lit(1)).as("n_linked"),
+          min(col("m2")).as("m_directed"),
+          aggregate(sort_array(collect_list(struct(col("community"),
+              col("din_c"), col("d_c"), col("m2")))),
+            lit(0.0d), (a, e) => {
+              val m2d = e.getField("m2").cast("double")
+              val dm = e.getField("d_c").cast("double") / m2d
+              a + (e.getField("din_c").cast("double") / m2d - dm * dm)
+            }).as("qsum"))
+        .join(broadcast(nTotal))
+        .select(col("n_communities"), col("n_linked"), col("m_directed"),
+          round(col("qsum"), 6).as("modularity"))
+    }),
+
+    // Keep-the-longest dedup survivor selection — the curation policy
+    // where each near-dup component keeps its LONGEST member (the
+    // RefinedWeb/C4-style representative choice) instead of
+    // q_dedup_resolve's min-id canonical: components from the shared
+    // min-label resolution, one docs equi-join for sizes, one bounded
+    // per-component top-1 window, and the kept/dropped byte ledger
+    // the dedup report prints. Tie-break (n_chars desc, doc_id) keeps
+    // it deterministic.
+    "q_dedup_best_survivor" -> ((s, dir) => {
+      val comps = resolveComponents(s, dir)
+        .select(col("doc_id"), col("component"))
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      comps.join(docs, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(when(col("rn") === 1, col("doc_id"))).as("keep_doc_id"),
+          sum(when(col("rn") === 1, col("n_chars")).otherwise(0L))
+            .as("kept_chars"),
+          sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0L))
+            .as("dropped_chars"))
+        .orderBy(col("component"))
     }),
   )
 
@@ -11179,34 +11285,32 @@ object Relational {
     // same banded simhash graph as the pagerank oracle; the three LPA
     // rounds unroll as CTEs with the identical (count desc, lbl)
     // frequency-vote tie-break
-    "q_graph_label_prop" -> (simhashCte(" WHERE doc_id < 1000") + """,
-       bands AS (
-         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
-         FROM sims, (SELECT unnest(range(4)) AS band) b
-       ),
-       pairs AS (
-         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       ),
-       edges AS (SELECT ia AS src, ib AS dst FROM pairs
-                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
-       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
-                 FROM documents WHERE doc_id < 1000),
-       l0 AS (SELECT id, id AS lbl FROM nodes),""" +
-      (1 to 3).map { r =>
-        s"""
-       t$r AS (SELECT dst, lbl AS nbr FROM (
-                SELECT e.dst, l.lbl,
-                       row_number() OVER (PARTITION BY e.dst
-                         ORDER BY count(*) DESC, l.lbl) AS rn
-                FROM edges e JOIN l${r - 1} l ON l.id = e.src
-                GROUP BY e.dst, l.lbl) WHERE rn = 1),
-       l$r AS (SELECT p.id, COALESCE(t.nbr, p.lbl) AS lbl
-               FROM l${r - 1} p LEFT JOIN t$r t ON t.dst = p.id)"""
-      }.mkString(",") + """
+    "q_graph_label_prop" -> (lpaCte + """
        SELECT id AS doc_id, lbl AS community FROM l3 ORDER BY doc_id"""),
+    // identical per-community masses from the same LPA partition;
+    // identical community-ordered fold of div/div/mul/sub terms
+    "q_graph_modularity" -> (lpaCte + """,
+       ec AS (SELECT la.lbl AS community,
+                     CAST(count(*) AS BIGINT) AS d_c,
+                     CAST(sum(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+                          AS BIGINT) AS din_c
+              FROM edges e JOIN l3 la ON la.id = e.src
+                           JOIN l3 lb ON lb.id = e.dst
+              GROUP BY 1),
+       tot AS (SELECT CAST(sum(d_c) AS BIGINT) AS m2 FROM ec),
+       q AS (SELECT CAST(count(*) AS BIGINT) AS n_linked,
+                    CAST(min(m2) AS BIGINT) AS m_directed,
+                    list_reduce(list(
+                      CAST(din_c AS DOUBLE) / CAST(m2 AS DOUBLE)
+                      - (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+                        * (CAST(d_c AS DOUBLE) / CAST(m2 AS DOUBLE))
+                      ORDER BY community), (x, y) -> x + y) AS qsum
+             FROM ec, tot),
+       nc AS (SELECT CAST(count(DISTINCT lbl) AS BIGINT) AS n_communities
+              FROM l3)
+       SELECT n_communities, n_linked, m_directed,
+              round(qsum, 6) AS modularity
+       FROM q, nc"""),
     // identical HUGEINT prefix/grand moments on the identical unique
     // order, identical single-formula split cost, earliest-index
     // argmin tie-break
@@ -11408,6 +11512,43 @@ object Relational {
          SELECT fold, n_users, n_events, sum_c,
                 (n_events * 1000000) // (sum(n_events) OVER ()) AS share_ppm
          FROM g ORDER BY fold""",
+    // same recursive-CTE components as the q_dedup_resolve oracle,
+    // then the identical (n_chars desc, doc_id) representative pick
+    "q_dedup_best_survivor" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       ),
+       comp AS (SELECT id AS doc_id, min(lbl) AS component
+                FROM reach GROUP BY id),
+       j AS (SELECT c.component, d.doc_id, d.n_chars,
+                    row_number() OVER (PARTITION BY c.component
+                      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+             FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+       SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+              CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                AS keep_doc_id,
+              CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                AS kept_chars,
+              CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
+                AS dropped_chars
+       FROM j GROUP BY 1 ORDER BY 1"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1098,5 +1098,13 @@ class PlanSpec extends SparkSuite {
     val cv = plan("q_agg_cramers_v")
     val cvScans = "Scan parquet".r.findAllIn(cv).length
     assert(cvScans == 1, s"expected 1 documents scan, got $cvScans:\n${cv.take(2000)}")
+    // modularity: reads the checkpointed LPA labels + memoized pair
+    // list — equi-joins and hash aggs only
+    val md = plan("q_graph_modularity")
+    assert(!md.contains("CartesianProduct"), md.take(2000))
+    // best-survivor: bounded per-component top-1 window over the
+    // memoized components, one docs equi-join
+    val bsv = plan("q_dedup_best_survivor")
+    assert(!bsv.contains("CartesianProduct"), bsv.take(2000))
   }
 }
