@@ -7019,6 +7019,102 @@ object Relational {
             .as("dropped_chars"))
         .orderBy(col("component"))
     }),
+
+    // Western Electric SPC rule battery — the four classic control-
+    // chart alarms over each user's trailing-20 baseline, extending
+    // q_events_rolling_zscore's cleared-denominator trick to zones:
+    // |z| > k over the frame ⟺ (n·x − s)² > k²·(n·ss − s²), all
+    // integer, so zone A/B/C membership is exact. Rule 1: 1 beyond
+    // 3σ; rule 2: ≥2 of 3 beyond 2σ same side; rule 3: ≥4 of 5 beyond
+    // 1σ same side; rule 4: 8 consecutive same side of the mean. The
+    // zone flags and the short consecutive counters all ride ONE
+    // user-keyed window sort (same partitioning + ordering, multiple
+    // frames); warm-up rows (n < 10) never alarm.
+    "q_events_spc_rules" -> ((s, dir) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      def tail(k: Int) = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-(k - 1), Window.currentRow)
+      val dev2 = (col("n") * col("x") - col("sf")) *
+        (col("n") * col("x") - col("sf"))
+      val var2 = col("n") * col("ssf") - col("sf") * col("sf")
+      def beyond(k: Int) =
+        col("n") >= 10 && dev2 > lit(k.toLong * k) * var2
+      val pos = col("n") * col("x") - col("sf") > 0
+      val neg = col("n") * col("x") - col("sf") < 0
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("x"))
+        .withColumn("n", count(lit(1)).over(frame))
+        .withColumn("sf", sum(col("x")).over(frame))
+        .withColumn("ssf", sum(col("x") * col("x")).over(frame))
+        .withColumn("r1", beyond(3).cast("long"))
+        .withColumn("b2p", (beyond(2) && pos).cast("long"))
+        .withColumn("b2n", (beyond(2) && neg).cast("long"))
+        .withColumn("b1p", (beyond(1) && pos).cast("long"))
+        .withColumn("b1n", (beyond(1) && neg).cast("long"))
+        .withColumn("sp", (col("n") >= 10 && pos).cast("long"))
+        .withColumn("sn", (col("n") >= 10 && neg).cast("long"))
+        .withColumn("r2",
+          (sum(col("b2p")).over(tail(3)) >= 2 ||
+            sum(col("b2n")).over(tail(3)) >= 2).cast("long"))
+        .withColumn("r3",
+          (sum(col("b1p")).over(tail(5)) >= 4 ||
+            sum(col("b1n")).over(tail(5)) >= 4).cast("long"))
+        .withColumn("r4",
+          (sum(col("sp")).over(tail(8)) === 8 ||
+            sum(col("sn")).over(tail(8)) === 8).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("r1")).as("n_rule1"), sum(col("r2")).as("n_rule2"),
+          sum(col("r3")).as("n_rule3"), sum(col("r4")).as("n_rule4"))
+        .orderBy(col("user_id"))
+    }),
+
+    // IDF-weighted Jaccard near-dup pairs — the production variant of
+    // q_dedup_jaccard: shared boilerplate vocabulary ('the', headers)
+    // shouldn't vouch for duplication the way a rare term does, so
+    // each token carries the integer-log2 idf weight (the exact
+    // bin()-length trick from q_text_tfidf) and the pair score is
+    // Σw(A∩B) / Σw(A∪B) in exact ppm. Same df-capped inverted-index
+    // candidate join (the guard keeps the hottest posting bounded at
+    // any corpus size); weights join token-keyed, never broadcast.
+    "q_dedup_jaccard_idf" -> ((s, dir) => {
+      val dfCap = 600L
+      val toksAll = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val dfTab = toksAll.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val hot = dfTab.filter(col("df") > dfCap)
+      val nHot = hot.count()
+      if (nHot > 0)
+        System.err.println(
+          s"[q_dedup_jaccard_idf] df-guard dropped $nHot hot tokens (df > $dfCap)")
+      val nDocs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      val weights = dfTab.filter(col("df") <= dfCap)
+        .join(broadcast(nDocs))
+        .select(col("tok"), expr("cast(length(bin(nd div df)) as long)").as("w"))
+      val toks = toksAll
+        .join(broadcast(hot.select(col("tok"))), Seq("tok"), "left_anti")
+        .join(weights, Seq("tok"))
+      val wsum = toks.groupBy(col("doc_id")).agg(sum(col("w")).as("ws"))
+      toks.as("a")
+        .join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(sum(col("a.w")).as("iw"))
+        .join(wsum.select(col("doc_id").as("ia"), col("ws").as("wsa")), Seq("ia"))
+        .join(wsum.select(col("doc_id").as("ib"), col("ws").as("wsb")), Seq("ib"))
+        .withColumn("jw_ppm",
+          expr("(iw * 1000000L) div (wsa + wsb - iw)"))
+        .filter(col("jw_ppm") >= 900000)
+        .select(col("ia"), col("ib"), col("iw"), col("jw_ppm"))
+        .orderBy(col("ia"), col("ib"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -11549,6 +11645,89 @@ object Relational {
               CAST(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS BIGINT)
                 AS dropped_chars
        FROM j GROUP BY 1 ORDER BY 1"""),
+    // identical cleared-denominator zone tests on the trailing-20
+    // frame, identical short consecutive counters and warm-up guard
+    "q_events_spc_rules" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            b AS (SELECT user_id, ts, event_id, x,
+                         CAST(count(*) OVER f AS BIGINT) AS n,
+                         CAST(sum(x) OVER f AS BIGINT) AS sf,
+                         CAST(sum(x * x) OVER f AS BIGINT) AS ssf
+                  FROM e
+                  WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+            z AS (SELECT user_id, ts, event_id,
+                         CASE WHEN n >= 10 AND (n*x - sf)*(n*x - sf)
+                                   > 9*(n*ssf - sf*sf) THEN 1 ELSE 0 END AS r1,
+                         CASE WHEN n >= 10 AND (n*x - sf)*(n*x - sf)
+                                   > 4*(n*ssf - sf*sf) AND n*x - sf > 0
+                              THEN 1 ELSE 0 END AS b2p,
+                         CASE WHEN n >= 10 AND (n*x - sf)*(n*x - sf)
+                                   > 4*(n*ssf - sf*sf) AND n*x - sf < 0
+                              THEN 1 ELSE 0 END AS b2n,
+                         CASE WHEN n >= 10 AND (n*x - sf)*(n*x - sf)
+                                   > 1*(n*ssf - sf*sf) AND n*x - sf > 0
+                              THEN 1 ELSE 0 END AS b1p,
+                         CASE WHEN n >= 10 AND (n*x - sf)*(n*x - sf)
+                                   > 1*(n*ssf - sf*sf) AND n*x - sf < 0
+                              THEN 1 ELSE 0 END AS b1n,
+                         CASE WHEN n >= 10 AND n*x - sf > 0
+                              THEN 1 ELSE 0 END AS sp,
+                         CASE WHEN n >= 10 AND n*x - sf < 0
+                              THEN 1 ELSE 0 END AS sn
+                  FROM b),
+            r AS (SELECT user_id, r1,
+                         CASE WHEN sum(b2p) OVER t3 >= 2
+                                OR sum(b2n) OVER t3 >= 2
+                              THEN 1 ELSE 0 END AS r2,
+                         CASE WHEN sum(b1p) OVER t5 >= 4
+                                OR sum(b1n) OVER t5 >= 4
+                              THEN 1 ELSE 0 END AS r3,
+                         CASE WHEN sum(sp) OVER t8 = 8
+                                OR sum(sn) OVER t8 = 8
+                              THEN 1 ELSE 0 END AS r4
+                  FROM z
+                  WINDOW t3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                         t5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                         t8 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(r1) AS BIGINT) AS n_rule1,
+                CAST(sum(r2) AS BIGINT) AS n_rule2,
+                CAST(sum(r3) AS BIGINT) AS n_rule3,
+                CAST(sum(r4) AS BIGINT) AS n_rule4
+         FROM r GROUP BY 1 ORDER BY 1""",
+    // identical df cap, integer-log2 idf weights, and exact ppm
+    // weighted-Jaccard score
+    "q_dedup_jaccard_idf" ->
+      """WITH toks0 AS (SELECT DISTINCT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents WHERE doc_id < 1000),
+            dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                    FROM toks0 GROUP BY 1),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+                   FROM documents WHERE doc_id < 1000),
+            w AS (SELECT tok, CAST(length(bin(nd // df)) AS BIGINT) AS w
+                  FROM dft, nd WHERE df <= 600),
+            toks AS (SELECT t.doc_id, t.tok, w.w
+                     FROM toks0 t JOIN w USING (tok)),
+            wsum AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS ws
+                     FROM toks GROUP BY 1),
+            inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+                             CAST(sum(a.w) AS BIGINT) AS iw
+                      FROM toks a JOIN toks b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+         SELECT ia, ib, iw,
+                (iw * 1000000) // (sa.ws + sb.ws - iw) AS jw_ppm
+         FROM inter JOIN wsum sa ON ia = sa.doc_id
+                    JOIN wsum sb ON ib = sb.doc_id
+         WHERE (iw * 1000000) // (sa.ws + sb.ws - iw) >= 900000
+         ORDER BY ia, ib""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1106,5 +1106,14 @@ class PlanSpec extends SparkSuite {
     // memoized components, one docs equi-join
     val bsv = plan("q_dedup_best_survivor")
     assert(!bsv.contains("CartesianProduct"), bsv.take(2000))
+    // SPC rules: zone flags + consecutive counters all ride ONE
+    // user-keyed exchange (same partitioning, chained Window ops)
+    val spc = plan("q_events_spc_rules")
+    val spcEx = "Exchange hashpartitioning".r.findAllIn(spc).length
+    assert(spcEx == 1, s"expected 1 user-keyed exchange, got $spcEx:\n${spc.take(2000)}")
+    // IDF-weighted jaccard: token-keyed equi-joins only, weights never
+    // broadcast as a full vocab
+    val jw = plan("q_dedup_jaccard_idf")
+    assert(!jw.contains("CartesianProduct"), jw.take(2000))
   }
 }
