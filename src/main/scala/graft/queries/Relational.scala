@@ -7115,6 +7115,112 @@ object Relational {
         .select(col("ia"), col("ib"), col("iw"), col("jw_ppm"))
         .orderBy(col("ia"), col("ib"))
     }),
+
+    // Interrupted time-series analysis — per event type, OLS level
+    // and slope on EACH side of the corpus-midpoint intervention day,
+    // with the regressor centered at the split (so each segment's
+    // intercept IS its level at the intervention): the pre/post five-
+    // sum pairs accumulate as decimal(38,0) conditional sums in ONE
+    // hash agg (no second pass, no per-segment subquery); every
+    // slope/level/delta is the q_agg_regression formula family —
+    // decimals cast to double once, unrounded slope feeding the
+    // level, + 0.0 collapsing IEEE −0.0.
+    "q_events_its" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val base = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          cents(col("value")).as("x"))
+      val split = base.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split"))
+      val pre = col("d") < 0
+      val post = col("d") >= 0
+      def cs(cond: org.apache.spark.sql.Column,
+          e: org.apache.spark.sql.Column) =
+        sum(when(cond, e).otherwise(lit(0L)).cast(dec))
+      base.join(broadcast(split))
+        .withColumn("d", col("day") - col("split"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(pre, 1L).otherwise(0L)).as("n_pre"),
+          sum(when(post, 1L).otherwise(0L)).as("n_post"),
+          cs(pre, col("d")).as("sd0"), cs(pre, col("x")).as("sx0"),
+          cs(pre, col("d") * col("x")).as("sdx0"),
+          cs(pre, col("d") * col("d")).as("sdd0"),
+          cs(post, col("d")).as("sd1"), cs(post, col("x")).as("sx1"),
+          cs(post, col("d") * col("x")).as("sdx1"),
+          cs(post, col("d") * col("d")).as("sdd1"))
+        .filter(col("n_pre") >= 2 && col("n_post") >= 2)
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          col("n_pre").cast("double").as("nd0"),
+          col("n_post").cast("double").as("nd1"),
+          col("sd0").cast("double").as("dsd0"),
+          col("sx0").cast("double").as("dsx0"),
+          col("sdx0").cast("double").as("dsdx0"),
+          col("sdd0").cast("double").as("dsdd0"),
+          col("sd1").cast("double").as("dsd1"),
+          col("sx1").cast("double").as("dsx1"),
+          col("sdx1").cast("double").as("dsdx1"),
+          col("sdd1").cast("double").as("dsdd1"))
+        .withColumn("sl0",
+          (col("dsdx0") * col("nd0") - col("dsd0") * col("dsx0")) /
+            (col("dsdd0") * col("nd0") - col("dsd0") * col("dsd0")))
+        .withColumn("sl1",
+          (col("dsdx1") * col("nd1") - col("dsd1") * col("dsx1")) /
+            (col("dsdd1") * col("nd1") - col("dsd1") * col("dsd1")))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          (round(col("sl0"), 6) + lit(0.0)).as("pre_slope"),
+          (round(col("sl1"), 6) + lit(0.0)).as("post_slope"),
+          (round((col("dsx0") - col("sl0") * col("dsd0")) / col("nd0"), 4)
+            + lit(0.0)).as("pre_level"),
+          (round((col("dsx1") - col("sl1") * col("dsd1")) / col("nd1"), 4)
+            + lit(0.0)).as("post_level"),
+          (round(col("sl1") - col("sl0"), 6) + lit(0.0)).as("slope_change"),
+          (round((col("dsx1") - col("sl1") * col("dsd1")) / col("nd1") -
+            (col("dsx0") - col("sl0") * col("dsd0")) / col("nd0"), 4)
+            + lit(0.0)).as("level_change"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Difference-in-differences — the 2×2 causal workhorse: treated
+    // cohort (user_id parity, the established deterministic cohort
+    // split) × pre/post the corpus-midpoint day; DiD = (T,post −
+    // T,pre) − (C,post − C,pre) on exact-cents cell means. All four
+    // cells come from ONE conditional-sum hash agg over one scan; the
+    // estimate is one mirrored double formula.
+    "q_events_did" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val base = t(s, dir, "events")
+        .select(expr("user_id % 2").as("treat"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          cents(col("value")).as("x"))
+      val split = base.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split"))
+      def cell(tr: Int, po: Int) =
+        col("treat") === tr && col("post") === po
+      base.join(broadcast(split))
+        .withColumn("post",
+          (col("day") >= col("split")).cast("long"))
+        .agg(
+          sum(when(cell(1, 0), 1L).otherwise(0L)).as("n_t0"),
+          sum(when(cell(1, 1), 1L).otherwise(0L)).as("n_t1"),
+          sum(when(cell(0, 0), 1L).otherwise(0L)).as("n_c0"),
+          sum(when(cell(0, 1), 1L).otherwise(0L)).as("n_c1"),
+          sum(when(cell(1, 0), col("x")).otherwise(0L).cast(dec)).as("s_t0"),
+          sum(when(cell(1, 1), col("x")).otherwise(0L).cast(dec)).as("s_t1"),
+          sum(when(cell(0, 0), col("x")).otherwise(0L).cast(dec)).as("s_c0"),
+          sum(when(cell(0, 1), col("x")).otherwise(0L).cast(dec)).as("s_c1"))
+        .withColumn("m_t0", col("s_t0").cast("double") / col("n_t0").cast("double"))
+        .withColumn("m_t1", col("s_t1").cast("double") / col("n_t1").cast("double"))
+        .withColumn("m_c0", col("s_c0").cast("double") / col("n_c0").cast("double"))
+        .withColumn("m_c1", col("s_c1").cast("double") / col("n_c1").cast("double"))
+        .select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+          (round(col("m_t0"), 4) + lit(0.0)).as("mean_t_pre"),
+          (round(col("m_t1"), 4) + lit(0.0)).as("mean_t_post"),
+          (round(col("m_c0"), 4) + lit(0.0)).as("mean_c_pre"),
+          (round(col("m_c1"), 4) + lit(0.0)).as("mean_c_post"),
+          (round((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 4)
+            + lit(0.0)).as("did"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -11728,6 +11834,84 @@ object Relational {
                     JOIN wsum sb ON ib = sb.doc_id
          WHERE (iw * 1000000) // (sa.ws + sb.ws - iw) >= 900000
          ORDER BY ia, ib""",
+    // identical split-centered regressor, HUGEINT conditional five
+    // sums, cast-once doubles, unrounded slope feeding each level,
+    // and the + 0.0 −0.0 guard
+    "q_events_its" ->
+      """WITH e AS (SELECT event_type,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split FROM e),
+            d AS (SELECT event_type, x, day - split AS d FROM e, sp),
+            g AS (SELECT event_type,
+                         CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pre,
+                         CAST(sum(CASE WHEN d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_post,
+                         sum(CAST(CASE WHEN d < 0 THEN d ELSE 0 END AS HUGEINT)) AS sd0,
+                         sum(CAST(CASE WHEN d < 0 THEN x ELSE 0 END AS HUGEINT)) AS sx0,
+                         sum(CAST(CASE WHEN d < 0 THEN d * x ELSE 0 END AS HUGEINT)) AS sdx0,
+                         sum(CAST(CASE WHEN d < 0 THEN d * d ELSE 0 END AS HUGEINT)) AS sdd0,
+                         sum(CAST(CASE WHEN d >= 0 THEN d ELSE 0 END AS HUGEINT)) AS sd1,
+                         sum(CAST(CASE WHEN d >= 0 THEN x ELSE 0 END AS HUGEINT)) AS sx1,
+                         sum(CAST(CASE WHEN d >= 0 THEN d * x ELSE 0 END AS HUGEINT)) AS sdx1,
+                         sum(CAST(CASE WHEN d >= 0 THEN d * d ELSE 0 END AS HUGEINT)) AS sdd1
+                  FROM d GROUP BY 1),
+            c AS (SELECT event_type, n_pre, n_post,
+                         CAST(n_pre AS DOUBLE) AS nd0, CAST(n_post AS DOUBLE) AS nd1,
+                         CAST(sd0 AS DOUBLE) AS dsd0, CAST(sx0 AS DOUBLE) AS dsx0,
+                         CAST(sdx0 AS DOUBLE) AS dsdx0, CAST(sdd0 AS DOUBLE) AS dsdd0,
+                         CAST(sd1 AS DOUBLE) AS dsd1, CAST(sx1 AS DOUBLE) AS dsx1,
+                         CAST(sdx1 AS DOUBLE) AS dsdx1, CAST(sdd1 AS DOUBLE) AS dsdd1
+                  FROM g WHERE n_pre >= 2 AND n_post >= 2),
+            s AS (SELECT *,
+                         (dsdx0 * nd0 - dsd0 * dsx0)
+                           / (dsdd0 * nd0 - dsd0 * dsd0) AS sl0,
+                         (dsdx1 * nd1 - dsd1 * dsx1)
+                           / (dsdd1 * nd1 - dsd1 * dsd1) AS sl1
+                  FROM c)
+         SELECT event_type, n_pre, n_post,
+                round(sl0, 6) + 0.0 AS pre_slope,
+                round(sl1, 6) + 0.0 AS post_slope,
+                round((dsx0 - sl0 * dsd0) / nd0, 4) + 0.0 AS pre_level,
+                round((dsx1 - sl1 * dsd1) / nd1, 4) + 0.0 AS post_level,
+                round(sl1 - sl0, 6) + 0.0 AS slope_change,
+                round((dsx1 - sl1 * dsd1) / nd1
+                      - (dsx0 - sl0 * dsd0) / nd0, 4) + 0.0 AS level_change
+         FROM s ORDER BY event_type""",
+    // identical parity cohort, midpoint split, HUGEINT cell sums, and
+    // one mirrored DiD formula
+    "q_events_did" ->
+      """WITH e AS (SELECT user_id % 2 AS treat,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split FROM e),
+            p AS (SELECT treat, x,
+                         CASE WHEN day >= split THEN 1 ELSE 0 END AS post
+                  FROM e, sp),
+            g AS (SELECT
+                    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t0,
+                    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t1,
+                    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c0,
+                    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c1,
+                    sum(CAST(CASE WHEN treat = 1 AND post = 0 THEN x ELSE 0 END AS HUGEINT)) AS s_t0,
+                    sum(CAST(CASE WHEN treat = 1 AND post = 1 THEN x ELSE 0 END AS HUGEINT)) AS s_t1,
+                    sum(CAST(CASE WHEN treat = 0 AND post = 0 THEN x ELSE 0 END AS HUGEINT)) AS s_c0,
+                    sum(CAST(CASE WHEN treat = 0 AND post = 1 THEN x ELSE 0 END AS HUGEINT)) AS s_c1
+                  FROM p),
+            m AS (SELECT n_t0, n_t1, n_c0, n_c1,
+                         CAST(s_t0 AS DOUBLE) / CAST(n_t0 AS DOUBLE) AS m_t0,
+                         CAST(s_t1 AS DOUBLE) / CAST(n_t1 AS DOUBLE) AS m_t1,
+                         CAST(s_c0 AS DOUBLE) / CAST(n_c0 AS DOUBLE) AS m_c0,
+                         CAST(s_c1 AS DOUBLE) / CAST(n_c1 AS DOUBLE) AS m_c1
+                  FROM g)
+         SELECT n_t0, n_t1, n_c0, n_c1,
+                round(m_t0, 4) + 0.0 AS mean_t_pre,
+                round(m_t1, 4) + 0.0 AS mean_t_post,
+                round(m_c0, 4) + 0.0 AS mean_c_pre,
+                round(m_c1, 4) + 0.0 AS mean_c_post,
+                round((m_t1 - m_t0) - (m_c1 - m_c0), 4) + 0.0 AS did
+         FROM m""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1115,5 +1115,15 @@ class PlanSpec extends SparkSuite {
     // broadcast as a full vocab
     val jw = plan("q_dedup_jaccard_idf")
     assert(!jw.contains("CartesianProduct"), jw.take(2000))
+    // ITS: both segments' five-sum pairs in ONE conditional hash agg
+    // over one scan (the split joins in as a 1-row broadcast)
+    val its = plan("q_events_its")
+    val itsScans = "Scan parquet".r.findAllIn(its).length
+    assert(itsScans == 2 && its.contains("Broadcast"),
+      s"expected events scan + 1-row split scan:\n${its.take(2000)}")
+    // DiD: same shape — four cells from one conditional agg
+    val did = plan("q_events_did")
+    assert(!did.contains("CartesianProduct") || did.contains("Broadcast"),
+      did.take(2000))
   }
 }
