@@ -922,6 +922,78 @@ object TableIO {
     id
   }
 
+  /** Publish a branch to main — the third leg of Iceberg's
+    * write-audit-publish: after `createBranch` (write isolation) and
+    * `mergeIntoBranch` (staged writes) and whatever audit the caller
+    * ran against `readBranch`, fast-forward main's head to the
+    * branch's latest state. Refuses loudly if main advanced past the
+    * branched-at snapshot (a diverged publish would silently drop the
+    * concurrent writer — the caller must re-branch and re-audit).
+    *
+    * Crash safety rides the merge contract end to end:
+    *  1. every live bucket the branch rewrote is PARKED at its
+    *     current version (`_archive/bucket=b/v<j>`) — pre-publish
+    *     time travel stays exact;
+    *  2. the branch-private version dirs are COPIED (not moved) into
+    *     the archive at their branch versions — inert until the
+    *     publish because they sit ABOVE the current manifest version,
+    *     and the branch itself stays readable afterward (refs are
+    *     independent, Iceberg semantics);
+    *  3. the CAS manifest publish is the commit point; a crash before
+    *     it leaves archive-at-current-version markers that
+    *     recoverMerge rolls back, a crash after it leaves markers the
+    *     next recoverMerge rolls FORWARD (restore the new head's
+    *     versions to live).
+    * Returns the new head snapshot id. */
+  def publishBranch(root: String, name: String): Int = {
+    recoverCompaction(root)
+    recoverMerge(root)
+    val ids = branchSnapshotIds(root, name)
+    require(ids.nonEmpty, s"no branch $name under $root/_branches")
+    val branchedAt = ids.min
+    val latest = ids.max
+    val (head, _) = committed(root)
+    if (head != branchedAt)
+      throw new IllegalStateException(
+        s"cannot fast-forward: main head $head diverged from branch $name " +
+          s"(branched at $branchedAt) — re-branch from $head and re-audit")
+    if (latest == branchedAt) return head // nothing staged on the branch
+    val lin = branchLineageAt(root, name, latest)
+    require(lin.nonEmpty, s"branch $name manifest snap-$latest read back empty")
+    val headV = lineageAtStrict(root, head).map(l => l.bucket -> l.version).toMap
+    val rewritten = lin.filter(l => !headV.get(l.bucket).contains(l.version))
+    // 1. park the current live version of every rewritten bucket
+    for (l <- rewritten; j <- headV.get(l.bucket)) {
+      val live = Paths.get(root, s"bucket=${l.bucket}")
+      if (Files.isDirectory(live)) {
+        val park = archiveDir(root, l.bucket, j)
+        Files.createDirectories(park.getParent)
+        Files.move(live, park, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // 2. copy the branch-private bytes into the archive at their slot
+    for (l <- rewritten) {
+      val src = branchDataDir(root, name, l.bucket, l.version)
+      require(Files.isDirectory(src),
+        s"branch $name manifest pins bucket=${l.bucket}/v${l.version} but the dir is missing")
+      val dst = archiveDir(root, l.bucket, l.version)
+      if (!Files.isDirectory(dst)) {
+        val tmp = dst.getParent.resolve(s".v${l.version}.publish-tmp")
+        deleteRecursively(tmp)
+        Files.createDirectories(tmp)
+        for (f <- listDir(src) if Files.isRegularFile(f))
+          Files.copy(f, tmp.resolve(f.getFileName.toString))
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    // 3. commit point: CAS-publish the branch lineage as the new head,
+    //    then roll the archive markers forward to live
+    val id = head + 1
+    writeManifestCas(snapDir(root), id, lin.sortBy(_.bucket))
+    recoverMerge(root)
+    id
+  }
+
   private def tagDir(root: String) = Paths.get(root, "_tags")
 
   def tags(root: String): Seq[String] =

@@ -750,6 +750,62 @@ class ResumeSpec extends SparkSuite {
     assert(TableIO.planOrphans(root).isEmpty)
   }
 
+  test("write-audit-publish: branch merge fast-forwards to main; divergence refuses; time travel intact") {
+    val root = freshDir("graft-wap")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    // WRITE: isolated branch carries the correction
+    TableIO.createBranch(root, "audit", preSnap)
+    import spark.implicits._
+    val upd = TableIO.readExtracted(spark, root).limit(3)
+      .map(t => t.copy(warnings =
+        Some(t.warnings.getOrElse(Nil) :+ "wap touch")))
+    TableIO.mergeIntoBranch(upd, root, "audit", buckets = 8)
+    // AUDIT: the branch sees the change, main does not
+    val branchDump = TableIO.readBranch(spark, root, "audit")
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+    assert(branchDump != before && branchDump.size == before.size)
+    assert(branchDump.count(_.contains("wap touch")) == 3)
+    assert(dump(root) == before, "main leaked the unpublished branch write")
+    // PUBLISH: fast-forward
+    val newHead = TableIO.publishBranch(root, "audit")
+    assert(newHead == preSnap + 1)
+    assert(dump(root) == branchDump, "main does not read the published state")
+    // pre-publish time travel still reads the exact old bytes
+    val asOf = TableIO.readExtracted(spark, root, asOfSnapshot = preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq
+    assert(asOf == before, "publish broke time travel to the pre-publish state")
+    // the branch ref stays readable after the publish (independent ref)
+    assert(TableIO.readBranch(spark, root, "audit")
+      .count() == before.size)
+    // a second publish is a divergence (main advanced past branched-at)
+    intercept[IllegalStateException] { TableIO.publishBranch(root, "audit") }
+    // no orphans were created by the publish dance
+    assert(TableIO.planOrphans(root).isEmpty,
+      s"publish left orphans: ${TableIO.planOrphans(root)}")
+  }
+
+  test("publish with nothing staged is a no-op; publish onto a diverged main refuses") {
+    val root = freshDir("graft-wap2")
+    TableIO.writeExtracted(extracted(), root, buckets = 8, waves = 2)
+    val (snap, _) = TableIO.committed(root)
+    TableIO.createBranch(root, "empty", snap)
+    assert(TableIO.publishBranch(root, "empty") == snap) // nothing staged
+    // diverge main with a direct merge, then try to publish a stale branch
+    TableIO.createBranch(root, "stale", snap)
+    import spark.implicits._
+    val upd = TableIO.readExtracted(spark, root).limit(2)
+      .map(t => t.copy(warnings =
+        Some(t.warnings.getOrElse(Nil) :+ "mainline touch")))
+    TableIO.mergeIntoBranch(upd, root, "stale", buckets = 8)
+    val upd2 = TableIO.readExtracted(spark, root).limit(1)
+      .map(t => t.copy(warnings =
+        Some(t.warnings.getOrElse(Nil) :+ "concurrent main write")))
+    TableIO.mergeExtracted(upd2, root, buckets = 8)
+    intercept[IllegalStateException] { TableIO.publishBranch(root, "stale") }
+  }
+
   test("orphan scan never touches referenced bytes: archive versions pinned by a branch survive") {
     val root = freshDir("graft-orphans-branch")
     val ds = extracted()
