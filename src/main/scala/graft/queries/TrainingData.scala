@@ -83,6 +83,7 @@ object TrainingData {
   val tableUpdatesPath    = s"$oracleRoot/table_updates"
   val tableBranchUpdatesPath = s"$oracleRoot/table_branch_updates"
   val tableDeleteKeysPath = s"$oracleRoot/table_delete_keys"
+  val tableWapUpdatesPath = s"$oracleRoot/table_wap_updates"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -176,7 +177,8 @@ object TrainingData {
     * wave-diff independently of the engine's manifest/archive machinery
     * under the driver's hash gate. Memoized per session: three queries
     * share one build. */
-  private case class TableBuild(root: String, snapWave1: Int, snapPre: Int, snapPost: Int)
+  private case class TableBuild(root: String, snapWave1: Int, snapPre: Int,
+    snapPost: Int, snapDel: Int)
   private val tableMemo =
     new java.util.LinkedHashMap[SparkSession, TableBuild](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -233,6 +235,12 @@ object TrainingData {
         flat(branchUpdates.toDF).coalesce(1)
           .write.mode("overwrite").parquet(tableBranchUpdatesPath)
         TableIO.mergeIntoBranch(branchUpdates, tablePath, "exp", buckets = 8)
+        // schema evolution BEFORE the delete: sinceSnapshot = snapPost,
+        // so the post-delete snapshot q_table_evolve pins (snapDel)
+        // already projects the added column — and the as-of read
+        // exercises the evolved-schema time-travel path THROUGH the
+        // later WAP publish
+        TableIO.evolveSchema(tablePath, "quality_tier", "STRING", "'unscored'")
         // row-level DELETE on main (right-to-be-forgotten shape): every
         // conv in hash class 2 — disjoint from the merge's class 0 and
         // the branch's class 1 — with the key set dumped BEFORE the
@@ -246,13 +254,23 @@ object TrainingData {
         delKeys.toDF("conv_id").coalesce(1)
           .write.mode("overwrite").parquet(tableDeleteKeysPath)
         TableIO.deleteConvs(delKeys, tablePath, buckets = 8)
-        // schema evolution LAST: add-column-with-default recorded in
-        // the manifest schema — zero data files rewritten; readTable
-        // projects the default for every pre-evolution file, and
-        // snapshots at/before the evolution keep the old schema
-        // (ResumeSpec gates the as-of behavior)
-        TableIO.evolveSchema(tablePath, "quality_tier", "STRING", "'unscored'")
-        val b = TableBuild(tablePath, snapWave1, snapPre, snapPost)
+        // WRITE-AUDIT-PUBLISH last: branch at the post-delete head,
+        // stage a class-3 correction (+7000 — disjoint from the
+        // merge's class 0, the exp branch's class 1, and the delete's
+        // class 2), dump it for the oracle, fast-forward main. Every
+        // earlier q_table_* read now pins its snapshot explicitly, so
+        // they all exercise time travel THROUGH the publish;
+        // q_table_wap reads the published live head.
+        val (snapDel, _) = TableIO.committed(tablePath)
+        TableIO.createBranch(tablePath, "wap", snapDel)
+        val wapUpdates = TableIO.readExtracted(s, tablePath)
+          .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 3)
+          .map(t => t.copy(total_score = t.total_score + 7000))
+        flat(wapUpdates.toDF).coalesce(1)
+          .write.mode("overwrite").parquet(tableWapUpdatesPath)
+        TableIO.mergeIntoBranch(wapUpdates, tablePath, "wap", buckets = 8)
+        TableIO.publishBranch(tablePath, "wap")
+        val b = TableBuild(tablePath, snapWave1, snapPre, snapPost, snapDel)
         tableMemo.put(s, b)
         b
       }
@@ -377,10 +395,21 @@ object TrainingData {
       flat(graft.io.TableIO.readExtracted(s, b.root, b.snapPost).toDF)
     }),
 
-    // Row-level DELETE (copy-on-write by bucket, GDPR shape): the live
-    // head after deleteConvs dropped every hash-class-2 conversation;
-    // oracle = the merged state anti-joined against the dumped key set
+    // Row-level DELETE (copy-on-write by bucket, GDPR shape): the
+    // post-delete state read AS-OF its snapshot — time travel THROUGH
+    // the later WAP publish, which re-versioned the buckets it
+    // touched; oracle = the merged state anti-joined against the
+    // dumped key set
     "q_table_delete" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapDel).toDF)
+    }),
+
+    // WRITE-AUDIT-PUBLISH: the live head after a staged branch merge
+    // was fast-forwarded onto main (TableIO.publishBranch — the
+    // Iceberg WAP pattern); oracle composes merge ∘ delete ∘ the
+    // dumped WAP correction
+    "q_table_wap" -> ((s, dir) => {
       val b = buildMergeTable(s)
       flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
     }),
@@ -394,7 +423,7 @@ object TrainingData {
     // evolution point).
     "q_table_evolve" -> ((s, dir) => {
       val b = buildMergeTable(s)
-      graft.io.TableIO.readTable(s, b.root)
+      graft.io.TableIO.readTable(s, b.root, Some(b.snapDel))
         .select(col("conv_id"), col("turn_idx"), col("total_score"),
           col("quality_tier"))
         .orderBy(col("conv_id"), col("turn_idx"))
@@ -428,8 +457,7 @@ object TrainingData {
     // key-join, classify.
     "q_table_changelog" -> ((s, dir) => {
       val b = buildMergeTable(s)
-      val (head, _) = graft.io.TableIO.committed(b.root)
-      graft.io.TableIO.changelog(s, b.root, b.snapWave1, head)
+      graft.io.TableIO.changelog(s, b.root, b.snapWave1, b.snapDel)
         .select(col("op"), col("conv_id"), col("turn_idx"),
           col("subject"), col("grade"), col("variant"), col("participant_code"),
           col("total_score"), col("extracted_text"),
@@ -449,12 +477,11 @@ object TrainingData {
     // final state directly — proving retraction-exact maintenance.
     "q_table_ivm" -> ((s, dir) => {
       val b = buildMergeTable(s)
-      val (head, _) = graft.io.TableIO.committed(b.root)
       val base = graft.io.TableIO.readExtracted(s, b.root, b.snapWave1).toDF
         .groupBy(col("conv_id"))
         .agg(count(lit(1)).as("n"),
           sum(col("total_score").cast("long")).as("sc"))
-      val delta = graft.io.TableIO.changelog(s, b.root, b.snapWave1, head)
+      val delta = graft.io.TableIO.changelog(s, b.root, b.snapWave1, b.snapDel)
         .groupBy(col("conv_id"))
         .agg(sum(when(col("op") === "insert", 1L).otherwise(-1L)).as("dn"),
           sum(when(col("op") === "insert", col("total_score").cast("long"))
@@ -1038,6 +1065,29 @@ object TrainingData {
           WHERE NOT EXISTS (
             SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
             WHERE d.conv_id = t.conv_id)
+          ORDER BY conv_id, turn_idx""",
+    // merge ∘ delete ∘ the dumped WAP correction (whole-row replace,
+    // same keyed anti-join ∪ shape as the merge composition)
+    "q_table_wap" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet')),
+          afterdel AS (
+            SELECT * FROM merged t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+              WHERE d.conv_id = t.conv_id))
+          SELECT $flatCols FROM afterdel t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableWapUpdatesPath/*.parquet') w
+            WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
+          UNION ALL
+          SELECT $flatCols
+          FROM read_parquet('$tableWapUpdatesPath/*.parquet')
           ORDER BY conv_id, turn_idx""",
     "q_table_evolve" ->
       s"""WITH merged AS (
