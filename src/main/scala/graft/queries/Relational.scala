@@ -7221,6 +7221,86 @@ object Relational {
           (round((col("m_t1") - col("m_t0")) - (col("m_c1") - col("m_c0")), 4)
             + lit(0.0)).as("did"))
     }),
+
+    // Sample-ratio-mismatch guard — the first thing any experiment
+    // readout must check before trusting q_events_did/cuped/ttest: a
+    // 50/50 assignment whose realized USER counts (assignment unit,
+    // not event counts) fail the df=1 chi-square means the bucketing
+    // is broken and every downstream estimate is garbage. For two
+    // equal-expected cells the statistic collapses to (n_a−n_b)²/N —
+    // one exact-integer division mirrored as a single double op.
+    "q_sample_srm" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("user_id"), expr("user_id % 2").as("cohort"))
+        .agg(countDistinct(when(col("cohort") === 0, col("user_id")))
+            .as("n_a"),
+          countDistinct(when(col("cohort") === 1, col("user_id")))
+            .as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")).cast("double"), 6)
+            .as("chi2"),
+          (((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+            .cast("double") / (col("n_a") + col("n_b")).cast("double")
+            > 3.841).cast("int").as("srm"))
+    }),
+
+    // Neyman allocation — the optimal stratified-sampling design: a
+    // fixed budget of 1000 samples split across event-type strata
+    // proportional to N_h·σ_h (high-variance strata earn more draws
+    // than proportional allocation gives them). The key identity
+    // keeps it exact: N_h·σ_h = √(N_h·ΣX² − (ΣX)²) — ONE sqrt of an
+    // exactly-accumulated decimal per stratum; the denominator folds
+    // the k per-stratum terms in event_type order (the q_agg_anova
+    // determinism rule) and joins back as a 1-row broadcast.
+    "q_sample_neyman" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val strata = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("x").cast(dec)).as("s_h"),
+          sum((col("x") * col("x")).cast(dec)).as("ss_h"))
+        .withColumn("term",
+          sqrt(col("n_h").cast("double") * col("ss_h").cast("double") -
+            col("s_h").cast("double") * col("s_h").cast("double")))
+      val total = strata.agg(
+        aggregate(sort_array(collect_list(struct(col("event_type"),
+            col("term")))),
+          lit(0.0d), (a, e) => a + e.getField("term")).as("total"))
+      strata.join(broadcast(total))
+        .select(col("event_type"), col("n_h"),
+          round(col("term") / col("n_h").cast("double"), 6).as("sd_c"),
+          floor(lit(1000.0d) * col("term") / col("total")).cast("long")
+            .as("alloc"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Yule's K lexical-richness statistic per source — the classic
+    // repeated-vocabulary measure (K rises as a corpus leans on few
+    // words; stable in N unlike type counts): K = 10⁴·(Σ_w m_w² − N)/N²
+    // needs only the token total and the sum of squared word counts —
+    // two exact integer aggregates off one (source, word) hash agg —
+    // then one mirrored double formula. Complements q_text_hapax
+    // (spectrum tail) and q_text_zipf_decades (rank law slope).
+    "q_text_yule_k" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("m"))
+        .groupBy(col("source"))
+        .agg(sum(col("m")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum((col("m") * col("m")).cast(dec)).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          round(lit(10000.0d) *
+            (col("s2").cast("double") - col("n_tokens").cast("double")) /
+            (col("n_tokens").cast("double") * col("n_tokens").cast("double")),
+            6).as("yule_k"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -11912,6 +11992,58 @@ object Relational {
                 round(m_c1, 4) + 0.0 AS mean_c_post,
                 round((m_t1 - m_t0) - (m_c1 - m_c0), 4) + 0.0 AS did
          FROM m""",
+    // identical user-grain cohort counts and collapsed df=1 statistic
+    "q_sample_srm" ->
+      """WITH c AS (SELECT
+                      CAST(count(DISTINCT CASE WHEN user_id % 2 = 0
+                           THEN user_id END) AS BIGINT) AS n_a,
+                      CAST(count(DISTINCT CASE WHEN user_id % 2 = 1
+                           THEN user_id END) AS BIGINT) AS n_b
+                    FROM events)
+         SELECT n_a, n_b,
+                round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE), 6) AS chi2,
+                CAST(CASE WHEN CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                          / CAST(n_a + n_b AS DOUBLE) > 3.841
+                     THEN 1 ELSE 0 END AS INTEGER) AS srm
+         FROM c""",
+    // identical √(N·ΣX²−(ΣX)²) per-stratum terms, event_type-ordered
+    // denominator fold, and floor allocation
+    "q_sample_neyman" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_h,
+                           sum(CAST(CAST(round(value * 100) AS BIGINT)
+                               AS HUGEINT)) AS s_h,
+                           sum(CAST(CAST(round(value * 100) AS BIGINT)
+                               * CAST(round(value * 100) AS BIGINT)
+                               AS HUGEINT)) AS ss_h
+                    FROM events GROUP BY 1),
+            tm AS (SELECT event_type, n_h,
+                          sqrt(CAST(n_h AS DOUBLE) * CAST(ss_h AS DOUBLE)
+                               - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE))
+                            AS term
+                   FROM g),
+            tot AS (SELECT list_reduce(list(term ORDER BY event_type),
+                             (x, y) -> x + y) AS total
+                    FROM tm)
+         SELECT event_type, n_h,
+                round(term / CAST(n_h AS DOUBLE), 6) AS sd_c,
+                CAST(floor(1000.0 * term / total) AS BIGINT) AS alloc
+         FROM tm, tot ORDER BY event_type""",
+    // identical (source, word) count grain and one mirrored K formula
+    "q_text_yule_k" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            m AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS m
+                  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+            g AS (SELECT source, CAST(sum(m) AS BIGINT) AS n_tokens,
+                         CAST(count(*) AS BIGINT) AS n_types,
+                         sum(CAST(m * m AS HUGEINT)) AS s2
+                  FROM m GROUP BY 1)
+         SELECT source, n_tokens, n_types,
+                round(10000.0 * (CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                      / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                      6) AS yule_k
+         FROM g ORDER BY source""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

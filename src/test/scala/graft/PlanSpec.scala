@@ -1125,5 +1125,11 @@ class PlanSpec extends SparkSuite {
     val did = plan("q_events_did")
     assert(!did.contains("CartesianProduct") || did.contains("Broadcast"),
       did.take(2000))
+    // Neyman: the k-row denominator joins back as a 1-row broadcast;
+    // Yule's K is two chained hash aggs, no window, no join
+    val ny = plan("q_sample_neyman")
+    assert(ny.contains("Broadcast"), ny.take(2000))
+    val yk = plan("q_text_yule_k")
+    assert(!yk.contains("Join") && !yk.contains("Window"), yk.take(2000))
   }
 }
