@@ -7301,6 +7301,73 @@ object Relational {
             6).as("yule_k"))
         .orderBy(col("source"))
     }),
+
+    // SAX symbolic representation (Lin et al. 2003) — each user's
+    // metric series compressed to a short symbol string: PAA chunks
+    // of 4 events (exact integer chunk SUMS — no division, the ×4
+    // trick), a data-adaptive 4-letter alphabet via per-user quartile
+    // ntile on the (sum, chunk) total order, and the string assembled
+    // in chunk order. The representation motifs/anomaly miners index
+    // at scale; everything rides user-keyed windows + one hash agg.
+    "q_window_sax" -> ((s, dir) => {
+      val wSeq = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wTile = Window.partitionBy(col("user_id"))
+        .orderBy(col("csum"), col("chunk"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("x"))
+        .withColumn("chunk", expr(
+          "cast((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) div 4 as bigint)"))
+        .groupBy(col("user_id"), col("chunk"))
+        .agg(sum(col("x")).as("csum"), count(lit(1)).as("cn"))
+        .filter(col("cn") === 4) // ragged tail chunks drop (classic PAA)
+        .withColumn("tile", ntile(4).over(wTile))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(chunk, char(96 + tile) AS sym))), e -> e.sym), '')")
+            .as("sax"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Minimum detectable effect — the experiment-design readout next
+    // to q_sample_srm/q_events_did: for the parity cohorts, the
+    // smallest mean lift a 95%-power-80% two-sample test can see,
+    // MDE = 2.8·σ_pooled·√(2/n̄) with σ_pooled from exact decimal
+    // moment sums and n̄ the harmonic mean of the cohort sizes — one
+    // conditional-sum hash agg over one scan, one mirrored formula.
+    "q_events_mde" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      def csum(cond: org.apache.spark.sql.Column,
+          e: org.apache.spark.sql.Column) =
+        sum(when(cond, e).otherwise(lit(0L)).cast(dec))
+      val a = col("treat") === 0
+      val b = col("treat") === 1
+      t(s, dir, "events")
+        .select(expr("user_id % 2").as("treat"), cents(col("value")).as("x"))
+        .agg(sum(when(a, 1L).otherwise(0L)).as("n_a"),
+          sum(when(b, 1L).otherwise(0L)).as("n_b"),
+          csum(a, col("x")).as("s_a"), csum(b, col("x")).as("s_b"),
+          csum(a, col("x") * col("x")).as("ss_a"),
+          csum(b, col("x") * col("x")).as("ss_b"))
+        .select(col("n_a"), col("n_b"),
+          col("n_a").cast("double").as("na"),
+          col("n_b").cast("double").as("nb"),
+          col("s_a").cast("double").as("dsa"),
+          col("s_b").cast("double").as("dsb"),
+          col("ss_a").cast("double").as("dssa"),
+          col("ss_b").cast("double").as("dssb"))
+        .withColumn("var_pooled",
+          ((col("dssa") - col("dsa") * col("dsa") / col("na")) +
+            (col("dssb") - col("dsb") * col("dsb") / col("nb"))) /
+            (col("na") + col("nb") - 2.0d))
+        .select(col("n_a"), col("n_b"),
+          (round(sqrt(col("var_pooled")), 4) + lit(0.0)).as("sd_pooled_c"),
+          (round(lit(2.8d) * sqrt(col("var_pooled")) *
+            sqrt(lit(2.0d) / (lit(2.0d) * col("na") * col("nb") /
+              (col("na") + col("nb")))), 4) + lit(0.0)).as("mde_c"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12044,6 +12111,56 @@ object Relational {
                       / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
                       6) AS yule_k
          FROM g ORDER BY source""",
+    // identical 4-event PAA chunks (integer sums), per-user quartile
+    // ntile on the (csum, chunk) total order, chunk-ordered assembly
+    "q_window_sax" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            r AS (SELECT user_id, x,
+                         CAST(row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) - 1 AS BIGINT) // 4 AS chunk
+                  FROM e),
+            c AS (SELECT user_id, chunk, CAST(sum(x) AS BIGINT) AS csum,
+                         count(*) AS cn
+                  FROM r GROUP BY 1, 2),
+            t AS (SELECT user_id, chunk,
+                         ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY csum, chunk) AS tile
+                  FROM c WHERE cn = 4)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                string_agg(chr(CAST(96 + tile AS INTEGER)), ''
+                           ORDER BY chunk) AS sax
+         FROM t GROUP BY 1 ORDER BY 1""",
+    // identical pooled variance from HUGEINT moment sums and one
+    // mirrored 2.8·σ·√(2/n̄) formula
+    "q_events_mde" ->
+      """WITH e AS (SELECT user_id % 2 AS treat,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            g AS (SELECT
+                    CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                    sum(CAST(CASE WHEN treat = 0 THEN x ELSE 0 END AS HUGEINT)) AS s_a,
+                    sum(CAST(CASE WHEN treat = 1 THEN x ELSE 0 END AS HUGEINT)) AS s_b,
+                    sum(CAST(CASE WHEN treat = 0 THEN x * x ELSE 0 END AS HUGEINT)) AS ss_a,
+                    sum(CAST(CASE WHEN treat = 1 THEN x * x ELSE 0 END AS HUGEINT)) AS ss_b
+                  FROM e),
+            d AS (SELECT n_a, n_b,
+                         CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                         CAST(s_a AS DOUBLE) AS dsa, CAST(s_b AS DOUBLE) AS dsb,
+                         CAST(ss_a AS DOUBLE) AS dssa, CAST(ss_b AS DOUBLE) AS dssb
+                  FROM g),
+            v AS (SELECT n_a, n_b, na, nb,
+                         ((dssa - dsa * dsa / na) + (dssb - dsb * dsb / nb))
+                           / (na + nb - 2.0) AS var_pooled
+                  FROM d)
+         SELECT n_a, n_b,
+                round(sqrt(var_pooled), 4) + 0.0 AS sd_pooled_c,
+                round(2.8 * sqrt(var_pooled)
+                      * sqrt(2.0 / (2.0 * na * nb / (na + nb))), 4) + 0.0
+                  AS mde_c
+         FROM v""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

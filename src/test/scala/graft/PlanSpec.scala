@@ -1131,5 +1131,14 @@ class PlanSpec extends SparkSuite {
     assert(ny.contains("Broadcast"), ny.take(2000))
     val yk = plan("q_text_yule_k")
     assert(!yk.contains("Join") && !yk.contains("Window"), yk.take(2000))
+    // SAX: chunking + tiling + assembly all user-keyed — exactly one
+    // user exchange, no join
+    val sx = plan("q_window_sax")
+    val sxEx = "Exchange hashpartitioning".r.findAllIn(sx).length
+    assert(sxEx == 1 && !sx.contains("Join"),
+      s"expected 1 user-keyed exchange, got $sxEx:\n${sx.take(2000)}")
+    // MDE: one conditional agg over one scan, no join
+    val mde = plan("q_events_mde")
+    assert(!mde.contains("Join"), mde.take(2000))
   }
 }
