@@ -7368,6 +7368,41 @@ object Relational {
             sqrt(lit(2.0d) / (lit(2.0d) * col("na") * col("nb") /
               (col("na") + col("nb")))), 4) + lit(0.0)).as("mde_c"))
     }),
+
+    // Wide-table feature denormalization — materializing the training
+    // table a feature store actually ships: one row per order carrying
+    // the full dimension path (customer segment → nation → region,
+    // each dim explicitly broadcast) plus the fact rollup (per-order
+    // lineitem features from ONE partial+final hash agg, joined on the
+    // shared orderkey). No aggregation of the output — this is the
+    // enrichment-materialization shape, distinct from every TPC-H
+    // rollup; at 100 TB the only real shuffle is fact-rollup ⋈ orders.
+    "q_feature_wide" -> ((s, dir) => {
+      val liFeat = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          max(cents(col("l_discount"))).as("max_disc_c"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("o_total_c"))
+        .join(broadcast(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+          .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(liFeat, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          col("n_name").as("nation"), col("r_name").as("region"),
+          col("o_total_c"), col("n_items"), col("sum_qty"),
+          col("sum_price_c"), col("max_disc_c"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12161,6 +12196,26 @@ object Relational {
                       * sqrt(2.0 / (2.0 * na * nb / (na + nb))), 4) + 0.0
                   AS mde_c
          FROM v""",
+    // identical dimension path and per-order fact rollup
+    "q_feature_wide" ->
+      """WITH lf AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+                            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                              AS sum_qty,
+                            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                                 AS BIGINT) AS sum_price_c,
+                            CAST(max(CAST(round(l_discount * 100) AS BIGINT))
+                                 AS BIGINT) AS max_disc_c
+                     FROM lineitem GROUP BY 1)
+         SELECT o.o_orderkey, c.c_mktsegment,
+                n.n_name AS nation, r.r_name AS region,
+                CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_total_c,
+                lf.n_items, lf.sum_qty, lf.sum_price_c, lf.max_disc_c
+         FROM orders o
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         JOIN lf ON o.o_orderkey = lf.l_orderkey
+         ORDER BY o.o_orderkey""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

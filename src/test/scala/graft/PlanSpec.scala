@@ -1140,5 +1140,11 @@ class PlanSpec extends SparkSuite {
     // MDE: one conditional agg over one scan, no join
     val mde = plan("q_events_mde")
     assert(!mde.contains("Join"), mde.take(2000))
+    // wide-table denormalization: every dim is a broadcast hash join —
+    // the only shuffle joins the fact rollup to orders
+    val fw = plan("q_feature_wide")
+    val bhj = "BroadcastHashJoin".r.findAllIn(fw).length
+    assert(bhj >= 3, s"expected 3 broadcast dim joins, got $bhj:\n${fw.take(2000)}")
+    assert(!fw.contains("CartesianProduct"), fw.take(2000))
   }
 }
