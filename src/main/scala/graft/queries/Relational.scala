@@ -471,8 +471,11 @@ object Relational {
   /** ADC top-5 search against an arbitrary (sub, code, cv) codebook —
     * shared by q_ann_adc (unrefined sample codebook) and AnnSpec's
     * trained-vs-sample recall comparison. */
-  private[graft] def adcSearch(s: SparkSession, dir: String,
-      codebook: DataFrame): DataFrame = {
+  /** PQ encodings for every vector (nearest codebook entry per
+    * subspace) and the per-query ADC lookup table — shared by
+    * adcSearch and the composed IVF+ADC index. */
+  private def pqCodesLut(s: SparkSession, dir: String,
+      codebook: DataFrame): (DataFrame, DataFrame) = {
     val (subs, _) = pqSubs(s, dir)
     val codes = subs.join(broadcast(codebook), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("code"), pqSqDist.as("d2"))
@@ -483,6 +486,12 @@ object Relational {
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
       .join(codebook, Seq("sub"))
       .select(col("qid"), col("sub"), col("code"), pqSqDist.as("lut_d2"))
+    (codes, lut)
+  }
+
+  private[graft] def adcSearch(s: SparkSession, dir: String,
+      codebook: DataFrame): DataFrame = {
+    val (codes, lut) = pqCodesLut(s, dir, codebook)
     val scored = codes.join(broadcast(lut), Seq("sub", "code"))
       .filter(col("qid") =!= col("vec_id"))
       .groupBy(col("qid"), col("vec_id"))
@@ -7403,6 +7412,56 @@ object Relational {
           col("sum_price_c"), col("max_disc_c"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // IVF+ADC — the composed production vector index (Jégou et al.
+    // 2011, what FAISS ships as IVFADC): the coarse k-means quantizer
+    // routes each query to its nprobe=2 nearest lists (exact integer
+    // centroid distances), and candidates inside the probed lists are
+    // scored by ASYMMETRIC distance — codes looked up in the per-query
+    // LUT, never the raw vectors. Both halves are individually
+    // oracled (q_ann_ivf_multiprobe, q_ann_adc); this query pins that
+    // they COMPOSE: routing prunes the candidate stream, the LUT join
+    // replaces the O(d) per-pair arithmetic with a code lookup. Every
+    // join is a broadcast (probes, LUT) or an equi-join on bounded
+    // keys — the index shape that serves 100 TB of vectors.
+    "q_ann_ivfadc" -> ((s, dir) => {
+      val (fit, cents) = kmeansFitFull(s, dir)
+      val assign = fit.select(col("vec_id"), col("cid"), col("v"))
+        .withColumn("norm2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val centDf = s.createDataFrame(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq)
+        .toDF("pcid", "c")
+        .withColumn("cnorm", graft.functions.ArrayMath.dotL(col("c"), col("c")))
+      val wProbe = Window.partitionBy(col("qid"))
+        .orderBy(col("cdist"), col("pcid"))
+      val probes = assign.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm2").as("qn"))
+        .join(broadcast(centDf))
+        .select(col("qid"), col("pcid"),
+          (col("qn") + col("cnorm") - lit(2L) *
+            graft.functions.ArrayMath.dotL(col("qv"), col("c"))).as("cdist"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("pcid"))
+      val (_, codebook) = pqSubs(s, dir)
+      val (codes, lut) = pqCodesLut(s, dir, codebook)
+      val cand = assign.select(col("vec_id"), col("cid"))
+        .join(broadcast(probes),
+          col("pcid") === col("cid") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"))
+      val scored = cand.join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("qid", "sub", "code"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("lut_d2")).as("adc_d2"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("adc_d2"), col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("vec_id").as("nb"), col("adc_d2"))
+        .orderBy(col("qid"), col("rank"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12216,6 +12275,56 @@ object Relational {
          JOIN region r ON n.n_regionkey = r.r_regionkey
          JOIN lf ON o.o_orderkey = lf.l_orderkey
          ORDER BY o.o_orderkey""",
+    // the q_ann_ivf_multiprobe routing CTEs composed with the
+    // q_ann_adc code/LUT CTEs — candidates restricted to the probed
+    // lists, scored by the identical ADC lookup sum
+    "q_ann_ivfadc" -> (kmeansCtes(8, 3) +
+      """,
+         |af AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c3 c ON v.i = c.i GROUP BY 1, 2))
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS qid, cid FROM (
+         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM (SELECT v.vec_id, c.cid, sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |          FROM v JOIN c3 c ON v.i = c.i WHERE v.vec_id < 10 GROUP BY 1, 2))
+         |  WHERE rn <= 2),
+         |e AS (SELECT vec_id,
+         |             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS ev
+         |      FROM embeddings),
+         |subs AS (SELECT vec_id, m AS sub, ev[m*16+1 : m*16+16] AS sv
+         |         FROM e, (SELECT unnest(range(4)) AS m) t),
+         |cb AS (SELECT vec_id AS code, sub, sv AS cv FROM subs WHERE vec_id < 8),
+         |d AS (SELECT s.vec_id, s.sub, cb.code,
+         |             list_reduce(list_transform(list_zip(s.sv, cb.cv),
+         |                                        p -> (p[1] - p[2]) * (p[1] - p[2])),
+         |                         (x, y) -> x + y) AS d2
+         |      FROM subs s JOIN cb ON s.sub = cb.sub),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |            SELECT vec_id, sub, code,
+         |                   row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |            FROM d) WHERE rn = 1),
+         |lut AS (SELECT s.vec_id AS qid, s.sub, cb.code,
+         |               list_reduce(list_transform(list_zip(s.sv, cb.cv),
+         |                                          p -> (p[1] - p[2]) * (p[1] - p[2])),
+         |                           (x, y) -> x + y) AS lut_d2
+         |        FROM subs s JOIN cb ON s.sub = cb.sub
+         |        WHERE s.vec_id < 10),
+         |cand AS (SELECT p.qid, a.vec_id
+         |         FROM probes p JOIN af a ON a.cid = p.cid AND a.vec_id <> p.qid),
+         |scored AS (SELECT x.qid, x.vec_id, CAST(sum(l.lut_d2) AS BIGINT) AS adc_d2
+         |           FROM cand x
+         |           JOIN codes c ON c.vec_id = x.vec_id
+         |           JOIN lut l ON l.qid = x.qid AND l.sub = c.sub AND l.code = c.code
+         |           GROUP BY 1, 2),
+         |ranked AS (SELECT qid, vec_id, adc_d2,
+         |                  row_number() OVER (PARTITION BY qid ORDER BY adc_d2, vec_id) AS rank
+         |           FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS nb, adc_d2
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1146,5 +1146,10 @@ class PlanSpec extends SparkSuite {
     val bhj = "BroadcastHashJoin".r.findAllIn(fw).length
     assert(bhj >= 3, s"expected 3 broadcast dim joins, got $bhj:\n${fw.take(2000)}")
     assert(!fw.contains("CartesianProduct"), fw.take(2000))
+    // IVFADC: probes and LUT broadcast; candidates stream through
+    // equi-joins — never a cartesian over the vector table
+    val ia = plan("q_ann_ivfadc")
+    assert(ia.contains("Broadcast") && !ia.contains("CartesianProduct"),
+      ia.take(2000))
   }
 }
