@@ -7462,6 +7462,43 @@ object Relational {
           col("vec_id").as("nb"), col("adc_d2"))
         .orderBy(col("qid"), col("rank"))
     }),
+
+    // Stationary distribution of the event-type Markov chain — where
+    // user behavior settles in the long run (the steady-state readout
+    // on top of q_events_markov's transition matrix): three power
+    // iterations π←πP from the uniform start, every mixed double sum
+    // folded in src order (the q_agg_anova determinism rule). The
+    // matrix is bounded by the type vocabulary, so after the one
+    // corpus-wide window+agg that builds it, the iterations cost
+    // nothing at any corpus size.
+    "q_events_markov_stationary" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+        .select(col("src"), col("dst"), col("p"))
+        .localCheckpoint(true)
+      val k = trans.select(col("src")).distinct().count() // bounded vocab
+      var pi = trans.select(col("src").as("etype")).distinct()
+        .withColumn("pi", lit(1.0d / k))
+      for (_ <- 1 to 3) {
+        pi = trans.join(pi, col("src") === col("etype"))
+          .select(col("dst"), col("src"), (col("pi") * col("p")).as("term"))
+          .groupBy(col("dst"))
+          .agg(aggregate(
+            sort_array(collect_list(struct(col("src"), col("term")))),
+            lit(0.0d), (a, e) => a + e.getField("term")).as("pi"))
+          .withColumnRenamed("dst", "etype")
+      }
+      pi.select(col("etype").as("event_type"),
+          (round(col("pi"), 6) + lit(0.0)).as("pi"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12325,6 +12362,34 @@ object Relational {
          |           FROM scored)
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS nb, adc_d2
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin),
+    // identical row-conditional transition matrix, uniform start, and
+    // three src-ordered π←πP folds
+    "q_events_markov_stationary" ->
+      ("""WITH e AS (SELECT user_id, event_type, ts, event_id,
+                            lead(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+                     FROM events),
+             tr AS (SELECT event_type AS src, dst,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM e WHERE dst IS NOT NULL GROUP BY 1, 2),
+             p AS (SELECT src, dst,
+                          CAST(n AS DOUBLE)
+                            / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+                   FROM tr),
+             kk AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS k FROM tr),
+             pi0 AS (SELECT DISTINCT src AS etype,
+                            1.0 / CAST(k AS DOUBLE) AS pi
+                     FROM tr, kk)""" +
+        (1 to 3).map { r =>
+          s""",
+             pi$r AS (SELECT p.dst AS etype,
+                             list_reduce(list(prev.pi * p.p ORDER BY p.src),
+                                         (x, y) -> x + y) AS pi
+                      FROM p JOIN pi${r - 1} prev ON prev.etype = p.src
+                      GROUP BY p.dst)"""
+        }.mkString + """
+          SELECT etype AS event_type, round(pi, 6) + 0.0 AS pi
+          FROM pi3 ORDER BY 1"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

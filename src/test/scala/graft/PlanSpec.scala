@@ -1151,5 +1151,11 @@ class PlanSpec extends SparkSuite {
     val ia = plan("q_ann_ivfadc")
     assert(ia.contains("Broadcast") && !ia.contains("CartesianProduct"),
       ia.take(2000))
+    // Markov stationary: the iterations read the CHECKPOINTED bounded
+    // matrix — the corpus scan never re-derives per round
+    val ms = plan("q_events_markov_stationary")
+    assert(!ms.contains("CartesianProduct"), ms.take(2000))
+    val msScans = "Scan parquet".r.findAllIn(ms).length
+    assert(msScans == 0, s"stationary iterations re-scan the corpus:\n${ms.take(2000)}")
   }
 }
