@@ -7499,6 +7499,68 @@ object Relational {
           (round(col("pi"), 6) + lit(0.0)).as("pi"))
         .orderBy(col("event_type"))
     }),
+
+    // OHLC downsampling — the canonical time-series bar: per
+    // (user, day), the metric's Open (first by the unique (ts,
+    // event_id) order), High, Low, Close (last), and tick count. One
+    // user-keyed window pass marks the endpoints, one hash agg folds
+    // the bar — the resample-to-coarser-grain shape every metrics
+    // store runs before charting/retention. All-long arithmetic.
+    "q_window_ohlc" -> ((s, dir) => {
+      val wDay = Window.partitionBy(col("user_id"), col("day"))
+      val asc = wDay.orderBy(col("ts"), col("event_id"))
+      val desc = wDay.orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          cents(col("value")).as("x"))
+        .withColumn("ra", row_number().over(asc))
+        .withColumn("rd", row_number().over(desc))
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_ticks"),
+          min(when(col("ra") === 1, col("x"))).as("open_c"),
+          max(col("x")).as("high_c"),
+          min(col("x")).as("low_c"),
+          min(when(col("rd") === 1, col("x"))).as("close_c"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // AMS F₂ sketch (Alon–Matias–Szegedy 1996) — the second frequency
+    // moment (self-join size / skew readout) estimated from 9 signed
+    // projections: sign_r(tok) from an md5 bit, Z_r = Σ sign·count
+    // accumulates exactly as decimal, the estimate is the MEDIAN of
+    // the Z² replicas (an exact 5th-of-9 pick, no floats), reported
+    // against the exact F₂ with the relative error in one mirrored
+    // double ratio. Completes the sketch family next to count-min
+    // (point counts), HLL (distincts), Bloom (membership).
+    "q_sketch_ams" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val f2 = counts.agg(sum((col("c") * col("c")).cast(dec)).as("f2"))
+      val reps = counts
+        .withColumn("r", explode(sequence(lit(0), lit(8))))
+        .withColumn("sign",
+          when(pmod(conv(substring(md5(concat(col("r").cast("string"),
+            lit(":"), col("tok"))), 1, 8), 16, 10).cast("long"), lit(2L)) === 0,
+            1L).otherwise(-1L))
+        .groupBy(col("r"))
+        .agg(sum((col("sign") * col("c")).cast(dec)).as("z"))
+        .withColumn("z2", col("z") * col("z"))
+      val est = reps
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("z2"), col("r"))))
+        .filter(col("rn") === 5)
+        .select(col("z2").as("ams_f2"))
+      est.join(broadcast(f2))
+        .select(col("f2").cast("decimal(38,0)").as("f2_exact"),
+          col("ams_f2").cast("decimal(38,0)").as("ams_f2"),
+          round(abs(col("ams_f2").cast("double") - col("f2").cast("double")) /
+            col("f2").cast("double"), 6).as("rel_err"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12390,6 +12452,48 @@ object Relational {
         }.mkString + """
           SELECT etype AS event_type, round(pi, 6) + 0.0 AS pi
           FROM pi3 ORDER BY 1"""),
+    // identical day grain, unique endpoint ranks, and bar fold
+    "q_window_ohlc" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                           CAST(round(value * 100) AS BIGINT) AS x
+                    FROM events),
+            r AS (SELECT user_id, day, x,
+                         row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts, event_id) AS ra,
+                         row_number() OVER (PARTITION BY user_id, day
+                           ORDER BY ts DESC, event_id DESC) AS rd
+                  FROM e)
+         SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_ticks,
+                CAST(min(CASE WHEN ra = 1 THEN x END) AS BIGINT) AS open_c,
+                CAST(max(x) AS BIGINT) AS high_c,
+                CAST(min(x) AS BIGINT) AS low_c,
+                CAST(min(CASE WHEN rd = 1 THEN x END) AS BIGINT) AS close_c
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical signed projections (md5 bit), HUGEINT Z sums, exact
+    // 5th-of-9 median pick, and one mirrored relative-error ratio
+    "q_sketch_ams" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                  FROM toks WHERE tok <> '' GROUP BY 1),
+            f2 AS (SELECT sum(CAST(c * c AS HUGEINT)) AS f2 FROM c),
+            reps AS (SELECT r.r,
+                            sum(CAST((CASE WHEN
+                                 CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR)
+                                      || ':' || tok), 1, 8))::UBIGINT
+                                      AS BIGINT) % 2 = 0
+                                 THEN 1 ELSE -1 END) * c AS HUGEINT)) AS z
+                     FROM c, (SELECT unnest(range(9)) AS r) r
+                     GROUP BY 1),
+            z2 AS (SELECT r, z * z AS z2 FROM reps),
+            med AS (SELECT z2 AS ams_f2 FROM (
+                      SELECT z2, row_number() OVER (ORDER BY z2, r) AS rn
+                      FROM z2) WHERE rn = 5)
+         SELECT f2.f2 AS f2_exact, med.ams_f2,
+                round(abs(CAST(med.ams_f2 AS DOUBLE) - CAST(f2.f2 AS DOUBLE))
+                      / CAST(f2.f2 AS DOUBLE), 6) AS rel_err
+         FROM med, f2""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

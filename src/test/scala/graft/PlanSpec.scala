@@ -1157,5 +1157,13 @@ class PlanSpec extends SparkSuite {
     assert(!ms.contains("CartesianProduct"), ms.take(2000))
     val msScans = "Scan parquet".r.findAllIn(ms).length
     assert(msScans == 0, s"stationary iterations re-scan the corpus:\n${ms.take(2000)}")
+    // OHLC: endpoint ranks + bar fold on one (user, day) exchange
+    val oh = plan("q_window_ohlc")
+    val ohEx = "Exchange hashpartitioning".r.findAllIn(oh).length
+    assert(ohEx == 1, s"expected 1 (user,day) exchange, got $ohEx:\n${oh.take(2000)}")
+    // AMS: replica fan-out reads the CHECKPOINTED count table; the
+    // 9-row median is a bounded window
+    val am = plan("q_sketch_ams")
+    assert(!am.contains("CartesianProduct"), am.take(2000))
   }
 }
