@@ -7561,6 +7561,132 @@ object Relational {
           round(abs(col("ams_f2").cast("double") - col("f2").cast("double")) /
             col("f2").cast("double"), 6).as("rel_err"))
     }),
+
+    // KMV / Theta distinct sketch per source — the k-minimum-values
+    // estimator (Bar-Yossef et al. 2002; the Theta-sketch core): keep
+    // the K smallest 32-bit token hashes, estimate the distinct count
+    // as (K-1)·2³²/h_K. The sketch is K longs per source (mergeable by
+    // union-then-truncate — what a 100 TB per-partition rollup ships),
+    // vs the exact count's full shuffle. Reported against BOTH the
+    // exact distinct-token and distinct-hash counts (the sketch
+    // estimates the hash set; collisions are the quantified gap), with
+    // the error in exact integer ppm. Sources with < K hashes fall
+    // back to their exact count (the sketch is lossless below K).
+    "q_sketch_kmv" -> ((s, dir) => {
+      val K = 64
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      val exact = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("h")).as("n_hashes"))
+      val hs = toks.select(col("source"), col("h")).distinct()
+      val w = Window.partitionBy(col("source")).orderBy(col("h"))
+      val kth = hs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === K)
+        .select(col("source"), col("h").as("hk"))
+      exact.join(kth, Seq("source"), "left")
+        .select(col("source"), col("n_tokens"), col("n_hashes"),
+          when(col("hk").isNull, col("n_hashes"))
+            .otherwise(expr(s"(${K - 1}L * 4294967296L) div hk")).as("est_distinct"))
+        .withColumn("err_ppm",
+          expr("(abs(est_distinct - n_hashes) * 1000000L) div n_hashes"))
+        .orderBy(col("source"))
+    }),
+
+    // Exact kNN majority-vote classification — the label-propagation
+    // QA every embedding corpus runs (predict a held-out row's label
+    // from its 5 nearest labeled neighbors; disagreement flags
+    // mislabeled or out-of-distribution rows). Query rows (vec_id ≡ 0
+    // mod 10) broadcast; candidates stream through one broadcast
+    // join — the identical shape to q_ann_topk, so the 100 TB path
+    // (IVF-prune then rescore) drops in unchanged. Distances are
+    // exact integer squared-L2; the vote is a hash agg over (query,
+    // label) with a deterministic tie-break (more votes, then nearer
+    // total distance, then smaller label).
+    "q_ann_knn_classify" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("n2", graft.functions.ArrayMath.dotL(col("v"), col("v")))
+      val q = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          col("v").as("qv"), col("n2").as("qn"))
+      val train = e.filter(col("vec_id") % 10 =!= 0)
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vec_id"))
+      val nn = train.join(broadcast(q))
+        .select(col("qid"), col("true_label"), col("label"), col("vec_id"),
+          (col("qn") + col("n2") -
+            lit(2L) * graft.functions.ArrayMath.dotL(col("qv"), col("v"))).as("d2"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      val vw = Window.partitionBy(col("qid"))
+        .orderBy(col("votes").desc, col("sum_d2"), col("label"))
+      nn.groupBy(col("qid"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"), sum(col("d2")).as("sum_d2"))
+        .withColumn("vr", row_number().over(vw))
+        .filter(col("vr") === 1)
+        .select(col("qid"), col("true_label"), col("label").as("pred_label"),
+          when(col("label") === col("true_label"), 1L).otherwise(0L).as("hit"))
+        .orderBy(col("qid"))
+    }),
+
+    // Bollinger band breaches — the rolling mean ± 2σ envelope over a
+    // 20-tick window per event type, the stock volatility monitor. The
+    // breach predicate |x − mean| > 2σ is cross-multiplied into pure
+    // integers: (n·x − sx)² > 4·(n·sx2 − sx²) — no division, no
+    // floats, bit-exact in both engines (cents ≤ ~10⁶, n = 20, so the
+    // square tops out near 2⁴⁹). One partitioned window frame, fully
+    // codegen'd; warm-up rows (n < 20) are reported unbreached with
+    // their n so the consumer can mask them.
+    "q_window_bollinger" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+        .withColumn("n", count(lit(1)).over(ord))
+        .withColumn("sx", sum(col("c")).over(ord))
+        .withColumn("sx2", sum(col("c") * col("c")).over(ord))
+        .withColumn("dev", col("n") * col("c") - col("sx"))
+        .withColumn("breach",
+          when(col("n") === 20 &&
+            col("dev") * col("dev") >
+              lit(4L) * (col("n") * col("sx2") - col("sx") * col("sx")),
+            signum(col("dev")).cast("long")).otherwise(0L))
+        .select(col("event_type"), col("event_id"), col("n"), col("breach"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Markov entropy rate of the event-type process — the conditional
+    // token-distribution entropy H(next | current) per source state,
+    // the sequence-predictability readout next to q_events_markov
+    // (transition matrix) and q_agg_entropy (marginal entropy). Same
+    // EXACT integer floor(log2) surprisal trick: bits(s→d) =
+    // n_sd · floor(log2(n_s / n_sd)); two hash aggs and one equi-join
+    // on the bounded event-type vocabulary — nothing scales with the
+    // corpus except the one transition count shuffle.
+    "q_events_entropy_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val trans = t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src"),
+          lead(col("event_type"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_sd"))
+      val tot = trans.groupBy(col("src"))
+        .agg(sum(col("n_sd")).as("n_s"), count(lit(1)).as("n_dst"))
+      trans.join(tot, Seq("src"))
+        .select(col("src"), col("n_s"), col("n_dst"),
+          (col("n_sd") * (length(expr("bin(n_s div n_sd)")) - 1).cast("long")).as("bits"))
+        .groupBy(col("src"), col("n_s"), col("n_dst"))
+        .agg(sum(col("bits")).as("sum_bits"))
+        .select(col("src"), col("n_s"), col("n_dst"), col("sum_bits"),
+          expr("(sum_bits * 1000000L) div n_s").as("cond_bits_ppm"))
+        .orderBy(col("src"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12494,6 +12620,88 @@ object Relational {
                 round(abs(CAST(med.ams_f2 AS DOUBLE) - CAST(f2.f2 AS DOUBLE))
                       / CAST(f2.f2 AS DOUBLE), 6) AS rel_err
          FROM med, f2""",
+    // identical 32-bit md5-prefix hashes, 64th-smallest pick, and
+    // integer (K-1)*2^32 // h_K estimate with the exact-below-K fallback
+    "q_sketch_kmv" ->
+      """WITH toks AS (SELECT DISTINCT source, tok FROM (
+                         SELECT source, unnest(string_split(text, ' ')) AS tok
+                         FROM documents) WHERE tok <> ''),
+            h AS (SELECT source, tok,
+                         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+                  FROM toks),
+            exact AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                             CAST(count(DISTINCT h) AS BIGINT) AS n_hashes
+                      FROM h GROUP BY 1),
+            hs AS (SELECT DISTINCT source, h FROM h),
+            kth AS (SELECT source, h AS hk FROM (
+                      SELECT source, h,
+                             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                      FROM hs) WHERE rn = 64)
+         SELECT e.source, e.n_tokens, e.n_hashes,
+                CAST(CASE WHEN k.hk IS NULL THEN e.n_hashes
+                          ELSE (63 * 4294967296) // k.hk END AS BIGINT) AS est_distinct,
+                CAST((abs((CASE WHEN k.hk IS NULL THEN e.n_hashes
+                                ELSE (63 * 4294967296) // k.hk END) - e.n_hashes)
+                      * 1000000) // e.n_hashes AS BIGINT) AS err_ppm
+         FROM exact e LEFT JOIN kth k USING (source) ORDER BY e.source""",
+    // identical integer squared-L2, top-5 pick, and (votes, sum_d2,
+    // label) vote tie-break
+    "q_ann_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            d AS (SELECT q.vec_id AS qid, q.label AS true_label,
+                         c.label, c.vec_id,
+                         list_reduce(list_transform(list_zip(q.v, c.v),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                  FROM e q JOIN e c ON q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+            nn AS (SELECT * FROM (
+                     SELECT qid, true_label, label, d2,
+                            row_number() OVER (PARTITION BY qid
+                              ORDER BY d2, vec_id) AS rn
+                     FROM d) WHERE rn <= 5),
+            votes AS (SELECT qid, true_label, label,
+                             CAST(count(*) AS BIGINT) AS votes,
+                             CAST(sum(d2) AS BIGINT) AS sum_d2
+                      FROM nn GROUP BY 1, 2, 3)
+         SELECT qid, true_label, label AS pred_label,
+                CAST(CASE WHEN label = true_label THEN 1 ELSE 0 END AS BIGINT) AS hit
+         FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                 ORDER BY votes DESC, sum_d2, label) AS vr FROM votes)
+         WHERE vr = 1 ORDER BY qid""",
+    // identical 20-row frame and cross-multiplied integer breach test
+    "q_window_bollinger" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT event_type, event_id, c,
+                         CAST(count(*) OVER fr AS BIGINT) AS n,
+                         CAST(sum(c) OVER fr AS BIGINT) AS sx,
+                         CAST(sum(c * c) OVER fr AS BIGINT) AS sx2
+                  FROM e WINDOW fr AS (PARTITION BY event_type
+                    ORDER BY ts_s, event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT event_type, event_id, n,
+                CAST(CASE WHEN n = 20 AND (n * c - sx) * (n * c - sx)
+                               > 4 * (n * sx2 - sx * sx)
+                          THEN CASE WHEN n * c - sx > 0 THEN 1 ELSE -1 END
+                          ELSE 0 END AS BIGINT) AS breach
+         FROM w ORDER BY event_type, event_id""",
+    // identical transition counts and floor(log2) integer surprisal
+    "q_events_entropy_rate" ->
+      """WITH trans AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_sd FROM (
+                          SELECT event_type AS src,
+                                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS dst
+                          FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT src, CAST(sum(n_sd) AS BIGINT) AS n_s,
+                           CAST(count(*) AS BIGINT) AS n_dst
+                    FROM trans GROUP BY 1)
+         SELECT t.src, o.n_s, o.n_dst,
+                CAST(sum(t.n_sd * (length(bin(o.n_s // t.n_sd)) - 1)) AS BIGINT) AS sum_bits,
+                CAST((sum(t.n_sd * (length(bin(o.n_s // t.n_sd)) - 1)) * 1000000) // o.n_s AS BIGINT) AS cond_bits_ppm
+         FROM trans t JOIN tot o USING (src)
+         GROUP BY 1, 2, 3 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
