@@ -7687,6 +7687,108 @@ object Relational {
           expr("(sum_bits * 1000000L) div n_s").as("cond_bits_ppm"))
         .orderBy(col("src"))
     }),
+
+    // STL-lite seasonal decomposition of the daily event series —
+    // x(day) = trend + seasonal(dow) + remainder, the first chart any
+    // metrics review opens. Trend is a centered 7-day rolling mean;
+    // the per-weekday seasonal is the mean detrended value. All
+    // integer: both means use FLOOR division made sign-safe by the
+    // pmod shift (a - pmod(a, n)) div n ≡ floor(a/n) — Spark `div`
+    // and DuckDB `//` truncate toward zero, so raw negative detrended
+    // sums would round differently; the shift makes the dividend
+    // non-negative and the identity exact in both engines. One hash
+    // agg to days, one 7-row window, one bounded dow agg.
+    "q_events_stl" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val trended = daily
+        .withColumn("trend",
+          expr("(sum(c) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) div " +
+            "(count(*) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))"))
+        .withColumn("dow", pmod(col("day"), lit(7L)))
+        .withColumn("d", col("c") - col("trend"))
+      val seasonal = trended.groupBy(col("event_type"), col("dow"))
+        .agg(expr("sum(d)").as("sd"), count(lit(1)).as("nd"))
+        .select(col("event_type"), col("dow"),
+          expr("((sd + nd * 1000000000L) - pmod(sd + nd * 1000000000L, nd)) div nd - 1000000000L")
+            .as("seasonal"))
+      trended.join(seasonal, Seq("event_type", "dow"))
+        .select(col("event_type"), col("day"), col("c"), col("trend"),
+          col("seasonal"),
+          (col("c") - col("trend") - col("seasonal")).as("remainder"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Lead-lag cross-correlation sweep — which metric MOVES FIRST: for
+    // every ordered event-type pair, the exact five-sum Pearson r
+    // between a's daily counts and b's, at every lag in [-3, +3] days.
+    // The day-grain table is bounded by the time span, so the 7-lag
+    // fan-out and pair join never scale with the event count; sums
+    // accumulate as decimal(38,0), ONE double formula at the end, and
+    // degenerate windows (n < 3 or zero variance) are filtered in both
+    // engines so no NaN reaches the hash.
+    "q_events_crosscorr" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val a = daily.select(col("event_type").as("ta"), col("day"), col("c").as("x"))
+        .withColumn("lag", explode(sequence(lit(-3), lit(3))))
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("bday"), col("c").as("y"))
+      a.join(b, col("ta") < col("tb") &&
+          col("day") === col("bday") + col("lag"))
+        .groupBy(col("ta"), col("tb"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .filter(col("n") >= 3 &&
+          col("sxx") * col("n") > col("sx") * col("sx") &&
+          col("syy") * col("n") > col("sy") * col("sy"))
+        .select(col("ta"), col("tb"), col("lag").cast("long").as("lag"), col("n"),
+          (round((col("sxy").cast("double") * col("n").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("sxx").cast("double") * col("n").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("syy").cast("double") * col("n").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 6)
+            + lit(0.0)).as("r"))
+        .orderBy(col("ta"), col("tb"), col("lag"))
+    }),
+
+    // Relative Strength Index (Wilder) over a 14-tick window per event
+    // type — the bounded-oscillator momentum readout next to
+    // q_window_bollinger (envelope) and q_window_ohlc (bars). Tick
+    // deltas split into gain/loss parts (both non-negative), rolling
+    // 14-row sums, and RSI = 100·sg/(sg+sl) reported in exact integer
+    // ppm — non-negative everywhere, so Spark div and DuckDB // agree
+    // with no sign shift. Flat windows (sg+sl = 0) pin to the neutral
+    // 500000 ppm by convention.
+    "q_window_rsi" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val fr = ord.rowsBetween(-13, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+        .withColumn("delta",
+          coalesce(col("c") - lag(col("c"), 1).over(ord), lit(0L)))
+        .withColumn("sg", sum(greatest(col("delta"), lit(0L))).over(fr))
+        .withColumn("sl", sum(greatest(-col("delta"), lit(0L))).over(fr))
+        .withColumn("n", count(lit(1)).over(fr))
+        .select(col("event_type"), col("event_id"), col("n"),
+          when(col("sg") + col("sl") === 0L, 500000L)
+            .otherwise(expr("(sg * 1000000L) div (sg + sl)")).as("rsi_ppm"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12702,6 +12804,74 @@ object Relational {
                 CAST((sum(t.n_sd * (length(bin(o.n_s // t.n_sd)) - 1)) * 1000000) // o.n_s AS BIGINT) AS cond_bits_ppm
          FROM trans t JOIN tot o USING (src)
          GROUP BY 1, 2, 3 ORDER BY 1""",
+    // identical 7-row centered trend and pmod-shifted floor divisions
+    "q_events_stl" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            tr AS (SELECT event_type, day, c,
+                          CAST(sum(c) OVER fr // count(*) OVER fr AS BIGINT) AS trend,
+                          day % 7 AS dow
+                   FROM daily WINDOW fr AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            se AS (SELECT event_type, dow,
+                          CAST(((sum(c - trend) + count(*) * 1000000000)
+                                - ((sum(c - trend) + count(*) * 1000000000)
+                                   % count(*)))
+                               // count(*) - 1000000000 AS BIGINT) AS seasonal
+                   FROM tr GROUP BY 1, 2)
+         SELECT t.event_type, t.day, t.c, t.trend, s.seasonal,
+                CAST(t.c - t.trend - s.seasonal AS BIGINT) AS remainder
+         FROM tr t JOIN se s ON t.event_type = s.event_type AND t.dow = s.dow
+         ORDER BY 1, 2""",
+    // identical lag fan-out, five HUGEINT-exact sums, one double r
+    "q_events_crosscorr" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            pairs AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                             l.lag, a.c AS x, b.c AS y
+                      FROM daily a
+                      JOIN (SELECT unnest(range(-3, 4)) AS lag) l ON true
+                      JOIN daily b ON a.event_type < b.event_type
+                        AND a.day = b.day + l.lag),
+            s AS (SELECT ta, tb, lag, CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x * y AS HUGEINT)) AS sxy,
+                         sum(CAST(x * x AS HUGEINT)) AS sxx,
+                         sum(CAST(y * y AS HUGEINT)) AS syy
+                  FROM pairs GROUP BY 1, 2, 3)
+         SELECT ta, tb, CAST(lag AS BIGINT) AS lag, n,
+                round((CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+         FROM s WHERE n >= 3 AND sxx * n > sx * sx AND syy * n > sy * sy
+         ORDER BY 1, 2, 3""",
+    // identical gain/loss split, 14-row sums, and neutral-flat pin
+    "q_window_rsi" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            d AS (SELECT event_type, event_id, ts_s,
+                         coalesce(c - lag(c, 1) OVER (PARTITION BY event_type
+                           ORDER BY ts_s, event_id), 0) AS delta
+                  FROM e),
+            w AS (SELECT event_type, event_id,
+                         CAST(sum(greatest(delta, 0)) OVER fr AS BIGINT) AS sg,
+                         CAST(sum(greatest(-delta, 0)) OVER fr AS BIGINT) AS sl,
+                         CAST(count(*) OVER fr AS BIGINT) AS n
+                  FROM d WINDOW fr AS (PARTITION BY event_type
+                    ORDER BY ts_s, event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT event_type, event_id, n,
+                CAST(CASE WHEN sg + sl = 0 THEN 500000
+                          ELSE (sg * 1000000) // (sg + sl) END AS BIGINT) AS rsi_ppm
+         FROM w ORDER BY event_type, event_id""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

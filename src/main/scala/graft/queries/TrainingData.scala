@@ -75,6 +75,7 @@ object TrainingData {
   val streamEnrichPath    = s"$oracleRoot/stream_enrich_turns"
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
+  val xmlPath             = s"$oracleRoot/events_xml"
   val partitionedPath     = s"$oracleRoot/events_partitioned"
   val mergeSchemaPath     = s"$oracleRoot/events_mergeschema"
   val tablePath           = s"$oracleRoot/merge_table"
@@ -727,6 +728,27 @@ object TrainingData {
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
     }),
+    // XML source/sink round trip over Spark 4's NATIVE xml format
+    // (rowTag-delimited records; no external package) — the feed
+    // format legacy enterprise exports still arrive in. Same gate
+    // shape as ORC: DuckDB reads no XML, so the oracle recomputes the
+    // aggregate from the original parquet — hash equality verifies the
+    // XML write → schema'd read end-to-end (a mis-parsed row count,
+    // a dropped record, or a mangled value cannot reproduce it).
+    "q_source_xml" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .coalesce(1)
+        .write.mode("overwrite").option("rowTag", "event").xml(xmlPath)
+      s.read.option("rowTag", "event")
+        .schema("event_id LONG, event_type STRING, cents LONG")
+        .xml(xmlPath)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
     // Hive-partitioned layout round trip: write partitioned BY the
     // filter column, read back with a partition predicate — the
     // directory-pruning contract every 100 TB lake table rests on.
@@ -1369,6 +1391,13 @@ object TrainingData {
           FROM read_csv('$csvPath/*.csv', header=true)
           GROUP BY event_type ORDER BY event_type""",
     "q_source_orc" ->
+      s"""SELECT event_type, count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+                 CAST(min(event_id) AS BIGINT) AS min_id,
+                 CAST(max(event_id) AS BIGINT) AS max_id
+          FROM events GROUP BY event_type ORDER BY event_type""",
+    // DuckDB reads no XML either — same recompute-from-parquet gate
+    "q_source_xml" ->
       s"""SELECT event_type, count(*) AS n,
                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
                  CAST(min(event_id) AS BIGINT) AS min_id,
