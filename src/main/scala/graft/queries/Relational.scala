@@ -7789,6 +7789,130 @@ object Relational {
             .otherwise(expr("(sg * 1000000L) div (sg + sl)")).as("rsi_ppm"))
         .orderBy(col("event_type"), col("event_id"))
     }),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    // over the word co-occurrence graph, the graph-based counterpart
+    // to q_text_rake (frequency-based) and q_text_tfidf (corpus-IDF).
+    // Adjacent-token pairs (window 2, candidates ≥ 4 chars) become
+    // undirected edges; 3 integer power iterations rank the vocabulary
+    // via the SAME fixed-point pagerankFp used by q_graph_pagerank
+    // (150000 + 85·m div 100 damping, all-long arithmetic, one
+    // equi-join + partial/final sum per round); top 20 keywords by
+    // (rank desc, token). Edges are built with an arrays_zip of
+    // adjacent slices — no window over the token stream, so the
+    // extraction is one generator pass at any corpus size.
+    "q_text_textrank" -> ((s, dir) => {
+      val adj = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(expr(
+          "explode(arrays_zip(slice(l, 1, size(l) - 1), slice(l, 2, size(l) - 1)))").as("p"))
+        .select(col("p.0").as("a"), col("p.1").as("b"))
+        .filter(length(col("a")) >= 4 && length(col("b")) >= 4 &&
+          col("a") =!= col("b"))
+      val edges = adj.select(col("a").as("src"), col("b").as("dst"))
+        .union(adj.select(col("b").as("src"), col("a").as("dst")))
+        .distinct()
+      val nodes = edges.select(col("src").as("id")).distinct()
+      pagerankFp(nodes, edges, 3)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("pr").desc, col("id"))))
+        .filter(col("rn") <= 20)
+        .select(col("rn").cast("long").as("rank"),
+          col("id").as("keyword"), col("pr"))
+        .orderBy(col("rank"))
+    }),
+
+    // Theil–Sen robust trend — the median of all pairwise slopes of
+    // the daily series per event type, the outlier-proof line fit next
+    // to q_agg_regression (OLS, mean-based). The day-grain table is
+    // bounded by the time span, so the O(days²) pair fan-out is a
+    // constant-size join at any event count. Slopes compare as IEEE
+    // doubles (identical division in both engines); the median is the
+    // exact lower-middle pick under a (slope, day_i, day_j) total
+    // order — deterministic even with tied slopes.
+    "q_agg_theilsen" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("dj"), col("c").as("cj"))
+      val slopes = daily.join(b,
+          col("event_type") === col("tb") && col("day") < col("dj"))
+        .select(col("event_type"), col("day").as("di"), col("dj"),
+          ((col("cj") - col("c")).cast("double") /
+            (col("dj") - col("day")).cast("double")).as("slope"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("slope"), col("di"), col("dj"))
+      slopes
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(np + 1L) div 2L"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          (round(col("slope"), 6) + lit(0.0)).as("median_slope"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Average True Range (Wilder) over daily bars per event type — the
+    // volatility gauge that closes the bar family (q_window_ohlc makes
+    // bars, q_window_bollinger envelopes ticks, q_window_rsi reads
+    // momentum). True range = max(high−low, |high−prev_close|,
+    // |low−prev_close|) in exact cents; ATR is the 14-bar rolling mean
+    // (non-negative, so div/// agree). One day-grain agg, one lag, one
+    // rolling frame.
+    "q_window_atr" -> ((s, dir) => {
+      val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wDay = Window.partitionBy(col("event_type"), col("day"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+        .withColumn("rd", row_number().over(
+          wDay.orderBy(col("ts_s").desc, col("event_id").desc)))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("c")).as("high"), min(col("c")).as("low"),
+          min(when(col("rd") === 1, col("c"))).as("close"))
+        .withColumn("pc", lag(col("close"), 1).over(ord))
+        .withColumn("tr",
+          when(col("pc").isNull, col("high") - col("low"))
+            .otherwise(greatest(col("high") - col("low"),
+              abs(col("high") - col("pc")), abs(col("low") - col("pc")))))
+        .withColumn("atr", expr(
+          "(sum(tr) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) div " +
+            "(count(*) OVER (PARTITION BY event_type ORDER BY day " +
+            "ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))"))
+        .select(col("event_type"), col("day"), col("high"), col("low"),
+          col("close"), col("tr"), col("atr"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Mann–Kendall trend test — the non-parametric is-it-trending
+    // statistic per event type: S = Σ_{i<j} sign(c_j − c_i) over the
+    // daily series (exact integer), Kendall's τ = 2S / (n(n−1)) as ONE
+    // double division. Complements q_events_its (level shift) and
+    // q_events_changepoint (where it broke): S answers whether a
+    // monotone drift exists at all. Day-grain pairs — bounded by the
+    // time span, not the event count.
+    "q_events_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("dj"), col("c").as("cj"))
+      daily.join(b, col("event_type") === col("tb") && col("day") < col("dj"))
+        .groupBy(col("event_type"))
+        .agg(sum(signum(col("cj") - col("c")).cast("long")).as("s_stat"),
+          count(lit(1)).as("n_pairs"))
+        .select(col("event_type"), col("n_pairs"), col("s_stat"),
+          (round(col("s_stat").cast("double") / col("n_pairs").cast("double"), 6)
+            + lit(0.0)).as("tau"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -12872,6 +12996,82 @@ object Relational {
                 CAST(CASE WHEN sg + sl = 0 THEN 500000
                           ELSE (sg * 1000000) // (sg + sl) END AS BIGINT) AS rsi_ppm
          FROM w ORDER BY event_type, event_id""",
+    // identical adjacent-pair edges and the same 3 unrolled integer
+    // pagerank rounds as q_graph_pagerank (shared CTE generator)
+    "q_text_textrank" -> ("""
+       WITH ls AS (SELECT string_split(text, ' ') AS l FROM documents
+                   WHERE len(string_split(text, ' ')) >= 2),
+       adj0 AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM ls),
+       adj AS (SELECT p[1] AS a, p[2] AS b FROM adj0
+               WHERE length(p[1]) >= 4 AND length(p[2]) >= 4 AND p[1] <> p[2]),
+       edges AS (SELECT DISTINCT src, dst FROM (
+                   SELECT a AS src, b AS dst FROM adj
+                   UNION ALL SELECT b AS src, a AS dst FROM adj)),
+       nodes AS (SELECT DISTINCT src AS id FROM edges),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    """ + pagerankRoundsSql(3) + """
+       SELECT CAST(rank AS BIGINT) AS rank, id AS keyword, pr FROM (
+         SELECT id, pr, row_number() OVER (ORDER BY pr DESC, id) AS rank
+         FROM r3)
+       WHERE rank <= 20 ORDER BY rank"""),
+    // identical pairwise slopes (IEEE division) and lower-median pick
+    "q_agg_theilsen" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            sl AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+                          CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+                   FROM daily a JOIN daily b
+                     ON a.event_type = b.event_type AND a.day < b.day),
+            r AS (SELECT event_type, slope,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY slope, di, dj) AS rn,
+                         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+                  FROM sl)
+         SELECT event_type, np AS n_pairs, round(slope, 6) AS median_slope
+         FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
+    // identical daily bars, true-range max, and 14-bar integer mean
+    "q_window_atr" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                    ORDER BY ts_s DESC, event_id DESC) AS rd FROM e),
+            bars AS (SELECT event_type, day,
+                            CAST(max(c) AS BIGINT) AS high,
+                            CAST(min(c) AS BIGINT) AS low,
+                            CAST(min(CASE WHEN rd = 1 THEN c END) AS BIGINT) AS close
+                     FROM r GROUP BY 1, 2),
+            tr AS (SELECT event_type, day, high, low, close,
+                          CAST(CASE WHEN pc IS NULL THEN high - low
+                               ELSE greatest(high - low, abs(high - pc),
+                                             abs(low - pc)) END AS BIGINT) AS tr
+                   FROM (SELECT *, lag(close, 1) OVER (PARTITION BY event_type
+                           ORDER BY day) AS pc FROM bars))
+         SELECT event_type, day, high, low, close, tr,
+                CAST(sum(tr) OVER fr // count(*) OVER fr AS BIGINT) AS atr
+         FROM tr WINDOW fr AS (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, day""",
+    // identical integer S statistic and one double tau division
+    "q_events_mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2)
+         SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN b.c > a.c THEN 1
+                              WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+                round(CAST(sum(CASE WHEN b.c > a.c THEN 1
+                                    WHEN b.c < a.c THEN -1 ELSE 0 END) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS tau
+         FROM daily a JOIN daily b
+           ON a.event_type = b.event_type AND a.day < b.day
+         GROUP BY 1 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
