@@ -7913,6 +7913,79 @@ object Relational {
             + lit(0.0)).as("tau"))
         .orderBy(col("event_type"))
     }),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // near-dup graph (small id → large id) — the second classic
+    // link-analysis fixed point next to q_graph_pagerank: a node is a
+    // good authority when good hubs point at it, and vice versa. Two
+    // mutual-recursion rounds in exact integers: each pull is one
+    // equi-join + partial/final sum keyed by the far endpoint, and the
+    // per-round max-normalization ((x·10⁶) div max, non-negative so
+    // div agrees with //) replaces the float L2 norm so both engines
+    // stay bit-equal. Same 100 TB shape as pagerank: edges shuffle
+    // once per pull, the normalizer is a 1-row broadcast.
+    "q_graph_hits" -> ((s, dir) => {
+      val edges = simhashPairsShared(s, dir)
+        .select(col("ia").as("src"), col("ib").as("dst"))
+        .localCheckpoint(true)
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id")).distinct()
+        .localCheckpoint(true)
+      def pull(scores: DataFrame, fromCol: String, toCol: String): DataFrame = {
+        val raw = nodes.join(
+            edges.join(scores, col(fromCol) === col("id"))
+              .groupBy(col(toCol).as("nid")).agg(sum(col("x")).as("v")),
+            nodes("id") === col("nid"), "left")
+          .select(nodes("id"), coalesce(col("v"), lit(0L)).as("raw"))
+        val mx = raw.agg(max(col("raw")).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("id"),
+            when(col("mx") > 0, expr("(raw * 1000000L) div mx"))
+              .otherwise(0L).as("x"))
+      }
+      var hub = nodes.withColumn("x", lit(1000000L))
+      var auth = hub
+      for (_ <- 1 to 2) {
+        auth = pull(hub, "src", "dst").localCheckpoint(true)
+        hub = pull(auth, "dst", "src").localCheckpoint(true)
+      }
+      nodes.join(auth.select(col("id").as("aid"), col("x").as("auth")),
+          nodes("id") === col("aid"))
+        .join(hub.select(col("id").as("hid"), col("x").as("hub")),
+          nodes("id") === col("hid"))
+        .select(nodes("id").as("doc_id"), col("hub"), col("auth"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hodges–Lehmann pseudo-median — the rank-based location estimator
+    // (median of all Walsh averages (cᵢ+cⱼ)/2, i ≤ j) that pairs with
+    // q_agg_theilsen's slope: robust to outliers, more efficient than
+    // the plain median under symmetry. Day-grain pairs are bounded by
+    // the time span; the Walsh sum stays an exact integer (reported in
+    // c100 = sum·50) and the median is the lower-middle pick under a
+    // (sum, dayᵢ, dayⱼ) total order — no floats anywhere.
+    "q_agg_hodges_lehmann" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val b = daily.select(col("event_type").as("tb"),
+        col("day").as("dj"), col("c").as("cj"))
+      val walsh = daily.join(b,
+          col("event_type") === col("tb") && col("day") <= col("dj"))
+        .select(col("event_type"), col("day").as("di"), col("dj"),
+          (col("c") + col("cj")).as("ws"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ws"), col("di"), col("dj"))
+      walsh
+        .withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(np + 1L) div 2L"))
+        .select(col("event_type"), col("np").as("n_walsh"),
+          (col("ws") * 50L).as("hl_c100"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -13072,6 +13145,44 @@ object Relational {
          FROM daily a JOIN daily b
            ON a.event_type = b.event_type AND a.day < b.day
          GROUP BY 1 ORDER BY 1""",
+    // identical directed edges and 2 unrolled integer HITS rounds with
+    // max-normalization (shared CTE generator pins the round count)
+    "q_graph_hits" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM nodes),
+    """ + hitsRoundsSql(2) + """
+       SELECT n.id AS doc_id, h.x AS hub, a.x AS auth
+       FROM nodes n JOIN a2 a ON a.id = n.id JOIN h2 h ON h.id = n.id
+       ORDER BY doc_id"""),
+    // identical Walsh-average pairs and lower-middle pick
+    "q_agg_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            walsh AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+                             CAST(a.c + b.c AS BIGINT) AS ws
+                      FROM daily a JOIN daily b
+                        ON a.event_type = b.event_type AND a.day <= b.day),
+            r AS (SELECT event_type, ws,
+                         row_number() OVER (PARTITION BY event_type
+                           ORDER BY ws, di, dj) AS rn,
+                         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+                  FROM walsh)
+         SELECT event_type, np AS n_walsh, CAST(ws * 50 AS BIGINT) AS hl_c100
+         FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
@@ -13090,6 +13201,27 @@ object Relational {
   /** The n unrolled PageRank power-iteration CTEs (r1..rn), each
     * reading the previous round — generated so the oracle's round
     * count provably matches the engine's loop bound. */
+  /** The n unrolled HITS rounds (a1,h1..an,hn from h0) — each pull is
+    * a LEFT JOIN sum keyed by the far endpoint followed by the exact
+    * integer max-normalization, generated so the oracle's round count
+    * provably matches the engine's loop bound. */
+  private def hitsRoundsSql(n: Int): String =
+    (1 to n).flatMap { i =>
+      def pull(out: String, in: String, from: String, to: String) =
+        s"""${out}r AS (
+           SELECT n.id, CAST(coalesce(s.v, 0) AS BIGINT) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT e.$to AS nid, sum(x.x) AS v
+             FROM edges e JOIN $in x ON x.id = e.$from
+             GROUP BY 1) s ON s.nid = n.id),
+         $out AS (
+           SELECT id, CAST(CASE WHEN m.mx > 0 THEN (raw * 1000000) // m.mx
+                                ELSE 0 END AS BIGINT) AS x
+           FROM ${out}r, (SELECT max(raw) AS mx FROM ${out}r) m)"""
+      Seq(pull(s"a$i", s"h${i - 1}", "src", "dst"),
+        pull(s"h$i", s"a$i", "dst", "src"))
+    }.mkString(",\n")
+
   private def pagerankRoundsSql(n: Int): String =
     (1 to n).map { i =>
       s"""r$i AS (

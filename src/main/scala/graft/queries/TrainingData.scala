@@ -68,6 +68,8 @@ object TrainingData {
   val jsonlPath          = s"$oracleRoot/events_jsonl"
   val difflibExpectedPath = s"$oracleRoot/difflib_expected"
   val convTurnsPath       = s"$oracleRoot/conv_turns"
+  val convStatsPath       = s"$oracleRoot/conv_stats_turns"
+  val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
@@ -982,6 +984,59 @@ object TrainingData {
         .orderBy(col("conv_id"))
     }),
 
+    // transcript-shape profile — the first dashboard a conversation
+    // corpus gets: per-conversation turn counts by role, tool-turn
+    // fraction, and payload mass, rolled up to corpus-level per-role
+    // rows. One partial+final hash agg over the turn table keyed by
+    // the bounded role vocabulary; at 10^12 turns this is the
+    // map-side-combined scan every corpus report starts from.
+    "q_conv_turn_stats" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convStatsPath)
+      s.read.parquet(convStatsPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy(col("role"))
+        .agg(count(lit(1)).as("n_turns"),
+          countDistinct(col("conv_id")).as("n_convs"),
+          countDistinct(col("tool")).as("n_dialects"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_toks")).as("sum_toks"),
+          expr("(sum(n_chars) * 100L) div count(*)").as("mean_chars_c100"),
+          max(col("n_toks")).as("max_toks"))
+        .orderBy(col("role"))
+    }),
+
+    // role-transition bigrams — the conversation-grammar audit (does
+    // assistant follow user; how often does a tool turn interpose):
+    // per-conv lead() over turn order, then one bounded 3×3 hash agg
+    // with each transition's share of its source role in exact ppm.
+    // The window partitions on conv_id — the same per-conversation
+    // bound the extraction pipeline rides, so the heavy-tail 99-turn
+    // conversations stay one task each.
+    "q_conv_role_bigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("role"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convBigramsPath)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val trans = s.read.parquet(convBigramsPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("conv_id"), col("role").as("src"),
+          lead(col("role"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      val tot = trans.groupBy(col("src")).agg(sum(col("n")).as("n_src"))
+      trans.join(tot, Seq("src"))
+        .select(col("src"), col("dst"), col("n"),
+          expr("(n * 1000000L) div n_src").as("share_ppm"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // sketch — bounded-memory heavy hitters: a per-partition
     // Misra-Gries summary (capacity 256) emits a candidate SUPERSET of
     // every token with global frequency > N/100 (if a global heavy
@@ -1283,6 +1338,29 @@ object TrainingData {
                  CAST(sum(n_toks) AS BIGINT) AS toks_kept
           FROM w WHERE rn = 1 OR tail_toks <= 8000
           GROUP BY conv_id ORDER BY conv_id""",
+    "q_conv_turn_stats" ->
+      s"""SELECT role, count(*) AS n_turns,
+                 CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                 CAST(count(DISTINCT tool) AS BIGINT) AS n_dialects,
+                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                 CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+                 CAST((sum(n_chars) * 100) // count(*) AS BIGINT) AS mean_chars_c100,
+                 CAST(max(n_toks) AS BIGINT) AS max_toks
+          FROM read_parquet('$convStatsPath/*.parquet')
+          GROUP BY role ORDER BY role""",
+    "q_conv_role_bigrams" ->
+      s"""WITH trans AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT role AS src,
+                     lead(role, 1) OVER (PARTITION BY conv_id
+                       ORDER BY turn_idx) AS dst
+              FROM read_parquet('$convBigramsPath/*.parquet'))
+            WHERE dst IS NOT NULL GROUP BY 1, 2),
+          tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src
+                  FROM trans GROUP BY 1)
+          SELECT t.src, t.dst, t.n,
+                 CAST((t.n * 1000000) // o.n_src AS BIGINT) AS share_ppm
+          FROM trans t JOIN tot o USING (src) ORDER BY t.src, t.dst""",
     "q_stream_join" ->
       s"""WITH t AS (SELECT conv_id, turn_idx, ts
                      FROM read_parquet('$streamJoinPath/*.parquet')
