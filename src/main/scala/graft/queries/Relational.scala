@@ -7986,6 +7986,149 @@ object Relational {
           (col("ws") * 50L).as("hl_c100"))
         .orderBy(col("event_type"))
     }),
+
+    // Wilson score interval (z = 2, ~95%) for per-type success rates —
+    // the binomial CI that stays sane at extreme rates and small n,
+    // which is why every ranking/AB readout uses it over the normal
+    // approximation. Success = value above 50.00; counts are exact
+    // integers from one hash agg, and the interval is the closed-form
+    // (s + 2 ± 2·√(s(n−s)/n + 1)) / (n + 4) — IEEE sqrt/div are
+    // correctly rounded, so both engines emit identical doubles.
+    "q_events_wilson_ci" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(cents(col("value")) > 5000L, 1L).otherwise(0L)).as("s"))
+        .select(col("event_type"), col("n"), col("s"),
+          expr("(s * 1000000L) div n").as("rate_ppm"),
+          (round(expr("""(cast(s as double) + 2.0d
+                        | - 2.0d * sqrt(cast(s as double) * cast(n - s as double)
+                        |                / cast(n as double) + 1.0d))
+                        | / (cast(n as double) + 4.0d)""".stripMargin), 6)
+            + lit(0.0)).as("wilson_lo"),
+          (round(expr("""(cast(s as double) + 2.0d
+                        | + 2.0d * sqrt(cast(s as double) * cast(n - s as double)
+                        |                / cast(n as double) + 1.0d))
+                        | / (cast(n as double) + 4.0d)""".stripMargin), 6)
+            + lit(0.0)).as("wilson_hi"))
+        .orderBy(col("event_type"))
+    }),
+
+    // k-anonymity GENERALIZATION — the release itself, not just the
+    // q_privacy_kanon audit: quasi-identifier classes (lang, 100-char
+    // length bucket) with k ≥ 5 release at level 0; failing rows
+    // re-generalize to 500-char buckets and release at level 1 if the
+    // COARSENED class (of still-unreleased rows) reaches k; the rest
+    // are suppressed into the per-lang '*' cell. Two hash aggs and a
+    // broadcast anti-join on the bounded class vocabulary — the
+    // generalization lattice walk every Mondrian-style anonymizer
+    // bottoms out in, with zero row-level state on the driver.
+    "q_privacy_generalize" -> ((s, dir) => {
+      val rows = t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 100").as("b0"),
+          expr("n_chars div 500").as("b1"))
+      val lvl0 = rows.groupBy(col("lang"), col("b0"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+      val rest = rows.join(lvl0.select(col("lang").as("l0"), col("b0").as("k0")),
+          col("lang") === col("l0") && col("b0") === col("k0"), "left_anti")
+      val lvl1 = rest.groupBy(col("lang"), col("b1"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 5)
+      val supp = rest.join(lvl1.select(col("lang").as("l1"), col("b1").as("k1")),
+          col("lang") === col("l1") && col("b1") === col("k1"), "left_anti")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      lvl0.select(lit(0L).as("level"), col("lang"),
+          col("b0").cast("string").as("bucket"), col("n"))
+        .unionByName(lvl1.select(lit(1L).as("level"), col("lang"),
+          col("b1").cast("string").as("bucket"), col("n")))
+        .unionByName(supp.select(lit(2L).as("level"), col("lang"),
+          lit("*").as("bucket"), col("n")))
+        .orderBy(col("level"), col("lang"), col("bucket"))
+    }),
+
+    // Kruskal–Wallis H — the k-group rank test (Mann–Whitney's
+    // many-group extension): do the event types draw from one value
+    // distribution? Tie-exact midranks carried as INTEGER doubled
+    // ranks (2·midrank = 2·min_rank + ties − 1), per-group sums exact,
+    // and H = 3/(N(N+1)) · Σ (2R_i)²/(4 n_i) − 3(N+1) evaluated as ONE
+    // double formula from the exact sums. The global rank window
+    // orders by (cents, event_id) value only through rank(cents) —
+    // ties resolved by midrank, not position — so the statistic is
+    // order-independent and engine-portable.
+    "q_events_kruskal_wallis" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+      val byVal = e.groupBy(col("c")).agg(count(lit(1)).as("ct"))
+        .withColumn("rk", sum(col("ct")).over(
+          Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("c").as("vc"),
+          (lit(2L) * (coalesce(col("rk"), lit(0L)) + 1L) + col("ct") - 1L).as("r2"))
+      val grp = e.join(byVal, col("c") === col("vc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_i"), sum(col("r2")).as("sum_r2"))
+      val tot = grp.agg(sum(col("n_i")).as("n_tot"))
+      // the 5 per-group double terms fold in SORTED group order (the
+      // markov_stationary trick) so the float summation order is
+      // deterministic in both engines
+      grp.crossJoin(broadcast(tot))
+        .withColumn("term",
+          expr("""cast(sum_r2 as double) * cast(sum_r2 as double)
+                 | / (4.0d * cast(n_i as double))""".stripMargin))
+        .groupBy(col("n_tot"))
+        .agg(count(lit(1)).as("n_groups"),
+          aggregate(sort_array(collect_list(struct(col("event_type"), col("term")))),
+            lit(0.0d), (a, e) => a + e.getField("term")).as("st"))
+        .select(col("n_tot"), col("n_groups"),
+          (round(expr("""3.0d * st / (cast(n_tot as double) * cast(n_tot + 1 as double))
+                        | - 3.0d * cast(n_tot + 1 as double)""".stripMargin), 6)
+            + lit(0.0)).as("h_stat"))
+    }),
+
+    // Count-Sketch (Charikar–Chen–Farach-Colton 2002) — the SIGNED
+    // count-min: 5 rows × 256 buckets of sign-weighted counts, point
+    // estimate = MEDIAN over rows of sign·bucket (an exact 3rd-of-5
+    // pick), probed for the 20 largest exact tokens and reported with
+    // the signed error. Unlike count-min (biased up), the median of
+    // signed projections is unbiased under collisions — this entry
+    // closes the sketch family's frequency corner (bloom=membership,
+    // HLL/KMV=distincts, AMS=F₂, count-min=upper bound). Sketch build
+    // is ONE partial+final hash agg over (row, bucket) — 1280 cells
+    // regardless of corpus size.
+    "q_sketch_countsketch" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val fan = counts
+        .withColumn("r", explode(sequence(lit(0), lit(4))))
+        .withColumn("h", conv(substring(md5(concat(col("r").cast("string"),
+          lit(":"), col("tok"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("b", pmod(col("h"), lit(256L)))
+        .withColumn("sgn",
+          when(pmod(expr("h div 256"), lit(2L)) === 0, 1L).otherwise(-1L))
+      val sketch = fan.groupBy(col("r").as("sr"), col("b").as("sb"))
+        .agg(sum(col("sgn") * col("c")).as("cell"))
+      val top = counts
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+        .filter(col("rn") <= 20).drop("rn")
+      val probes = top
+        .withColumn("r", explode(sequence(lit(0), lit(4))))
+        .withColumn("h", conv(substring(md5(concat(col("r").cast("string"),
+          lit(":"), col("tok"))), 1, 8), 16, 10).cast("long"))
+        .withColumn("b", pmod(col("h"), lit(256L)))
+        .withColumn("sgn",
+          when(pmod(expr("h div 256"), lit(2L)) === 0, 1L).otherwise(-1L))
+        .join(sketch, col("r") === col("sr") && col("b") === col("sb"))
+        .select(col("tok"), col("c"), col("r"), (col("sgn") * col("cell")).as("est"))
+      probes
+        .withColumn("mrn", row_number().over(
+          Window.partitionBy(col("tok")).orderBy(col("est"), col("r"))))
+        .filter(col("mrn") === 3)
+        .select(col("tok"), col("c").as("c_exact"), col("est").as("cs_est"),
+          (col("est") - col("c")).as("err"))
+        .orderBy(col("c_exact").desc, col("tok"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -13183,6 +13326,96 @@ object Relational {
                   FROM walsh)
          SELECT event_type, np AS n_walsh, CAST(ws * 50 AS BIGINT) AS hl_c100
          FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
+    // identical exact counts and closed-form z=2 interval
+    "q_events_wilson_ci" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS s
+                    FROM events GROUP BY 1)
+         SELECT event_type, n, s,
+                CAST((s * 1000000) // n AS BIGINT) AS rate_ppm,
+                round((CAST(s AS DOUBLE) + 2.0
+                       - 2.0 * sqrt(CAST(s AS DOUBLE) * CAST(n - s AS DOUBLE)
+                                    / CAST(n AS DOUBLE) + 1.0))
+                      / (CAST(n AS DOUBLE) + 4.0), 6) + 0.0 AS wilson_lo,
+                round((CAST(s AS DOUBLE) + 2.0
+                       + 2.0 * sqrt(CAST(s AS DOUBLE) * CAST(n - s AS DOUBLE)
+                                    / CAST(n AS DOUBLE) + 1.0))
+                      / (CAST(n AS DOUBLE) + 4.0), 6) + 0.0 AS wilson_hi
+         FROM g ORDER BY event_type""",
+    // identical two-level lattice walk and suppression rollup
+    "q_privacy_generalize" ->
+      """WITH rows_ AS (SELECT lang, n_chars // 100 AS b0, n_chars // 500 AS b1
+                        FROM documents),
+            lvl0 AS (SELECT lang, b0, CAST(count(*) AS BIGINT) AS n
+                     FROM rows_ GROUP BY 1, 2 HAVING count(*) >= 5),
+            rest AS (SELECT r.lang, r.b0, r.b1 FROM rows_ r
+                     LEFT JOIN lvl0 g ON r.lang = g.lang AND r.b0 = g.b0
+                     WHERE g.lang IS NULL),
+            lvl1 AS (SELECT lang, b1, CAST(count(*) AS BIGINT) AS n
+                     FROM rest GROUP BY 1, 2 HAVING count(*) >= 5),
+            supp AS (SELECT r.lang, CAST(count(*) AS BIGINT) AS n FROM rest r
+                     LEFT JOIN lvl1 g ON r.lang = g.lang AND r.b1 = g.b1
+                     WHERE g.lang IS NULL GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(0 AS BIGINT) AS level, lang, CAST(b0 AS VARCHAR) AS bucket, n
+           FROM lvl0
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), lang, CAST(b1 AS VARCHAR), n FROM lvl1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), lang, '*', n FROM supp)
+         ORDER BY level, lang, bucket""",
+    // identical doubled midranks, exact group sums, and sorted fold
+    "q_events_kruskal_wallis" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            bv AS (SELECT c, CAST(count(*) AS BIGINT) AS ct FROM e GROUP BY 1),
+            rk AS (SELECT c, ct,
+                          CAST(coalesce(sum(ct) OVER (ORDER BY c
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS below
+                   FROM bv),
+            r2 AS (SELECT c AS vc, 2 * (below + 1) + ct - 1 AS r2 FROM rk),
+            grp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i,
+                           CAST(sum(r2.r2) AS BIGINT) AS sum_r2
+                    FROM e JOIN r2 ON e.c = r2.vc GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS n_tot FROM grp),
+            st AS (SELECT t.n_tot, CAST(count(*) AS BIGINT) AS n_groups,
+                          list_reduce(list(CAST(sum_r2 AS DOUBLE) * CAST(sum_r2 AS DOUBLE)
+                                           / (4.0 * CAST(n_i AS DOUBLE))
+                                           ORDER BY event_type),
+                                      (x, y) -> x + y) AS st
+                   FROM grp, tot t GROUP BY 1)
+         SELECT n_tot, n_groups,
+                round(3.0 * st / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
+                      - 3.0 * CAST(n_tot + 1 AS DOUBLE), 6) + 0.0 AS h_stat
+         FROM st""",
+    // identical 5×256 signed cells, probes, and 3rd-of-5 median pick
+    "q_sketch_countsketch" ->
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+                      SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+                    WHERE tok <> '' GROUP BY 1),
+            fan AS (SELECT tok, c, r.r,
+                           CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok),
+                                 1, 8))::UBIGINT AS BIGINT) AS h
+                    FROM c, (SELECT unnest(range(5)) AS r) r),
+            cells AS (SELECT r, h % 256 AS b,
+                             CAST(sum((CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                                      * c) AS BIGINT) AS cell
+                      FROM fan GROUP BY 1, 2),
+            top AS (SELECT tok, c FROM (
+                      SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+                      FROM c) WHERE rn <= 20),
+            probes AS (SELECT f.tok, f.c, f.r,
+                              (CASE WHEN (f.h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                                * s.cell AS est
+                       FROM fan f JOIN top t ON f.tok = t.tok
+                            JOIN cells s ON s.r = f.r AND s.b = f.h % 256)
+         SELECT tok, c AS c_exact, CAST(est AS BIGINT) AS cs_est,
+                CAST(est - c AS BIGINT) AS err
+         FROM (SELECT *, row_number() OVER (PARTITION BY tok
+                 ORDER BY est, r) AS mrn FROM probes)
+         WHERE mrn = 3 ORDER BY c_exact DESC, tok""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
