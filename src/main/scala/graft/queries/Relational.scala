@@ -8129,6 +8129,120 @@ object Relational {
           (col("est") - col("c")).as("err"))
         .orderBy(col("c_exact").desc, col("tok"))
     }),
+
+    // Rocchio / nearest-centroid classification — the linear
+    // counterpart to q_ann_knn_classify: per-label integer centroids
+    // (sign-safe floored per-dim means via the pmod shift), then each
+    // held-out vector goes to the nearest centroid by exact integer
+    // squared-L2, reported as a confusion matrix. The distance join is
+    // keyed by DIMENSION (test ⋈ centroids on pos — labels × 64 rows
+    // broadcast), so nothing materializes a labels× test fan-out of
+    // full vectors; at 100 TB the centroid table is still 640 rows.
+    "q_embed_rocchio" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+      val cents64 = e.filter(col("vec_id") % 10 =!= 0)
+        .select(col("label"), posexplode(col("v")))
+        .groupBy(col("label").as("clabel"), col("pos").as("cpos"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+        .select(col("clabel"), col("cpos"),
+          expr("(sx - pmod(sx, n)) div n").as("m"))
+      val test = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("true_label"),
+          posexplode(col("v")))
+      val d2 = test.join(broadcast(cents64), col("pos") === col("cpos"))
+        .groupBy(col("qid"), col("true_label"), col("clabel"))
+        .agg(sum((col("col") - col("m")) * (col("col") - col("m"))).as("d2"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("clabel"))
+      d2.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("true_label"), col("clabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("true_label"), col("pred_label"))
+    }),
+
+    // Lincoln–Petersen capture–recapture — estimate a population's
+    // size from two overlapping samples: the two lexicographically
+    // first sources are the "captures", their distinct token sets the
+    // marked/recaptured animals, N̂ = n₁·n₂ div m. The ecology
+    // estimator is the dedup-QA tool in disguise (how much vocabulary
+    // do two crawl slices miss?) — reported against the true union so
+    // the bias is visible. Everything is a distinct + hash agg on
+    // (source, token); the estimate arithmetic is exact integer.
+    "q_sketch_capture_recapture" -> ((s, dir) => {
+      val srcs = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("srn", row_number().over(Window.orderBy(col("source"))))
+        .filter(col("srn") <= 2)
+      val toks = t(s, dir, "documents")
+        .join(broadcast(srcs), Seq("source"))
+        .select(col("srn"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+      val marks = toks.groupBy(col("tok"))
+        .agg(max(when(col("srn") === 1, 1L).otherwise(0L)).as("in1"),
+          max(when(col("srn") === 2, 1L).otherwise(0L)).as("in2"))
+      marks.agg(sum(col("in1")).as("n1"), sum(col("in2")).as("n2"),
+          sum(col("in1") * col("in2")).as("m"),
+          count(lit(1)).as("n_union"))
+        .filter(col("m") > 0)
+        .select(col("n1"), col("n2"), col("m"), col("n_union"),
+          expr("(n1 * n2) div m").as("lp_estimate"),
+          expr("((n1 * n2) div m - n_union) * 1000000L div n_union").as("bias_ppm"))
+    }),
+
+    // McNemar's paired test — do two quality rules disagree
+    // systematically on the SAME documents? The 2×2 paired table
+    // (length rule ≥ 200 chars vs token rule ≥ 40 tokens) and
+    // χ² = (b−c)²/(b+c) from the discordant cells — the right test
+    // when comparing two classifiers on one corpus (a two-sample test
+    // would ignore the pairing). One scan, one agg, one double ratio.
+    "q_eval_mcnemar" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          when(col("n_chars") >= 200, 1L).otherwise(0L).as("ra"),
+          when(size(split(col("text"), " ")) >= 40, 1L).otherwise(0L).as("rb"))
+        .agg(sum(col("ra") * col("rb")).as("both_pass"),
+          sum(col("ra") * (lit(1L) - col("rb"))).as("b"),
+          sum((lit(1L) - col("ra")) * col("rb")).as("c"),
+          sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("both_fail"))
+        .filter(col("b") + col("c") > 0)
+        .select(col("both_pass"), col("b"), col("c"), col("both_fail"),
+          (round((col("b") - col("c")).cast("double") *
+            (col("b") - col("c")).cast("double") /
+            (col("b") + col("c")).cast("double"), 6) + lit(0.0)).as("chi2"))
+    }),
+
+    // Bucket-exact propensity matching — the observational-causal ATT
+    // next to q_events_did/q_events_its: deterministic treatment
+    // (user_id parity), users matched WITHIN identical activity-score
+    // buckets (exact stratification — the limit of propensity matching
+    // as the caliper → 0), each bucket weighted by its matched-pair
+    // count w = min(n_t, n_c). Per-bucket means are exact c100
+    // integers; the weighted ATT is ONE double division of exact
+    // integer sums. Everything is two hash aggs keyed by bounded
+    // buckets — no per-pair state, which is what makes matching
+    // feasible at 10^9 users.
+    "q_events_psm_bucket" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(cents(col("value"))).as("outcome_c"), count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("outcome_c"),
+          pmod(col("user_id"), lit(2L)).as("treat"),
+          expr("n_ev div 10").as("bucket"))
+      val strata = users.groupBy(col("bucket"))
+        .agg(sum(when(col("treat") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treat") === 1, col("outcome_c"))).as("sum_t"),
+          sum(when(col("treat") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treat") === 0, col("outcome_c"))).as("sum_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .select(col("bucket"), least(col("n_t"), col("n_c")).as("w"),
+          (expr("(sum_t * 100L) div n_t") - expr("(sum_c * 100L) div n_c")).as("diff_c100"))
+      strata.agg(count(lit(1)).as("n_buckets"), sum(col("w")).as("n_matched"),
+          sum(col("w") * col("diff_c100")).as("num"))
+        .select(col("n_buckets"), col("n_matched"),
+          (round(col("num").cast("double") / col("n_matched").cast("double") / 100.0, 6)
+            + lit(0.0)).as("att"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -13416,6 +13530,90 @@ object Relational {
          FROM (SELECT *, row_number() OVER (PARTITION BY tok
                  ORDER BY est, r) AS mrn FROM probes)
          WHERE mrn = 3 ORDER BY c_exact DESC, tok""",
+    // identical sign-safe floored centroids and per-dim distance join
+    "q_embed_rocchio" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            tr AS (SELECT label, d.pos, d.x FROM e,
+                     (SELECT unnest(generate_series(1, 64)) AS pos) p,
+                     LATERAL (SELECT p.pos AS pos, v[p.pos] AS x) d
+                   WHERE vec_id % 10 <> 0),
+            cents AS (SELECT label AS clabel, pos AS cpos,
+                             CAST((sum(x) - (((sum(x) % count(*)) + count(*)) % count(*)))
+                                  // count(*) AS BIGINT) AS m
+                      FROM tr GROUP BY 1, 2),
+            te AS (SELECT vec_id AS qid, label AS true_label, d.pos, d.x FROM e,
+                     (SELECT unnest(generate_series(1, 64)) AS pos) p,
+                     LATERAL (SELECT p.pos AS pos, v[p.pos] AS x) d
+                   WHERE vec_id % 10 = 0),
+            d2 AS (SELECT qid, true_label, clabel,
+                          CAST(sum((x - m) * (x - m)) AS BIGINT) AS d2
+                   FROM te JOIN cents ON te.pos = cents.cpos
+                   GROUP BY 1, 2, 3),
+            pred AS (SELECT qid, true_label, clabel AS pred_label FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY d2, clabel) AS rn FROM d2) WHERE rn = 1)
+         SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical two-sample marks and integer LP estimate
+    "q_sketch_capture_recapture" ->
+      """WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) AS srn
+                       FROM (SELECT DISTINCT source FROM documents)),
+            toks AS (SELECT DISTINCT s.srn, tok FROM documents d
+                     JOIN srcs s ON d.source = s.source AND s.srn <= 2,
+                     unnest(list_distinct(string_split(d.text, ' '))) AS u(tok)
+                     WHERE tok <> ''),
+            marks AS (SELECT tok,
+                             CAST(max(CASE WHEN srn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+                             CAST(max(CASE WHEN srn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in2
+                      FROM toks GROUP BY 1),
+            agg AS (SELECT CAST(sum(in1) AS BIGINT) AS n1,
+                           CAST(sum(in2) AS BIGINT) AS n2,
+                           CAST(sum(in1 * in2) AS BIGINT) AS m,
+                           CAST(count(*) AS BIGINT) AS n_union
+                    FROM marks)
+         SELECT n1, n2, m, n_union,
+                CAST((n1 * n2) // m AS BIGINT) AS lp_estimate,
+                CAST(((n1 * n2) // m - n_union) * 1000000 // n_union AS BIGINT) AS bias_ppm
+         FROM agg WHERE m > 0""",
+    // identical paired 2×2 cells and one double chi-square ratio
+    "q_eval_mcnemar" ->
+      """WITH r AS (SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS ra,
+                           CASE WHEN len(string_split(text, ' ')) >= 40
+                                THEN 1 ELSE 0 END AS rb
+                    FROM documents),
+            agg AS (SELECT CAST(sum(ra * rb) AS BIGINT) AS both_pass,
+                           CAST(sum(ra * (1 - rb)) AS BIGINT) AS b,
+                           CAST(sum((1 - ra) * rb) AS BIGINT) AS c,
+                           CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS both_fail
+                    FROM r)
+         SELECT both_pass, b, c, both_fail,
+                round(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                      / CAST(b + c AS DOUBLE), 6) + 0.0 AS chi2
+         FROM agg WHERE b + c > 0""",
+    // identical strata, matched weights, and one double ATT division
+    "q_events_psm_bucket" ->
+      """WITH u AS (SELECT user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS outcome_c,
+                           CAST(count(*) AS BIGINT) AS n_ev
+                    FROM events GROUP BY 1),
+            uu AS (SELECT user_id, outcome_c, user_id % 2 AS treat,
+                          n_ev // 10 AS bucket FROM u),
+            st AS (SELECT bucket,
+                          CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                          CAST(sum(CASE WHEN treat = 1 THEN outcome_c END) AS BIGINT) AS sum_t,
+                          CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                          CAST(sum(CASE WHEN treat = 0 THEN outcome_c END) AS BIGINT) AS sum_c
+                   FROM uu GROUP BY 1),
+            m AS (SELECT bucket, least(n_t, n_c) AS w,
+                         (sum_t * 100) // n_t - (sum_c * 100) // n_c AS diff_c100
+                  FROM st WHERE n_t > 0 AND n_c > 0)
+         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(w) AS BIGINT) AS n_matched,
+                round(CAST(sum(w * diff_c100) AS DOUBLE)
+                      / CAST(sum(w) AS DOUBLE) / 100.0, 6) + 0.0 AS att
+         FROM m""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
