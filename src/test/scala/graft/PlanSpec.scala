@@ -1166,4 +1166,58 @@ class PlanSpec extends SparkSuite {
     val am = plan("q_sketch_ams")
     assert(!am.contains("CartesianProduct"), am.take(2000))
   }
+
+  test("session-9 additions: classifier/sketch/rolling/rank-test plan shapes") {
+    // kNN classify: the tiny query set broadcasts; candidates stream
+    // through ONE BroadcastHashJoin — never a cartesian or a shuffle
+    // of the full vector table against itself
+    val knn = plan("q_ann_knn_classify")
+    assert(knn.contains("BroadcastHashJoin") || knn.contains("BroadcastNestedLoopJoin"),
+      knn.take(2000))
+    assert(!knn.contains("CartesianProduct"), knn.take(2000))
+    // Rocchio: the 640-row centroid table broadcasts into the per-dim
+    // distance join
+    val ro = plan("q_embed_rocchio")
+    assert(ro.contains("BroadcastHashJoin"), ro.take(2000))
+    assert(!ro.contains("CartesianProduct"), ro.take(2000))
+    // Bollinger: all three frame aggregates ride ONE type-keyed window
+    // exchange, no join anywhere
+    val bo = plan("q_window_bollinger")
+    val boEx = "Exchange hashpartitioning".r.findAllIn(bo).length
+    assert(boEx == 1, s"expected 1 type-keyed exchange, got $boEx:\n${bo.take(2000)}")
+    assert(!bo.contains("Join"), bo.take(2000))
+    // RSI: lag + both rolling sums share the same single exchange
+    val rs = plan("q_window_rsi")
+    val rsEx = "Exchange hashpartitioning".r.findAllIn(rs).length
+    assert(rsEx == 1, s"expected 1 type-keyed exchange, got $rsEx:\n${rs.take(2000)}")
+    // day-grain pair analytics (Theil-Sen / Mann-Kendall / HL /
+    // cross-correlation): every pair fan-out is an equi-join on the
+    // bounded day table — never a cartesian over the event stream
+    for (name <- Seq("q_agg_theilsen", "q_events_mann_kendall",
+        "q_agg_hodges_lehmann", "q_events_crosscorr", "q_events_stl")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // KMV + Count-Sketch: sketch builds are partial+final hash aggs
+    // (map-side combine before the shuffle)
+    for (name <- Seq("q_sketch_kmv", "q_sketch_countsketch")) {
+      val p = plan(name)
+      assert(p.contains("partial"), s"$name:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+    // Kruskal-Wallis: ranks come from the bounded distinct-value
+    // table; the event stream shuffles once for the group sums
+    val kw = plan("q_events_kruskal_wallis")
+    assert(!kw.contains("CartesianProduct"), kw.take(2000))
+    // HITS: every pull is an equi-join + partial/final sum; the
+    // normalizer rides a 1-row broadcast (BNLJ is the sanctioned
+    // 1-row cross shape, a CartesianProduct is not)
+    val hi = plan("q_graph_hits")
+    assert(!hi.contains("CartesianProduct"), hi.take(2000))
+    // TextRank: the pagerank rounds read the checkpointed edge table —
+    // the corpus scan never re-derives per round
+    val tr = plan("q_text_textrank")
+    val trScans = "Scan parquet".r.findAllIn(tr).length
+    assert(trScans == 0, s"textrank rounds re-scan the corpus:\n${tr.take(2000)}")
+  }
 }
