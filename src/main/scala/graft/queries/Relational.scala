@@ -8243,6 +8243,82 @@ object Relational {
           (round(col("num").cast("double") / col("n_matched").cast("double") / 100.0, 6)
             + lit(0.0)).as("att"))
     }),
+
+    // Rolling P10/P90 envelope — the distribution-aware band that
+    // rolling mean±σ (q_window_bollinger) gets wrong on skewed
+    // metrics: the 20-tick frame materializes as a bounded sorted
+    // array (collect_list preserves frame order; sort_array makes the
+    // pick order-free) and both quantiles are exact lower-index picks
+    // — all integers, no interpolation. One type-keyed window
+    // exchange; the frame array is ≤ 20 longs, so the state is
+    // constant per row at any scale.
+    "q_window_rolling_quantiles" -> ((s, dir) => {
+      val fr = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id")).rowsBetween(-19, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+        .withColumn("l", sort_array(collect_list(col("c")).over(fr)))
+        .select(col("event_type"), col("event_id"),
+          size(col("l")).cast("long").as("n"),
+          expr("element_at(l, cast((size(l) - 1) div 10 + 1 as int))").as("p10_c"),
+          expr("element_at(l, cast((9 * (size(l) - 1)) div 10 + 1 as int))").as("p90_c"))
+        .orderBy(col("event_type"), col("event_id"))
+    }),
+
+    // Deterministic pseudo-random graph walk — 3 steps from every node
+    // of the near-dup graph, each step choosing the neighbor with the
+    // smallest md5(u:step:v) (a seeded hash pick, so the "random" walk
+    // is reproducible and engine-portable — the node2vec-style sampler
+    // a 100 TB embedding pipeline runs as joins, not per-node RNG
+    // state). Each step is one equi-join + one bounded window over the
+    // checkpointed edge table; dead ends absorb (stay in place).
+    "q_graph_walk" -> ((s, dir) => {
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id")).distinct()
+      def step(cur: DataFrame, posCol: String, k: Int, outCol: String): DataFrame = {
+        val w = Window.partitionBy(col("wid")).orderBy(col("hk"), col("dst"))
+        val nxt = cur.join(edges, col(posCol) === col("src"))
+          .withColumn("hk", md5(concat(col(posCol).cast("string"),
+            lit(s":$k:"), col("dst").cast("string"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("wid").as("nid"), col("dst").as(outCol))
+        cur.join(nxt, col("wid") === col("nid"), "left")
+          .drop("nid")
+          .withColumn(outCol, coalesce(col(outCol), col(posCol)))
+      }
+      val s0 = nodes.select(col("id").as("wid"), col("id").as("p0"))
+      val s3 = step(step(step(s0, "p0", 1, "p1"), "p1", 2, "p2"), "p2", 3, "p3")
+      s3.select(col("wid").as("doc_id"), col("p1"), col("p2"), col("p3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LSH candidate Hamming histogram — the threshold-tuning
+    // diagnostic behind q_dedup_simhash_pairs: the full distance
+    // distribution of banded candidates (BEFORE the ham ≤ 3 cut), so
+    // the operator's precision/recall trade-off at each threshold is
+    // read off one table. Same banded equi-join as the dedup path —
+    // never all-pairs — then one bounded 33-bucket hash agg.
+    "q_dedup_hamming_hist" -> ((s, dir) => {
+      val bands = simhashes(t(s, dir, "documents").filter(col("doc_id") < 1000))
+        .select(col("doc_id"), col("simhash"),
+          explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("key", expr("shiftright(simhash, band * 8) & 255"))
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+          expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("ham"))
+        .distinct()
+        .groupBy(col("ham")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("ham"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -13614,6 +13690,70 @@ object Relational {
                 round(CAST(sum(w * diff_c100) AS DOUBLE)
                       / CAST(sum(w) AS DOUBLE) / 100.0, 6) + 0.0 AS att
          FROM m""",
+    // identical bounded sorted frame and lower-index quantile picks
+    "q_window_rolling_quantiles" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+            w AS (SELECT event_type, event_id,
+                         list(c) OVER (PARTITION BY event_type
+                           ORDER BY ts_s, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+                  FROM e)
+         SELECT event_type, event_id, CAST(len(l) AS BIGINT) AS n,
+                CAST(list_sort(l)[CAST((len(l) - 1) // 10 + 1 AS INT)] AS BIGINT) AS p10_c,
+                CAST(list_sort(l)[CAST((9 * (len(l) - 1)) // 10 + 1 AS INT)] AS BIGINT) AS p90_c
+         FROM w ORDER BY event_type, event_id""",
+    // identical seeded md5 neighbor picks, 3 unrolled steps
+    "q_graph_walk" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       w0 AS (SELECT id AS wid, id AS p0 FROM nodes),
+       s1 AS (SELECT wid, dst, row_number() OVER (PARTITION BY wid
+                ORDER BY md5(CAST(p0 AS VARCHAR) || ':1:' || CAST(dst AS VARCHAR)), dst) AS rn
+              FROM w0 JOIN edges ON p0 = src),
+       w1 AS (SELECT w0.wid, w0.p0, coalesce(s.dst, w0.p0) AS p1
+              FROM w0 LEFT JOIN (SELECT wid, dst FROM s1 WHERE rn = 1) s USING (wid)),
+       s2 AS (SELECT wid, dst, row_number() OVER (PARTITION BY wid
+                ORDER BY md5(CAST(p1 AS VARCHAR) || ':2:' || CAST(dst AS VARCHAR)), dst) AS rn
+              FROM w1 JOIN edges ON p1 = src),
+       w2 AS (SELECT w1.wid, w1.p1, coalesce(s.dst, w1.p1) AS p2
+              FROM w1 LEFT JOIN (SELECT wid, dst FROM s2 WHERE rn = 1) s USING (wid)),
+       s3 AS (SELECT wid, dst, row_number() OVER (PARTITION BY wid
+                ORDER BY md5(CAST(p2 AS VARCHAR) || ':3:' || CAST(dst AS VARCHAR)), dst) AS rn
+              FROM w2 JOIN edges ON p2 = src),
+       w3 AS (SELECT w2.wid, w2.p2, coalesce(s.dst, w2.p2) AS p3
+              FROM w2 LEFT JOIN (SELECT wid, dst FROM s3 WHERE rn = 1) s USING (wid))
+       SELECT w1.wid AS doc_id, w1.p1, w2.p2, w3.p3
+       FROM w1 JOIN w2 ON w1.wid = w2.wid JOIN w3 ON w1.wid = w3.wid
+       ORDER BY doc_id"""),
+    // identical banded candidates with the threshold cut REMOVED
+    "q_dedup_hamming_hist" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS ham
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       )
+       SELECT ham, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM pairs GROUP BY 1 ORDER BY 1"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

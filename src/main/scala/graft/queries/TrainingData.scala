@@ -78,6 +78,7 @@ object TrainingData {
   val bpeTrainExpectedPath = s"$oracleRoot/bpe_train_expected"
   val orcPath             = s"$oracleRoot/events_orc"
   val xmlPath             = s"$oracleRoot/events_xml"
+  val binFilePath         = s"$oracleRoot/events_binfile"
   val partitionedPath     = s"$oracleRoot/events_partitioned"
   val mergeSchemaPath     = s"$oracleRoot/events_mergeschema"
   val tablePath           = s"$oracleRoot/merge_table"
@@ -750,6 +751,25 @@ object TrainingData {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_c"),
           min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
         .orderBy(col("event_type"))
+    }),
+    // binaryFile source — Spark's opaque-bytes reader (the multimodal
+    // ingest front door: images/audio arrive as files, not rows). A
+    // byte-deterministic CSV is written (repartition(1) +
+    // sortWithinPartitions pins the row order, so the file's md5 is
+    // reproducible), then read back as raw binary and fingerprinted;
+    // DuckDB read_blob() recomputes size and md5 from the same file —
+    // hash equality proves the binary path returns the exact bytes.
+    "q_source_binaryfile" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .repartition(1).sortWithinPartitions(col("event_id"))
+        .write.mode("overwrite").option("header", "true").csv(binFilePath)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.csv").load(binFilePath)
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("length")).as("total_bytes"),
+          min(md5(col("content"))).as("content_md5"))
     }),
     // Hive-partitioned layout round trip: write partitioned BY the
     // filter column, read back with a partition predicate — the
@@ -1474,6 +1494,12 @@ object TrainingData {
                  CAST(min(event_id) AS BIGINT) AS min_id,
                  CAST(max(event_id) AS BIGINT) AS max_id
           FROM events GROUP BY event_type ORDER BY event_type""",
+    // read_blob recomputes size + md5 from the same bytes on disk
+    "q_source_binaryfile" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(size) AS BIGINT) AS total_bytes,
+                 min(md5(decode(content))) AS content_md5
+          FROM read_blob('$binFilePath/*.csv')""",
     // DuckDB reads no XML either — same recompute-from-parquet gate
     "q_source_xml" ->
       s"""SELECT event_type, count(*) AS n,
