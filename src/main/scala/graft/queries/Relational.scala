@@ -8319,6 +8319,163 @@ object Relational {
         .groupBy(col("ham")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("ham"))
     }),
+
+    // Delta-method CI for a RATIO metric — the AB-testing estimator
+    // for revenue-per-event when the USER is the randomization unit
+    // (naive per-event variance is wrong under within-user
+    // correlation; the delta method linearizes R = ΣX/ΣY around the
+    // means). Five exact decimal sums per type over user-level
+    // totals, then R̂, Var(R̂) = (Sxx − 2R̂Sxy + R̂²Syy)/(n·ȳ²·n), and a
+    // ±2se interval — the double formula text is mirrored
+    // token-for-token in the oracle so both engines round identically.
+    "q_events_ratio_delta" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val u = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("x"), count(lit(1)).as("y"))
+      u.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(col("event_type"), col("n"),
+          expr("""round(cast(sx as double) / cast(sy as double), 6) + 0.0d""")
+            .as("ratio_c"),
+          expr("""round(sqrt(greatest(0.0d,
+                 |  ((cast(sxx as double) - cast(sx as double) * cast(sx as double) / cast(n as double))
+                 |   - 2.0d * (cast(sx as double) / cast(sy as double))
+                 |     * (cast(sxy as double) - cast(sx as double) * cast(sy as double) / cast(n as double))
+                 |   + (cast(sx as double) / cast(sy as double)) * (cast(sx as double) / cast(sy as double))
+                 |     * (cast(syy as double) - cast(sy as double) * cast(sy as double) / cast(n as double)))
+                 |  / (cast(n as double) - 1.0d)
+                 |  / (cast(n as double)
+                 |     * (cast(sy as double) / cast(n as double))
+                 |     * (cast(sy as double) / cast(n as double))))), 6) + 0.0d""".stripMargin)
+            .as("se_c"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Binary-embedding Hamming kNN — the 64×-compression retrieval
+    // path (sign-bit vectors, XOR-popcount distance) scored for what
+    // it keeps: top-5 by Hamming vs the exact integer-L2 top-5,
+    // overlap in ppm per query. Bits pack into TWO 32-bit halves (a
+    // 1<<63 would overflow DuckDB's checked shift), so the signature
+    // is 2 longs per vector — the memory-bound regime a 10^11-vector
+    // index actually runs in. Both rankings ride the same broadcast
+    // candidate join as q_ann_topk.
+    "q_embed_hamming_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(x * 1000) as bigint))").as("v"))
+        .withColumn("b0", expr(
+          """aggregate(zip_with(slice(v, 1, 32), sequence(0, 31),
+            |  (x, i) -> CASE WHEN x > 0 THEN shiftleft(1L, cast(i as int)) ELSE 0L END),
+            |  0L, (a, e) -> a + e)""".stripMargin))
+        .withColumn("b1", expr(
+          """aggregate(zip_with(slice(v, 33, 32), sequence(0, 31),
+            |  (x, i) -> CASE WHEN x > 0 THEN shiftleft(1L, cast(i as int)) ELSE 0L END),
+            |  0L, (a, e) -> a + e)""".stripMargin))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("b0").as("q0"), col("b1").as("q1"))
+      val cand = e.as("c").join(broadcast(q), col("qid") =!= col("c.vec_id"))
+      val wH = Window.partitionBy(col("qid")).orderBy(col("ham"), col("nb"))
+      val topH = cand
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          (expr("bit_count(q0 ^ c.b0)") + expr("bit_count(q1 ^ c.b1)"))
+            .cast("long").as("ham"))
+        .withColumn("rn", row_number().over(wH)).filter(col("rn") <= 5)
+        .select(col("qid"), col("nb"))
+      val wE = Window.partitionBy(col("qid")).orderBy(col("d2"), col("nb"))
+      val topE = cand
+        .select(col("qid"), col("c.vec_id").as("nb"),
+          expr("aggregate(zip_with(qv, c.v, (a, b) -> (a - b) * (a - b)), 0L, (x, y) -> x + y)")
+            .as("d2"))
+        .withColumn("rn", row_number().over(wE)).filter(col("rn") <= 5)
+        .select(col("qid").as("eqid"), col("nb").as("enb"))
+      topH.join(topE, col("qid") === col("eqid") && col("nb") === col("enb"),
+          "left_semi")
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+        .select(col("qid"), col("n_overlap"),
+          expr("(n_overlap * 1000000L) div 5").as("recall_ppm"))
+        .orderBy(col("qid"))
+    }),
+
+    // Bottom-k (KMV) Jaccard between two corpus slices — the
+    // one-pass sketch for "how much do these two crawls overlap"
+    // WITHOUT materializing either token set: the k smallest hashes
+    // of the UNION form a uniform sample of it, so the fraction of
+    // the sample present in both sides estimates J directly
+    // (Broder's theorem — the same principle as per-doc MinHash, but
+    // corpus-level and mergeable). Estimate vs exact, error in ppm;
+    // everything before the k-row pick is a hash agg on tokens.
+    "q_sketch_bottomk_jaccard" -> ((s, dir) => {
+      val K = 128
+      val srcs = t(s, dir, "documents").select(col("source")).distinct()
+        .withColumn("srn", row_number().over(Window.orderBy(col("source"))))
+        .filter(col("srn") <= 2)
+      val marks = t(s, dir, "documents")
+        .join(broadcast(srcs), Seq("source"))
+        .select(col("srn"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .filter(col("tok") =!= "").distinct()
+        .groupBy(col("tok"))
+        .agg(max(when(col("srn") === 1, 1L).otherwise(0L)).as("in1"),
+          max(when(col("srn") === 2, 1L).otherwise(0L)).as("in2"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+        .localCheckpoint(true)
+      val exact = marks.agg(sum(col("in1") * col("in2")).as("m"),
+        count(lit(1)).as("u"))
+      val bk = marks
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("tok"))))
+        .filter(col("rn") <= K)
+        .agg(count(lit(1)).as("k_used"),
+          sum(col("in1") * col("in2")).as("k_both"))
+      bk.join(broadcast(exact))
+        .select(col("k_used"), col("k_both"),
+          expr("(k_both * 1000000L) div k_used").as("est_jac_ppm"),
+          expr("(m * 1000000L) div u").as("exact_jac_ppm"))
+        .withColumn("err_ppm", abs(col("est_jac_ppm") - col("exact_jac_ppm")))
+    }),
+
+    // Personalized PageRank — random-walk-with-restart mass anchored
+    // to a seed set (every 100th doc), the standard related-items
+    // recommender over the near-dup graph: teleport goes ONLY to
+    // seeds (pr = 150000·seed + 85·mass div 100, all-long fixed
+    // point), so rank concentrates in the seeds' neighborhoods
+    // instead of spreading globally like q_graph_pagerank. Same
+    // per-round equi-join + partial/final sum shape; 3 rounds, oracle
+    // unrolled by a shared generator.
+    "q_graph_ppr" -> ((s, dir) => {
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+        .localCheckpoint(true)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "dsrc")
+      val nodes = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("id"))
+        .withColumn("seed", when(pmod(col("id"), lit(100L)) === 0, 1L).otherwise(0L))
+        .distinct().localCheckpoint(true)
+      var ranks = nodes.withColumn("pr", col("seed") * 1000000L)
+        .select(col("id"), col("pr")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val prev = ranks
+        val mass = edges.join(deg, col("src") === col("dsrc"))
+          .join(ranks, col("src") === col("id"))
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+        ranks = nodes.join(mass, nodes("id") === mass("dst"), "left")
+          .select(nodes("id"),
+            expr("150000L * seed + (85L * coalesce(m, 0L)) div 100L").as("pr"))
+          .localCheckpoint(true)
+        prev.unpersist()
+      }
+      edges.unpersist()
+      ranks.filter(col("pr") > 0)
+        .select(col("id").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -13754,6 +13911,109 @@ object Relational {
        )
        SELECT ham, CAST(count(*) AS BIGINT) AS n_pairs
        FROM pairs GROUP BY 1 ORDER BY 1"""),
+    // identical five HUGEINT-exact sums and token-for-token mirrored
+    // delta-method double formula
+    "q_events_ratio_delta" ->
+      """WITH u AS (SELECT event_type, user_id,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x,
+                           CAST(count(*) AS BIGINT) AS y
+                    FROM events GROUP BY 1, 2),
+            g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                         sum(CAST(x * x AS HUGEINT)) AS sxx,
+                         sum(CAST(x * y AS HUGEINT)) AS sxy,
+                         sum(CAST(y * y AS HUGEINT)) AS syy
+                  FROM u GROUP BY 1)
+         SELECT event_type, n,
+                round(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE), 6) + 0.0 AS ratio_c,
+                round(sqrt(greatest(0.0,
+                  ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                     * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                  / (CAST(n AS DOUBLE) - 1.0)
+                  / (CAST(n AS DOUBLE)
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))), 6) + 0.0 AS se_c
+         FROM g ORDER BY event_type""",
+    // identical two-half bit packing, XOR-popcount top-5, exact top-5
+    "q_embed_hamming_knn" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            bits AS (SELECT vec_id, v,
+                            CAST(coalesce(sum(CASE WHEN v[p.pos] > 0
+                                 THEN (1::BIGINT << (p.pos - 1)) ELSE 0 END), 0)
+                                 AS BIGINT) AS b0,
+                            CAST(coalesce(sum(CASE WHEN v[p.pos + 32] > 0
+                                 THEN (1::BIGINT << (p.pos - 1)) ELSE 0 END), 0)
+                                 AS BIGINT) AS b1
+                     FROM e, (SELECT unnest(generate_series(1, 32)) AS pos) p
+                     GROUP BY 1, 2),
+            cand AS (SELECT q.vec_id AS qid, c.vec_id AS nb,
+                            CAST(bit_count(xor(q.b0, c.b0))
+                                 + bit_count(xor(q.b1, c.b1)) AS BIGINT) AS ham,
+                            list_reduce(list_transform(list_zip(q.v, c.v),
+                              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d2
+                     FROM bits q JOIN bits c
+                       ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+            th AS (SELECT qid, nb FROM (
+                     SELECT qid, nb, row_number() OVER (PARTITION BY qid
+                       ORDER BY ham, nb) AS rn FROM cand) WHERE rn <= 5),
+            te AS (SELECT qid, nb FROM (
+                     SELECT qid, nb, row_number() OVER (PARTITION BY qid
+                       ORDER BY d2, nb) AS rn FROM cand) WHERE rn <= 5)
+         SELECT th.qid, CAST(count(*) AS BIGINT) AS n_overlap,
+                CAST((count(*) * 1000000) // 5 AS BIGINT) AS recall_ppm
+         FROM th JOIN te ON th.qid = te.qid AND th.nb = te.nb
+         GROUP BY 1 ORDER BY 1""",
+    // identical union bottom-k sample and both Jaccard ratios
+    "q_sketch_bottomk_jaccard" ->
+      """WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) AS srn
+                       FROM (SELECT DISTINCT source FROM documents)),
+            toks AS (SELECT DISTINCT s.srn, tok FROM documents d
+                     JOIN srcs s ON d.source = s.source AND s.srn <= 2,
+                     unnest(list_distinct(string_split(d.text, ' '))) AS u(tok)
+                     WHERE tok <> ''),
+            marks AS (SELECT tok,
+                             CAST(max(CASE WHEN srn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+                             CAST(max(CASE WHEN srn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in2,
+                             CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+                      FROM toks GROUP BY 1),
+            exact AS (SELECT CAST(sum(in1 * in2) AS BIGINT) AS m,
+                             CAST(count(*) AS BIGINT) AS u FROM marks),
+            bk AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                          CAST(sum(in1 * in2) AS BIGINT) AS k_both
+                   FROM (SELECT *, row_number() OVER (ORDER BY h, tok) AS rn
+                         FROM marks) WHERE rn <= 128)
+         SELECT k_used, k_both,
+                CAST((k_both * 1000000) // k_used AS BIGINT) AS est_jac_ppm,
+                CAST((m * 1000000) // u AS BIGINT) AS exact_jac_ppm,
+                CAST(abs((k_both * 1000000) // k_used
+                         - (m * 1000000) // u) AS BIGINT) AS err_ppm
+         FROM bk, exact""",
+    // identical seeded teleport and 3 unrolled integer rounds
+    "q_graph_ppr" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+                        CAST(CASE WHEN doc_id % 100 = 0 THEN 1 ELSE 0 END AS BIGINT) AS seed
+                 FROM documents WHERE doc_id < 1000),
+       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS pr FROM nodes),
+    """ + pprRoundsSql(3) + """
+       SELECT id AS doc_id, pr FROM r3 WHERE pr > 0 ORDER BY doc_id"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
@@ -13791,6 +14051,21 @@ object Relational {
            FROM ${out}r, (SELECT max(raw) AS mx FROM ${out}r) m)"""
       Seq(pull(s"a$i", s"h${i - 1}", "src", "dst"),
         pull(s"h$i", s"a$i", "dst", "src"))
+    }.mkString(",\n")
+
+  /** The n unrolled personalized-pagerank rounds — identical to
+    * [[pagerankRoundsSql]] except the teleport term lands only on
+    * seed nodes (150000·seed instead of a flat 150000). */
+  private def pprRoundsSql(n: Int): String =
+    (1 to n).map { i =>
+      s"""r$i AS (
+         SELECT n.id,
+                CAST(150000 * n.seed + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS pr
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst, sum(r.pr // d.deg) AS m
+           FROM edges e JOIN r${i - 1} r ON r.id = e.src
+                JOIN deg d ON d.src = e.src
+           GROUP BY e.dst) s ON s.dst = n.id)"""
     }.mkString(",\n")
 
   private def pagerankRoundsSql(n: Int): String =
