@@ -8476,6 +8476,79 @@ object Relational {
         .select(col("id").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
     }),
+
+    // TIME-decayed rolling value — q_window_ewma decays per ROW; real
+    // telemetry decays per ELAPSED TIME (a reading 10 days ago should
+    // weigh less than one 10 rows ago). Weight = 2^(20 − gap_days)
+    // (dyadic, clamped at 20 days — exact integers, like the trending
+    // scorer), the ≤8-row frame materializes as a bounded struct list,
+    // and the weighted mean is one fold + one non-negative division.
+    // The frame lambda reads the CURRENT row's timestamp — the
+    // higher-order-function outer reference both engines support.
+    "q_window_time_decay" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id")).rowsBetween(-7, 0)
+      t(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+        .withColumn("fr", collect_list(struct(col("ts_s"), col("c"))).over(w))
+        .select(col("user_id"), col("event_id"),
+          size(col("fr")).cast("long").as("n_frame"),
+          expr("""aggregate(transform(fr,
+                 |  s -> s.c * shiftleft(1L, cast(20 - least(20L, (ts_s - s.ts_s) div 86400) as int))),
+                 |  0L, (a, x) -> a + x) * 100L
+                 |div aggregate(transform(fr,
+                 |  s -> shiftleft(1L, cast(20 - least(20L, (ts_s - s.ts_s) div 86400) as int))),
+                 |  0L, (a, x) -> a + x)""".stripMargin).as("decayed_c100"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // b-bit MinHash (Li & König 2010) — keep ONE bit of each of 32
+    // MinHash values (32 bits/doc instead of 32×64): for b=1 the
+    // agreement fraction a estimates J via Ĵ = max(0, 2a − 1), traded
+    // against the full sketch's precision. Estimated vs EXACT Jaccard
+    // on the banded candidate pairs, error in ppm — the
+    // storage-vs-accuracy readout that decides what a 10^12-doc dedup
+    // index actually stores. Signatures are one 32-column min agg
+    // (map-side combined); candidates come from the shared LSH pairs,
+    // never all-pairs.
+    "q_dedup_minhash_bbit" -> ((s, dir) => {
+      val toks = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("long").as("did"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val minCols = (0 until 32).map(r =>
+        min(conv(substring(md5(concat(lit(s"$r:"), col("tok"))), 1, 8), 16, 10)
+          .cast("long")).as(s"m$r"))
+      val sigs = toks.groupBy(col("did"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("did"),
+          (0 until 32).map(r => expr(s"(m$r & 1L) << $r")).reduce(_ + _).as("sig"))
+        .localCheckpoint(true)
+      val pairs = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val est = pairs
+        .join(sigs.select(col("did").as("da"), col("sig").as("sa")), col("ia") === col("da"))
+        .join(sigs.select(col("did").as("db"), col("sig").as("sb")), col("ib") === col("db"))
+        .select(col("ia"), col("ib"),
+          (lit(32L) - expr("bit_count(sa ^ sb)")).as("agree"))
+        .select(col("ia"), col("ib"),
+          greatest(lit(0L), expr("((2L * agree - 32L) * 1000000L) div 32L")).as("est_ppm"))
+      val sizes = toks.groupBy(col("did")).agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(toks.select(col("did").as("ta"), col("tok")), col("ia") === col("ta"))
+        .join(toks.select(col("did").as("tb"), col("tok").as("tokb")),
+          col("ib") === col("tb") && col("tok") === col("tokb"))
+        .groupBy(col("ia").as("xa"), col("ib").as("xb")).agg(count(lit(1)).as("inter"))
+      est
+        .join(inter, col("ia") === col("xa") && col("ib") === col("xb"), "left")
+        .join(sizes.select(col("did").as("za"), col("sz").as("sza")), col("ia") === col("za"))
+        .join(sizes.select(col("did").as("zb"), col("sz").as("szb")), col("ib") === col("zb"))
+        .select(col("ia"), col("ib"), col("est_ppm"),
+          expr("(coalesce(inter, 0L) * 1000000L) div (sza + szb - coalesce(inter, 0L))")
+            .as("exact_ppm"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .orderBy(col("ia"), col("ib"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14014,6 +14087,64 @@ object Relational {
        r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS pr FROM nodes),
     """ + pprRoundsSql(3) + """
        SELECT id AS doc_id, pr FROM r3 WHERE pr > 0 ORDER BY doc_id"""),
+    // identical dyadic time weights via the same outer-reference fold
+    "q_window_time_decay" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                           CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events WHERE user_id < 20),
+            w AS (SELECT user_id, event_id, ts_s,
+                         list(struct_pack(ts_s := ts_s, c := c)) OVER (
+                           PARTITION BY user_id ORDER BY ts_s, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fr
+                  FROM e)
+         SELECT user_id, event_id, CAST(len(fr) AS BIGINT) AS n_frame,
+                CAST(list_reduce(list_transform(fr,
+                       s -> s.c * (1::BIGINT << CAST(20 - least(20, (ts_s - s.ts_s) // 86400) AS INT))),
+                       (a, x) -> a + x) * 100
+                     // list_reduce(list_transform(fr,
+                       s -> (1::BIGINT << CAST(20 - least(20, (ts_s - s.ts_s) // 86400) AS INT))),
+                       (a, x) -> a + x) AS BIGINT) AS decayed_c100
+         FROM w ORDER BY user_id, event_id""",
+    // identical 32 one-bit minima, agreement estimate, and exact
+    // candidate-pair jaccard
+    "q_dedup_minhash_bbit" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       tk AS (SELECT CAST(doc_id AS BIGINT) AS did,
+                     unnest(list_distinct(string_split(text, ' '))) AS tok
+              FROM documents WHERE doc_id < 1000),
+       mins AS (SELECT did, r.r,
+                       CAST(min(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok), 1, 8))::UBIGINT)
+                            AS BIGINT) AS mh
+                FROM tk, (SELECT unnest(range(32)) AS r) r GROUP BY 1, 2),
+       sg AS (SELECT did, CAST(sum((mh & 1) << r) AS BIGINT) AS sig
+              FROM mins GROUP BY 1),
+       est AS (SELECT p.ia, p.ib,
+                      greatest(0, ((2 * (32 - bit_count(xor(a.sig, b.sig))) - 32)
+                                   * 1000000) // 32) AS est_ppm
+               FROM pairs p JOIN sg a ON p.ia = a.did JOIN sg b ON p.ib = b.did),
+       sizes AS (SELECT did, CAST(count(*) AS BIGINT) AS sz FROM tk GROUP BY 1),
+       inter AS (SELECT p.ia, p.ib, CAST(count(*) AS BIGINT) AS inter
+                 FROM pairs p JOIN tk a ON p.ia = a.did
+                      JOIN tk b ON p.ib = b.did AND a.tok = b.tok
+                 GROUP BY 1, 2)
+       SELECT e.ia, e.ib, CAST(e.est_ppm AS BIGINT) AS est_ppm,
+              CAST((coalesce(i.inter, 0) * 1000000)
+                   // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS BIGINT) AS exact_ppm,
+              CAST(abs(e.est_ppm - (coalesce(i.inter, 0) * 1000000)
+                       // (sa.sz + sb.sz - coalesce(i.inter, 0))) AS BIGINT) AS err_ppm
+       FROM est e LEFT JOIN inter i ON e.ia = i.ia AND e.ib = i.ib
+            JOIN sizes sa ON e.ia = sa.did JOIN sizes sb ON e.ib = sb.did
+       ORDER BY e.ia, e.ib"""),
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
