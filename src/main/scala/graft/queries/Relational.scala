@@ -7574,9 +7574,14 @@ object Relational {
     // back to their exact count (the sketch is lossless below K).
     "q_sketch_kmv" -> ((s, dir) => {
       val K = 64
+      // universe = 3-gram shingles (~1.4k/source), not raw tokens: the
+      // synthetic vocabulary is only ~31 words, which would leave every
+      // source below K and the estimator path dead code
       val toks = t(s, dir, "documents")
-        .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .filter(col("tok") =!= "")
+        .select(col("source"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))")).as("tok"))
         .distinct()
         .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
       val exact = toks.groupBy(col("source"))
@@ -8084,15 +8089,17 @@ object Relational {
     }),
 
     // Count-Sketch (Charikar–Chen–Farach-Colton 2002) — the SIGNED
-    // count-min: 5 rows × 256 buckets of sign-weighted counts, point
-    // estimate = MEDIAN over rows of sign·bucket (an exact 3rd-of-5
-    // pick), probed for the 20 largest exact tokens and reported with
-    // the signed error. Unlike count-min (biased up), the median of
-    // signed projections is unbiased under collisions — this entry
-    // closes the sketch family's frequency corner (bloom=membership,
-    // HLL/KMV=distincts, AMS=F₂, count-min=upper bound). Sketch build
-    // is ONE partial+final hash agg over (row, bucket) — 1280 cells
-    // regardless of corpus size.
+    // count-min: 5 rows × 16 buckets of sign-weighted counts (width
+    // 16 on the ~31-token vocabulary FORCES collisions — at 256 the
+    // sketch would be a collision-free identity and the median pick
+    // dead code), point estimate = MEDIAN over rows of sign·bucket
+    // (an exact 3rd-of-5 pick), probed for the 20 largest exact
+    // tokens and reported with the signed error. Unlike count-min
+    // (biased up), the median of signed projections is unbiased under
+    // collisions — this entry closes the sketch family's frequency
+    // corner (bloom=membership, HLL/KMV=distincts, AMS=F₂,
+    // count-min=upper bound). Sketch build is ONE partial+final hash
+    // agg over (row, bucket) — 80 cells regardless of corpus size.
     "q_sketch_countsketch" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -8103,9 +8110,9 @@ object Relational {
         .withColumn("r", explode(sequence(lit(0), lit(4))))
         .withColumn("h", conv(substring(md5(concat(col("r").cast("string"),
           lit(":"), col("tok"))), 1, 8), 16, 10).cast("long"))
-        .withColumn("b", pmod(col("h"), lit(256L)))
+        .withColumn("b", pmod(col("h"), lit(16L)))
         .withColumn("sgn",
-          when(pmod(expr("h div 256"), lit(2L)) === 0, 1L).otherwise(-1L))
+          when(pmod(expr("h div 16"), lit(2L)) === 0, 1L).otherwise(-1L))
       val sketch = fan.groupBy(col("r").as("sr"), col("b").as("sb"))
         .agg(sum(col("sgn") * col("c")).as("cell"))
       val top = counts
@@ -8116,9 +8123,9 @@ object Relational {
         .withColumn("r", explode(sequence(lit(0), lit(4))))
         .withColumn("h", conv(substring(md5(concat(col("r").cast("string"),
           lit(":"), col("tok"))), 1, 8), 16, 10).cast("long"))
-        .withColumn("b", pmod(col("h"), lit(256L)))
+        .withColumn("b", pmod(col("h"), lit(16L)))
         .withColumn("sgn",
-          when(pmod(expr("h div 256"), lit(2L)) === 0, 1L).otherwise(-1L))
+          when(pmod(expr("h div 16"), lit(2L)) === 0, 1L).otherwise(-1L))
         .join(sketch, col("r") === col("sr") && col("b") === col("sb"))
         .select(col("tok"), col("c"), col("r"), (col("sgn") * col("cell")).as("est"))
       probes
@@ -8415,10 +8422,16 @@ object Relational {
       val srcs = t(s, dir, "documents").select(col("source")).distinct()
         .withColumn("srn", row_number().over(Window.orderBy(col("source"))))
         .filter(col("srn") <= 2)
+      // 3-gram shingle universe (like q_sketch_kmv): raw tokens are a
+      // ~31-word vocabulary shared by every source — J would be 1.0
+      // and the bottom-k sample smaller than k
       val marks = t(s, dir, "documents")
         .join(broadcast(srcs), Seq("source"))
-        .select(col("srn"), explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .filter(col("tok") =!= "").distinct()
+        .select(col("srn"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("srn"), explode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))")).as("tok"))
+        .distinct()
         .groupBy(col("tok"))
         .agg(max(when(col("srn") === 1, 1L).otherwise(0L)).as("in1"),
           max(when(col("srn") === 2, 1L).otherwise(0L)).as("in2"))
@@ -13485,9 +13498,12 @@ object Relational {
     // identical 32-bit md5-prefix hashes, 64th-smallest pick, and
     // integer (K-1)*2^32 // h_K estimate with the exact-below-K fallback
     "q_sketch_kmv" ->
-      """WITH toks AS (SELECT DISTINCT source, tok FROM (
-                         SELECT source, unnest(string_split(text, ' ')) AS tok
-                         FROM documents) WHERE tok <> ''),
+      """WITH ls AS (SELECT source, string_split(text, ' ') AS l FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+            toks AS (SELECT DISTINCT source, tok FROM (
+                       SELECT source, unnest(list_transform(generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tok
+                       FROM ls)),
             h AS (SELECT source, tok,
                          CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
                   FROM toks),
@@ -13810,7 +13826,7 @@ object Relational {
                 round(3.0 * st / (CAST(n_tot AS DOUBLE) * CAST(n_tot + 1 AS DOUBLE))
                       - 3.0 * CAST(n_tot + 1 AS DOUBLE), 6) + 0.0 AS h_stat
          FROM st""",
-    // identical 5×256 signed cells, probes, and 3rd-of-5 median pick
+    // identical 5×16 signed cells, probes, and 3rd-of-5 median pick
     "q_sketch_countsketch" ->
       """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
                       SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -13819,18 +13835,18 @@ object Relational {
                            CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || tok),
                                  1, 8))::UBIGINT AS BIGINT) AS h
                     FROM c, (SELECT unnest(range(5)) AS r) r),
-            cells AS (SELECT r, h % 256 AS b,
-                             CAST(sum((CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+            cells AS (SELECT r, h % 16 AS b,
+                             CAST(sum((CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
                                       * c) AS BIGINT) AS cell
                       FROM fan GROUP BY 1, 2),
             top AS (SELECT tok, c FROM (
                       SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
                       FROM c) WHERE rn <= 20),
             probes AS (SELECT f.tok, f.c, f.r,
-                              (CASE WHEN (f.h // 256) % 2 = 0 THEN 1 ELSE -1 END)
+                              (CASE WHEN (f.h // 16) % 2 = 0 THEN 1 ELSE -1 END)
                                 * s.cell AS est
                        FROM fan f JOIN top t ON f.tok = t.tok
-                            JOIN cells s ON s.r = f.r AND s.b = f.h % 256)
+                            JOIN cells s ON s.r = f.r AND s.b = f.h % 16)
          SELECT tok, c AS c_exact, CAST(est AS BIGINT) AS cs_est,
                 CAST(est - c AS BIGINT) AS err
          FROM (SELECT *, row_number() OVER (PARTITION BY tok
@@ -14045,10 +14061,13 @@ object Relational {
     "q_sketch_bottomk_jaccard" ->
       """WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) AS srn
                        FROM (SELECT DISTINCT source FROM documents)),
-            toks AS (SELECT DISTINCT s.srn, tok FROM documents d
-                     JOIN srcs s ON d.source = s.source AND s.srn <= 2,
-                     unnest(list_distinct(string_split(d.text, ' '))) AS u(tok)
-                     WHERE tok <> ''),
+            ls AS (SELECT s.srn, string_split(d.text, ' ') AS l FROM documents d
+                   JOIN srcs s ON d.source = s.source AND s.srn <= 2
+                   WHERE len(string_split(d.text, ' ')) >= 3),
+            toks AS (SELECT DISTINCT srn, tok FROM (
+                       SELECT srn, unnest(list_transform(generate_series(1, len(l) - 2),
+                         i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tok
+                       FROM ls)),
             marks AS (SELECT tok,
                              CAST(max(CASE WHEN srn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
                              CAST(max(CASE WHEN srn = 2 THEN 1 ELSE 0 END) AS BIGINT) AS in2,
