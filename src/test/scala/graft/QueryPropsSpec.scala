@@ -101,4 +101,80 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("hits")) <=
         r.getLong(r.fieldIndex("n_returned")))
   }
+
+  test("KMV estimator lands within the k=64 error envelope on every source") {
+    // KMV's relative standard error is ~1/sqrt(k-2) ≈ 12.7% at k=64;
+    // assert every per-source estimate is within 5 RSE (a 64% bound —
+    // loose enough to be draw-independent, tight enough to catch a
+    // broken estimator by orders of magnitude) and that the estimator
+    // path actually runs (every source above k distinct hashes).
+    val rows = SparkEntry.queries("q_sketch_kmv")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val nh = r.getLong(r.fieldIndex("n_hashes"))
+      val err = r.getLong(r.fieldIndex("err_ppm"))
+      assert(nh > 64, s"estimator path not exercised: n_hashes=$nh")
+      assert(err <= 640000L, s"KMV err $err ppm exceeds 5 RSE envelope")
+    }
+  }
+
+  test("bottom-k jaccard estimate brackets the exact value within the k envelope") {
+    val r = SparkEntry.queries("q_sketch_bottomk_jaccard")(spark, dir).collect()(0)
+    assert(r.getLong(r.fieldIndex("k_used")) == 128L, "union smaller than k")
+    // binomial s.e. at k=128 is sqrt(J(1-J)/128) <= 4.4%; allow 5 s.e.
+    assert(r.getLong(r.fieldIndex("err_ppm")) <= 221000L,
+      s"bottom-k err ${r.getLong(r.fieldIndex("err_ppm"))} ppm out of envelope")
+  }
+
+  test("count-sketch: collisions present, median estimate sane, sign symmetry") {
+    val rows = SparkEntry.queries("q_sketch_countsketch")(spark, dir).collect()
+    assert(rows.length == 20)
+    // width 16 on a ~31-token vocabulary MUST collide somewhere
+    assert(rows.exists(r => r.getLong(r.fieldIndex("err")) != 0L),
+      "no collisions — sketch degenerated to identity")
+    for (r <- rows) {
+      val c = r.getLong(r.fieldIndex("c_exact"))
+      val est = r.getLong(r.fieldIndex("cs_est"))
+      // a colliding cell adds at most the F1 mass of its bucket; the
+      // median over 5 rows keeps the estimate within ±2× of truth on
+      // this corpus (empirically ±1×; 2× catches sign/index bugs)
+      assert(math.abs(est - c) <= 2 * c,
+        s"count-sketch estimate $est vs exact $c out of envelope")
+    }
+  }
+
+  test("b-bit minhash: estimates correlate with exact jaccard on candidates") {
+    val rows = SparkEntry.queries("q_dedup_minhash_bbit")(spark, dir).collect()
+    assert(rows.length > 100)
+    val pairs = rows.map(r => (r.getLong(r.fieldIndex("est_ppm")),
+      r.getLong(r.fieldIndex("exact_ppm"))))
+    // mean estimate error under b=1 is bounded by the binomial noise of
+    // 32 bits (~2/sqrt(32) ≈ 35% worst case post 2a-1 unclamping);
+    // assert the MEAN abs error stays under 200k ppm — a broken sign or
+    // band would blow this by 3×
+    val meanErr = pairs.map(p => math.abs(p._1 - p._2)).sum.toDouble / pairs.length
+    assert(meanErr <= 200000.0, s"b-bit mean err $meanErr ppm")
+    // and the estimator must separate high-J from low-J candidates:
+    // mean est on the top exact-J quartile > mean est on the bottom
+    val sorted = pairs.sortBy(_._2)
+    val q = pairs.length / 4
+    val lo = sorted.take(q).map(_._1).sum.toDouble / q
+    val hi = sorted.takeRight(q).map(_._1).sum.toDouble / q
+    assert(hi > lo, s"no separation: hi=$hi lo=$lo")
+  }
+
+  test("hamming knn recall is positive and bounded; binary path returns 5 per query") {
+    val rows = SparkEntry.queries("q_embed_hamming_knn")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val n = r.getLong(r.fieldIndex("n_overlap"))
+      assert(n >= 0L && n <= 5L)
+      assert(r.getLong(r.fieldIndex("recall_ppm")) == n * 1000000L / 5L)
+    }
+    // sign-bit hamming must beat random top-5 overlap on average
+    // (random would be ~5/(nVec-1) ≈ 1%): require mean recall >= 10%
+    val mean = rows.map(r => r.getLong(r.fieldIndex("recall_ppm"))).sum /
+      rows.length
+    assert(mean >= 100000L, s"mean hamming recall $mean ppm — signatures broken?")
+  }
 }
