@@ -8562,6 +8562,119 @@ object Relational {
         .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
         .orderBy(col("ia"), col("ib"))
     }),
+
+    // Cochran–Mantel–Haenszel pooled odds ratio — the
+    // confounding-adjusted effect next to q_events_odds_ratio (crude)
+    // and q_events_psm_bucket (matching): per activity stratum a 2×2
+    // of treatment (user parity) × conversion (any purchase), pooled
+    // as OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ). Stratum terms are doubles
+    // folded in SORTED stratum order (the deterministic-summation
+    // rule); the crude OR rides along so Simpson's-paradox gaps are
+    // visible in one row. Two bounded hash aggs — nothing scales past
+    // the stratum count.
+    "q_events_cmh" -> ((s, dir) => {
+      // conversion = purchase share ≥ 1/5 (any-purchase would be
+      // degenerate: at ~67 events/user every user purchases at least
+      // once and the 2×2 loses both negative cells)
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(pmod(col("user_id"), lit(2L)).as("treat"),
+          when(col("np") * 5L >= col("n_ev"), 1L).otherwise(0L).as("conv"),
+          expr("n_ev div 10").as("bucket"))
+      val st = u.groupBy(col("bucket"))
+        .agg(sum(when(col("treat") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("treat") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("treat") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("treat") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      st.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+          sum(col("c")).as("sc"), sum(col("d")).as("sd"),
+          aggregate(sort_array(collect_list(struct(col("bucket"),
+            (col("a").cast("double") * col("d").cast("double") /
+              col("n").cast("double")).as("t")))),
+            lit(0.0d), (acc, e) => acc + e.getField("t")).as("num"),
+          aggregate(sort_array(collect_list(struct(col("bucket"),
+            (col("b").cast("double") * col("c").cast("double") /
+              col("n").cast("double")).as("t")))),
+            lit(0.0d), (acc, e) => acc + e.getField("t")).as("den"))
+        .filter(col("den") > 0.0d && col("sb") * col("sc") > 0)
+        .select(col("n_strata"),
+          (round(col("num") / col("den"), 6) + lit(0.0)).as("or_mh"),
+          (round((col("sa").cast("double") * col("sd").cast("double")) /
+            (col("sb").cast("double") * col("sc").cast("double")), 6)
+            + lit(0.0)).as("or_crude"))
+    }),
+
+    // ε-DP MEAN release — q_privacy_dp_hist releases counts; a mean
+    // needs TWO draws (noisy clamped sum with sensitivity 1000, noisy
+    // count with sensitivity 1) composed as a ratio. The same exact
+    // dyadic inverse-CDF geometric draw (md5-seeded, integer
+    // floor-log2 — QueryPropsSpec enumerates its distribution), so
+    // the release replays bit-identically in both engines; the true
+    // values stay in the output because this AUDITS the mechanism.
+    "q_privacy_dp_mean" -> ((s, dir) => {
+      def noise(salt: String): Column = {
+        val h = s"conv(substring(md5(concat(source, ':$salt')), 1, 5), 16, 10)"
+        expr(s"""CASE WHEN pmod($h, 2) = 1
+                |  THEN (length(bin(524288 div (($h div 2) + 1))) - 1)
+                |  ELSE -(length(bin(524288 div (($h div 2) + 1))) - 1)
+                |END""".stripMargin).cast("long")
+      }
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(least(col("n_chars"), lit(1000L))).as("sum_clamped"))
+        .withColumn("noise_sum", noise("sum") * 1000L)
+        .withColumn("noise_n", noise("n"))
+        .select(col("source"), col("n"), col("sum_clamped"),
+          col("noise_sum"), col("noise_n"),
+          expr("""(greatest(0L, sum_clamped + noise_sum) * 100L)
+                 | div greatest(1L, n + noise_n)""".stripMargin).as("dp_mean_c100"))
+        .orderBy(col("source"))
+    }),
+
+    // Empirical-Bayes rate shrinkage — the small-sample ranking fix
+    // every leaderboard needs: per-user purchase rates shrunk toward
+    // the global rate with prior strength m=100, so a 1/1 user stops
+    // outranking a 95/100 user. Raw rate is exact integer ppm; the
+    // shrunk rate is ONE mirrored double formula around the global
+    // ratio. Two hash aggs (user grain, then a 1-row broadcast).
+    "q_events_eb_shrinkage" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s"))
+      val g = u.agg(sum(col("n")).as("gn"), sum(col("s")).as("gs"))
+      u.crossJoin(broadcast(g))
+        .select(col("user_id"), col("n"), col("s"),
+          expr("(s * 1000000L) div n").as("raw_ppm"),
+          (round((col("s").cast("double") + lit(100.0d) *
+            (col("gs").cast("double") / col("gn").cast("double"))) /
+            (col("n").cast("double") + 100.0d), 6) + lit(0.0)).as("shrunk_rate"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Local-peak detection with neighbor prominence — the first pass
+    // of every alerting pipeline (find the spike days, report how far
+    // they stand above both shoulders). Strict-neighbor maxima on the
+    // daily series; all integer; one type-keyed window.
+    "q_events_peak_detect" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("pc", lag(col("c"), 1).over(w))
+        .withColumn("nc", lead(col("c"), 1).over(w))
+        .filter(col("pc").isNotNull && col("nc").isNotNull &&
+          col("c") > col("pc") && col("c") > col("nc"))
+        .select(col("event_type"), col("day"), col("c"),
+          (col("c") - greatest(col("pc"), col("nc"))).as("prominence"))
+        .orderBy(col("event_type"), col("day"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14164,6 +14277,84 @@ object Relational {
        FROM est e LEFT JOIN inter i ON e.ia = i.ia AND e.ib = i.ib
             JOIN sizes sa ON e.ia = sa.did JOIN sizes sb ON e.ib = sb.did
        ORDER BY e.ia, e.ib"""),
+    // identical strata, sorted double folds, and crude-OR contrast
+    "q_events_cmh" ->
+      """WITH u AS (SELECT user_id % 2 AS treat,
+                           CAST(CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                              THEN 1 ELSE 0 END) * 5 >= count(*)
+                                THEN 1 ELSE 0 END AS BIGINT) AS conv,
+                           count(*) // 10 AS bucket
+                    FROM events GROUP BY user_id),
+            st AS (SELECT bucket,
+                          CAST(sum(CASE WHEN treat = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                          CAST(sum(CASE WHEN treat = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                          CAST(sum(CASE WHEN treat = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                          CAST(sum(CASE WHEN treat = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+                   FROM u GROUP BY 1),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+                         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+                         CAST(sum(c) AS BIGINT) AS sc, CAST(sum(d) AS BIGINT) AS sd,
+                         list_reduce(list(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                          / CAST(a + b + c + d AS DOUBLE)
+                                          ORDER BY bucket), (x, y) -> x + y) AS num,
+                         list_reduce(list(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                                          / CAST(a + b + c + d AS DOUBLE)
+                                          ORDER BY bucket), (x, y) -> x + y) AS den
+                  FROM st)
+         SELECT n_strata, round(num / den, 6) + 0.0 AS or_mh,
+                round((CAST(sa AS DOUBLE) * CAST(sd AS DOUBLE))
+                      / (CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE)), 6) + 0.0 AS or_crude
+         FROM g WHERE den > 0.0 AND sb * sc > 0""",
+    // identical seeded dyadic draws (per-salt md5) and guarded ratio
+    "q_privacy_dp_mean" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(least(n_chars, 1000)) AS BIGINT) AS sum_clamped
+                    FROM documents GROUP BY 1),
+            h AS (SELECT source, n, sum_clamped,
+                         CAST(('0x' || substr(md5(source || ':sum'), 1, 5))::UBIGINT AS BIGINT) AS hs,
+                         CAST(('0x' || substr(md5(source || ':n'), 1, 5))::UBIGINT AS BIGINT) AS hn
+                  FROM c),
+            m AS (SELECT source, n, sum_clamped,
+                         CAST((CASE WHEN hs % 2 = 1
+                               THEN length(bin(524288 // ((hs // 2) + 1))) - 1
+                               ELSE -(length(bin(524288 // ((hs // 2) + 1))) - 1)
+                               END) * 1000 AS BIGINT) AS noise_sum,
+                         CAST(CASE WHEN hn % 2 = 1
+                              THEN length(bin(524288 // ((hn // 2) + 1))) - 1
+                              ELSE -(length(bin(524288 // ((hn // 2) + 1))) - 1)
+                              END AS BIGINT) AS noise_n
+                  FROM h)
+         SELECT source, n, sum_clamped, noise_sum, noise_n,
+                CAST((greatest(0, sum_clamped + noise_sum) * 100)
+                     // greatest(1, n + noise_n) AS BIGINT) AS dp_mean_c100
+         FROM m ORDER BY source""",
+    // identical user grain, global ratio, and mirrored shrink formula
+    "q_events_eb_shrinkage" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(CASE WHEN event_type = 'purchase'
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS s
+                    FROM events GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS gn,
+                         CAST(sum(s) AS BIGINT) AS gs FROM u)
+         SELECT user_id, n, s,
+                CAST((s * 1000000) // n AS BIGINT) AS raw_ppm,
+                round((CAST(s AS DOUBLE) + 100.0
+                       * (CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)))
+                      / (CAST(n AS DOUBLE) + 100.0), 6) + 0.0 AS shrunk_rate
+         FROM u, g ORDER BY user_id""",
+    // identical strict-neighbor maxima and prominence
+    "q_events_peak_detect" ->
+      """WITH daily AS (SELECT event_type,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            n AS (SELECT event_type, day, c,
+                         lag(c, 1) OVER w AS pc, lead(c, 1) OVER w AS nc
+                  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         SELECT event_type, day, c,
+                CAST(c - greatest(pc, nc) AS BIGINT) AS prominence
+         FROM n WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
+         ORDER BY event_type, day""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
