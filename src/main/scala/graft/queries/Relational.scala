@@ -8675,6 +8675,58 @@ object Relational {
           (col("c") - greatest(col("pc"), col("nc"))).as("prominence"))
         .orderBy(col("event_type"), col("day"))
     }),
+
+    // Daily top-k churn — how stable is the leaderboard: the top-3
+    // users by daily event count, overlapped against the previous
+    // day's top-3 (equi-join on day+1, never a window over users).
+    // High churn means the heavy-hitter set is noise, low churn means
+    // skew is structural (and the salting strategy can be static).
+    // Day-grain tables bound everything after the first agg.
+    "q_events_topk_churn" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("day")).orderBy(col("c").desc, col("user_id"))
+      val top = daily.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).select(col("day"), col("user_id"))
+        .localCheckpoint(true)
+      val prev = top.select((col("day") + 1).as("pday"), col("user_id").as("puid"))
+      val common = top.join(prev,
+          col("day") === col("pday") && col("user_id") === col("puid"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_common"))
+      val minDay = top.agg(min(col("day")).as("min_day"))
+      top.select(col("day")).distinct()
+        .join(common, Seq("day"), "left")
+        .crossJoin(broadcast(minDay))
+        .filter(col("day") > col("min_day"))
+        .select(col("day"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (lit(3L) - coalesce(col("n_common"), lit(0L))).as("churn"))
+        .orderBy(col("day"))
+    }),
+
+    // Top user journeys — the first 3 events of every user's stream
+    // folded into a path string and ranked: the entry-funnel shape
+    // product analytics opens with. One user-keyed window (bounded to
+    // 3 rows per user by the rank filter), one path hash agg, one
+    // top-10 pick with a total (count desc, path) order.
+    "q_events_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val paths = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"))
+        .agg(concat_ws(">",
+          min(when(col("rn") === 1, col("event_type"))),
+          min(when(col("rn") === 2, col("event_type"))),
+          min(when(col("rn") === 3, col("event_type")))).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("path"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("path"), col("n"))
+        .orderBy(col("rank"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14355,6 +14407,40 @@ object Relational {
                 CAST(c - greatest(pc, nc) AS BIGINT) AS prominence
          FROM n WHERE pc IS NOT NULL AND nc IS NOT NULL AND c > pc AND c > nc
          ORDER BY event_type, day""",
+    // identical daily top-3 pick and day+1 overlap join
+    "q_events_topk_churn" ->
+      """WITH daily AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                               user_id, CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            top AS (SELECT day, user_id FROM (
+                      SELECT day, user_id, row_number() OVER (PARTITION BY day
+                        ORDER BY c DESC, user_id) AS rn FROM daily) WHERE rn <= 3),
+            com AS (SELECT t.day, CAST(count(*) AS BIGINT) AS n_common
+                    FROM top t JOIN top p
+                      ON t.day = p.day + 1 AND t.user_id = p.user_id
+                    GROUP BY 1),
+            days AS (SELECT DISTINCT day FROM top),
+            md AS (SELECT min(day) AS min_day FROM top)
+         SELECT d.day, coalesce(c.n_common, 0) AS n_common,
+                CAST(3 - coalesce(c.n_common, 0) AS BIGINT) AS churn
+         FROM days d LEFT JOIN com c ON d.day = c.day, md
+         WHERE d.day > md.min_day ORDER BY d.day""",
+    // identical first-3 fold and top-10 total order
+    "q_events_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS rn
+                    FROM events),
+            p AS (SELECT user_id,
+                         concat_ws('>',
+                           min(CASE WHEN rn = 1 THEN event_type END),
+                           min(CASE WHEN rn = 2 THEN event_type END),
+                           min(CASE WHEN rn = 3 THEN event_type END)) AS path
+                  FROM r WHERE rn <= 3 GROUP BY 1),
+            c AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+         SELECT CAST(rank AS BIGINT) AS rank, path, n FROM (
+           SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+           FROM c) WHERE rank <= 10 ORDER BY rank""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -69,6 +69,7 @@ object TrainingData {
   val difflibExpectedPath = s"$oracleRoot/difflib_expected"
   val convTurnsPath       = s"$oracleRoot/conv_turns"
   val convStatsPath       = s"$oracleRoot/conv_stats_turns"
+  val convLenPath         = s"$oracleRoot/conv_len_turns"
   val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
@@ -1030,6 +1031,32 @@ object TrainingData {
         .orderBy(col("role"))
     }),
 
+    // per-role turn-length distribution — exact lower-pick quantiles
+    // (p25/p50/p75/p95) of token counts conditioned on speaker role:
+    // the context-budget planning table (how much window do assistant
+    // turns cost vs tool dumps). One role-partitioned rank window over
+    // the bounded 3-role vocabulary; picks are exact integers.
+    "q_conv_length_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convLenPath)
+      val w = Window.partitionBy(col("role"))
+        .orderBy(col("n_toks"), col("conv_id"), col("turn_idx"))
+      val ranked = s.read.parquet(convLenPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("nt", count(lit(1)).over(Window.partitionBy(col("role"))))
+      ranked.groupBy(col("role"), col("nt").as("n_turns"))
+        .agg(min(when(col("rn") === expr("(nt * 25L) div 100L + 1L"), col("n_toks"))).as("p25"),
+          min(when(col("rn") === expr("(nt * 50L) div 100L + 1L"), col("n_toks"))).as("p50"),
+          min(when(col("rn") === expr("(nt * 75L) div 100L + 1L"), col("n_toks"))).as("p75"),
+          min(when(col("rn") === expr("(nt * 95L) div 100L + 1L"), col("n_toks"))).as("p95"))
+        .orderBy(col("role"))
+    }),
+
     // role-transition bigrams — the conversation-grammar audit (does
     // assistant follow user; how often does a tool turn interpose):
     // per-conv lead() over turn order, then one bounded 3×3 hash agg
@@ -1368,6 +1395,18 @@ object TrainingData {
                  CAST(max(n_toks) AS BIGINT) AS max_toks
           FROM read_parquet('$convStatsPath/*.parquet')
           GROUP BY role ORDER BY role""",
+    "q_conv_length_quantiles" ->
+      s"""WITH r AS (SELECT role, n_toks,
+                            row_number() OVER (PARTITION BY role
+                              ORDER BY n_toks, conv_id, turn_idx) AS rn,
+                            CAST(count(*) OVER (PARTITION BY role) AS BIGINT) AS nt
+                     FROM read_parquet('$convLenPath/*.parquet'))
+          SELECT role, nt AS n_turns,
+                 CAST(min(CASE WHEN rn = (nt * 25) // 100 + 1 THEN n_toks END) AS BIGINT) AS p25,
+                 CAST(min(CASE WHEN rn = (nt * 50) // 100 + 1 THEN n_toks END) AS BIGINT) AS p50,
+                 CAST(min(CASE WHEN rn = (nt * 75) // 100 + 1 THEN n_toks END) AS BIGINT) AS p75,
+                 CAST(min(CASE WHEN rn = (nt * 95) // 100 + 1 THEN n_toks END) AS BIGINT) AS p95
+          FROM r GROUP BY 1, 2 ORDER BY role""",
     "q_conv_role_bigrams" ->
       s"""WITH trans AS (
             SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
