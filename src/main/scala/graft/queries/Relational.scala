@@ -8727,6 +8727,57 @@ object Relational {
         .select(col("rank"), col("path"), col("n"))
         .orderBy(col("rank"))
     }),
+
+    // SoftDeDup down-weighting — instead of DROPPING near-duplicates
+    // (q_curate_corpus), keep every document and down-weight it by its
+    // duplication mass: w = 10⁶ div component_size, so a 5-way clone
+    // cluster contributes one document's worth of gradient in
+    // training. Rides the memoized pair→component resolution — one
+    // extra bounded hash agg over components, nothing else.
+    "q_dedup_soft_weights" -> ((s, dir) => {
+      val comps = resolveComponents(s, dir)
+      val sizes = comps.groupBy(col("component").as("comp"))
+        .agg(count(lit(1)).as("csize"))
+      comps.join(sizes, col("component") === col("comp"))
+        .select(col("doc_id"), col("component"), col("csize"),
+          expr("1000000L div csize").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered semi join — the runtime-filter pattern written
+    // out explicitly: the dim side's keys fold into a 256-bit bloom
+    // (8×32-bit words, one bit_or agg), the bloom broadcasts into the
+    // fact scan as a cheap 2-probe membership test, and only the
+    // survivors reach the exact semi join. The final aggregate is
+    // EXACTLY the plain semi join's (a bloom only false-positives, so
+    // hash equality against the bloom-free oracle proves no true
+    // member was dropped) — at 100 TB the prefilter is what keeps the
+    // fact-side shuffle proportional to matches, not to the corpus.
+    "q_join_bloom_prefilter" -> ((s, dir) => {
+      val supp = t(s, dir, "supplier")
+        .filter(col("s_nationkey") % 5 === 0)
+        .select(col("s_suppkey").cast("long").as("k"))
+      def h(c: String, off: Int) =
+        s"conv(substring(md5(cast($c as string)), ${off}, 8), 16, 10) % 256"
+      def contrib(hx: String, w: Int) =
+        s"(case when ($hx) div 32 = $w then shiftleft(1L, cast(($hx) % 32 as int)) else 0L end)"
+      val wordAggs = (0 until 8).map(w =>
+        expr(s"bit_or(${contrib(h("k", 1), w)} | ${contrib(h("k", 9), w)})").as(s"w$w"))
+      val bloom = supp.agg(wordAggs.head, wordAggs.tail: _*)
+      val warr = s"array(${(0 until 8).map(i => s"w$i").mkString(",")})"
+      def member(c: String, off: Int) =
+        s"(element_at($warr, cast((${h(c, off)}) div 32 as int) + 1) & " +
+          s"shiftleft(1L, cast((${h(c, off)}) % 32 as int))) != 0L"
+      val pre = t(s, dir, "lineitem")
+        .select(col("l_suppkey").cast("long").as("lk"),
+          col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .crossJoin(broadcast(bloom))
+        .filter(expr(member("lk", 1) + " AND " + member("lk", 9)))
+      pre.join(broadcast(supp), col("lk") === col("k"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14441,6 +14492,43 @@ object Relational {
          SELECT CAST(rank AS BIGINT) AS rank, path, n FROM (
            SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
            FROM c) WHERE rank <= 10 ORDER BY rank""",
+    // the same recursive-CTE components, weighted instead of filtered
+    "q_dedup_soft_weights" -> (simhashCte(" WHERE doc_id < 1000")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       nodes AS (SELECT DISTINCT CAST(doc_id AS BIGINT) AS id
+                 FROM documents WHERE doc_id < 1000),
+       reach(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+       ),
+       comp AS (SELECT id AS doc_id, min(lbl) AS component FROM reach GROUP BY id),
+       sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+              FROM comp GROUP BY 1)
+       SELECT c.doc_id, c.component, s.csize,
+              CAST(1000000 // s.csize AS BIGINT) AS weight_ppm
+       FROM comp c JOIN sz s USING (component) ORDER BY c.doc_id"""),
+    // the bloom-free plain semi join: hash equality proves the bloom
+    // prefilter dropped no true member
+    "q_join_bloom_prefilter" ->
+      """SELECT l.l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem l
+         WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier
+                               WHERE s_nationkey % 5 = 0)
+         GROUP BY 1 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

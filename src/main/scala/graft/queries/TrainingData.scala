@@ -70,6 +70,7 @@ object TrainingData {
   val convTurnsPath       = s"$oracleRoot/conv_turns"
   val convStatsPath       = s"$oracleRoot/conv_stats_turns"
   val convLenPath         = s"$oracleRoot/conv_len_turns"
+  val convStripPath       = s"$oracleRoot/conv_strip_turns"
   val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
@@ -1031,6 +1032,32 @@ object TrainingData {
         .orderBy(col("role"))
     }),
 
+    // boilerplate strip ratio by dialect — how much of each payload
+    // survives main-content extraction (the north rule's core
+    // transform, read as an analytics table): extracted_text length
+    // over raw payload length per dialect, exact ppm. The generator's
+    // independent expected-output sidecar supplies the ground-truth
+    // extraction, so this also cross-checks the extractor's output
+    // MASS per dialect against DuckDB's own aggregation of it.
+    "q_conv_strip_ratio" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthWithExpected(s, 400L, 8).toDF()
+        .select(col("_1.conv_id").as("conv_id"),
+          col("_1.turn_idx").as("turn_idx"),
+          col("_1.tool").as("dialect"),
+          length(col("_1.text")).cast("long").as("payload_len"),
+          length(col("_2.extracted_text")).cast("long").as("extracted_len"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convStripPath)
+      s.read.parquet(convStripPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy(col("dialect"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(col("payload_len")).as("sum_payload"),
+          sum(col("extracted_len")).as("sum_extracted"),
+          expr("(sum(extracted_len) * 1000000L) div sum(payload_len)").as("keep_ppm"))
+        .orderBy(col("dialect"))
+    }),
+
     // per-role turn-length distribution — exact lower-pick quantiles
     // (p25/p50/p75/p95) of token counts conditioned on speaker role:
     // the context-budget planning table (how much window do assistant
@@ -1395,6 +1422,13 @@ object TrainingData {
                  CAST(max(n_toks) AS BIGINT) AS max_toks
           FROM read_parquet('$convStatsPath/*.parquet')
           GROUP BY role ORDER BY role""",
+    "q_conv_strip_ratio" ->
+      s"""SELECT dialect, count(*) AS n_turns,
+                 CAST(sum(payload_len) AS BIGINT) AS sum_payload,
+                 CAST(sum(extracted_len) AS BIGINT) AS sum_extracted,
+                 CAST((sum(extracted_len) * 1000000) // sum(payload_len) AS BIGINT) AS keep_ppm
+          FROM read_parquet('$convStripPath/*.parquet')
+          GROUP BY dialect ORDER BY dialect""",
     "q_conv_length_quantiles" ->
       s"""WITH r AS (SELECT role, n_toks,
                             row_number() OVER (PARTITION BY role
