@@ -337,18 +337,27 @@ object TableIO {
     val dir = Paths.get(root, s"bucket=$b")
     val hasData = listDir(dir).exists(_.getFileName.toString.endsWith(".parquet"))
     if (!hasData) spark.emptyDataset[ExtractedTurn] // point-lookup miss
-    else spark.read.parquet(dir.toString)
-      .filter(col("conv_id") === convId)
-      .as[ExtractedTurn]
+    else {
+      val base = spark.read.parquet(dir.toString)
+        .filter(col("conv_id") === convId)
+      val (snap, _) = committed(root)
+      val df = if (snap < 0) base
+               else applyMorDeletes(base, spark, root, snap,
+                 lineage(root).filter(_.bucket == b))
+      df.as[ExtractedTurn]
+    }
   }
 
   def readExtracted(spark: SparkSession, root: String): Dataset[ExtractedTurn] = {
     import spark.implicits._
     recoverCompaction(root) // restore any bucket parked by a crashed compaction
     recoverMerge(root)      // roll back any merge that died before its publish
-    spark.read.option("basePath", root).parquet(root)
+    val base = spark.read.option("basePath", root).parquet(root)
       .drop("bucket")
-      .as[ExtractedTurn]
+    val (snap, _) = committed(root)
+    val df = if (snap < 0) base
+             else applyMorDeletes(base, spark, root, snap, lineage(root))
+    df.as[ExtractedTurn]
   }
 
   /** Snapshot time travel — read the table as of snapshot `asOfSnapshot`.
@@ -369,7 +378,9 @@ object TableIO {
     recoverMerge(root)
     require(snapshotIds(root).contains(asOfSnapshot),
       s"no snapshot $asOfSnapshot under $root/_snapshots (have ${snapshotIds(root).mkString(",")})")
-    versionedDf(spark, root, lineageAtStrict(root, asOfSnapshot)).as[ExtractedTurn]
+    val lin = lineageAtStrict(root, asOfSnapshot)
+    applyMorDeletes(versionedDf(spark, root, lin), spark, root,
+      asOfSnapshot, lin).as[ExtractedTurn]
   }
 
   /** Incremental read — the rows added OR rewritten between `fromSnap`
@@ -395,8 +406,13 @@ object TableIO {
     val before: Set[(Int, Int)] =
       if (fromSnap == -1) Set.empty
       else lineageAtStrict(root, fromSnap).map(l => (l.bucket, l.version)).toSet
-    val added = lineageAtStrict(root, toSnap).filterNot(l => before((l.bucket, l.version)))
-    versionedDf(spark, root, added).as[ExtractedTurn]
+    val linTo = lineageAtStrict(root, toSnap)
+    val added = linTo.filterNot(l => before((l.bucket, l.version)))
+    // MoR records applicable at toSnap filter the incremental state
+    // exactly like a full read (a consumer materializing changes must
+    // not resurrect rows a delete file already removed)
+    applyMorDeletes(versionedDf(spark, root, added), spark, root,
+      toSnap, linTo).as[ExtractedTurn]
   }
 
   /** Net-effect changelog (CDC scan) between two snapshots: one row per
@@ -429,8 +445,17 @@ object TableIO {
     val lb = lineageAtStrict(root, toSnap)
     val va = la.map(l => (l.bucket, l.version)).toSet
     val vb = lb.map(l => (l.bucket, l.version)).toSet
-    val oldRows = versionedDf(spark, root, la.filterNot(l => vb((l.bucket, l.version))))
-    val newRows = versionedDf(spark, root, lb.filterNot(l => va((l.bucket, l.version))))
+    // both states are delete-APPLIED so the version-diff below sees
+    // exactly what a reader at each snapshot sees (a bucket rewritten
+    // in-window after an MoR delete folds the delete into new bytes;
+    // the old state must drop the same keys only if the delete was
+    // already committed at fromSnap)
+    val oldRows = applyMorDeletes(
+      versionedDf(spark, root, la.filterNot(l => vb((l.bucket, l.version)))),
+      spark, root, fromSnap, la)
+    val newRows = applyMorDeletes(
+      versionedDf(spark, root, lb.filterNot(l => va((l.bucket, l.version)))),
+      spark, root, toSnap, lb)
     // ordering-based struct compare: null fields compare equal, arrays
     // elementwise — exactly the row-identity the archive bytes carry
     val o = oldRows.select(col("conv_id").as("k1"), col("turn_idx").as("k2"),
@@ -444,7 +469,45 @@ object TableIO {
     val ins = j.filter(col("n_row").isNotNull &&
         (col("o_row").isNull || col("o_row") =!= col("n_row")))
       .select(lit("insert").as("op"), col("n_row").as("row"))
-    dels.unionByName(ins).select(col("op"), col("row.*"))
+    // MoR-delta: delete records committed in-window against buckets
+    // whose (bucket, version) is UNCHANGED between the two manifests —
+    // those buckets never enter the version diff above, so their
+    // delete files are the only change and the shared bytes carry the
+    // old payloads. (A bucket rewritten in-window surfaces its MoR
+    // deletes through the delete-applied version diff already.)
+    val common = la.filter(l => vb((l.bucket, l.version)))
+    val commonPairs = common.map(l => (l.bucket, l.version)).toSet
+    val hit = deleteSetIds(root)
+      .filter(id => id > fromSnap && id <= toSnap)
+      .filter(id => deleteSetPairs(root, id).exists(commonPairs))
+    val morDels =
+      if (hit.isEmpty) None
+      else {
+        val hitPairs = hit.flatMap(deleteSetPairs(root, _)).toSet & commonPairs
+        val recs = spark.read.parquet(
+          hit.map(id => deleteSetDir(root, id).resolve("keys").toString): _*)
+        val linDf = spark.createDataFrame(hitPairs.toSeq.sorted)
+          .toDF("bucket", "version")
+        val keys0 = recs.join(broadcast(linDf), Seq("bucket", "version"), "left_semi")
+          .select(col("conv_id").as("k1"), col("turn_idx").as("k2")).distinct()
+        // a key some EARLIER delete file already removed at fromSnap
+        // was not visible then — deleting it again is not a net change
+        val keys = applicableDeletes(spark, root, fromSnap, la) match {
+          case None    => keys0
+          case Some(d) => keys0.join(
+            d.select(col("conv_id").as("k1"), col("turn_idx").as("k2")),
+            Seq("k1", "k2"), "left_anti")
+        }
+        val payload = versionedDf(spark, root,
+          common.filter(l => hitPairs((l.bucket, l.version))))
+        Some(payload
+          .select(col("conv_id").as("k1"), col("turn_idx").as("k2"),
+            struct(col("*")).as("row"))
+          .join(keys, Seq("k1", "k2"), "left_semi")
+          .select(lit("delete").as("op"), col("row")))
+      }
+    val cow = dels.unionByName(ins)
+    morDels.fold(cow)(cow.unionByName(_)).select(col("op"), col("row.*"))
   }
 
   /** The manifest entries as one DataFrame, resolving each (bucket,
@@ -533,9 +596,14 @@ object TableIO {
         .exists(_.getFileName.toString.endsWith(".parquet")))
     val existing =
       if (committedAffected.isEmpty) None
-      else Some(spark.read.parquet(
-        committedAffected.map(b => s"$root/bucket=$b"): _*)
-        .withColumn("bucket", bucketOf(col("conv_id"), buckets)))
+      else Some(applyMorDeletes(
+        // fold pending MoR deletes while rewriting: the new version's
+        // bytes must not resurrect rows a delete file removed (the
+        // version bump below makes those records inert)
+        spark.read.parquet(
+          committedAffected.map(b => s"$root/bucket=$b"): _*)
+          .withColumn("bucket", bucketOf(col("conv_id"), buckets)),
+        spark, root, snap, lineage(root)))
     val keep = existing.map(
       _.join(upd.select(col("conv_id"), col("turn_idx")).distinct(),
         Seq("conv_id", "turn_idx"), "left_anti"))
@@ -627,9 +695,11 @@ object TableIO {
         listDir(Paths.get(root, s"bucket=$b"))
           .exists(_.getFileName.toString.endsWith(".parquet")))
     if (candidate.isEmpty) { keys.unpersist(); return Nil }
-    val existing = spark.read.parquet(
+    val existing = applyMorDeletes(
+      spark.read.parquet(
         candidate.map(b => s"$root/bucket=$b"): _*)
-      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+        .withColumn("bucket", bucketOf(col("conv_id"), buckets)),
+      spark, root, snap, lineage(root))
     val affected = existing
       .join(keys.select(col("conv_id")), Seq("conv_id"), "left_semi")
       .select(col("bucket")).distinct()
@@ -691,6 +761,7 @@ object TableIO {
     if (Files.exists(staging)) deleteRecursively(staging)
     val stagingDel = Paths.get(root, "_staging", "delete")
     if (Files.exists(stagingDel)) deleteRecursively(stagingDel)
+    recoverMorDeletes(root)
     if (!Files.isDirectory(Paths.get(root, "_archive"))) return
     for (l <- lineage(root)) {
       val arch = archiveDir(root, l.bucket, l.version)
@@ -735,7 +806,238 @@ object TableIO {
         if (!referenced(key)) deleteRecursively(vdir)
       }
     }
+    vacuumMorDeletes(root) // drop delete files nothing can apply anymore
     expire
+  }
+
+  // ---------------------------------------------------------------
+  // Merge-on-read equality deletes (Iceberg v2 delete files).
+  //
+  // deleteTurnsMoR records the deleted (conv_id, turn_idx) keys in a
+  // DELETE FILE instead of rewriting any data bucket — O(keys) write
+  // cost regardless of table size, the whole point of merge-on-read
+  // at 100 TB. Each key is stamped with its bucket's manifest VERSION
+  // at delete time; a record applies to a read iff its delete set's
+  // snapshot id <= the read snapshot AND the stamped version still
+  // matches that bucket's version in the read snapshot's manifest. A
+  // later copy-on-write rewrite (merge / deleteConvs / rewriteDeletes)
+  // folds pending deletes into bytes and bumps the version, making the
+  // records inert — so records never double-apply across rewrites, and
+  // time travel to any snapshot applies exactly the deletes that were
+  // committed and unfolded at that snapshot.
+  //
+  // Layout:
+  //   root/_deletes/snap-<id>/keys/…parquet  (conv_id, turn_idx, bucket, version)
+  //   root/_deletes/snap-<id>/meta.json      {"snapshot":id,"pairs":[{bucket,version}…]}
+  //
+  // Crash safety: keys + meta are written FIRST, the snapshot publish
+  // is the commit point. An orphaned delete dir (id above the latest
+  // committed snapshot) is swept by recoverMorDeletes — which runs
+  // inside recoverMerge, i.e. on every read and mutation entry — so a
+  // later publish at the same id can never adopt a crashed delete's
+  // records. Branch reads deliberately do NOT apply main's delete
+  // records (branch isolation); after publishBranch the records keep
+  // applying to any (bucket, version) the fast-forwarded manifest
+  // still shares with main's history.
+  // ---------------------------------------------------------------
+
+  private def deletesDir(root: String) = Paths.get(root, "_deletes")
+  private def deleteSetDir(root: String, id: Int) =
+    deletesDir(root).resolve(s"snap-$id")
+
+  /** Committed-or-not ids of delete sets on disk, ascending. */
+  private def deleteSetIds(root: String): Seq[Int] =
+    listDir(deletesDir(root))
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("snap-"))
+      .map(_.stripPrefix("snap-").toInt)
+      .sorted
+
+  /** (bucket, version) pairs a delete set's records were stamped with
+    * (from its meta sidecar — no parquet read needed driver-side). */
+  private def deleteSetPairs(root: String, id: Int): Set[(Int, Int)] = {
+    val f = deleteSetDir(root, id).resolve("meta.json")
+    if (!Files.isRegularFile(f)) return Set.empty
+    val pair = "\\{\"bucket\":\\s*(\\d+),\\s*\"version\":\\s*(\\d+)\\}".r
+    pair.findAllMatchIn(Files.readString(f))
+      .map(m => (m.group(1).toInt, m.group(2).toInt)).toSet
+  }
+
+  /** Sweep delete dirs whose snapshot publish never happened (id above
+    * the latest committed snapshot) — the MoR analog of recoverMerge's
+    * staging cleanup. Runs inside recoverMerge. */
+  private def recoverMorDeletes(root: String): Unit = {
+    if (!Files.isDirectory(deletesDir(root))) return
+    val ids = snapshotIds(root)
+    val latest = if (ids.isEmpty) -1 else ids.max
+    for (id <- deleteSetIds(root) if id > latest)
+      deleteRecursively(deleteSetDir(root, id))
+  }
+
+  /** The delete records applicable at snapshot `atSnap` given that
+    * snapshot's manifest `lin`, as (conv_id, turn_idx, bucket) rows —
+    * None when no set can apply (the overwhelmingly common case,
+    * decided from meta sidecars alone without reading any parquet). */
+  private def applicableDeletes(spark: SparkSession, root: String,
+      atSnap: Int, lin: Seq[BucketLineage]): Option[org.apache.spark.sql.DataFrame] = {
+    val vers = lin.map(l => (l.bucket, l.version)).toSet
+    val live = deleteSetIds(root)
+      .filter(_ <= atSnap)
+      .filter(id => deleteSetPairs(root, id).exists(vers))
+    if (live.isEmpty) return None
+    val recs = spark.read.parquet(
+      live.map(id => deleteSetDir(root, id).resolve("keys").toString): _*)
+    val linDf = spark.createDataFrame(lin.map(l => (l.bucket, l.version)))
+      .toDF("bucket", "version")
+    // version-match semi-join against the (tiny, broadcast) manifest:
+    // records for buckets rewritten since the delete drop out here
+    Some(recs.join(broadcast(linDf), Seq("bucket", "version"), "left_semi")
+      .select(col("conv_id"), col("turn_idx"), col("bucket")))
+  }
+
+  /** Anti-join `df` against the delete records applicable at `atSnap`
+    * — the merge-on-read half of every read path. No-op (and no plan
+    * nodes added) when nothing applies. */
+  private def applyMorDeletes(df: org.apache.spark.sql.DataFrame,
+      spark: SparkSession, root: String, atSnap: Int,
+      lin: Seq[BucketLineage]): org.apache.spark.sql.DataFrame =
+    applicableDeletes(spark, root, atSnap, lin) match {
+      case None    => df
+      case Some(d) =>
+        df.join(d.select(col("conv_id"), col("turn_idx")),
+          Seq("conv_id", "turn_idx"), "left_anti")
+    }
+
+  /** Row-level DELETE, merge-on-read: record the (conv_id, turn_idx)
+    * keys in a delete file and publish a snapshot — no data bucket is
+    * read or rewritten. Keys that match no committed bucket are
+    * dropped; keys that match no row are harmless (equality-delete
+    * semantics). Returns the new snapshot id. */
+  def deleteTurnsMoR(keys: org.apache.spark.sql.DataFrame, root: String,
+      buckets: Int = 32): Int = {
+    val spark = keys.sparkSession
+    recoverCompaction(root)
+    recoverMerge(root)
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"deleteTurnsMoR needs an existing table under $root")
+    val lin = lineage(root)
+    val linDf = spark.createDataFrame(lin.map(l => (l.bucket, l.version)))
+      .toDF("bucket", "version")
+    val annotated = keys.select(col("conv_id"), col("turn_idx")).distinct()
+      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .join(broadcast(linDf), Seq("bucket"), "inner")
+      .select(col("conv_id"), col("turn_idx"), col("bucket"), col("version"))
+      .localCheckpoint(true) // read twice below (write + pair collect)
+    val id = snap + 1
+    val dir = deleteSetDir(root, id)
+    deleteRecursively(dir)
+    annotated.write.parquet(dir.resolve("keys").toString)
+    // pairs are bounded by the bucket count — a driver-side list
+    val pairs = annotated.select(col("bucket"), col("version")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sortBy(identity)
+    annotated.unpersist()
+    if (pairs.isEmpty) { deleteRecursively(dir); return snap }
+    val body = pairs.map(p => s"""{"bucket": ${p._1}, "version": ${p._2}}""")
+      .mkString("[", ", ", "]")
+    Files.writeString(dir.resolve("meta.json"),
+      s"""{"snapshot": $id, "pairs": $body}""")
+    // commit point — same lineage (physical rows unchanged; the
+    // manifest's row counts stay pre-delete by MoR design)
+    publishSnapshot(root, id, lin.map(_.copy(snapshotId = id)))
+    id
+  }
+
+  /** Materialize pending delete records into bytes (Iceberg's
+    * rewrite_position_delete_files ∘ rewrite_data_files): every bucket
+    * with an applicable record is rewritten without its deleted rows
+    * in a NEW version (old version archived for time travel), after
+    * which the records are inert everywhere and expireSnapshots can
+    * vacuum the delete files. Returns the new lineage rows. */
+  def rewriteDeletes(spark: SparkSession, root: String,
+      buckets: Int = 32): Seq[BucketLineage] = {
+    recoverCompaction(root)
+    recoverMerge(root)
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"rewriteDeletes needs an existing table under $root")
+    val linSeq = lineage(root)
+    val lin = linSeq.map(l => l.bucket -> l).toMap
+    val t0 = System.currentTimeMillis()
+    val dels = applicableDeletes(spark, root, snap, linSeq) match {
+      case None    => return Nil
+      case Some(d) => d.localCheckpoint(true)
+    }
+    val affected = dels.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+      .filter(b => lin.contains(b) &&
+        listDir(Paths.get(root, s"bucket=$b"))
+          .exists(_.getFileName.toString.endsWith(".parquet")))
+    if (affected.isEmpty) { dels.unpersist(); return Nil }
+    val existing = spark.read.parquet(
+        affected.map(b => s"$root/bucket=$b"): _*)
+      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val kept = existing.join(dels.select(col("conv_id"), col("turn_idx")),
+      Seq("conv_id", "turn_idx"), "left_anti")
+    val staged = Paths.get(root, "_staging", "delete")
+    deleteRecursively(staged)
+    kept
+      .repartition(affected.length, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged.toString)
+    dels.unpersist()
+    // swap: archive the replaced version FIRST (merge/delete protocol)
+    for (b <- affected) {
+      val live = Paths.get(root, s"bucket=$b")
+      val src = staged.resolve(s"bucket=$b")
+      val arch = archiveDir(root, b, lin(b).version)
+      Files.createDirectories(arch.getParent)
+      Files.move(live, arch, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.isDirectory(src))
+        Files.move(src, live, StandardCopyOption.ATOMIC_MOVE)
+      else Files.createDirectories(live)
+    }
+    deleteRecursively(staged)
+    val nonEmpty = affected.filter(b =>
+      listDir(Paths.get(root, s"bucket=$b"))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val rows: Map[Int, (Long, String, String, Long)] =
+      if (nonEmpty.isEmpty) Map.empty
+      else spark.read.option("basePath", root)
+        .parquet(nonEmpty.map(b => s"$root/bucket=$b"): _*)
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toMap
+    val wallMs = System.currentTimeMillis() - t0
+    val snapId = snap + 1
+    val newLin = affected.map { b =>
+      val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+      BucketLineage(b, n, lo, hi, e, wallMs, snapId, lin(b).version + 1)
+    }
+    publishSnapshot(root, snapId, newLin)
+    newLin
+  }
+
+  /** Vacuum delete files no surviving snapshot can ever apply again:
+    * a set is removable iff for EVERY surviving main snapshot S with
+    * S >= the set's id, none of the set's stamped (bucket, version)
+    * pairs survive in S's manifest (all folded by later rewrites).
+    * Decided entirely from meta sidecars + manifests — no data read.
+    * Called by expireSnapshots after manifest expiry. */
+  private def vacuumMorDeletes(root: String): Seq[Int] = {
+    if (!Files.isDirectory(deletesDir(root))) return Nil
+    val survivors = (snapshotIds(root) ++ tags(root).map(tagSnapshotId(root, _)))
+      .distinct.sorted
+    val out = Seq.newBuilder[Int]
+    for (id <- deleteSetIds(root)) {
+      val pairs = deleteSetPairs(root, id)
+      val applies = survivors.exists(s => s >= id &&
+        lineageAt(root, s).exists(l => pairs((l.bucket, l.version))))
+      if (!applies) { deleteRecursively(deleteSetDir(root, id)); out += id }
+    }
+    out.result()
   }
 
   // ---------------------------------------------------------------
@@ -1117,7 +1419,12 @@ object TableIO {
       if (dirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], full)
       else spark.read.schema(full).parquet(dirs.map(_.toString): _*)
-    visible.foldLeft(base)((df, c) =>
+    val snapIdsAll = snapshotIds(root)
+    val morApplied =
+      if (snapIdsAll.isEmpty) base
+      else applyMorDeletes(base, spark, root,
+        asOfSnapshot.getOrElse(snapIdsAll.max), entries)
+    visible.foldLeft(morApplied)((df, c) =>
       df.withColumn(c.name, coalesce(col(c.name), expr(c.defaultSql).cast(
         org.apache.spark.sql.types.DataType.fromDDL(c.ddlType)))))
   }

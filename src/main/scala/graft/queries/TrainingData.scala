@@ -90,6 +90,7 @@ object TrainingData {
   val tableBranchUpdatesPath = s"$oracleRoot/table_branch_updates"
   val tableDeleteKeysPath = s"$oracleRoot/table_delete_keys"
   val tableWapUpdatesPath = s"$oracleRoot/table_wap_updates"
+  val tableMorKeysPath    = s"$oracleRoot/table_mor_keys"
 
   /** CPython-computed get_close_matches/ratio answers for every subject
     * key the q_join_difflib corpus produces (resources/difflib_expected
@@ -184,7 +185,7 @@ object TrainingData {
     * under the driver's hash gate. Memoized per session: three queries
     * share one build. */
   private case class TableBuild(root: String, snapWave1: Int, snapPre: Int,
-    snapPost: Int, snapDel: Int)
+    snapPost: Int, snapDel: Int, snapPub: Int, snapMor: Int)
   private val tableMemo =
     new java.util.LinkedHashMap[SparkSession, TableBuild](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -276,7 +277,26 @@ object TrainingData {
           .write.mode("overwrite").parquet(tableWapUpdatesPath)
         TableIO.mergeIntoBranch(wapUpdates, tablePath, "wap", buckets = 8)
         TableIO.publishBranch(tablePath, "wap")
-        val b = TableBuild(tablePath, snapWave1, snapPre, snapPost, snapDel)
+        val (snapPub, _) = TableIO.committed(tablePath)
+        // MERGE-ON-READ equality delete LAST: a turn-level key subset
+        // (hash class 2 of "conv_id#turn_idx" mod 5 — finer than any
+        // conv-level class above, cutting across all of them), dumped
+        // BEFORE the delete so the oracle anti-joins independently.
+        // deleteTurnsMoR writes a delete FILE (no bucket rewritten);
+        // rewriteDeletes then materializes it (versions bump, records
+        // go inert) — so q_table_mor (as-of read: applies records over
+        // the now-archived versions) and q_table_mor_rewrite (live
+        // read of the folded bytes) must both hash-equal the SAME
+        // oracle, proving logical-apply ≡ materialized.
+        val morKeys = TableIO.readExtracted(s, tablePath).toDF
+          .filter(pmod(xxhash64(
+            concat_ws("#", col("conv_id"), col("turn_idx"))), lit(5)) === 2)
+          .select(col("conv_id"), col("turn_idx"))
+        morKeys.coalesce(1).write.mode("overwrite").parquet(tableMorKeysPath)
+        val snapMor = TableIO.deleteTurnsMoR(morKeys, tablePath, buckets = 8)
+        TableIO.rewriteDeletes(s, tablePath, buckets = 8)
+        val b = TableBuild(tablePath, snapWave1, snapPre, snapPost, snapDel,
+          snapPub, snapMor)
         tableMemo.put(s, b)
         b
       }
@@ -411,13 +431,47 @@ object TrainingData {
       flat(graft.io.TableIO.readExtracted(s, b.root, b.snapDel).toDF)
     }),
 
-    // WRITE-AUDIT-PUBLISH: the live head after a staged branch merge
-    // was fast-forwarded onto main (TableIO.publishBranch — the
-    // Iceberg WAP pattern); oracle composes merge ∘ delete ∘ the
-    // dumped WAP correction
+    // WRITE-AUDIT-PUBLISH: the state after a staged branch merge was
+    // fast-forwarded onto main (TableIO.publishBranch — the Iceberg
+    // WAP pattern), read as-of the publish snapshot (time travel
+    // THROUGH the later MoR delete: the publish-era versions are
+    // archived once rewriteDeletes runs, and the delete records don't
+    // apply at this snapshot id); oracle composes merge ∘ delete ∘
+    // the dumped WAP correction
     "q_table_wap" -> ((s, dir) => {
       val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapPub).toDF)
+    }),
+
+    // MERGE-ON-READ equality delete, read LOGICALLY: as-of the MoR
+    // snapshot the delete exists only as a delete FILE — this read
+    // resolves the pre-rewrite bucket versions from the archive and
+    // anti-joins the version-matched records on the fly. Oracle: the
+    // WAP state minus the dumped key set.
+    "q_table_mor" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapMor).toDF)
+    }),
+
+    // … and read MATERIALIZED: the live head after rewriteDeletes
+    // folded the records into bytes (new versions, records inert).
+    // Identical oracle to q_table_mor — logical-apply ≡ materialized
+    // is exactly the MoR contract.
+    "q_table_mor_rewrite" -> ((s, dir) => {
+      val b = buildMergeTable(s)
       flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
+    }),
+
+    // CDC changelog across a PURE MoR window (publish → MoR delete):
+    // the two manifests pin identical (bucket, version) sets, so the
+    // version diff is empty and every emitted row comes from the
+    // delete-file delta path, payloads resolved from the shared bytes.
+    "q_table_changelog_mor" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      graft.io.TableIO.changelog(s, b.root, b.snapPub, b.snapMor)
+        .select(col("op"), col("conv_id"), col("turn_idx"),
+          col("total_score"), col("extracted_text"))
+        .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
     // Schema evolution read: the live head under the EVOLVED schema —
@@ -1173,6 +1227,36 @@ object TrainingData {
        total_score, extracted_text, scores_json, offsets_json,
        errors_json, warnings_json"""
 
+  /** WAP-state ∖ MoR-deleted keys — shared verbatim by q_table_mor
+    * (logical as-of read over delete records) and q_table_mor_rewrite
+    * (live read of the materialized bytes): one oracle, two engine
+    * paths. */
+  private lazy val tableMorSql: String =
+    s"""WITH merged AS (
+          SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+            WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+          UNION ALL
+          SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet')),
+        afterdel AS (
+          SELECT * FROM merged t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+            WHERE d.conv_id = t.conv_id)),
+        wap AS (
+          SELECT * FROM afterdel t
+          WHERE NOT EXISTS (
+            SELECT 1 FROM read_parquet('$tableWapUpdatesPath/*.parquet') w
+            WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
+          UNION ALL
+          SELECT * FROM read_parquet('$tableWapUpdatesPath/*.parquet'))
+        SELECT $flatCols FROM wap t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM read_parquet('$tableMorKeysPath/*.parquet') k
+          WHERE k.conv_id = t.conv_id AND k.turn_idx = t.turn_idx)
+        ORDER BY conv_id, turn_idx"""
+
   val oracleSql: Map[String, String] = Map(
     // the oracle is the exact full-cardinality count — pinning that the
     // sketch-then-verify path loses nothing
@@ -1239,6 +1323,35 @@ object TrainingData {
           UNION ALL
           SELECT $flatCols
           FROM read_parquet('$tableWapUpdatesPath/*.parquet')
+          ORDER BY conv_id, turn_idx""",
+    "q_table_mor" -> tableMorSql,
+    "q_table_mor_rewrite" -> tableMorSql,
+    "q_table_changelog_mor" ->
+      s"""WITH merged AS (
+            SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableUpdatesPath/*.parquet') u
+              WHERE u.conv_id = t.conv_id AND u.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableUpdatesPath/*.parquet')),
+          afterdel AS (
+            SELECT * FROM merged t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableDeleteKeysPath/*.parquet') d
+              WHERE d.conv_id = t.conv_id)),
+          wap AS (
+            SELECT * FROM afterdel t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM read_parquet('$tableWapUpdatesPath/*.parquet') w
+              WHERE w.conv_id = t.conv_id AND w.turn_idx = t.turn_idx)
+            UNION ALL
+            SELECT * FROM read_parquet('$tableWapUpdatesPath/*.parquet'))
+          SELECT 'delete' AS op, conv_id, turn_idx, total_score,
+                 extracted_text
+          FROM wap t
+          WHERE EXISTS (
+            SELECT 1 FROM read_parquet('$tableMorKeysPath/*.parquet') k
+            WHERE k.conv_id = t.conv_id AND k.turn_idx = t.turn_idx)
           ORDER BY conv_id, turn_idx""",
     "q_table_evolve" ->
       s"""WITH merged AS (

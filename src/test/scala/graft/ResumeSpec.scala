@@ -825,4 +825,185 @@ class ResumeSpec extends SparkSuite {
     // branch still reads the pre-merge state
     assert(TableIO.readBranch(spark, root, "audit").count() == ds.count())
   }
+
+  /** Physical (delete-file-blind) row count of the live bucket dirs. */
+  private def physicalRows(root: String): Long =
+    spark.read.option("basePath", root).parquet(root).count()
+
+  test("merge-on-read delete: zero bytes rewritten, reads apply records, time travel exact") {
+    val root = freshDir("graft-mor")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    val preVersions = TableIO.lineage(root).map(l => l.bucket -> l.version).toMap
+    val physBefore = physicalRows(root)
+
+    val all = ds.collect().toSeq
+    val delKeys = all.filter(t => t.turn_idx % 4 == 1).map(t => (t.conv_id, t.turn_idx))
+    assert(delKeys.nonEmpty)
+    import spark.implicits._
+    val morSnap = TableIO.deleteTurnsMoR(
+      delKeys.toDF("conv_id", "turn_idx"), root, buckets = 8)
+    assert(morSnap > preSnap)
+
+    // merge-on-read contract: NO data bucket touched — same versions,
+    // same physical rows; only a delete file + a manifest were written
+    assert(TableIO.lineage(root).map(l => l.bucket -> l.version).toMap == preVersions)
+    assert(physicalRows(root) == physBefore)
+
+    // logical reads drop exactly the keys
+    val keySet = delKeys.toSet
+    val expected = all.filterNot(t => keySet((t.conv_id, t.turn_idx)))
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(dump(root) == expected)
+    // point lookup applies the records too
+    val victim = all.find(t => t.turn_idx % 4 == 1).get
+    val looked = TableIO.lookupConv(spark, root, victim.conv_id, buckets = 8)
+      .collect().map(_.turn_idx).toSet
+    assert(!looked(victim.turn_idx))
+    assert(looked == all.filter(t => t.conv_id == victim.conv_id)
+      .filter(t => t.turn_idx % 4 != 1).map(_.turn_idx).toSet)
+    // time travel to before the delete sees everything
+    assert(TableIO.readExtracted(spark, root, preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == before)
+  }
+
+  test("MoR deletes fold into later merges; an upsert of a deleted key resurrects it") {
+    import spark.implicits._
+    val root = freshDir("graft-mor-fold")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val all = ds.collect().toSeq
+    val delKeys = all.filter(t => t.turn_idx % 5 == 2).map(t => (t.conv_id, t.turn_idx))
+    val morSnap = TableIO.deleteTurnsMoR(
+      delKeys.toDF("conv_id", "turn_idx"), root, buckets = 8)
+    val keySet = delKeys.toSet
+
+    // a merge touching every bucket with OTHER keys must keep the
+    // deleted rows gone (fold-into-rewrite), and the version bump must
+    // not resurrect them on the live read
+    val untouched = ds.filter(t => t.turn_idx % 5 != 2)
+    val upd = untouched.filter(t => t.turn_idx == 0)
+      .map(t => t.copy(total_score = t.total_score + 77))
+    TableIO.mergeExtracted(upd, root, buckets = 8)
+    val updKeys = upd.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    val expectedAfterMerge = (all.filterNot(t => keySet((t.conv_id, t.turn_idx)))
+      .filterNot(t => updKeys((t.conv_id, t.turn_idx))) ++ upd.collect().toSeq)
+      .sortBy(t => (t.conv_id, t.turn_idx)).map(Json.turnJson)
+    assert(dump(root) == expectedAfterMerge)
+    // the as-of-MoR read still applies the records over the archive
+    assert(TableIO.readExtracted(spark, root, morSnap).count() ==
+      all.size - keySet.size)
+
+    // upserting a DELETED key re-inserts it — update wins over the
+    // older delete record (the merged bucket's new version makes the
+    // record inert there)
+    val victim = all.find(t => t.turn_idx % 5 == 2).get
+    val revived = spark.createDataset(Seq(victim.copy(total_score = 9999)))
+    TableIO.mergeExtracted(revived, root, buckets = 8)
+    val back = TableIO.lookupConv(spark, root, victim.conv_id, buckets = 8)
+      .filter(_.turn_idx == victim.turn_idx).collect()
+    assert(back.length == 1 && back(0).total_score == 9999)
+  }
+
+  test("rewriteDeletes materializes records; retention vacuums the dead delete files") {
+    import spark.implicits._
+    val root = freshDir("graft-mor-rewrite")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val all = ds.collect().toSeq
+    val delKeys = all.filter(t => t.turn_idx % 3 == 0).map(t => (t.conv_id, t.turn_idx))
+    val morSnap = TableIO.deleteTurnsMoR(
+      delKeys.toDF("conv_id", "turn_idx"), root, buckets = 8)
+    val logical = dump(root)
+    assert(physicalRows(root) == all.size.toLong) // records not yet material
+
+    val newLin = TableIO.rewriteDeletes(spark, root, buckets = 8)
+    assert(newLin.nonEmpty && newLin.forall(_.version > 0))
+    // bytes now match the logical state; the live read is unchanged
+    assert(physicalRows(root) == all.size.toLong - delKeys.size)
+    assert(dump(root) == logical)
+    // time travel to the MoR snapshot applies records over the archive
+    assert(TableIO.readExtracted(spark, root, morSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == logical)
+    // a second rewrite is a no-op — everything is inert
+    assert(TableIO.rewriteDeletes(spark, root, buckets = 8).isEmpty)
+
+    // retention: once the pre-rewrite manifests expire, nothing can
+    // apply the records and the delete files are vacuumed
+    def deleteSets(): Long = {
+      val p = Paths.get(root, "_deletes")
+      if (!Files.isDirectory(p)) 0L
+      else { val s = Files.list(p); try s.count() finally s.close() }
+    }
+    assert(deleteSets() > 0)
+    TableIO.expireSnapshots(root, keep = 1)
+    assert(deleteSets() == 0)
+    assert(dump(root) == logical)
+  }
+
+  test("a MoR delete that crashed before its publish is swept, never adopted") {
+    import spark.implicits._
+    val root = freshDir("graft-mor-crash")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (snap, _) = TableIO.committed(root)
+    val before = dump(root)
+
+    // plant an orphan delete set at the NEXT snapshot id — exactly what
+    // a deleteTurnsMoR crash between its file write and publish leaves
+    val orphanId = snap + 1
+    val dir = Paths.get(root, "_deletes", s"snap-$orphanId")
+    val someKeys = ds.limit(5).collect().map(t => (t.conv_id, t.turn_idx)).toSeq
+    someKeys.toDF("conv_id", "turn_idx")
+      .withColumn("bucket", TableIO.bucketOf(org.apache.spark.sql.functions.col("conv_id"), 8))
+      .withColumn("version", org.apache.spark.sql.functions.lit(0))
+      .write.parquet(dir.resolve("keys").toString)
+    val pairs = (0 until 8).map(b => s"""{"bucket": $b, "version": 0}""").mkString("[", ", ", "]")
+    Files.writeString(dir.resolve("meta.json"), s"""{"snapshot": $orphanId, "pairs": $pairs}""")
+
+    // the orphan must not hide rows from the current head…
+    assert(dump(root) == before)
+    // …and a merge that publishes the same id must not adopt it
+    val upd = TableIO.readExtracted(spark, root).limit(2)
+      .map(t => t.copy(total_score = t.total_score + 5))
+    TableIO.mergeExtracted(upd, root, buckets = 8)
+    assert(!Files.isDirectory(dir), "orphan delete set should be swept on recovery")
+    assert(TableIO.readExtracted(spark, root).count() == before.size.toLong)
+  }
+
+  test("changelog surfaces MoR deletes: pure-MoR window and post-rewrite window agree") {
+    import spark.implicits._
+    val root = freshDir("graft-mor-changelog")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val all = ds.collect().toSeq
+    val delKeys = all.filter(t => t.turn_idx % 6 == 3).map(t => (t.conv_id, t.turn_idx))
+    assert(delKeys.nonEmpty)
+    val morSnap = TableIO.deleteTurnsMoR(
+      delKeys.toDF("conv_id", "turn_idx"), root, buckets = 8)
+
+    // pure-MoR window: identical manifests, every row from the
+    // delete-file delta path
+    val pure = TableIO.changelog(spark, root, preSnap, morSnap)
+      .select("op", "conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pure == delKeys.map(k => ("delete", k._1, k._2)).toSet)
+
+    // after materialization the same window reports through the
+    // version-diff path — net effect identical
+    TableIO.rewriteDeletes(spark, root, buckets = 8)
+    val (postSnap, _) = TableIO.committed(root)
+    val cow = TableIO.changelog(spark, root, preSnap, postSnap)
+      .select("op", "conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(cow == pure)
+    // and the pure-MoR window STILL reads the same after the rewrite
+    val pureAfter = TableIO.changelog(spark, root, preSnap, morSnap)
+      .select("op", "conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pureAfter == pure)
+  }
 }
