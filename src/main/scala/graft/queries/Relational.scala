@@ -8778,6 +8778,104 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"))
         .orderBy(col("l_returnflag"))
     }),
+
+    // ROC-AUC by the Mann–Whitney rank identity, EXACT: the synthetic
+    // binary label y = label%2 and the md5-derived score overlap by
+    // construction (y shifts the score by +400 over a 0..999 noise
+    // band → AUC ≈ 0.66). Scores live on a BOUNDED support (0..1399),
+    // so ranks come from per-score counts + a 1400-row cumulative —
+    // never a global per-row window — and tied scores use exact
+    // 2-scaled midranks: U2 = Σ_pos(2·cumBelow + cnt + 1) − npos(npos+1),
+    // auc_ppm = U2·10⁶ div (2·npos·nneg). At 100 TB the per-score agg
+    // is one map-side-combined shuffle; the cumulative is over the
+    // support, not the data.
+    "q_eval_auc" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint)").as("h"))
+        .select(col("y"), (col("y") * 400L + pmod(col("h"), lit(1000L))).as("score"))
+      val byScore = d.groupBy(col("score"))
+        .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      val w = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore
+        .withColumn("cum_below", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      ranked.agg(
+          sum(col("pos")).as("npos"),
+          sum(col("cnt") - col("pos")).as("nneg"),
+          sum(col("pos") * (lit(2L) * col("cum_below") + col("cnt") + lit(1L))).as("r2"))
+        .select(col("npos"), col("nneg"),
+          expr("(r2 - npos * (npos + 1)) * 1000000L div (2 * npos * nneg)").as("auc_ppm"))
+    }),
+
+    // Expected-calibration-error table, EXACT: predicted probability
+    // p_ppm is one md5 stream, the outcome draws from a SECOND md5
+    // stream thresholded at p (calibrated in expectation, finite-sample
+    // gaps nonzero) — per decile-of-confidence bin: n, accuracy and
+    // mean confidence in ppm, and the |acc − conf| gap. All integer
+    // arithmetic; one hash-agg over 10 bounded bins.
+    "q_eval_ece" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint) % 1000000").as("p_ppm"),
+          expr("cast(conv(substring(md5(concat('y', cast(vec_id as string))), 1, 6), 16, 10) as bigint) % 1000000").as("draw"))
+        .select(col("p_ppm"), when(col("draw") < col("p_ppm"), 1L).otherwise(0L).as("y"))
+        .groupBy(expr("p_ppm div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_hit"),
+          sum(col("p_ppm")).as("sum_p"))
+        .select(col("bin"), col("n"),
+          expr("n_hit * 1000000L div n").as("acc_ppm"),
+          expr("sum_p div n").as("conf_ppm"),
+          expr("abs(n_hit * 1000000L div n - sum_p div n)").as("gap_ppm"))
+        .orderBy(col("bin"))
+    }),
+
+    // Decile gains/lift table — the ranking-model triage report: rows
+    // ntile'd into 10 score deciles (ordered score desc, vec_id
+    // tiebreak — deterministic), per decile the positive count, the
+    // cumulative capture rate, and lift vs the base rate, all ppm-exact.
+    "q_eval_gains" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), (col("label") % 2).cast("long").as("y"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint)").as("h"))
+        .select(col("vec_id"), col("y"),
+          (col("y") * 400L + pmod(col("h"), lit(1000L))).as("score"))
+        .withColumn("decile", ntile(10).over(
+          Window.orderBy(col("score").desc, col("vec_id"))))
+      val tot = d.agg(count(lit(1)).as("tot_n"), sum(col("y")).as("tot_pos"))
+      d.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+        .withColumn("cum_pos", sum(col("npos")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(tot))
+        .select(col("decile").cast("long").as("decile"), col("n"), col("npos"),
+          expr("cum_pos * 1000000L div tot_pos").as("capture_ppm"),
+          expr("npos * tot_n * 1000000L div (n * tot_pos)").as("lift_ppm"))
+        .orderBy(col("decile"))
+    }),
+
+    // Precision/recall/F1 at a threshold sweep — one row per operating
+    // point, counts exact, every ratio an integer ppm div, F1 formed
+    // from the ppm precisions (harmonic mean on exact integers). The
+    // explode fans each row to the 3 thresholds then ONE hash-agg.
+    "q_eval_threshold" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select((col("label") % 2).cast("long").as("y"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint)").as("h"))
+        .select(col("y"), (col("y") * 400L + pmod(col("h"), lit(1000L))).as("score"))
+        .select(col("y"), col("score"),
+          explode(array(lit(250L), lit(700L), lit(1050L))).as("thr"))
+        .groupBy(col("thr"))
+        .agg(sum(when(col("score") >= col("thr") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("thr") && col("y") === 0L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("thr") && col("y") === 1L, 1L).otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          expr("tp * 1000000L div (tp + fp)").as("prec_ppm"),
+          expr("tp * 1000000L div (tp + fn)").as("rec_ppm"),
+          expr("2 * (tp * 1000000L div (tp + fp)) * (tp * 1000000L div (tp + fn)) div ((tp * 1000000L div (tp + fp)) + (tp * 1000000L div (tp + fn)))").as("f1_ppm"))
+        .orderBy(col("thr"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14529,6 +14627,88 @@ object Relational {
          WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier
                                WHERE s_nationkey % 5 = 0)
          GROUP BY 1 ORDER BY 1""",
+    "q_eval_auc" ->
+      """WITH d AS (
+           SELECT (label % 2)::BIGINT AS y,
+                  (label % 2)::BIGINT * 400
+                    + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000 AS score
+           FROM embeddings),
+         byscore AS (
+           SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(y) AS BIGINT) AS pos
+           FROM d GROUP BY 1),
+         ranked AS (
+           SELECT *, COALESCE(CAST(sum(cnt) OVER (ORDER BY score
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_below
+           FROM byscore),
+         a AS (
+           SELECT CAST(sum(pos) AS BIGINT) AS npos,
+                  CAST(sum(cnt - pos) AS BIGINT) AS nneg,
+                  CAST(sum(pos * (2 * cum_below + cnt + 1)) AS BIGINT) AS r2
+           FROM ranked)
+         SELECT npos, nneg,
+                (r2 - npos * (npos + 1)) * 1000000 // (2 * npos * nneg) AS auc_ppm
+         FROM a""",
+    "q_eval_ece" ->
+      """WITH d AS (
+           SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000000 AS p_ppm,
+                  CAST(('0x' || substr(md5('y' || CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000000 AS draw
+           FROM embeddings),
+         b AS (
+           SELECT p_ppm // 100000 AS bin,
+                  CASE WHEN draw < p_ppm THEN 1 ELSE 0 END AS y, p_ppm
+           FROM d),
+         g AS (
+           SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS n_hit,
+                  CAST(sum(p_ppm) AS BIGINT) AS sum_p
+           FROM b GROUP BY 1)
+         SELECT bin, n,
+                n_hit * 1000000 // n AS acc_ppm,
+                sum_p // n AS conf_ppm,
+                abs(n_hit * 1000000 // n - sum_p // n) AS gap_ppm
+         FROM g ORDER BY bin""",
+    "q_eval_gains" ->
+      """WITH d AS (
+           SELECT vec_id, (label % 2)::BIGINT AS y,
+                  (label % 2)::BIGINT * 400
+                    + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000 AS score
+           FROM embeddings),
+         dd AS (
+           SELECT *, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile FROM d),
+         g AS (
+           SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS npos
+           FROM dd GROUP BY 1),
+         c AS (
+           SELECT *, CAST(sum(npos) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM g),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS tot_n,
+                        CAST(sum(y) AS BIGINT) AS tot_pos FROM d)
+         SELECT CAST(decile AS BIGINT) AS decile, n, npos,
+                cum_pos * 1000000 // tot_pos AS capture_ppm,
+                npos * tot_n * 1000000 // (n * tot_pos) AS lift_ppm
+         FROM c, tot ORDER BY decile""",
+    "q_eval_threshold" ->
+      """WITH d AS (
+           SELECT (label % 2)::BIGINT AS y,
+                  (label % 2)::BIGINT * 400
+                    + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000 AS score
+           FROM embeddings),
+         f AS (SELECT d.*, t.thr FROM d, (SELECT unnest([250, 700, 1050]) AS thr) t),
+         g AS (
+           SELECT thr,
+                  CAST(sum(CASE WHEN score >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                  CAST(sum(CASE WHEN score >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                  CAST(sum(CASE WHEN score < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+           FROM f GROUP BY 1)
+         SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+                tp * 1000000 // (tp + fp) AS prec_ppm,
+                tp * 1000000 // (tp + fn) AS rec_ppm,
+                2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
+                  // ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn))) AS f1_ppm
+         FROM g ORDER BY thr""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
