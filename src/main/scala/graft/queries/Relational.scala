@@ -8876,6 +8876,130 @@ object Relational {
           expr("2 * (tp * 1000000L div (tp + fp)) * (tp * 1000000L div (tp + fn)) div ((tp * 1000000L div (tp + fp)) + (tp * 1000000L div (tp + fn)))").as("f1_ppm"))
         .orderBy(col("thr"))
     }),
+
+    // 1-D earth mover's distance between the click and purchase value
+    // distributions, EXACT over a BOUNDED 251-bin histogram (cents div
+    // 200, clamped): EMD = Σ_bins |F_A − F_B| with the CDF gap kept as
+    // the integer |cumA·nB − cumB·nA| (one common denominator, divided
+    // ONCE at the end). The data pass is one per-bin count agg; the
+    // cumulative runs over the 251-bin support, never the rows — the
+    // histogram-sketch shape that survives any corpus size.
+    "q_events_emd" -> ((s, dir) => {
+      val binned = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("least(250L, cast(round(value * 100) as bigint) div 200)").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("cb"))
+      val w = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = binned
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+      val tot = binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+          sum(abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))).as("num"))
+        .select(col("na"), col("nb"),
+          expr("num * 1000000L div (na * nb)").as("emd_bins_ppm"))
+    }),
+
+    // Wald–Wolfowitz runs test per event type: the ts-ordered sequence
+    // of above/below-mean signs (mean as the exact rational sum/n —
+    // the comparison c·n ≥ Σc never divides), runs counted by a lag
+    // window PARTITIONED by type, and z² formed as one double
+    // expression over the exact integer counts (IEEE arithmetic only —
+    // no libm — so both engines produce the identical double).
+    "q_events_runs_test" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          col("ts"), col("event_id"))
+      val tot = d.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      d.join(tot, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (col("c") * col("n") >= col("sum_c")).cast("long").as("sign"),
+          col("ts"), col("event_id"))
+        .withColumn("brk",
+          when(lag(col("sign"), 1).over(w).isNull ||
+            lag(col("sign"), 1).over(w) =!= col("sign"), 1L).otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), sum(col("sign")).as("n1"),
+          sum(lit(1L) - col("sign")).as("n2"), sum(col("brk")).as("runs"))
+        .select(col("event_type"), col("n"), col("n1"), col("n2"), col("runs"),
+          expr("""round((cast(runs * n - (2 * n1 * n2 + n) as double)
+                         * cast(runs * n - (2 * n1 * n2 + n) as double)
+                         * cast(n - 1 as double))
+                        / (cast(2 * n1 * n2 as double)
+                           * cast(2 * n1 * n2 - n as double)), 6)""").as("z2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Wilcoxon signed-rank per event type over per-user first→last
+    // value drift: d = last − first cents per (user, type) in ts
+    // order, zero diffs dropped, |d| ranked with exact 2-scaled
+    // midranks (2·rank_min + ties − 1), W2⁺ = Σ ranks2 of positive
+    // drifts — against the 2-scaled total n(n+1) the null splits
+    // evenly. Everything integer; the rank window partitions by type.
+    "q_events_wilcoxon" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), cents(col("value")).as("c"),
+          col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("event_type"))))
+        .filter(col("cnt") >= 2 && (col("rn") === 1 || col("rn") === col("cnt")))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((max(when(col("rn") === col("cnt"), col("c"))) -
+          max(when(col("rn") === 1, col("c")))).as("d"))
+        .filter(col("d") =!= 0L)
+      pairs
+        .withColumn("rmin", rank().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("d")))))
+        .withColumn("ties", count(lit(1)).over(
+          Window.partitionBy(col("event_type"), abs(col("d")))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d") > 0L,
+            lit(2L) * col("rmin") + col("ties") - 1L).otherwise(0L)).as("w2_plus"))
+        .select(col("event_type"), col("n_pairs"), col("w2_plus"),
+          expr("n_pairs * (n_pairs + 1)").as("w2_total"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Cochran–Armitage trend test: does the above-mean-value rate
+    // trend across the four 6-hour day quarters? T and its variance
+    // pieces are exact integer sums over a 4-group contingency; z²
+    // is one double expression over them (IEEE only). The whole
+    // query is two hash aggs over bounded keys.
+    "q_events_trend_ca" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(cents(col("value")).as("c"),
+          expr("cast(hour(ts) as bigint) div 6").as("g"))
+      val tot = d.agg(sum(col("c")).as("sum_c"), count(lit(1)).as("nn"))
+      val g = d.crossJoin(broadcast(tot))
+        .select(col("g"),
+          (col("c") * col("nn") >= col("sum_c")).cast("long").as("y"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_g"), sum(col("y")).as("r_g"))
+      g.agg(sum(col("n_g")).as("n"), sum(col("r_g")).as("r"),
+          sum(col("g") * (col("r_g"))).as("sgr"),
+          sum(col("g") * (col("n_g"))).as("sgn"),
+          sum(col("g") * col("g") * col("n_g")).as("sg2n"))
+        .select(col("n"), col("r"),
+          expr("sgr * n - sgn * r").as("t_num"),
+          expr("""round((cast(sgr * n - sgn * r as double)
+                         * cast(sgr * n - sgn * r as double)
+                         * cast(n as double))
+                        / (cast(r as double) * cast(n - r as double)
+                           * (cast(n as double) * cast(sg2n as double)
+                              - cast(sgn as double) * cast(sgn as double))), 6)""").as("z2"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14709,6 +14833,104 @@ object Relational {
                 2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
                   // ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn))) AS f1_ppm
          FROM g ORDER BY thr""",
+    "q_events_emd" ->
+      """WITH binned AS (
+           SELECT least(250, CAST(round(value * 100) AS BIGINT) // 200) AS bin,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           FROM events WHERE event_type IN ('click', 'purchase')
+           GROUP BY 1),
+         cum AS (
+           SELECT *, CAST(sum(ca) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                  CAST(sum(cb) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+           FROM binned),
+         tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                        CAST(sum(cb) AS BIGINT) AS nb FROM binned)
+         SELECT na, nb,
+                CAST(sum(abs(cum_a * nb - cum_b * na)) AS BIGINT) * 1000000
+                  // (na * nb) AS emd_bins_ppm
+         FROM cum, tot GROUP BY na, nb""",
+    "q_events_runs_test" ->
+      """WITH d AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, ts, event_id
+           FROM events),
+         tot AS (
+           SELECT event_type, CAST(sum(c) AS BIGINT) AS sum_c,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM d GROUP BY 1),
+         s AS (
+           SELECT d.event_type, tot.n,
+                  CASE WHEN d.c * tot.n >= tot.sum_c THEN 1 ELSE 0 END AS sign,
+                  d.ts, d.event_id
+           FROM d JOIN tot ON d.event_type = tot.event_type),
+         b AS (
+           SELECT *, CASE WHEN lag(sign) OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) IS DISTINCT FROM sign
+                  THEN 1 ELSE 0 END AS brk
+           FROM s),
+         g AS (
+           SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                  CAST(sum(sign) AS BIGINT) AS n1,
+                  CAST(sum(1 - sign) AS BIGINT) AS n2,
+                  CAST(sum(brk) AS BIGINT) AS runs
+           FROM b GROUP BY 1)
+         SELECT event_type, n, n1, n2, runs,
+                round((CAST(runs * n - (2 * n1 * n2 + n) AS DOUBLE)
+                       * CAST(runs * n - (2 * n1 * n2 + n) AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE))
+                      / (CAST(2 * n1 * n2 AS DOUBLE)
+                         * CAST(2 * n1 * n2 - n AS DOUBLE)), 6) AS z2
+         FROM g ORDER BY event_type""",
+    "q_events_wilcoxon" ->
+      """WITH e AS (
+           SELECT user_id, event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY user_id, event_type) AS cnt
+           FROM events),
+         pairs AS (
+           SELECT user_id, event_type,
+                  CAST(max(CASE WHEN rn = cnt THEN c END)
+                    - max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS d
+           FROM e WHERE cnt >= 2 AND (rn = 1 OR rn = cnt)
+           GROUP BY 1, 2
+           HAVING max(CASE WHEN rn = cnt THEN c END)
+                - max(CASE WHEN rn = 1 THEN c END) != 0),
+         r AS (
+           SELECT *, rank() OVER (PARTITION BY event_type ORDER BY abs(d)) AS rmin,
+                  count(*) OVER (PARTITION BY event_type, abs(d)) AS ties
+           FROM pairs)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                CAST(sum(CASE WHEN d > 0 THEN 2 * rmin + ties - 1 ELSE 0 END) AS BIGINT) AS w2_plus,
+                CAST(count(*) * (count(*) + 1) AS BIGINT) AS w2_total
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q_events_trend_ca" ->
+      """WITH d AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                  CAST(hour(ts) AS BIGINT) // 6 AS g
+           FROM events),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS sum_c,
+                        CAST(count(*) AS BIGINT) AS nn FROM d),
+         grp AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CASE WHEN c * nn >= sum_c THEN 1 ELSE 0 END) AS BIGINT) AS r_g
+           FROM d, tot GROUP BY 1),
+         a AS (
+           SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(r_g) AS BIGINT) AS r,
+                  CAST(sum(g * r_g) AS BIGINT) AS sgr,
+                  CAST(sum(g * n_g) AS BIGINT) AS sgn,
+                  CAST(sum(g * g * n_g) AS BIGINT) AS sg2n
+           FROM grp)
+         SELECT n, r, sgr * n - sgn * r AS t_num,
+                round((CAST(sgr * n - sgn * r AS DOUBLE)
+                       * CAST(sgr * n - sgn * r AS DOUBLE)
+                       * CAST(n AS DOUBLE))
+                      / (CAST(r AS DOUBLE) * CAST(n - r AS DOUBLE)
+                         * (CAST(n AS DOUBLE) * CAST(sg2n AS DOUBLE)
+                            - CAST(sgn AS DOUBLE) * CAST(sgn AS DOUBLE))), 6) AS z2
+         FROM a""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
