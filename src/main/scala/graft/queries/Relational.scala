@@ -9000,6 +9000,101 @@ object Relational {
                            * (cast(n as double) * cast(sg2n as double)
                               - cast(sgn as double) * cast(sgn as double))), 6)""").as("z2"))
     }),
+
+    // Chao1 species-richness estimate per source — "how many token
+    // types does this corpus slice REALLY have, given what sampling
+    // showed us": S_obs plus the bias-corrected singleton/doubleton
+    // tail f1(f1−1)/(2(f2+1)), ppm-exact. Two bounded hash aggs
+    // (token counts → frequency classes); the estimator arithmetic
+    // runs on one row per source.
+    "q_text_chao1" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("s_obs"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("f2"))
+        .select(col("source"), col("s_obs"), col("f1"), col("f2"),
+          expr("(s_obs * 2 * (f2 + 1) + f1 * (f1 - 1)) * 1000000L div (2 * (f2 + 1))").as("chao1_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Good–Turing frequency-of-frequency smoothing per source: for
+    // count classes r = 1..5, the adjusted count r* = (r+1)·N_{r+1}/N_r
+    // in ppm — the discounting table an n-gram LM smoother reads. The
+    // N_{r+1} lookup is a self-join on the BOUNDED (source, r) key
+    // space, never the token space. Universe = 3-gram shingles (the
+    // q_sketch_kmv lesson: the ~31-word synth vocabulary has NO rare
+    // count classes, which would leave the r ≤ 5 table empty at the
+    // larger SFs — the estimator must actually estimate).
+    "q_text_good_turing" -> ((s, dir) => {
+      val fof = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3)))")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"), col("cnt").as("r"))
+        .agg(count(lit(1)).as("n_r"))
+      val next = fof.select(col("source").as("s2"), (col("r") - 1L).as("r2"),
+        col("n_r").as("n_next"))
+      fof.filter(col("r") <= 5L)
+        .join(next, col("source") === col("s2") && col("r") === col("r2"), "left_outer")
+        .select(col("source"), col("r"), col("n_r"),
+          coalesce(col("n_next"), lit(0L)).as("n_next"),
+          expr("(r + 1) * coalesce(n_next, 0L) * 1000000L div n_r").as("rstar_ppm"))
+        .orderBy(col("source"), col("r"))
+    }),
+
+    // 10% two-sided trimmed mean of event value per type — the robust
+    // location estimate that survives fat tails: drop the bottom and
+    // top n div 10 order statistics (row_number over a per-type
+    // window, exact), then one integer ppm mean over the kept cents.
+    "q_agg_trimmed" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"), col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .filter(col("rn") > expr("n div 10") &&
+          col("rn") <= col("n") - expr("n div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("sum_kept"))
+        .select(col("event_type"), col("n_kept"), col("sum_kept"),
+          expr("sum_kept * 1000000L div n_kept").as("trimmed_mean_cents_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Grubbs outlier statistic per event type: G² for the most extreme
+    // value vs the type's own mean/sd, from the exact integer sums
+    // (n, Σc, Σc², max deviation via the scaled |c·n − Σc|) with ONE
+    // double expression at the end — the single-pass screening test
+    // that needs no sort and no per-row window.
+    "q_events_grubbs" -> ((s, dir) => {
+      val d = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+      val tot = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sm"),
+          sum(col("c") * col("c")).as("s2"))
+      d.join(tot, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("sm")).as("sm"),
+          max(col("s2")).as("s2"),
+          max(abs(col("c") * col("n") - col("sm"))).as("maxdev_n"))
+        .select(col("event_type"), col("n"), col("maxdev_n"),
+          expr("""round((cast(maxdev_n as double) * cast(maxdev_n as double)
+                         * cast(n - 1 as double))
+                        / (cast(n as double)
+                           * (cast(n as double) * cast(s2 as double)
+                              - cast(sm as double) * cast(sm as double))), 6)""").as("g2"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -14931,6 +15026,72 @@ object Relational {
                          * (CAST(n AS DOUBLE) * CAST(sg2n AS DOUBLE)
                             - CAST(sgn AS DOUBLE) * CAST(sgn AS DOUBLE))), 6) AS z2
          FROM a""",
+    "q_text_chao1" ->
+      """WITH ls AS (SELECT source, string_split(text, ' ') AS l FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+         c AS (SELECT source, unnest(list_transform(generate_series(1, len(l) - 2),
+                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tok
+               FROM ls),
+         cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM c GROUP BY 1, 2),
+         g AS (SELECT source, CAST(count(*) AS BIGINT) AS s_obs,
+                      CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                      CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+               FROM cnts GROUP BY 1)
+         SELECT source, s_obs, f1, f2,
+                (s_obs * 2 * (f2 + 1) + f1 * (f1 - 1)) * 1000000
+                  // (2 * (f2 + 1)) AS chao1_ppm
+         FROM g ORDER BY source""",
+    "q_text_good_turing" ->
+      """WITH ls AS (SELECT source, string_split(text, ' ') AS l FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
+         c AS (SELECT source, unnest(list_transform(generate_series(1, len(l) - 2),
+                 i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS tok
+               FROM ls),
+         cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+                  FROM c GROUP BY 1, 2),
+         fof AS (SELECT source, cnt AS r, CAST(count(*) AS BIGINT) AS n_r
+                 FROM cnts GROUP BY 1, 2)
+         SELECT f.source, f.r, f.n_r,
+                CAST(COALESCE(nx.n_r, 0) AS BIGINT) AS n_next,
+                (f.r + 1) * CAST(COALESCE(nx.n_r, 0) AS BIGINT) * 1000000
+                  // f.n_r AS rstar_ppm
+         FROM fof f LEFT JOIN fof nx
+           ON nx.source = f.source AND nx.r = f.r + 1
+         WHERE f.r <= 5 ORDER BY f.source, f.r""",
+    "q_agg_trimmed" ->
+      """WITH d AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+                  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+           FROM events),
+         k AS (SELECT * FROM d WHERE rn > n // 10 AND rn <= n - n // 10)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+                CAST(sum(c) AS BIGINT) AS sum_kept,
+                CAST(sum(c) AS BIGINT) * 1000000
+                  // CAST(count(*) AS BIGINT) AS trimmed_mean_cents_ppm
+         FROM k GROUP BY 1 ORDER BY 1""",
+    "q_events_grubbs" ->
+      """WITH d AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+                    FROM events),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(c) AS BIGINT) AS sm,
+                        CAST(sum(c * c) AS BIGINT) AS s2
+                 FROM d GROUP BY 1),
+         g AS (SELECT d.event_type, CAST(max(tot.n) AS BIGINT) AS n,
+                      CAST(max(tot.sm) AS BIGINT) AS sm,
+                      CAST(max(tot.s2) AS BIGINT) AS s2,
+                      CAST(max(abs(d.c * tot.n - tot.sm)) AS BIGINT) AS maxdev_n
+               FROM d JOIN tot ON d.event_type = tot.event_type
+               GROUP BY 1)
+         SELECT event_type, n, maxdev_n,
+                round((CAST(maxdev_n AS DOUBLE) * CAST(maxdev_n AS DOUBLE)
+                       * CAST(n - 1 AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))), 6) AS g2
+         FROM g ORDER BY event_type""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
