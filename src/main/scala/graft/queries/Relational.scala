@@ -9095,6 +9095,137 @@ object Relational {
                               - cast(sm as double) * cast(sm as double))), 6)""").as("g2"))
         .orderBy(col("event_type"))
     }),
+
+    // Partial autocorrelation at lag 2 per event type (Durbin–Levinson
+    // φ₂₂ = (r₂ − r₁²)/(1 − r₁²) over the lag-Pearson autocorrelations):
+    // each rₖ is formed from FIVE exact integer sums over the ts-ordered
+    // cents series (the corr pattern), sqrt is IEEE-exact, and φ₂₂ is a
+    // fixed expression tree over those doubles — cross-engine
+    // deterministic with no libm. The lag windows partition by type.
+    "q_events_pacf2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          col("ts"), col("event_id"))
+        .select(col("event_type"), col("c"),
+          lead(col("c"), 1).over(w).as("c1"),
+          lead(col("c"), 2).over(w).as("c2"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(when(col("c1").isNotNull, 1L)).as("n1"),
+          sum(when(col("c1").isNotNull, col("c"))).as("sx1"),
+          sum(when(col("c1").isNotNull, col("c1"))).as("sy1"),
+          sum(when(col("c1").isNotNull, col("c") * col("c"))).as("sxx1"),
+          sum(when(col("c1").isNotNull, col("c1") * col("c1"))).as("syy1"),
+          sum(when(col("c1").isNotNull, col("c") * col("c1"))).as("sxy1"),
+          count(when(col("c2").isNotNull, 1L)).as("n2"),
+          sum(when(col("c2").isNotNull, col("c"))).as("sx2"),
+          sum(when(col("c2").isNotNull, col("c2"))).as("sy2"),
+          sum(when(col("c2").isNotNull, col("c") * col("c"))).as("sxx2"),
+          sum(when(col("c2").isNotNull, col("c2") * col("c2"))).as("syy2"),
+          sum(when(col("c2").isNotNull, col("c") * col("c2"))).as("sxy2"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr("""round(((cast(n2 * sxy2 - sx2 * sy2 as double)
+                          / sqrt((cast(n2 as double) * cast(sxx2 as double)
+                                  - cast(sx2 as double) * cast(sx2 as double))
+                                 * (cast(n2 as double) * cast(syy2 as double)
+                                    - cast(sy2 as double) * cast(sy2 as double))))
+                         - (cast(n1 * sxy1 - sx1 * sy1 as double)
+                            / sqrt((cast(n1 as double) * cast(sxx1 as double)
+                                    - cast(sx1 as double) * cast(sx1 as double))
+                                   * (cast(n1 as double) * cast(syy1 as double)
+                                      - cast(sy1 as double) * cast(sy1 as double))))
+                           * (cast(n1 * sxy1 - sx1 * sy1 as double)
+                              / sqrt((cast(n1 as double) * cast(sxx1 as double)
+                                      - cast(sx1 as double) * cast(sx1 as double))
+                                     * (cast(n1 as double) * cast(syy1 as double)
+                                        - cast(sy1 as double) * cast(sy1 as double)))))
+                        / (cast(1 as double)
+                           - (cast(n1 * sxy1 - sx1 * sy1 as double)
+                              / sqrt((cast(n1 as double) * cast(sxx1 as double)
+                                      - cast(sx1 as double) * cast(sx1 as double))
+                                     * (cast(n1 as double) * cast(syy1 as double)
+                                        - cast(sy1 as double) * cast(sy1 as double))))
+                             * (cast(n1 * sxy1 - sx1 * sy1 as double)
+                                / sqrt((cast(n1 as double) * cast(sxx1 as double)
+                                        - cast(sx1 as double) * cast(sx1 as double))
+                                       * (cast(n1 as double) * cast(syy1 as double)
+                                          - cast(sy1 as double) * cast(sy1 as double))))), 6)""").as("phi22"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Allan variance per event type at stride 16 — the stability-
+    // over-averaging-time statistic: full 16-element blocks of the
+    // ts-ordered cents series, adjacent block-SUM differences (exact
+    // integers — the /16 means cancel into the final denominator),
+    // avar = Σd²/(2(M−1)·16²) as one integer ppm division.
+    "q_events_allan" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val blocks = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          col("ts"), col("event_id"))
+        .withColumn("b", expr("cast(row_number() over (partition by event_type order by ts, event_id) - 1 as bigint) div 16"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c")).as("s"))
+        .filter(col("cnt") === 16L)
+      val bw = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      blocks
+        .withColumn("d", lead(col("s"), 1).over(bw) - col("s"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("m_diffs"), sum(col("d") * col("d")).as("sum_d2"))
+        .select(col("event_type"), col("m_diffs"), col("sum_d2"),
+          expr("sum_d2 * 1000000L div (2 * m_diffs * 256)").as("avar_cents2_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Ulcer index per event type, EXACT: drawdown from the running
+    // peak in integer ppm ((peak − c)·10⁶ div peak — cents are
+    // positive), squared and averaged as integers. The running peak is
+    // a per-type cumulative max window; everything else is one agg.
+    "q_events_ulcer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"),
+          col("ts"), col("event_id"))
+        .withColumn("peak", max(col("c")).over(w))
+        .select(col("event_type"),
+          expr("(peak - c) * 1000000L div peak").as("dd_ppm"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("dd_ppm") * col("dd_ppm")).as("sum_dd2"))
+        .select(col("event_type"), col("n"), col("sum_dd2"),
+          expr("sum_dd2 div n").as("ulcer2_ppm2"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Consistent-hash ring placement (8 shards × 16 virtual nodes,
+    // md5-positioned) vs the rendezvous scheme already registered
+    // (q_shard_rendezvous): each doc key takes the first vnode
+    // clockwise from its hash (wraparound = global min). The ring is
+    // 128 broadcast rows; the per-key argmin is a broadcast join +
+    // hash agg — no shuffle grows with the corpus.
+    "q_sample_consistent_hash" -> ((s, dir) => {
+      val ring = s.range(8).select(col("id").as("shard"))
+        .crossJoin(s.range(16).select(col("id").as("v")))
+        .select(col("shard"),
+          expr("cast(conv(substring(md5(concat('s', cast(shard as string), ':v', cast(v as string))), 1, 8), 16, 10) as bigint)").as("pos"))
+      val keys = t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)").as("h"))
+      val chosen = keys.crossJoin(broadcast(ring))
+        .groupBy(col("doc_id"), col("h"))
+        .agg(min(when(col("pos") >= col("h"), col("pos"))).as("p1"),
+          min(col("pos")).as("p0"))
+        .select(col("doc_id"), coalesce(col("p1"), col("p0")).as("cpos"))
+      chosen.join(broadcast(ring), col("cpos") === col("pos"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("shard"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -15092,6 +15223,110 @@ object Relational {
                          * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
                             - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))), 6) AS g2
          FROM g ORDER BY event_type""",
+    "q_events_pacf2" ->
+      """WITH d AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                  lead(CAST(round(value * 100) AS BIGINT), 1) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id) AS c1,
+                  lead(CAST(round(value * 100) AS BIGINT), 2) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id) AS c2
+           FROM events),
+         a AS (
+           SELECT event_type,
+                  CAST(count(CASE WHEN c1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN c1 IS NOT NULL THEN c END) AS BIGINT) AS sx1,
+                  CAST(sum(CASE WHEN c1 IS NOT NULL THEN c1 END) AS BIGINT) AS sy1,
+                  CAST(sum(CASE WHEN c1 IS NOT NULL THEN c * c END) AS BIGINT) AS sxx1,
+                  CAST(sum(CASE WHEN c1 IS NOT NULL THEN c1 * c1 END) AS BIGINT) AS syy1,
+                  CAST(sum(CASE WHEN c1 IS NOT NULL THEN c * c1 END) AS BIGINT) AS sxy1,
+                  CAST(count(CASE WHEN c2 IS NOT NULL THEN 1 END) AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN c2 IS NOT NULL THEN c END) AS BIGINT) AS sx2,
+                  CAST(sum(CASE WHEN c2 IS NOT NULL THEN c2 END) AS BIGINT) AS sy2,
+                  CAST(sum(CASE WHEN c2 IS NOT NULL THEN c * c END) AS BIGINT) AS sxx2,
+                  CAST(sum(CASE WHEN c2 IS NOT NULL THEN c2 * c2 END) AS BIGINT) AS syy2,
+                  CAST(sum(CASE WHEN c2 IS NOT NULL THEN c * c2 END) AS BIGINT) AS sxy2
+           FROM d GROUP BY 1)
+         SELECT event_type, n1, n2,
+                round(((CAST(n2 * sxy2 - sx2 * sy2 AS DOUBLE)
+                        / sqrt((CAST(n2 AS DOUBLE) * CAST(sxx2 AS DOUBLE)
+                                - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE))
+                               * (CAST(n2 AS DOUBLE) * CAST(syy2 AS DOUBLE)
+                                  - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))))
+                       - (CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                          / sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                                  - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                                 * (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                                    - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))))
+                         * (CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                            / sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                                    - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                                   * (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                                      - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE)))))
+                      / (CAST(1 AS DOUBLE)
+                         - (CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                            / sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                                    - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                                   * (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                                      - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))))
+                           * (CAST(n1 * sxy1 - sx1 * sy1 AS DOUBLE)
+                              / sqrt((CAST(n1 AS DOUBLE) * CAST(sxx1 AS DOUBLE)
+                                      - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE))
+                                     * (CAST(n1 AS DOUBLE) * CAST(syy1 AS DOUBLE)
+                                        - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE))))), 6) AS phi22
+         FROM a ORDER BY event_type""",
+    "q_events_allan" ->
+      """WITH d AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                  (row_number() OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id) - 1) // 16 AS b
+           FROM events),
+         blocks AS (
+           SELECT event_type, b, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(c) AS BIGINT) AS s
+           FROM d GROUP BY 1, 2 HAVING count(*) = 16),
+         diffs AS (
+           SELECT event_type,
+                  lead(s) OVER (PARTITION BY event_type ORDER BY b) - s AS df
+           FROM blocks),
+         g AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS m_diffs,
+                  CAST(sum(df * df) AS BIGINT) AS sum_d2
+           FROM diffs WHERE df IS NOT NULL GROUP BY 1)
+         SELECT event_type, m_diffs, sum_d2,
+                sum_d2 * 1000000 // (2 * m_diffs * 256) AS avar_cents2_ppm
+         FROM g ORDER BY event_type""",
+    "q_events_ulcer" ->
+      """WITH d AS (
+           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                  CAST(max(CAST(round(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak
+           FROM events),
+         dd AS (SELECT event_type, (peak - c) * 1000000 // peak AS dd_ppm FROM d),
+         g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(dd_ppm * dd_ppm) AS BIGINT) AS sum_dd2
+               FROM dd GROUP BY 1)
+         SELECT event_type, n, sum_dd2, sum_dd2 // n AS ulcer2_ppm2
+         FROM g ORDER BY event_type""",
+    "q_sample_consistent_hash" ->
+      """WITH ring AS (
+           SELECT shard, CAST(('0x' || substr(md5('s' || CAST(shard AS VARCHAR)
+                    || ':v' || CAST(v AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS pos
+           FROM (SELECT unnest(range(8)) AS shard) s,
+                (SELECT unnest(range(16)) AS v) v),
+         keys AS (
+           SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) AS h
+           FROM documents),
+         chosen AS (
+           SELECT k.doc_id,
+                  COALESCE(min(CASE WHEN r.pos >= k.h THEN r.pos END),
+                           min(r.pos)) AS cpos
+           FROM keys k, ring r GROUP BY 1),
+         assigned AS (
+           SELECT c.doc_id, r.shard FROM chosen c JOIN ring r ON c.cpos = r.pos)
+         SELECT CAST(shard AS BIGINT) AS shard,
+                CAST(count(*) AS BIGINT) AS n_docs
+         FROM assigned GROUP BY 1 ORDER BY 1""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
