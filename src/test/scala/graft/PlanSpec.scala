@@ -1220,4 +1220,42 @@ class PlanSpec extends SparkSuite {
     val trScans = "Scan parquet".r.findAllIn(tr).length
     assert(trScans == 0, s"textrank rounds re-scan the corpus:\n${tr.take(2000)}")
   }
+
+  test("session-10 additions: bloom-prefilter/eval/ring/nonparam plan shapes") {
+    // bloom prefilter: the 1-row bloom rides a broadcast (BNLJ is the
+    // sanctioned 1-row cross shape), the exact semi join broadcasts
+    // the dim side, and the fact side never sort-merges
+    val bl = plan("q_join_bloom_prefilter")
+    assert(bl.contains("BroadcastNestedLoopJoin"), bl.take(2000))
+    assert(bl.contains("BroadcastHashJoin") && bl.contains("LeftSemi"), bl.take(2000))
+    assert(!bl.contains("SortMergeJoin"), bl.take(2000))
+    // soft dedup weights: one extra hash agg over components — the
+    // memoized resolution is reused, no corpus re-scan inside, and the
+    // size join stays equi
+    val sw = plan("q_dedup_soft_weights")
+    assert(!sw.contains("CartesianProduct"), sw.take(2000))
+    // AUC: ranks come from the BOUNDED score support (per-score hash
+    // agg with map-side combine), never a per-row global sort window
+    val au = plan("q_eval_auc")
+    assert(au.contains("partial"), au.take(2000))
+    assert(!au.contains("CartesianProduct"), au.take(2000))
+    // consistent-hash ring: the 128-row ring broadcasts both times —
+    // assignment and shard resolution — nothing shuffles with corpus
+    // size except the per-key agg
+    val ch = plan("q_sample_consistent_hash")
+    assert("BroadcastNestedLoopJoin|BroadcastHashJoin".r.findAllIn(ch).length >= 2,
+      ch.take(2000))
+    assert(!ch.contains("CartesianProduct") && !ch.contains("SortMergeJoin"),
+      ch.take(2000))
+    // nonparametric battery: per-type windows + hash aggs only — no
+    // cartesians, and the runs/wilcoxon/pacf windows partition by type
+    for (name <- Seq("q_events_runs_test", "q_events_wilcoxon",
+        "q_events_pacf2", "q_events_allan", "q_events_ulcer",
+        "q_events_emd", "q_events_trend_ca", "q_agg_trimmed",
+        "q_events_grubbs", "q_text_chao1", "q_text_good_turing",
+        "q_eval_ece", "q_eval_gains", "q_eval_threshold")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
+    }
+  }
 }

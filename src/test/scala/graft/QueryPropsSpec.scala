@@ -177,4 +177,92 @@ class QueryPropsSpec extends SparkSuite {
       rows.length
     assert(mean >= 100000L, s"mean hamming recall $mean ppm — signatures broken?")
   }
+
+  test("ROC-AUC: separated score construction beats random, agrees with gains capture") {
+    val r = SparkEntry.queries("q_eval_auc")(spark, dir).collect()(0)
+    val auc = r.getLong(r.fieldIndex("auc_ppm"))
+    // the +400 class shift over 0..999 noise puts true AUC ≈ 0.66;
+    // assert strictly better than random and below perfect
+    assert(auc > 550000L && auc < 950000L, s"auc_ppm=$auc out of band")
+    // the gains table must capture everything by decile 10 and be
+    // monotone in cumulative capture
+    val g = SparkEntry.queries("q_eval_gains")(spark, dir)
+      .orderBy("decile").collect()
+    val caps = g.map(x => x.getLong(x.fieldIndex("capture_ppm")))
+    assert(caps.last == 1000000L, s"final capture ${caps.last}")
+    assert(caps.sliding(2).forall(p => p(0) <= p(1)), caps.mkString(","))
+    // decile 1 (highest scores) must over-capture (lift > 1)
+    assert(g.head.getLong(g.head.fieldIndex("lift_ppm")) > 1000000L)
+  }
+
+  test("calibrated-by-construction draw keeps every ECE bin gap small") {
+    val rows = SparkEntry.queries("q_eval_ece")(spark, dir).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val n = r.getLong(r.fieldIndex("n"))
+      val gap = r.getLong(r.fieldIndex("gap_ppm"))
+      // binomial s.e. at bin width 0.1: sqrt(p(1-p)/n) <= 0.5/sqrt(n);
+      // allow 6 s.e. in ppm
+      val bound = math.max(60000L, (3000000.0 / math.sqrt(n.toDouble)).toLong)
+      assert(gap <= bound, s"bin gap $gap ppm > $bound (n=$n)")
+    }
+  }
+
+  test("EMD is a metric on the binned histograms: zero on identical, positive here") {
+    val r = SparkEntry.queries("q_events_emd")(spark, dir).collect()(0)
+    val emd = r.getLong(r.fieldIndex("emd_bins_ppm"))
+    // value distributions of click vs purchase differ but share range:
+    // 0 < EMD < 251 bins (the diameter of the support)
+    assert(emd > 0L && emd < 251000000L, s"emd=$emd")
+  }
+
+  test("wilcoxon W2+ is bounded by the 2-scaled total; runs count bounded by n") {
+    for (r <- SparkEntry.queries("q_events_wilcoxon")(spark, dir).collect()) {
+      val w2 = r.getLong(r.fieldIndex("w2_plus"))
+      val tot = r.getLong(r.fieldIndex("w2_total"))
+      assert(w2 >= 0L && w2 <= tot, s"w2_plus=$w2 total=$tot")
+    }
+    for (r <- SparkEntry.queries("q_events_runs_test")(spark, dir).collect()) {
+      val runs = r.getLong(r.fieldIndex("runs"))
+      val n = r.getLong(r.fieldIndex("n"))
+      assert(runs >= 1L && runs <= n, s"runs=$runs n=$n")
+    }
+  }
+
+  test("chao1 >= observed richness; good-turing discounts singletons") {
+    for (r <- SparkEntry.queries("q_text_chao1")(spark, dir).collect()) {
+      val sObs = r.getLong(r.fieldIndex("s_obs"))
+      val chao = r.getLong(r.fieldIndex("chao1_ppm"))
+      assert(chao >= sObs * 1000000L, s"chao1 $chao < s_obs $sObs")
+      // the estimator must actually estimate (singletons exist)
+      assert(r.getLong(r.fieldIndex("f1")) > 0L, "no singletons — dead estimator")
+    }
+    val gt = SparkEntry.queries("q_text_good_turing")(spark, dir).collect()
+      .filter(r => r.getLong(r.fieldIndex("r")) == 1L)
+    assert(gt.nonEmpty)
+    // r*=2·N2/N1 < 1 ppm-scaled iff N2 < N1/2 — not universal; instead
+    // pin the structural fact: rstar is (r+1)·N_{r+1}/N_r exactly
+    for (r <- gt) {
+      val nr = r.getLong(r.fieldIndex("n_r"))
+      val nn = r.getLong(r.fieldIndex("n_next"))
+      assert(r.getLong(r.fieldIndex("rstar_ppm")) == 2L * nn * 1000000L / nr)
+    }
+  }
+
+  test("trimmed mean sits between the min and max of the kept middle; ring is balanced") {
+    for (r <- SparkEntry.queries("q_agg_trimmed")(spark, dir).collect()) {
+      val n = r.getLong(r.fieldIndex("n_kept"))
+      val sum = r.getLong(r.fieldIndex("sum_kept"))
+      val mean = r.getLong(r.fieldIndex("trimmed_mean_cents_ppm"))
+      assert(mean == sum * 1000000L / n)
+    }
+    // consistent hashing with 16 vnodes/shard balances within ~4x of
+    // ideal (md5 draws are fixed, so this is a deterministic fact of
+    // the committed ring, not a statistical gamble)
+    val ring = SparkEntry.queries("q_sample_consistent_hash")(spark, dir).collect()
+    assert(ring.map(_.getLong(1)).sum > 0)
+    val loads = ring.map(_.getLong(1))
+    assert(loads.max <= 4 * math.max(1L, loads.min),
+      s"ring badly imbalanced: ${loads.mkString(",")}")
+  }
 }
