@@ -71,6 +71,10 @@ object TrainingData {
   val convStatsPath       = s"$oracleRoot/conv_stats_turns"
   val convLenPath         = s"$oracleRoot/conv_len_turns"
   val convStripPath       = s"$oracleRoot/conv_strip_turns"
+  val convLatencyPath     = s"$oracleRoot/conv_latency_turns"
+  val convToolChainPath   = s"$oracleRoot/conv_toolchain_turns"
+  val convDriftPath       = s"$oracleRoot/conv_drift_turns"
+  val convBurstPath       = s"$oracleRoot/conv_burst_turns"
   val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
@@ -1165,6 +1169,123 @@ object TrainingData {
         .orderBy(col("src"), col("dst"))
     }),
 
+    // Response-latency quantiles per role transition — "how long does
+    // the assistant take after a user turn": per-conv lead(ts) deltas
+    // in whole seconds, then exact lower-pick p50/p90 per (src → dst)
+    // pair via the rank-pick pattern (no approx percentile). The
+    // per-conv window is the extraction pipeline's own partition bound.
+    "q_conv_latency" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("ts"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convLatencyPath)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val deltas = s.read.parquet(convLatencyPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("conv_id"), col("turn_idx"), col("role").as("src"),
+          col("ts").cast("long").as("sec"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .withColumn("nsec", lead(col("sec"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .select(col("src"), col("dst"), (col("nsec") - col("sec")).as("delta_s"))
+      val rw = Window.partitionBy(col("src"), col("dst"))
+        .orderBy(col("delta_s"))
+      deltas
+        .withColumn("rn", row_number().over(rw))
+        .withColumn("nt", count(lit(1)).over(
+          Window.partitionBy(col("src"), col("dst"))))
+        .groupBy(col("src"), col("dst"))
+        .agg(max(col("nt")).as("n"),
+          min(when(col("rn") === expr("(nt * 50) div 100 + 1"), col("delta_s"))).as("p50_s"),
+          min(when(col("rn") === expr("(nt * 90) div 100 + 1"), col("delta_s"))).as("p90_s"))
+        .orderBy(col("src"), col("dst"))
+    }),
+
+    // Tool-call chain mining: the top-10 (tool → next tool) bigrams
+    // within a conversation (null tools skipped, order by turn) — the
+    // agent-workflow fingerprint table. Rank ties break on the chain
+    // key for determinism.
+    "q_conv_tool_chains" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("tool"))
+        .coalesce(1) // oracle plumbing only
+        .write.mode("overwrite").parquet(convToolChainPath)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val chains = s.read.parquet(convToolChainPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(col("tool").isNotNull && col("tool") =!= "")
+        .select(col("conv_id"), col("turn_idx"), col("tool").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      chains
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("src"), col("dst"))))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk").cast("long").as("rnk"), col("src"), col("dst"), col("n"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Topic drift per conversation: Jaccard between the first-half and
+    // second-half distinct token sets (exact ppm), bucketed into
+    // deciles — the "does this conversation stay on topic" histogram.
+    // Everything is hash aggs on (conv, token) then (conv); the
+    // histogram key space is 11 bins.
+    "q_conv_topic_drift" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("text"))
+        .coalesce(1) // oracle plumbing only
+        .write.mode("overwrite").parquet(convDriftPath)
+      val base = s.read.parquet(convDriftPath)
+        .repartition(s.sparkContext.defaultParallelism)
+      val nTurns = base.groupBy(col("conv_id"))
+        .agg(count(lit(1)).as("n_turns"))
+      val toks = base.join(nTurns, Seq("conv_id"))
+        .select(col("conv_id"),
+          (col("turn_idx") * 2 < col("n_turns")).cast("long").as("first_half"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("conv_id"), col("tok"))
+        .agg(max(col("first_half")).as("in_a"),
+          max(lit(1L) - col("first_half")).as("in_b"))
+      toks.groupBy(col("conv_id"))
+        .agg(sum(col("in_a") * col("in_b")).as("inter"),
+          count(lit(1)).as("uni"))
+        .select(expr("inter * 1000000L div uni div 100000").as("jacc_decile"))
+        .groupBy(col("jacc_decile"))
+        .agg(count(lit(1)).as("n_convs"))
+        .orderBy(col("jacc_decile"))
+    }),
+
+    // Burstiness: each conversation's peak turns-per-minute (a RANGE
+    // frame over epoch seconds — the time-range window family applied
+    // per conv), top-10 burstiest conversations. The frame is bounded
+    // by the conversation, so the heavy tail stays one task.
+    "q_conv_burst" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("ts"))
+        .coalesce(1) // oracle plumbing only
+        .write.mode("overwrite").parquet(convBurstPath)
+      val w = Window.partitionBy(col("conv_id"))
+        .orderBy(col("sec"))
+        .rangeBetween(-59L, 0L)
+      s.read.parquet(convBurstPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("conv_id"), col("ts").cast("long").as("sec"))
+        .withColumn("in_window", count(lit(1)).over(w))
+        .groupBy(col("conv_id"))
+        .agg(max(col("in_window")).as("peak_per_min"), count(lit(1)).as("n_turns"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("peak_per_min").desc, col("conv_id"))))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk").cast("long").as("rnk"), col("conv_id"),
+          col("peak_per_min"), col("n_turns"))
+        .orderBy(col("rnk"))
+    }),
+
     // sketch — bounded-memory heavy hitters: a per-partition
     // Misra-Gries summary (capacity 256) emits a candidate SUPERSET of
     // every token with global frequency > N/100 (if a global heavy
@@ -1554,6 +1675,71 @@ object TrainingData {
                  CAST(min(CASE WHEN rn = (nt * 75) // 100 + 1 THEN n_toks END) AS BIGINT) AS p75,
                  CAST(min(CASE WHEN rn = (nt * 95) // 100 + 1 THEN n_toks END) AS BIGINT) AS p95
           FROM r GROUP BY 1, 2 ORDER BY role""",
+    "q_conv_latency" ->
+      s"""WITH d AS (
+            SELECT role AS src,
+                   lead(role, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst,
+                   lead(epoch(ts)::BIGINT, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     - epoch(ts)::BIGINT AS delta_s
+            FROM read_parquet('$convLatencyPath/*.parquet')),
+          f AS (SELECT * FROM d WHERE dst IS NOT NULL),
+          r AS (SELECT src, dst, delta_s,
+                       row_number() OVER (PARTITION BY src, dst ORDER BY delta_s) AS rn,
+                       CAST(count(*) OVER (PARTITION BY src, dst) AS BIGINT) AS nt
+                FROM f)
+          SELECT src, dst, CAST(max(nt) AS BIGINT) AS n,
+                 CAST(min(CASE WHEN rn = (nt * 50) // 100 + 1 THEN delta_s END) AS BIGINT) AS p50_s,
+                 CAST(min(CASE WHEN rn = (nt * 90) // 100 + 1 THEN delta_s END) AS BIGINT) AS p90_s
+          FROM r GROUP BY 1, 2 ORDER BY src, dst""",
+    "q_conv_tool_chains" ->
+      s"""WITH c AS (
+            SELECT tool AS src,
+                   lead(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS dst
+            FROM read_parquet('$convToolChainPath/*.parquet')
+            WHERE tool IS NOT NULL AND tool != ''),
+          g AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM c WHERE dst IS NOT NULL GROUP BY 1, 2),
+          r AS (SELECT *, row_number() OVER (ORDER BY n DESC, src, dst) AS rnk FROM g)
+          SELECT CAST(rnk AS BIGINT) AS rnk, src, dst, n
+          FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "q_conv_topic_drift" ->
+      s"""WITH nt AS (
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+            FROM read_parquet('$convDriftPath/*.parquet') GROUP BY 1),
+          tk AS (
+            SELECT t.conv_id,
+                   CASE WHEN t.turn_idx * 2 < nt.n_turns THEN 1 ELSE 0 END AS first_half,
+                   unnest(string_split(t.text, ' ')) AS tok
+            FROM read_parquet('$convDriftPath/*.parquet') t
+            JOIN nt ON t.conv_id = nt.conv_id),
+          m AS (
+            SELECT conv_id, tok, CAST(max(first_half) AS BIGINT) AS in_a,
+                   CAST(max(1 - first_half) AS BIGINT) AS in_b
+            FROM tk WHERE tok != '' GROUP BY 1, 2),
+          j AS (
+            SELECT conv_id, CAST(sum(in_a * in_b) AS BIGINT) AS inter,
+                   CAST(count(*) AS BIGINT) AS uni
+            FROM m GROUP BY 1)
+          SELECT inter * 1000000 // uni // 100000 AS jacc_decile,
+                 CAST(count(*) AS BIGINT) AS n_convs
+          FROM j GROUP BY 1 ORDER BY 1""",
+    "q_conv_burst" ->
+      s"""WITH d AS (
+            SELECT conv_id, epoch(ts)::BIGINT AS sec
+            FROM read_parquet('$convBurstPath/*.parquet')),
+          wn AS (
+            SELECT conv_id,
+                   CAST(count(*) OVER (PARTITION BY conv_id ORDER BY sec
+                     RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS BIGINT) AS in_window
+            FROM d),
+          g AS (
+            SELECT conv_id, CAST(max(in_window) AS BIGINT) AS peak_per_min,
+                   CAST(count(*) AS BIGINT) AS n_turns
+            FROM wn GROUP BY 1),
+          r AS (SELECT *, row_number() OVER (ORDER BY peak_per_min DESC, conv_id) AS rnk
+                FROM g)
+          SELECT CAST(rnk AS BIGINT) AS rnk, conv_id, peak_per_min, n_turns
+          FROM r WHERE rnk <= 10 ORDER BY rnk""",
     "q_conv_role_bigrams" ->
       s"""WITH trans AS (
             SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
