@@ -131,12 +131,18 @@ object TableIO {
     val spark = df.sparkSession
     Files.createDirectories(snapDir(root))
     val (lastSnap, done) = committed(root)
+    // the table's recorded spec wins over the caller's parameter (a
+    // resume after a rebucket must keep the evolved layout); a fresh
+    // table records the creation spec
+    val effBuckets = bucketCount(root, buckets)
+    if (bucketSpecs(root).isEmpty && lastSnap < 0)
+      recordBucketSpec(root, effBuckets, -1)
     var snapId = lastSnap
     val written = Seq.newBuilder[BucketLineage]
-    val withBucket = df.withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val withBucket = df.withColumn("bucket", bucketOf(col("conv_id"), effBuckets))
 
     for (wave <- 0 until math.min(waves, stopAfterWaves)) {
-      val waveBuckets = (0 until buckets).filter(b => b % waves == wave && !done.contains(b))
+      val waveBuckets = (0 until effBuckets).filter(b => b % waves == wave && !done.contains(b))
       if (waveBuckets.nonEmpty) {
         val t0 = System.currentTimeMillis()
         // clean any partial leftovers from a crashed run (idempotence)
@@ -333,7 +339,7 @@ object TableIO {
     import spark.implicits._
     recoverCompaction(root) // a crashed compaction must not read as a miss
     recoverMerge(root)      // nor a crashed merge as unpublished data
-    val b = bucketIdOf(convId, buckets)
+    val b = bucketIdOf(convId, bucketCount(root, buckets))
     val dir = Paths.get(root, s"bucket=$b")
     val hasData = listDir(dir).exists(_.getFileName.toString.endsWith(".parquet"))
     if (!hasData) spark.emptyDataset[ExtractedTurn] // point-lookup miss
@@ -583,9 +589,10 @@ object TableIO {
     recoverMerge(root)
     val (snap, _) = committed(root)
     require(snap >= 0, s"mergeExtracted needs an existing table under $root (write waves first)")
+    val effB = bucketCount(root, buckets) // recorded spec wins post-rebucket
     val lin = lineage(root).map(l => l.bucket -> l).toMap
     val t0 = System.currentTimeMillis()
-    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), effB))
       .localCheckpoint(true) // updates are read 3× below (keys, union, count)
     // affected buckets: bounded by B — a driver-side list, not data
     val affected = upd.select(col("bucket")).distinct()
@@ -602,7 +609,7 @@ object TableIO {
         // version bump below makes those records inert)
         spark.read.parquet(
           committedAffected.map(b => s"$root/bucket=$b"): _*)
-          .withColumn("bucket", bucketOf(col("conv_id"), buckets)),
+          .withColumn("bucket", bucketOf(col("conv_id"), effB)),
         spark, root, snap, lineage(root)))
     val keep = existing.map(
       _.join(upd.select(col("conv_id"), col("turn_idx")).distinct(),
@@ -684,10 +691,11 @@ object TableIO {
     recoverMerge(root)
     val (snap, _) = committed(root)
     require(snap >= 0, s"deleteConvs needs an existing table under $root")
+    val effB = bucketCount(root, buckets) // recorded spec wins post-rebucket
     val lin = lineage(root).map(l => l.bucket -> l).toMap
     val t0 = System.currentTimeMillis()
     val keys = convIds.toDF("conv_id").distinct()
-      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .withColumn("bucket", bucketOf(col("conv_id"), effB))
       .localCheckpoint(true) // read 3× below (candidates, semi, anti)
     val candidate = keys.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -698,7 +706,7 @@ object TableIO {
     val existing = applyMorDeletes(
       spark.read.parquet(
         candidate.map(b => s"$root/bucket=$b"): _*)
-        .withColumn("bucket", bucketOf(col("conv_id"), buckets)),
+        .withColumn("bucket", bucketOf(col("conv_id"), effB)),
       spark, root, snap, lineage(root))
     val affected = existing
       .join(keys.select(col("conv_id")), Seq("conv_id"), "left_semi")
@@ -762,6 +770,7 @@ object TableIO {
     val stagingDel = Paths.get(root, "_staging", "delete")
     if (Files.exists(stagingDel)) deleteRecursively(stagingDel)
     recoverMorDeletes(root)
+    recoverSpecHistory(root)
     if (!Files.isDirectory(Paths.get(root, "_archive"))) return
     for (l <- lineage(root)) {
       val arch = archiveDir(root, l.bucket, l.version)
@@ -920,11 +929,12 @@ object TableIO {
     recoverMerge(root)
     val (snap, _) = committed(root)
     require(snap >= 0, s"deleteTurnsMoR needs an existing table under $root")
+    val effB = bucketCount(root, buckets) // recorded spec wins post-rebucket
     val lin = lineage(root)
     val linDf = spark.createDataFrame(lin.map(l => (l.bucket, l.version)))
       .toDF("bucket", "version")
     val annotated = keys.select(col("conv_id"), col("turn_idx")).distinct()
-      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .withColumn("bucket", bucketOf(col("conv_id"), effB))
       .join(broadcast(linDf), Seq("bucket"), "inner")
       .select(col("conv_id"), col("turn_idx"), col("bucket"), col("version"))
       .localCheckpoint(true) // read twice below (write + pair collect)
@@ -974,7 +984,7 @@ object TableIO {
     if (affected.isEmpty) { dels.unpersist(); return Nil }
     val existing = spark.read.parquet(
         affected.map(b => s"$root/bucket=$b"): _*)
-      .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+      .withColumn("bucket", bucketOf(col("conv_id"), bucketCount(root, buckets)))
     val kept = existing.join(dels.select(col("conv_id"), col("turn_idx")),
       Seq("conv_id", "turn_idx"), "left_anti")
     val staged = Paths.get(root, "_staging", "delete")
@@ -1038,6 +1048,152 @@ object TableIO {
       if (!applies) { deleteRecursively(deleteSetDir(root, id)); out += id }
     }
     out.result()
+  }
+
+  // ---------------------------------------------------------------
+  // Partition-spec evolution (Iceberg's partition evolution, applied
+  // to the conv_id hash-bucket spec): the table's bucket count lives
+  // in `_table.json` as a HISTORY of (sinceSnapshot, buckets) entries,
+  // so every snapshot resolves the spec that was active when it was
+  // the head — mutators hash new rows with the head's spec, and
+  // rollback across a rebucket reactivates the old spec. `rebucket`
+  // itself is one whole-table copy-on-write relayout: every old-spec
+  // bucket is parked in the archive at its current version (time
+  // travel through the rebucket stays exact), the new spec's buckets
+  // land at bumped versions, and the manifest is published as a FULL
+  // REPLACE so old-spec bucket names cannot leak into the new head.
+  // Pending MoR delete records fold in (the relayout reads through
+  // readExtracted) and go inert (every version bumps).
+  //
+  // Crash safety: the spec entry is recorded BEFORE the CAS publish
+  // with sinceSnapshot = the id being published; recoverMerge sweeps
+  // spec entries above the committed head (exactly like orphaned MoR
+  // delete sets), so a crash between the two steps can never leave a
+  // later, unrelated publish adopting the wrong spec.
+  // ---------------------------------------------------------------
+
+  private def tableMetaFile(root: String) = Paths.get(root, "_table.json")
+
+  final case class BucketSpec(sinceSnapshot: Int, buckets: Int)
+
+  /** Spec history, ascending by sinceSnapshot ("-1" = since creation).
+    * Empty when the table predates spec tracking. */
+  def bucketSpecs(root: String): Seq[BucketSpec] = {
+    val f = tableMetaFile(root)
+    if (!Files.isRegularFile(f)) return Nil
+    val entry = "\\{\"sinceSnapshot\":\\s*(-?\\d+),\\s*\"buckets\":\\s*(\\d+)\\}".r
+    entry.findAllMatchIn(Files.readString(f))
+      .map(m => BucketSpec(m.group(1).toInt, m.group(2).toInt))
+      .toSeq.sortBy(_.sinceSnapshot)
+  }
+
+  /** The bucket count in force at snapshot `atSnap` (default: head).
+    * Falls back to `default` for tables without spec tracking — the
+    * pre-evolution contract where callers supply the count. */
+  def bucketCount(root: String, default: Int,
+      atSnap: Int = Int.MaxValue): Int =
+    bucketSpecs(root).filter(_.sinceSnapshot <= atSnap)
+      .lastOption.map(_.buckets).getOrElse(default)
+
+  private def writeSpecHistory(root: String, specs: Seq[BucketSpec]): Unit = {
+    val body = specs.sortBy(_.sinceSnapshot)
+      .map(s => s"""{"sinceSnapshot": ${s.sinceSnapshot}, "buckets": ${s.buckets}}""")
+      .mkString("[", ", ", "]")
+    val tmp = Paths.get(root, "._table.json.tmp")
+    Files.writeString(tmp, s"""{"specs": $body}""")
+    Files.move(tmp, tableMetaFile(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def recordBucketSpec(root: String, buckets: Int,
+      sinceSnapshot: Int): Unit =
+    writeSpecHistory(root,
+      bucketSpecs(root).filterNot(_.sinceSnapshot == sinceSnapshot) :+
+        BucketSpec(sinceSnapshot, buckets))
+
+  /** Sweep spec entries above the committed head — a rebucket that
+    * recorded its spec but crashed before its CAS publish (runs inside
+    * recoverMerge, like recoverMorDeletes). */
+  private def recoverSpecHistory(root: String): Unit = {
+    val specs = bucketSpecs(root)
+    if (specs.isEmpty) return
+    val ids = snapshotIds(root)
+    val latest = if (ids.isEmpty) -1 else ids.max
+    val live = specs.filter(_.sinceSnapshot <= latest)
+    if (live.size != specs.size) writeSpecHistory(root, live)
+  }
+
+  /** Relayout the whole table onto `newBuckets` hash buckets — one
+    * copy-on-write pass, snapshot-exact. Returns the new lineage. */
+  def rebucket(spark: SparkSession, root: String,
+      newBuckets: Int): Seq[BucketLineage] = {
+    require(newBuckets >= 1, "newBuckets must be >= 1")
+    recoverCompaction(root)
+    recoverMerge(root)
+    val (snap, _) = committed(root)
+    require(snap >= 0, s"rebucket needs an existing table under $root")
+    val linSeq = lineage(root)
+    val lin = linSeq.map(l => l.bucket -> l).toMap
+    // a pre-spec-tracking table gets its creation entry backfilled
+    // (inferred from the dense bucket ids writeExtracted commits), so
+    // rollback across this rebucket can reactivate the old layout
+    if (bucketSpecs(root).isEmpty)
+      recordBucketSpec(root, linSeq.map(_.bucket).max + 1, -1)
+    val t0 = System.currentTimeMillis()
+    // MoR-applied current state: pending delete records fold in here
+    val data = readExtracted(spark, root).toDF()
+    val staged = Paths.get(root, "_staging", "rebucket")
+    deleteRecursively(staged)
+    data.withColumn("bucket", bucketOf(col("conv_id"), newBuckets))
+      .repartition(newBuckets, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("conv_id"), col("turn_idx"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(staged.toString)
+    // swap: park EVERY old-spec bucket at its current version first
+    // (the in-flight marker recoverMerge restores from), then move the
+    // new spec's buckets in
+    for (l <- linSeq) {
+      val live = Paths.get(root, s"bucket=${l.bucket}")
+      if (Files.isDirectory(live)) {
+        val arch = archiveDir(root, l.bucket, l.version)
+        Files.createDirectories(arch.getParent)
+        Files.move(live, arch, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    for (b <- 0 until newBuckets) {
+      val live = Paths.get(root, s"bucket=$b")
+      val src = staged.resolve(s"bucket=$b")
+      if (Files.exists(live)) deleteRecursively(live) // uncommitted partial
+      if (Files.isDirectory(src))
+        Files.move(src, live, StandardCopyOption.ATOMIC_MOVE)
+      else Files.createDirectories(live)
+    }
+    deleteRecursively(staged)
+    val nonEmpty = (0 until newBuckets).filter(b =>
+      listDir(Paths.get(root, s"bucket=$b"))
+        .exists(_.getFileName.toString.endsWith(".parquet")))
+    val rows: Map[Int, (Long, String, String, Long)] =
+      if (nonEmpty.isEmpty) Map.empty
+      else spark.read.option("basePath", root)
+        .parquet(nonEmpty.map(b => s"$root/bucket=$b"): _*)
+        .groupBy(col("bucket")).agg(
+          count(lit(1)).as("rows"),
+          min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
+          sum(when(col("errors").isNotNull, 1L).otherwise(0L)).as("errs"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toMap
+    val wallMs = System.currentTimeMillis() - t0
+    val snapId = snap + 1
+    val newLin = (0 until newBuckets).map { b =>
+      val (n, lo, hi, e) = rows.getOrElse(b, (0L, "", "", 0L))
+      BucketLineage(b, n, lo, hi, e, wallMs, snapId,
+        lin.get(b).map(_.version + 1).getOrElse(0))
+    }
+    // spec first, CAS publish second (recoverSpecHistory sweeps the
+    // spec if the publish never lands)
+    recordBucketSpec(root, newBuckets, snapId)
+    writeManifestCas(snapDir(root), snapId, newLin) // FULL replace
+    newLin
   }
 
   // ---------------------------------------------------------------
@@ -1119,7 +1275,8 @@ object TableIO {
     require(prevLin.nonEmpty, s"branch $name manifest snap-$branchSnap read back empty")
     val lin = prevLin.map(l => l.bucket -> l).toMap
     val t0 = System.currentTimeMillis()
-    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), buckets))
+    val effB = bucketCount(root, buckets) // recorded spec wins post-rebucket
+    val upd = updates.toDF().withColumn("bucket", bucketOf(col("conv_id"), effB))
       .localCheckpoint(true)
     val affected = upd.select(col("bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
@@ -1162,7 +1319,7 @@ object TableIO {
       if (nonEmpty.isEmpty) Map.empty
       else spark.read.parquet(
           nonEmpty.map(b => branchDataDir(root, name, b, newVersion(b)).toString): _*)
-        .withColumn("bucket", bucketOf(col("conv_id"), buckets))
+        .withColumn("bucket", bucketOf(col("conv_id"), effB))
         .groupBy(col("bucket")).agg(
           count(lit(1)).as("rows"),
           min(col("conv_id")).as("minKey"), max(col("conv_id")).as("maxKey"),
@@ -1216,9 +1373,15 @@ object TableIO {
         Files.move(live, park, StandardCopyOption.ATOMIC_MOVE)
       }
     }
-    // 2. publish the target lineage as the new head (CAS)
+    // 2. reactivate the bucket spec that was in force at the target —
+    //    rolling back across a rebucket must restore the old layout's
+    //    hashing for every later mutation (recorded BEFORE the CAS,
+    //    swept by recoverSpecHistory if the publish never lands)
+    if (bucketSpecs(root).nonEmpty)
+      recordBucketSpec(root, bucketCount(root, Int.MinValue, snap), id)
+    // 3. publish the target lineage as the new head (CAS)
     writeManifestCas(snapDir(root), id, target)
-    // 3. restore the target's archived versions to live — exactly the
+    // 4. restore the target's archived versions to live — exactly the
     //    archive-at-current-version contract recoverMerge implements
     recoverMerge(root)
     id

@@ -189,7 +189,7 @@ object TrainingData {
     * under the driver's hash gate. Memoized per session: three queries
     * share one build. */
   private case class TableBuild(root: String, snapWave1: Int, snapPre: Int,
-    snapPost: Int, snapDel: Int, snapPub: Int, snapMor: Int)
+    snapPost: Int, snapDel: Int, snapPub: Int, snapMor: Int, snapRw: Int)
   private val tableMemo =
     new java.util.LinkedHashMap[SparkSession, TableBuild](4, 0.75f, true) {
       override def removeEldestEntry(
@@ -299,8 +299,16 @@ object TrainingData {
         morKeys.coalesce(1).write.mode("overwrite").parquet(tableMorKeysPath)
         val snapMor = TableIO.deleteTurnsMoR(morKeys, tablePath, buckets = 8)
         TableIO.rewriteDeletes(s, tablePath, buckets = 8)
+        val (snapRw, _) = TableIO.committed(tablePath)
+        // PARTITION EVOLUTION last: relayout 8 -> 16 hash buckets.
+        // Content-neutral by contract, so q_table_rebucket (live head,
+        // 16-bucket bytes) hash-equals the SAME oracle as q_table_mor
+        // (8-bucket archive + delete records) — three engine paths,
+        // one truth. Every pinned read above now time-travels through
+        // the rebucket via the archived old-spec versions.
+        TableIO.rebucket(s, tablePath, 16)
         val b = TableBuild(tablePath, snapWave1, snapPre, snapPost, snapDel,
-          snapPub, snapMor)
+          snapPub, snapMor, snapRw)
         tableMemo.put(s, b)
         b
       }
@@ -457,11 +465,20 @@ object TrainingData {
       flat(graft.io.TableIO.readExtracted(s, b.root, b.snapMor).toDF)
     }),
 
-    // … and read MATERIALIZED: the live head after rewriteDeletes
-    // folded the records into bytes (new versions, records inert).
+    // … and read MATERIALIZED: as-of the rewriteDeletes snapshot the
+    // records are folded into bytes (new versions, records inert).
     // Identical oracle to q_table_mor — logical-apply ≡ materialized
     // is exactly the MoR contract.
     "q_table_mor_rewrite" -> ((s, dir) => {
+      val b = buildMergeTable(s)
+      flat(graft.io.TableIO.readExtracted(s, b.root, b.snapRw).toDF)
+    }),
+
+    // PARTITION EVOLUTION: the live head after the 8 -> 16 rebucket —
+    // the relayout must be content-neutral, so this hash-equals the
+    // same oracle as the two MoR reads (a third engine path to the
+    // same truth, through the evolved spec's bytes).
+    "q_table_rebucket" -> ((s, dir) => {
       val b = buildMergeTable(s)
       flat(graft.io.TableIO.readExtracted(s, b.root).toDF)
     }),
@@ -1447,6 +1464,7 @@ object TrainingData {
           ORDER BY conv_id, turn_idx""",
     "q_table_mor" -> tableMorSql,
     "q_table_mor_rewrite" -> tableMorSql,
+    "q_table_rebucket" -> tableMorSql,
     "q_table_changelog_mor" ->
       s"""WITH merged AS (
             SELECT * FROM read_parquet('$tableInitialPath/*.parquet') t

@@ -1006,4 +1006,70 @@ class ResumeSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(pureAfter == pure)
   }
+
+  test("partition evolution: rebucket grows the spec, content-neutral, time travel exact") {
+    import spark.implicits._
+    val root = freshDir("graft-rebucket")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val (preSnap, _) = TableIO.committed(root)
+    val before = dump(root)
+    assert(TableIO.bucketCount(root, -1) == 8) // creation spec recorded
+
+    val newLin = TableIO.rebucket(spark, root, 16)
+    assert(newLin.map(_.bucket).sorted == (0 until 16).toVector)
+    assert(TableIO.bucketCount(root, -1) == 16)
+    assert(TableIO.bucketCount(root, -1, atSnap = preSnap) == 8)
+    // relayout is content-neutral
+    assert(dump(root) == before)
+    // the head manifest names ONLY new-spec buckets
+    assert(TableIO.lineage(root).map(_.bucket).sorted == (0 until 16).toVector)
+    // time travel to the old spec reads the archived old buckets
+    assert(TableIO.readExtracted(spark, root, preSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == before)
+
+    // mutations after the rebucket hash with the NEW spec even when the
+    // caller passes the stale count
+    val victim = ds.head()
+    val upd = spark.createDataset(Seq(victim.copy(total_score = victim.total_score + 123)))
+    TableIO.mergeExtracted(upd, root, buckets = 8) // stale param, spec wins
+    val found = TableIO.lookupConv(spark, root, victim.conv_id, buckets = 8)
+      .filter(_.turn_idx == victim.turn_idx).head()
+    assert(found.total_score == victim.total_score + 123)
+    assert(TableIO.readExtracted(spark, root).count() == before.size.toLong)
+  }
+
+  test("rebucket folds pending MoR deletes; rollback across it reactivates the old spec") {
+    import spark.implicits._
+    val root = freshDir("graft-rebucket-mor")
+    val ds = extracted()
+    TableIO.writeExtracted(ds, root, buckets = 8, waves = 2)
+    val all = ds.collect().toSeq
+    val delKeys = all.filter(t => t.turn_idx % 7 == 3).map(t => (t.conv_id, t.turn_idx))
+    assert(delKeys.nonEmpty)
+    TableIO.deleteTurnsMoR(delKeys.toDF("conv_id", "turn_idx"), root, buckets = 8)
+    val logical = dump(root)
+    val (morSnap, _) = TableIO.committed(root)
+
+    TableIO.rebucket(spark, root, 4) // shrink + fold
+    // physical bytes carry the folded state; records are inert
+    assert(spark.read.option("basePath", root).parquet(root).count() ==
+      (all.size - delKeys.size).toLong)
+    assert(dump(root) == logical)
+    // time travel to the MoR snapshot still applies records over the
+    // archived 8-bucket layout
+    assert(TableIO.readExtracted(spark, root, morSnap)
+      .orderBy("conv_id", "turn_idx").collect().map(Json.turnJson).toSeq == logical)
+
+    // rollback across the rebucket: head returns to the 8-bucket
+    // layout AND the 8-bucket spec reactivates for later mutations
+    TableIO.rollbackTo(root, morSnap)
+    assert(TableIO.bucketCount(root, -1) == 8)
+    assert(dump(root) == logical)
+    val victim = all.find(t => t.turn_idx % 7 != 3).get
+    val upd = spark.createDataset(Seq(victim.copy(total_score = 4242)))
+    TableIO.mergeExtracted(upd, root, buckets = 8)
+    assert(TableIO.lookupConv(spark, root, victim.conv_id, buckets = 8)
+      .filter(_.turn_idx == victim.turn_idx).head().total_score == 4242)
+  }
 }
