@@ -8877,6 +8877,94 @@ object Relational {
         .orderBy(col("thr"))
     }),
 
+    // Mean-average-precision per retrieval query, EXACT: vec_id%20
+    // buckets the corpus into 20 queries, relevance y = label%2, and
+    // the md5 score overlaps the label (+400 shift) exactly like
+    // q_eval_auc. AP = (1/npos)·Σ_{relevant k} precision@k, kept as
+    // integer ppm per term (cum_pos·10⁶ div rank, summed, div npos).
+    // One per-query rank window (at 100 TB the candidate lists are
+    // top-k-bounded per query BEFORE ranking — the window partitions
+    // by qid, never globally), one hash agg.
+    "q_eval_map" -> ((s, dir) => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), (col("vec_id") % 20).cast("long").as("qid"),
+          (col("label") % 2).cast("long").as("y"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint)").as("h"))
+        .select(col("vec_id"), col("qid"), col("y"),
+          (col("y") * 400L + pmod(col("h"), lit(1000L))).as("score"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id"))
+      d.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cum_pos",
+          sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"),
+          sum(when(col("y") === 1L, expr("cum_pos * 1000000L div rn"))
+            .otherwise(lit(0L))).as("sum_prec"))
+        .filter(col("npos") > 0L)
+        .select(col("qid"), col("n"), col("npos"),
+          expr("sum_prec div npos").as("ap_ppm"))
+        .orderBy(col("qid"))
+    }),
+
+    // NDCG@10 per query with GRADED relevance (rel = label%4, gain =
+    // 2^rel − 1): the log2 position discounts are a 10-entry LITERAL
+    // micro-table (round(10⁶/log2(k+1))) embedded identically in both
+    // engines, so DCG is a pure integer dot product — no libm anywhere.
+    // The ideal ordering reranks the same partition by gain (second
+    // window, SAME partition key → one shuffle), ndcg = dcg·10⁶ div
+    // idcg. The rank windows are per-qid; at 100 TB candidates are
+    // top-k-bounded per query first.
+    "q_eval_ndcg" -> ((s, dir) => {
+      val disc = "array(1000000L, 630930L, 500000L, 430677L, 386853L, " +
+        "356207L, 333333L, 315465L, 301030L, 289065L)"
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), (col("vec_id") % 20).cast("long").as("qid"),
+          (col("label") % 4).cast("long").as("rel"),
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint)").as("h"))
+        .select(col("vec_id"), col("qid"), col("rel"),
+          expr("shiftleft(1L, cast(rel as int)) - 1L").as("gain"),
+          (col("rel") * 250L + pmod(col("h"), lit(1000L))).as("score"))
+      val wS = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+      val wI = Window.partitionBy(col("qid")).orderBy(col("gain").desc, col("vec_id"))
+      d.withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("rn_ideal", row_number().over(wI).cast("long"))
+        .groupBy(col("qid"))
+        .agg(
+          sum(when(col("rn") <= 10L,
+            expr(s"gain * element_at($disc, cast(rn as int))"))
+            .otherwise(lit(0L))).as("dcg_micro"),
+          sum(when(col("rn_ideal") <= 10L,
+            expr(s"gain * element_at($disc, cast(rn_ideal as int))"))
+            .otherwise(lit(0L))).as("idcg_micro"))
+        .filter(col("idcg_micro") > 0L)
+        .select(col("qid"), col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 1000000L div idcg_micro").as("ndcg_ppm"))
+        .orderBy(col("qid"))
+    }),
+
+    // Brier score over the q_eval_ece probability/outcome streams,
+    // EXACT: squared error kept as the integer (p_ppm − y·10⁶)², one
+    // global hash agg, plus the base rate and the ȳ(1−ȳ) uncertainty
+    // floor (a calibrated-but-uninformative forecaster's Brier) — the
+    // two numbers a consumer compares the score against. Σ(p−y)² ≤
+    // n·10¹² keeps bigint headroom to ~9M rows; beyond that the sum
+    // moves to decimal(38,0) exactly like the q_agg_corr fix.
+    "q_eval_brier" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint) % 1000000").as("p_ppm"),
+          expr("cast(conv(substring(md5(concat('y', cast(vec_id as string))), 1, 6), 16, 10) as bigint) % 1000000").as("draw"))
+        .select(col("p_ppm"),
+          when(col("draw") < col("p_ppm"), 1L).otherwise(0L).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"),
+          sum(expr("(p_ppm - y * 1000000) * (p_ppm - y * 1000000)")).as("sum_sq"))
+        .select(col("n"), col("npos"),
+          expr("sum_sq div (n * 1000000L)").as("brier_e6"),
+          expr("npos * 1000000L div n").as("base_ppm"),
+          expr("npos * (n - npos) * 1000000L div (n * n)").as("unc_e6"))
+    }),
+
     // 1-D earth mover's distance between the click and purchase value
     // distributions, EXACT over a BOUNDED 251-bin histogram (cents div
     // 200, clamped): EMD = Σ_bins |F_A − F_B| with the CDF gap kept as
@@ -15059,6 +15147,64 @@ object Relational {
                 2 * (tp * 1000000 // (tp + fp)) * (tp * 1000000 // (tp + fn))
                   // ((tp * 1000000 // (tp + fp)) + (tp * 1000000 // (tp + fn))) AS f1_ppm
          FROM g ORDER BY thr""",
+    "q_eval_map" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(vec_id % 20 AS BIGINT) AS qid,
+                  (label % 2)::BIGINT AS y,
+                  (label % 2)::BIGINT * 400
+                    + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000 AS score
+           FROM embeddings),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn,
+                  CAST(sum(y) OVER (PARTITION BY qid ORDER BY score DESC, vec_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+           FROM d),
+         g AS (
+           SELECT qid, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                  CAST(sum(CASE WHEN y = 1 THEN cum_pos * 1000000 // rn ELSE 0 END) AS BIGINT) AS sum_prec
+           FROM r GROUP BY 1)
+         SELECT qid, n, npos, sum_prec // npos AS ap_ppm
+         FROM g WHERE npos > 0 ORDER BY qid""",
+    "q_eval_ndcg" ->
+      """WITH d AS (
+           SELECT vec_id, CAST(vec_id % 20 AS BIGINT) AS qid,
+                  (label % 4)::BIGINT AS rel,
+                  CAST((1 << (label % 4)) - 1 AS BIGINT) AS gain,
+                  (label % 4)::BIGINT * 250
+                    + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000 AS score
+           FROM embeddings),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rn,
+                  CAST(row_number() OVER (PARTITION BY qid ORDER BY gain DESC, vec_id) AS BIGINT) AS rn_ideal
+           FROM d),
+         g AS (
+           SELECT qid,
+                  CAST(sum(CASE WHEN rn <= 10 THEN gain * list_extract(
+                    [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065], CAST(rn AS INT))
+                    ELSE 0 END) AS BIGINT) AS dcg_micro,
+                  CAST(sum(CASE WHEN rn_ideal <= 10 THEN gain * list_extract(
+                    [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065], CAST(rn_ideal AS INT))
+                    ELSE 0 END) AS BIGINT) AS idcg_micro
+           FROM r GROUP BY 1)
+         SELECT qid, dcg_micro, idcg_micro,
+                dcg_micro * 1000000 // idcg_micro AS ndcg_ppm
+         FROM g WHERE idcg_micro > 0 ORDER BY qid""",
+    "q_eval_brier" ->
+      """WITH d AS (
+           SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000000 AS p_ppm,
+                  CAST(('0x' || substr(md5('y' || CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) % 1000000 AS draw
+           FROM embeddings),
+         b AS (
+           SELECT p_ppm, CASE WHEN draw < p_ppm THEN 1 ELSE 0 END AS y FROM d),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS npos,
+                  CAST(sum((p_ppm - y * 1000000) * (p_ppm - y * 1000000)) AS BIGINT) AS sum_sq
+           FROM b)
+         SELECT n, npos,
+                sum_sq // (n * 1000000) AS brier_e6,
+                npos * 1000000 // n AS base_ppm,
+                npos * (n - npos) * 1000000 // (n * n) AS unc_e6
+         FROM a""",
     "q_events_emd" ->
       """WITH binned AS (
            SELECT least(250, CAST(round(value * 100) AS BIGINT) // 200) AS bin,
