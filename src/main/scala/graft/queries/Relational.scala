@@ -2895,6 +2895,51 @@ object Relational {
         .orderBy(col("doc_id"))
     }),
 
+    // Tokenizer fertility by language — bytes-per-token under the
+    // BPE-ish pretokenizer vs whitespace words, the "how expensive is
+    // this language for the tokenizer" table every multilingual corpus
+    // card carries. One scalar regex pass per doc (same pattern as
+    // q_text_tokens_bpe), one bounded per-lang hash agg; ratios exact
+    // integer ppm. At 100 TB this is a single map-side-combined
+    // aggregation over ≤ a few hundred language keys.
+    "q_text_fertility" -> ((s, dir) => {
+      val ws = """ \t\n\r\f"""
+      val pat = s"""'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$ws\\p{L}\\p{N}]+|[$ws]+"""
+      t(s, dir, "documents")
+        .select(col("lang"), length(col("text")).cast("long").as("bytes"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("sum_bytes"),
+          sum(col("n_bpe")).as("sum_bpe"), sum(col("n_ws")).as("sum_ws"))
+        .select(col("lang"), col("n_docs"), col("sum_bytes"), col("sum_bpe"),
+          expr("sum_bytes * 1000000L div sum_bpe").as("bytes_per_bpe_ppm"),
+          expr("sum_bytes * 1000000L div sum_ws").as("bytes_per_word_ppm"))
+        .orderBy(col("lang"))
+    }),
+
+    // Readability surface per document — word count, vowel-group
+    // syllable proxy, ≥6-char long words, and a LIX-style index. The
+    // synthetic corpus carries no sentence punctuation, so a FIXED
+    // 15-token clause segmentation stands in for sentences (documented
+    // determinism, identical in the oracle). All counts one scalar
+    // pass; the index is exact integer milli — no doubles anywhere.
+    "q_text_readability" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("words"),
+          size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+            .cast("long").as("vgroups"),
+          size(expr("filter(split(text, ' '), w -> length(w) >= 6)"))
+            .cast("long").as("n_long"))
+        .withColumn("clauses", expr("1L + words div 15"))
+        .select(col("doc_id"), col("words"), col("vgroups"), col("n_long"),
+          col("clauses"),
+          expr("words * 1000 div clauses + 100000 * n_long div words").as("lix_milli"),
+          expr("vgroups * 1000000L div words").as("syl_per_word_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // similarity 1 — near-dup pairs by quantized cosine. Per-vector
     // quantization + norm run ONCE per row (interpreted HOF, cheap);
     // the O(n²) pair loop uses the custom codegen'd LongArrayDot
@@ -10783,6 +10828,37 @@ object Relational {
                   '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'))
                   AS BIGINT) AS n_bpe
          FROM documents ORDER BY doc_id""",
+    "q_text_fertility" ->
+      """WITH d AS (
+           SELECT lang, CAST(length(text) AS BIGINT) AS bytes,
+                  CAST(len(regexp_extract_all(text,
+                    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\r\f\p{L}\p{N}]+|[ \t\n\r\f]+'))
+                    AS BIGINT) AS n_bpe,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+           FROM documents),
+         g AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+                  CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+                  CAST(sum(n_ws) AS BIGINT) AS sum_ws
+           FROM d GROUP BY 1)
+         SELECT lang, n_docs, sum_bytes, sum_bpe,
+                sum_bytes * 1000000 // sum_bpe AS bytes_per_bpe_ppm,
+                sum_bytes * 1000000 // sum_ws AS bytes_per_word_ppm
+         FROM g ORDER BY lang""",
+    "q_text_readability" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+                  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vgroups,
+                  CAST(len(list_filter(string_split(text, ' '),
+                        w -> length(w) >= 6)) AS BIGINT) AS n_long
+           FROM documents),
+         c AS (SELECT *, 1 + words // 15 AS clauses FROM d)
+         SELECT doc_id, words, vgroups, n_long, CAST(clauses AS BIGINT) AS clauses,
+                words * 1000 // clauses + 100000 * n_long // words AS lix_milli,
+                vgroups * 1000000 // words AS syl_per_word_ppm
+         FROM c ORDER BY doc_id""",
     "q_dedup_simhash" -> (simhashCte("") + """
        SELECT simhash, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_doc
        FROM sims GROUP BY simhash ORDER BY simhash"""),

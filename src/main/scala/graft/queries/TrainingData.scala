@@ -76,6 +76,7 @@ object TrainingData {
   val convDriftPath       = s"$oracleRoot/conv_drift_turns"
   val convBurstPath       = s"$oracleRoot/conv_burst_turns"
   val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
+  val convToolRunsPath    = s"$oracleRoot/conv_toolruns_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
@@ -1245,6 +1246,39 @@ object TrainingData {
         .orderBy(col("rnk"))
     }),
 
+    // Same-tool run lengths — the retry/burst fingerprint of an agent
+    // workflow: consecutive turns invoking the SAME tool form a run
+    // (gaps-and-islands per conversation), then per tool the run
+    // count, total invocations, longest burst, and the repeat share
+    // (invocations beyond each run's first — the "called again
+    // immediately" rate) in exact ppm. The island window partitions on
+    // conv_id, the same per-conversation bound the extraction pipeline
+    // rides; the final agg is over the bounded tool-key space.
+    "q_conv_tool_runs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("tool"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convToolRunsPath)
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      val runs = s.read.parquet(convToolRunsPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(col("tool").isNotNull && col("tool") =!= "")
+        .withColumn("brk",
+          when(lag(col("tool"), 1).over(w).isNull ||
+            lag(col("tool"), 1).over(w) =!= col("tool"), 1L).otherwise(0L))
+        .withColumn("run_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("conv_id"), col("run_id"), col("tool"))
+        .agg(count(lit(1)).as("run_len"))
+      runs.groupBy(col("tool"))
+        .agg(count(lit(1)).as("n_runs"), sum(col("run_len")).as("n_calls"),
+          max(col("run_len")).as("max_run"))
+        .select(col("tool"), col("n_runs"), col("n_calls"), col("max_run"),
+          expr("(n_calls - n_runs) * 1000000L div n_calls").as("repeat_ppm"))
+        .orderBy(col("tool"))
+    }),
+
     // Topic drift per conversation: Jaccard between the first-half and
     // second-half distinct token sets (exact ppm), bucketed into
     // deciles — the "does this conversation stay on topic" histogram.
@@ -1720,6 +1754,29 @@ object TrainingData {
           r AS (SELECT *, row_number() OVER (ORDER BY n DESC, src, dst) AS rnk FROM g)
           SELECT CAST(rnk AS BIGINT) AS rnk, src, dst, n
           FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "q_conv_tool_runs" ->
+      s"""WITH b AS (
+            SELECT conv_id, turn_idx, tool,
+                   CASE WHEN lag(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                          OR lag(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) != tool
+                        THEN 1 ELSE 0 END AS brk
+            FROM read_parquet('$convToolRunsPath/*.parquet')
+            WHERE tool IS NOT NULL AND tool != ''),
+          i AS (
+            SELECT *, CAST(sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM b),
+          r AS (
+            SELECT conv_id, run_id, tool, CAST(count(*) AS BIGINT) AS run_len
+            FROM i GROUP BY 1, 2, 3),
+          g AS (
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(sum(run_len) AS BIGINT) AS n_calls,
+                   CAST(max(run_len) AS BIGINT) AS max_run
+            FROM r GROUP BY 1)
+          SELECT tool, n_runs, n_calls, max_run,
+                 (n_calls - n_runs) * 1000000 // n_calls AS repeat_ppm
+          FROM g ORDER BY tool""",
     "q_conv_topic_drift" ->
       s"""WITH nt AS (
             SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
