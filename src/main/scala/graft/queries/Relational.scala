@@ -1464,6 +1464,50 @@ object Relational {
     // shuffle — the window-rank form the oracle uses would sort every
     // group in full. Hash-ranked, so the sample is stable under
     // partitioning, re-runs, and engine choice.
+    // Priority (sequential-Poisson) sampling — weighted without-
+    // replacement selection by the bottom-k of key = u div w: u is a
+    // reproducible md5 uniform, w the document's byte weight, so heavy
+    // documents draw small keys proportionally more often (the
+    // Ohlsson/Rosén estimator family, here with the key kept as the
+    // exact integer u·10⁶ div w — no log/pow). The bottom-k runs on
+    // the native TopKPerKey operator under a constant group key:
+    // partial pass keeps ≤50 per input split, the final merge sees
+    // only ≤50·|splits| survivors — never a global sort.
+    "q_sample_priority" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) + 1").as("u"))
+        .withColumn("prio", expr("u * 1000000L div w"))
+        .withColumn("g", lit(0L))
+      graft.functions.TopK.topKPerKey(d, 50, Seq(col("g")),
+          Seq(col("prio").asc, col("doc_id").asc))
+        .select(col("doc_id"), col("w"), col("prio"))
+        .orderBy(col("prio"), col("doc_id"))
+    }),
+
+    // MinHash-LSH parameter planner — the analytic S-curve
+    // p(detect) = 1 − (1 − s^r)^b for every (bands b × rows r) layout
+    // of a 64-hash signature, over a similarity grid: the table an
+    // engineer reads to pick the banding before a 100 TB dedup run
+    // (q_dedup_minhash runs b=16,r=4 — this query shows WHY). Powers
+    // are exact-integer ppm folds (x ← x·s div 10⁶ repeated — no
+    // libm, bit-identical in any engine); the whole thing is a 36-row
+    // literal grid, no table scan at all.
+    "q_dedup_lsh_planner" -> ((s, dir) => {
+      val grid = s.createDataFrame(Seq((32L, 2L), (16L, 4L), (8L, 8L), (4L, 16L)))
+        .toDF("b", "r")
+        .crossJoin(s.range(1, 10).select((col("id") * 100000L).as("s_ppm")))
+      grid
+        .withColumn("spow", expr(
+          "aggregate(sequence(1L, r), cast(1000000 as bigint), (acc, i) -> acc * s_ppm div 1000000)"))
+        .withColumn("inn", expr("1000000L - spow"))
+        .withColumn("miss", expr(
+          "aggregate(sequence(1L, b), cast(1000000 as bigint), (acc, i) -> acc * inn div 1000000)"))
+        .select(col("b"), col("r"), col("s_ppm"),
+          expr("1000000L - miss").as("p_detect_ppm"))
+        .orderBy(col("b"), col("s_ppm"))
+    }),
+
     "q_sample_reservoir" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .select(col("user_id"), col("event_id"),
@@ -10427,6 +10471,31 @@ object Relational {
                 CAST(chosen_c - rejected_c AS BIGINT) AS margin_c
          FROM g WHERE n_cand >= 2 ORDER BY user_id""",
     // the window-rank derivation of the same deterministic k-sample
+    "q_sample_priority" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT) + 1 AS u
+           FROM documents),
+         p AS (SELECT doc_id, w, u * 1000000 // w AS prio FROM d),
+         r AS (SELECT *, row_number() OVER (ORDER BY prio, doc_id) AS rn FROM p)
+         SELECT doc_id, w, prio FROM r WHERE rn <= 50 ORDER BY prio, doc_id""",
+    "q_dedup_lsh_planner" ->
+      """WITH RECURSIVE grid AS (
+           SELECT CAST(g.b AS BIGINT) AS b, CAST(g.r AS BIGINT) AS r,
+                  CAST(s.s AS BIGINT) * 100000 AS s_ppm
+           FROM (VALUES (32, 2), (16, 4), (8, 8), (4, 16)) g(b, r),
+                (SELECT unnest(range(1, 10)) AS s) s),
+         pw(b, r, s_ppm, i, x) AS (
+           SELECT b, r, s_ppm, CAST(1 AS BIGINT), s_ppm FROM grid
+           UNION ALL
+           SELECT b, r, s_ppm, i + 1, x * s_ppm // 1000000 FROM pw WHERE i < r),
+         sr AS (SELECT b, r, s_ppm, 1000000 - x AS inn FROM pw WHERE i = r),
+         pw2(b, r, s_ppm, inn, j, y) AS (
+           SELECT b, r, s_ppm, inn, CAST(1 AS BIGINT), inn FROM sr
+           UNION ALL
+           SELECT b, r, s_ppm, inn, j + 1, y * inn // 1000000 FROM pw2 WHERE j < b)
+         SELECT b, r, s_ppm, 1000000 - y AS p_detect_ppm
+         FROM pw2 WHERE j = b ORDER BY b, s_ppm""",
     "q_sample_reservoir" ->
       """SELECT user_id, event_id, hkey FROM (
            SELECT user_id, event_id, md5(CAST(event_id AS VARCHAR)) AS hkey,
