@@ -9403,6 +9403,158 @@ object Relational {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("shard"))
     }),
+
+    // Join-cardinality estimation by deterministic key sampling — the
+    // planner question before any 100 TB join: |A ⋈ B| = Σ_k dA(k)·dB(k)
+    // over the shared keys. The exact form needs both degree tables in
+    // full; the estimate reads only keys whose md5 lands in the bottom
+    // 1/8 of the hash space and scales by 8 (uniform key sampling —
+    // unbiased for Σ products because sampling is ON THE KEY, not the
+    // row, so each key's full dA·dB product survives intact). At scale
+    // the sampled degree agg touches 1/8 of the key space end-to-end:
+    // the hash filter pushes below the count. All integer; the error
+    // column is exact ppm arithmetic.
+    "q_join_size_estimate" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      def deg(typ: String, out: String) =
+        e.filter(col("event_type") === typ)
+          .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+      val joined = deg("purchase", "da").join(deg("error", "db"), Seq("user_id"))
+        .withColumn("h", expr("cast(conv(substring(md5(cast(user_id as string)), 1, 2), 16, 10) as bigint)"))
+      joined.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("da") * col("db")).as("exact_pairs"),
+          sum(when(col("h") < 32, lit(1)).otherwise(lit(0))).as("n_sampled"),
+          (coalesce(sum(when(col("h") < 32, col("da") * col("db"))), lit(0L)) * 8L)
+            .as("est_pairs"))
+        .select(col("n_keys"), col("n_sampled"), col("exact_pairs"), col("est_pairs"),
+          expr("abs(est_pairs - exact_pairs) * 1000000L div exact_pairs").as("abs_err_ppm"))
+    }),
+
+    // Skew planner — the decision table BEFORE q_join_skew_salted's
+    // remedy: per-key row counts on the fact side, each key's load
+    // share, and the salt fan-out that evens it out (ceil(cnt/target)
+    // where target = ceil(total/32) rows per task, capped at 32 — a key
+    // under one task-quantum gets fan 1 = no salting). One partial+final
+    // hash agg + a broadcast-scalar total; the top-10 listing is the
+    // human-readable plan head, the agg row count is bounded by the key
+    // space at any SF.
+    "q_join_skew_planner" -> ((s, dir) => {
+      val cnts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      cnts.crossJoin(broadcast(tot))
+        .withColumn("target", expr("(total + 31) div 32"))
+        .withColumn("salt_k", least(lit(32L), expr("(cnt + target - 1) div target")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("user_id"), col("cnt"),
+          expr("cnt * 1000000L div total").as("share_ppm"), col("salt_k"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    }),
+
+    // Mergeable histogram-quantile sketch + exact error audit — the
+    // 256-bin equi-width summary IS the mergeable sketch (bin counts
+    // add across partitions/partial aggs/days; the quantile reads the
+    // first bin whose cumulative count crosses ceil(q·n) and reports
+    // that bin's inclusive upper edge). The EXACT side (rank-order
+    // scan) exists only as the audit: err = approx − exact is provably
+    // in [0, width). At 100 TB you ship the ≤256·|groups| bin rows, not
+    // the data; the audit column is what the small-SF oracle checks.
+    // All integer: width = (max−min) div 256 + 1, edges exact.
+    "q_agg_quantile_sketch" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), cents(col("value")).as("c"))
+      val mm = e.groupBy(col("event_type"))
+        .agg(min(col("c")).as("mn"), max(col("c")).as("mx"), count(lit(1)).as("n"))
+        .withColumn("width", expr("(mx - mn) div 256 + 1"))
+      val bins = e.join(broadcast(mm), Seq("event_type"))
+        .groupBy(col("event_type"), expr("(c - mn) div width").as("b"))
+        .agg(count(lit(1)).as("bc"))
+      val wb = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      val approx = bins.withColumn("cum", sum(col("bc")).over(wb))
+        .join(broadcast(mm), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") >= expr("(n + 1) div 2"),
+            expr("mn + (b + 1) * width - 1"))).as("approx_p50"),
+          min(when(col("cum") * 10 >= col("n") * 9,
+            expr("mn + (b + 1) * width - 1"))).as("approx_p90"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      val exact = e.groupBy(col("event_type"), col("c")).agg(count(lit(1)).as("vc"))
+        .withColumn("cum", sum(col("vc")).over(wc))
+        .join(broadcast(mm.select(col("event_type"), col("n"))), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") >= expr("(n + 1) div 2"), col("c"))).as("exact_p50"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("c"))).as("exact_p90"))
+      approx.join(exact, Seq("event_type"))
+        .join(mm.select(col("event_type"), col("n"), col("width")), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("width"),
+          col("approx_p50"), col("exact_p50"),
+          (col("approx_p50") - col("exact_p50")).as("err_p50"),
+          col("approx_p90"), col("exact_p90"),
+          (col("approx_p90") - col("exact_p90")).as("err_p90"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Forecast skill scoring (MASE, Hyndman–Koehler) over the per-type
+    // daily series: the seasonal-naive model (same weekday last week,
+    // lag 7) scored against the random-walk baseline (lag 1) on the
+    // rows where BOTH references exist — MASE < 1e6 ppm ⇔ weekly
+    // seasonality beats persistence. Day grain bounds the series (one
+    // row per type·day after the first agg), so the window runs over a
+    // calendar-bounded frame at any SF; sums of |Δ| stay integer cents.
+    "q_events_mase" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("y7", lag(col("y"), 7).over(w))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .filter(col("y7").isNotNull && col("y1").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(abs(col("y") - col("y7"))).as("sae7"),
+          sum(abs(col("y") - col("y1"))).as("sae1"))
+        .select(col("event_type"), col("n_scored"), col("sae7"), col("sae1"),
+          expr("sae7 * 1000000L div sae1").as("mase_ppm"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Split-conformal calibration — the distribution-free interval
+    // recipe: fit on the even-id half (predictor = per-type floored
+    // mean cents), take q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute
+    // residual on that half, measure |y−ŷ| ≤ q̂ coverage on the odd-id
+    // half (guaranteed ≥ 90% in expectation by exchangeability). The
+    // rank pick runs on the grouped residual-count cumsum (same
+    // bounded-key shape as the quantile sketch); nothing sorts raw
+    // rows. Integer throughout; coverage in exact ppm.
+    "q_eval_conformal" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"), cents(col("value")).as("c"))
+      val cal = e.filter(col("event_id") % 2 === 0)
+      val fit = cal.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cal"), expr("sum(c) div count(1)").as("pred_c"))
+      val wr = Window.partitionBy(col("event_type")).orderBy(col("r"))
+      val qhat = cal.join(broadcast(fit), Seq("event_type"))
+        .groupBy(col("event_type"), abs(col("c") - col("pred_c")).as("r"))
+        .agg(count(lit(1)).as("rc"))
+        .withColumn("cum", sum(col("rc")).over(wr))
+        .join(broadcast(fit), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(min(when(col("cum") * 10 >= (col("n_cal") + 1) * 9, col("r"))).as("qhat"))
+      e.filter(col("event_id") % 2 === 1)
+        .join(broadcast(fit), Seq("event_type"))
+        .join(broadcast(qhat), Seq("event_type"))
+        .groupBy(col("event_type"), col("n_cal"), col("pred_c"), col("qhat"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("c") - col("pred_c")) <= col("qhat"), 1L).otherwise(0L)).as("hits"))
+        .select(col("event_type"), col("n_cal"), col("n_test"), col("pred_c"),
+          col("qhat"), expr("hits * 1000000L div n_test").as("coverage_ppm"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -15618,6 +15770,108 @@ object Relational {
          SELECT CAST(shard AS BIGINT) AS shard,
                 CAST(count(*) AS BIGINT) AS n_docs
          FROM assigned GROUP BY 1 ORDER BY 1""",
+    // key-sampled degree products: the h<32 filter is the identical
+    // md5-prefix rule, so both engines sample the same keys
+    "q_join_size_estimate" ->
+      """WITH da AS (SELECT user_id, CAST(count(*) AS BIGINT) AS da
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            db AS (SELECT user_id, CAST(count(*) AS BIGINT) AS db
+                     FROM events WHERE event_type = 'error' GROUP BY 1),
+            j AS (SELECT a.user_id, a.da, b.db,
+                         CAST(('0x' || substr(md5(CAST(a.user_id AS VARCHAR)), 1, 2))::UBIGINT AS BIGINT) AS h
+                  FROM da a JOIN db b USING (user_id)),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                         CAST(sum(CASE WHEN h < 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                         CAST(sum(da * db) AS BIGINT) AS exact_pairs,
+                         CAST(COALESCE(sum(CASE WHEN h < 32 THEN da * db END), 0) * 8 AS BIGINT) AS est_pairs
+                  FROM j)
+         SELECT n_keys, n_sampled, exact_pairs, est_pairs,
+                CAST(abs(est_pairs - exact_pairs) * 1000000 // exact_pairs AS BIGINT) AS abs_err_ppm
+         FROM g""",
+    "q_join_skew_planner" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            r AS (SELECT user_id, cnt, total, (total + 31) // 32 AS target,
+                         row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+                  FROM c, t)
+         SELECT user_id, cnt,
+                CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+                CAST(least(32, (cnt + target - 1) // target) AS BIGINT) AS salt_k
+         FROM r WHERE rn <= 10 ORDER BY cnt DESC, user_id""",
+    // identical integer bin edges + identical rational rank crossings
+    "q_agg_quantile_sketch" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            mm AS (SELECT event_type, min(c) AS mn, max(c) AS mx,
+                          CAST(count(*) AS BIGINT) AS n,
+                          (max(c) - min(c)) // 256 + 1 AS width
+                   FROM e GROUP BY 1),
+            bins AS (SELECT e.event_type, (c - mn) // width AS b,
+                            CAST(count(*) AS BIGINT) AS bc
+                     FROM e JOIN mm USING (event_type) GROUP BY 1, 2),
+            cb AS (SELECT event_type, b,
+                          sum(bc) OVER (PARTITION BY event_type ORDER BY b) AS cum
+                   FROM bins),
+            ap AS (SELECT cb.event_type,
+                          CAST(min(CASE WHEN cum >= (n + 1) // 2
+                                        THEN mn + (b + 1) * width - 1 END) AS BIGINT) AS approx_p50,
+                          CAST(min(CASE WHEN cum * 10 >= n * 9
+                                        THEN mn + (b + 1) * width - 1 END) AS BIGINT) AS approx_p90
+                   FROM cb JOIN mm USING (event_type) GROUP BY 1),
+            vc AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS vcnt
+                   FROM e GROUP BY 1, 2),
+            cv AS (SELECT event_type, c,
+                          sum(vcnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+                   FROM vc),
+            ex AS (SELECT cv.event_type,
+                          CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN c END) AS BIGINT) AS exact_p50,
+                          CAST(min(CASE WHEN cum * 10 >= n * 9 THEN c END) AS BIGINT) AS exact_p90
+                   FROM cv JOIN mm USING (event_type) GROUP BY 1)
+         SELECT mm.event_type, n, width,
+                approx_p50, exact_p50, approx_p50 - exact_p50 AS err_p50,
+                approx_p90, exact_p90, approx_p90 - exact_p90 AS err_p90
+         FROM ap JOIN ex USING (event_type) JOIN mm USING (event_type)
+         ORDER BY event_type""",
+    "q_events_mase" ->
+      """WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                    FROM events GROUP BY 1, 2),
+            l AS (SELECT event_type, y,
+                         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+                         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+                  FROM d)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_scored,
+                CAST(sum(abs(y - y7)) AS BIGINT) AS sae7,
+                CAST(sum(abs(y - y1)) AS BIGINT) AS sae1,
+                CAST(sum(abs(y - y7)) * 1000000 // sum(abs(y - y1)) AS BIGINT) AS mase_ppm
+         FROM l WHERE y7 IS NOT NULL AND y1 IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+    // pred is floored mean of NON-NEGATIVE cents, so Spark's truncating
+    // div and DuckDB's flooring // agree; q-hat is the identical
+    // rational rank crossing on the residual-count cumsum
+    "q_eval_conformal" ->
+      """WITH e AS (SELECT event_type, event_id,
+                           CAST(round(value * 100) AS BIGINT) AS c FROM events),
+            cal AS (SELECT * FROM e WHERE event_id % 2 = 0),
+            fit AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal,
+                           CAST(sum(c) // count(*) AS BIGINT) AS pred_c
+                    FROM cal GROUP BY 1),
+            rc AS (SELECT cal.event_type, abs(c - pred_c) AS r,
+                          CAST(count(*) AS BIGINT) AS rcnt
+                   FROM cal JOIN fit USING (event_type) GROUP BY 1, 2),
+            cr AS (SELECT event_type, r,
+                          sum(rcnt) OVER (PARTITION BY event_type ORDER BY r) AS cum
+                   FROM rc),
+            qh AS (SELECT cr.event_type,
+                          CAST(min(CASE WHEN cum * 10 >= (n_cal + 1) * 9 THEN r END) AS BIGINT) AS qhat
+                   FROM cr JOIN fit USING (event_type) GROUP BY 1),
+            tst AS (SELECT e.event_type, n_cal, pred_c, qhat,
+                           CAST(count(*) AS BIGINT) AS n_test,
+                           CAST(sum(CASE WHEN abs(c - pred_c) <= qhat THEN 1 ELSE 0 END) AS BIGINT) AS hits
+                    FROM e JOIN fit USING (event_type) JOIN qh USING (event_type)
+                    WHERE event_id % 2 = 1 GROUP BY 1, 2, 3, 4)
+         SELECT event_type, n_cal, n_test, pred_c, qhat,
+                CAST(hits * 1000000 // n_test AS BIGINT) AS coverage_ppm
+         FROM tst ORDER BY event_type""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
