@@ -9555,6 +9555,129 @@ object Relational {
           col("qhat"), expr("hits * 1000000L div n_test").as("coverage_ppm"))
         .orderBy(col("event_type"))
     }),
+
+    // A-priori frequent 3-itemsets — the candidate-generation step that
+    // keeps k-itemset mining feasible at scale: the frequent-PAIR set
+    // (support ≥ 2, the q_basket_pairs pass) prunes triples BEFORE the
+    // third basket join, so the per-order blowup only touches items
+    // that already survived level 2 (Agrawal–Srikant downward closure).
+    // Every step is an equi-join on the order key or a left-semi
+    // against the bounded pair set; distinct basket size (~7) bounds
+    // the self-join fan-out; the total order (support desc, triple)
+    // makes the top-50 cut deterministic. Uniform TPC-H keys mean the
+    // frequent set THINS as the part space grows (12 triples at
+    // sf0.01 — the verify SF, where the prune demonstrably fires —
+    // down to an honestly-empty answer at sf0.1): exactly the regime
+    // where downward closure pays, since the semi-joins kill nearly
+    // every candidate before the third basket join.
+    "q_basket_triples" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("s")).filter(col("s") >= 2)
+        .select(col("p1"), col("p2"))
+      val t2 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok12"), col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .join(pairs, Seq("p1", "p2"), "left_semi")
+      t2.join(li.select(col("ok").as("ok3"), col("pk").as("p3")),
+          col("ok12") === col("ok3") && col("p2") < col("p3"))
+        .select(col("p1"), col("p2"), col("p3"))
+        .join(pairs.select(col("p1").as("p2"), col("p2").as("p3")),
+          Seq("p2", "p3"), "left_semi")
+        .join(pairs.select(col("p1"), col("p2").as("p3")),
+          Seq("p1", "p3"), "left_semi")
+        .groupBy(col("p1"), col("p2"), col("p3"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+        .limit(50)
+    }),
+
+    // Greedy max-coverage corpus selection — the submodular data-
+    // selection recipe: pick the 5 documents that together cover the
+    // most distinct word 3-grams, one greedy round at a time (gain =
+    // grams not yet covered; ties to the smallest doc_id). Each round
+    // is ONE anti-join + hash-agg + 1-row argmax collect; the covered
+    // set grows by at most one doc's grams per round and is
+    // localCheckpoint'ed so round r never re-derives rounds 1..r-1
+    // (the q_dedup_resolve lineage lesson). A picked doc's gain drops
+    // to 0 by construction, so no explicit exclusion set is needed.
+    // At 100 TB the gram table shuffles once (the checkpoint) and the
+    // driver holds 5 rows.
+    "q_docs_maxcover" -> ((s, dir) => {
+      import s.implicits._
+      val k = 3
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= k)
+        .select(col("doc_id"), expr(
+          s"explode(transform(sequence(0, size(l) - $k), x -> concat_ws(' ', slice(l, x + 1, $k))))")
+          .as("gram"))
+        .distinct()
+        .localCheckpoint(true)
+      var covered = grams.select(col("gram")).limit(0).localCheckpoint(true)
+      val rows = Seq.newBuilder[(Long, Long, Long)]
+      for (_ <- 1 to 5) {
+        val cand = grams
+          .join(covered, Seq("gram"), "left_anti")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id"))
+          .limit(1).collect()
+        if (cand.nonEmpty) {
+          val d = cand(0).getLong(0)
+          rows += ((rows.result().size + 1L, d, cand(0).getLong(1)))
+          val prev = covered
+          covered = covered.unionAll(
+              grams.filter(col("doc_id") === d).select(col("gram")))
+            .distinct().localCheckpoint(true)
+          prev.unpersist()
+        }
+      }
+      val out = rows.result().toDF("round", "doc_id", "gain")
+        .withColumn("covered_cum",
+          sum(col("gain")).over(Window.orderBy(col("round"))))
+        .orderBy(col("round"))
+      covered.unpersist(); grams.unpersist()
+      out
+    }),
+
+    // Clustering-depth audit on the time column — the table-layout
+    // question behind every zonemap: laid out in 32 extents, how many
+    // extents overlap each extent's [min ts, max ts]? depth 1 = a
+    // time-range scan prunes to one extent; depth 32 = it touches
+    // everything. Two candidate layouts are audited side by side —
+    // 'ingest' (id-range extents: time-clustered by construction) vs
+    // 'by_user' (user-hash extents: the layout a user-bucketed table
+    // actually has) — so the contrast IS the answer a layout planner
+    // reads. Extent assignment is pure arithmetic against a broadcast
+    // 1-row min/max (NO global sort); each overlap count is a 32×32
+    // broadcast interval self-join; output is 2 summary rows.
+    "q_table_cluster_depth" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("cast(floor(unix_timestamp(ts)) as bigint)").as("sec"))
+      val mmId = e.agg(min(col("event_id")).as("mn_id"),
+        max(col("event_id")).as("mx_id"))
+      def audit(layout: String, f: Column): DataFrame = {
+        val ext = e.crossJoin(broadcast(mmId)).withColumn("f", f)
+          .groupBy(col("f"))
+          .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+        ext.as("a").join(broadcast(ext.as("b")),
+            col("a.mn") <= col("b.mx") && col("b.mn") <= col("a.mx"))
+          .groupBy(col("a.f").as("f")).agg(count(lit(1)).as("depth"))
+          .agg(count(lit(1)).as("n_extents"),
+            min(col("depth")).as("depth_min"), max(col("depth")).as("depth_max"),
+            expr("sum(depth) * 1000000L div count(1)").as("avg_depth_ppm"))
+          .select(lit(layout).as("layout"), col("n_extents"),
+            col("depth_min"), col("depth_max"), col("avg_depth_ppm"))
+      }
+      audit("ingest", expr("(event_id - mn_id) * 32 div (mx_id - mn_id + 1)"))
+        .unionAll(audit("by_user", expr("user_id % 32")))
+        .orderBy(col("layout"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -15872,6 +15995,84 @@ object Relational {
          SELECT event_type, n_cal, n_test, pred_c, qhat,
                 CAST(hits * 1000000 // n_test AS BIGINT) AS coverage_ppm
          FROM tst ORDER BY event_type""",
+    // inner joins against the deduped pair set ≡ Spark's left-semi
+    "q_basket_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+            pairs AS (SELECT a.pk AS p1, b.pk AS p2
+                      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+            tri AS (SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+                           CAST(count(*) AS BIGINT) AS support
+                    FROM li a
+                    JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+                    JOIN li c ON b.ok = c.ok AND b.pk < c.pk
+                    JOIN pairs pab ON a.pk = pab.p1 AND b.pk = pab.p2
+                    JOIN pairs pbc ON b.pk = pbc.p1 AND c.pk = pbc.p2
+                    JOIN pairs pac ON a.pk = pac.p1 AND c.pk = pac.p2
+                    GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+         SELECT p1, p2, p3, support FROM tri
+         ORDER BY support DESC, p1, p2, p3 LIMIT 50""",
+    // 5 unrolled greedy rounds; each pr is the round-r argmax and cr
+    // the covered-gram set after it — identical tie-break (gain desc,
+    // doc_id). covered_cum is the same running sum both engines take.
+    "q_docs_maxcover" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+            g AS (SELECT DISTINCT doc_id, array_to_string(l[x+1:x+3], ' ') AS gram
+                  FROM toks, LATERAL (SELECT unnest(range(len(l) - 2)) AS x) t),
+            p1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+            c1 AS (SELECT DISTINCT gram FROM g WHERE doc_id = (SELECT doc_id FROM p1)),
+            p2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g
+                   WHERE gram NOT IN (SELECT gram FROM c1)
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+            c2 AS (SELECT gram FROM c1 UNION
+                   SELECT gram FROM g WHERE doc_id = (SELECT doc_id FROM p2)),
+            p3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g
+                   WHERE gram NOT IN (SELECT gram FROM c2)
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+            c3 AS (SELECT gram FROM c2 UNION
+                   SELECT gram FROM g WHERE doc_id = (SELECT doc_id FROM p3)),
+            p4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g
+                   WHERE gram NOT IN (SELECT gram FROM c3)
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+            c4 AS (SELECT gram FROM c3 UNION
+                   SELECT gram FROM g WHERE doc_id = (SELECT doc_id FROM p4)),
+            p5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM g
+                   WHERE gram NOT IN (SELECT gram FROM c4)
+                   GROUP BY 1 ORDER BY gain DESC, doc_id LIMIT 1),
+            u AS (SELECT 1 AS round, doc_id, gain FROM p1
+                  UNION ALL SELECT 2, doc_id, gain FROM p2
+                  UNION ALL SELECT 3, doc_id, gain FROM p3
+                  UNION ALL SELECT 4, doc_id, gain FROM p4
+                  UNION ALL SELECT 5, doc_id, gain FROM p5)
+         SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
+                CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
+         FROM u ORDER BY round""",
+    // identical integer extent assignment (ids are non-negative so
+    // Spark's truncating div and DuckDB's flooring // agree) and the
+    // same inclusive interval-overlap predicate for both layouts
+    "q_table_cluster_depth" ->
+      """WITH e AS (SELECT event_id, user_id,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+            mm AS (SELECT min(event_id) AS mn_id, max(event_id) AS mx_id FROM e),
+            ei AS (SELECT (event_id - mn_id) * 32 // (mx_id - mn_id + 1) AS f,
+                          min(sec) AS mn, max(sec) AS mx FROM e, mm GROUP BY 1),
+            di AS (SELECT a.f, CAST(count(*) AS BIGINT) AS depth
+                   FROM ei a JOIN ei b ON a.mn <= b.mx AND b.mn <= a.mx GROUP BY 1),
+            eu AS (SELECT user_id % 32 AS f,
+                          min(sec) AS mn, max(sec) AS mx FROM e GROUP BY 1),
+            du AS (SELECT a.f, CAST(count(*) AS BIGINT) AS depth
+                   FROM eu a JOIN eu b ON a.mn <= b.mx AND b.mn <= a.mx GROUP BY 1)
+         SELECT 'ingest' AS layout, CAST(count(*) AS BIGINT) AS n_extents,
+                min(depth) AS depth_min, max(depth) AS depth_max,
+                CAST(sum(depth) * 1000000 // count(*) AS BIGINT) AS avg_depth_ppm
+         FROM di
+         UNION ALL
+         SELECT 'by_user', CAST(count(*) AS BIGINT), min(depth), max(depth),
+                CAST(sum(depth) * 1000000 // count(*) AS BIGINT)
+         FROM du
+         ORDER BY layout""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
