@@ -1258,4 +1258,49 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("session-11 additions: planner/sketch/mining plan shapes") {
+    // join-size estimate: both degree tables are partial+final hash
+    // aggs, the key join stays equi (hash), and the sampled sum needs
+    // no second scan — one plan, no cartesian
+    val je = plan("q_join_size_estimate")
+    assert(je.contains("partial"), je.take(2000))
+    assert(!je.contains("CartesianProduct"), je.take(2000))
+    // skew planner: the grand total rides a 1-row broadcast (BNLJ is
+    // the sanctioned 1-row cross shape), never a cartesian
+    val sp = plan("q_join_skew_planner")
+    assert(sp.contains("BroadcastNestedLoopJoin"), sp.take(2000))
+    assert(!sp.contains("CartesianProduct"), sp.take(2000))
+    // quantile sketch: per-type min/max/width broadcast into the bin
+    // agg — the data stream shuffles only for aggs, never sort-merges
+    val qs = plan("q_agg_quantile_sketch")
+    assert(qs.contains("BroadcastHashJoin"), qs.take(2000))
+    assert(!qs.contains("SortMergeJoin") && !qs.contains("CartesianProduct"),
+      qs.take(2000))
+    // conformal: fit and q-hat both broadcast into the test-half scan
+    val cf = plan("q_eval_conformal")
+    assert("BroadcastHashJoin".r.findAllIn(cf).length >= 2, cf.take(2000))
+    assert(!cf.contains("CartesianProduct"), cf.take(2000))
+    // MASE: day-grain agg then per-type window — no cartesian
+    val ms = plan("q_events_mase")
+    assert(!ms.contains("CartesianProduct"), ms.take(2000))
+    // a-priori triples: downward closure runs as LeftSemi joins against
+    // the frequent-pair set; basket joins stay equi
+    val bt = plan("q_basket_triples")
+    assert(bt.contains("LeftSemi"), bt.take(2000))
+    assert(!bt.contains("CartesianProduct"), bt.take(2000))
+    // cluster-depth audit: extent assignment rides the 1-row min/max
+    // broadcast and both 32x32 interval self-joins broadcast (BNLJ) —
+    // nothing about the layout audit shuffles with corpus size except
+    // the extent aggs
+    val cd = plan("q_table_cluster_depth")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(cd).length >= 2, cd.take(2000))
+    assert(!cd.contains("CartesianProduct") && !cd.contains("SortMergeJoin"),
+      cd.take(2000))
+    // greedy max-coverage: the loop ran during construction (bounded:
+    // 5 one-row argmax collects against the checkpointed gram table);
+    // the returned selection is exactly the 5 greedy rows
+    val mc = Relational.queries("q_docs_maxcover")(spark, dir)
+    assert(mc.count() == 5, "maxcover must return 5 greedy rounds")
+  }
 }
