@@ -9644,6 +9644,49 @@ object Relational {
       out
     }),
 
+    // Greedy k-center coreset — farthest-point diversity sampling
+    // over the embedding space (the 2-approximation of the k-center
+    // objective, and the standard diversity pick for training-data
+    // curation): seed with the smallest vec_id, then 4 rounds of
+    // "add the point farthest from the selected set" (ties to the
+    // smallest vec_id). Each round is one broadcast of ≤4 center
+    // vectors into the corpus scan + a partial+final min-agg + a
+    // 1-row argmax collect; distances are exact integer squared L2
+    // (zip_with/aggregate, never a UDF). sep2 records each pick's
+    // separation — the monotone-decreasing radius curve a curator
+    // reads. The checkpointed vector table is scanned per round, never
+    // re-derived (the q_dedup_resolve lineage lesson).
+    "q_sample_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")
+            .as("v"))
+        .localCheckpoint(true)
+      val first = vecs.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id")).as[Long].head()
+      var ids = Seq(first)
+      val rows = Seq.newBuilder[(Long, Long, Long)]
+      rows += ((1L, first, 0L))
+      for (r <- 2 to 5) {
+        val sel = vecs.filter(col("vec_id").isInCollection(ids))
+          .select(col("v").as("sv"))
+        val best = vecs.crossJoin(broadcast(sel))
+          .select(col("vec_id"), expr(
+            "aggregate(zip_with(v, sv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("dd"))
+          .groupBy(col("vec_id")).agg(min(col("dd")).as("md"))
+          .orderBy(col("md").desc, col("vec_id")).limit(1)
+          .as[(Long, Long)].head()
+        ids :+= best._1
+        rows += ((r.toLong, best._1, best._2))
+      }
+      val out = rows.result().toDF("round", "vec_id", "sep2")
+        .orderBy(col("round"))
+      vecs.unpersist()
+      out
+    }),
+
     // Clustering-depth audit on the time column — the table-layout
     // question behind every zonemap: laid out in 32 extents, how many
     // extents overlap each extent's [min ts, max ts]? depth 1 = a
@@ -16049,6 +16092,39 @@ object Relational {
          SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
                 CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
          FROM u ORDER BY round""",
+    // 4 unrolled farthest-point rounds over the identical integerized
+    // vectors; each sr is the selected set after round r and pr the
+    // round-r argmax with the same (dist desc, vec_id) tie-break
+    "q_sample_kcenter" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding,
+                      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+                    FROM embeddings),
+            s1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+            p2 AS (SELECT e.vec_id, min(list_reduce(list_transform(list_zip(e.v, s.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)) AS md
+                   FROM e, s1 s GROUP BY 1 ORDER BY md DESC, e.vec_id LIMIT 1),
+            s2 AS (SELECT vec_id, v FROM e WHERE vec_id IN
+                     (SELECT vec_id FROM s1 UNION SELECT vec_id FROM p2)),
+            p3 AS (SELECT e.vec_id, min(list_reduce(list_transform(list_zip(e.v, s.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)) AS md
+                   FROM e, s2 s GROUP BY 1 ORDER BY md DESC, e.vec_id LIMIT 1),
+            s3 AS (SELECT vec_id, v FROM e WHERE vec_id IN
+                     (SELECT vec_id FROM s2 UNION SELECT vec_id FROM p3)),
+            p4 AS (SELECT e.vec_id, min(list_reduce(list_transform(list_zip(e.v, s.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)) AS md
+                   FROM e, s3 s GROUP BY 1 ORDER BY md DESC, e.vec_id LIMIT 1),
+            s4 AS (SELECT vec_id, v FROM e WHERE vec_id IN
+                     (SELECT vec_id FROM s3 UNION SELECT vec_id FROM p4)),
+            p5 AS (SELECT e.vec_id, min(list_reduce(list_transform(list_zip(e.v, s.v),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)) AS md
+                   FROM e, s4 s GROUP BY 1 ORDER BY md DESC, e.vec_id LIMIT 1)
+         SELECT CAST(round AS BIGINT) AS round, vec_id, CAST(sep2 AS BIGINT) AS sep2
+         FROM (SELECT 1 AS round, vec_id, 0 AS sep2 FROM s1
+               UNION ALL SELECT 2, vec_id, md FROM p2
+               UNION ALL SELECT 3, vec_id, md FROM p3
+               UNION ALL SELECT 4, vec_id, md FROM p4
+               UNION ALL SELECT 5, vec_id, md FROM p5)
+         ORDER BY round""",
     // identical integer extent assignment (ids are non-negative so
     // Spark's truncating div and DuckDB's flooring // agree) and the
     // same inclusive interval-overlap predicate for both layouts
