@@ -9644,6 +9644,65 @@ object Relational {
       out
     }),
 
+    // Leave-one-source-out quality ablation — first-order data
+    // valuation: for each source, what happens to the corpus-level
+    // quality mean if the source is dropped? Pure algebra on group
+    // sums — per-doc integer stopword-ppm score, ONE partial+final agg
+    // to per-source (n, sum), the 1-row global total broadcast back —
+    // so the "ablation" never rescans the corpus per source (the
+    // naive per-source recompute is |sources| full passes; this is
+    // one). delta > 0 ⇒ dropping the source RAISES corpus quality ⇒
+    // the source is below-average and a curation candidate.
+    "q_docs_ablation" -> ((s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("source"),
+          expr("""cast(size(filter(split(text, ' '),
+                   w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) as bigint)
+                  * 1000000L div cast(size(split(text, ' ')) as bigint)""")
+            .as("score"))
+      val bySrc = scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("score")).as("sum_s"))
+      val glob = bySrc.agg(sum(col("n_docs")).as("n_all"),
+        sum(col("sum_s")).as("sum_all"))
+      bySrc.crossJoin(broadcast(glob))
+        .select(col("source"), col("n_docs"),
+          expr("sum_s div n_docs").as("mean_src"),
+          expr("sum_all div n_all").as("mean_global"),
+          expr("(sum_all - sum_s) div (n_all - n_docs)").as("mean_without"))
+        .withColumn("delta", col("mean_without") - col("mean_global"))
+        .orderBy(col("source"))
+    }),
+
+    // Bipartite projection with cosine weights — the part↔supplier
+    // bipartite graph projected onto suppliers: two suppliers are
+    // close when they supply the same parts, weighted by cosine over
+    // the binary part-incidence vectors (n12/√(n1·n2), published as
+    // exact integer cos²-ppm so nothing rounds). The projection is
+    // the distinct-incidence self-join on the PART key — fan-out
+    // bounded by suppliers-per-part (TPC-H ~4), never corpus size —
+    // the degree table joins back keyed on supplier, and the squared
+    // numerator goes through DECIMAL(38,0) so it cannot wrap at any
+    // incidence count (the q_agg_corr lesson). Top-50 under a total
+    // order keeps the output bounded while the pair space grows
+    // quadratically in suppliers.
+    "q_graph_bipartite" -> ((s, dir) => {
+      val inc = t(s, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+      val deg = inc.groupBy(col("sk")).agg(count(lit(1)).as("n"))
+      inc.as("a").join(inc.as("b"),
+          col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+        .agg(count(lit(1)).as("n12"))
+        .join(deg.select(col("sk").as("s1"), col("n").as("n1")), Seq("s1"))
+        .join(deg.select(col("sk").as("s2"), col("n").as("n2")), Seq("s2"))
+        .select(col("s1"), col("s2"), col("n12"), col("n1"), col("n2"),
+          expr("""cast((cast(n12 as decimal(38,0)) * n12 * 1000000)
+                  div (cast(n1 as decimal(38,0)) * n2) as bigint)""")
+            .as("cos2_ppm"))
+        .orderBy(col("cos2_ppm").desc, col("s1"), col("s2"))
+        .limit(50)
+    }),
+
     // Greedy k-center coreset — farthest-point diversity sampling
     // over the embedding space (the 2-approximation of the k-center
     // objective, and the standard diversity pick for training-data
@@ -16092,6 +16151,37 @@ object Relational {
          SELECT CAST(round AS BIGINT) AS round, doc_id, gain,
                 CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_cum
          FROM u ORDER BY round""",
+    // scores are non-negative integers so truncating div ≡ flooring //
+    "q_docs_ablation" ->
+      """WITH sc AS (SELECT source,
+                            CAST(len(list_filter(string_split(text, ' '),
+                                 w -> w = 'the' OR w = 'a' OR w = 'of' OR w = 'and')) AS BIGINT)
+                              * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+                     FROM documents),
+            g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(score) AS BIGINT) AS sum_s
+                  FROM sc GROUP BY 1),
+            t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_all,
+                         CAST(sum(sum_s) AS BIGINT) AS sum_all FROM g)
+         SELECT source, n_docs,
+                CAST(sum_s // n_docs AS BIGINT) AS mean_src,
+                CAST(sum_all // n_all AS BIGINT) AS mean_global,
+                CAST((sum_all - sum_s) // (n_all - n_docs) AS BIGINT) AS mean_without,
+                CAST((sum_all - sum_s) // (n_all - n_docs) - sum_all // n_all AS BIGINT) AS delta
+         FROM g, t ORDER BY source""",
+    // identical distinct-incidence projection and DECIMAL numerator
+    "q_graph_bipartite" ->
+      """WITH inc AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+            deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS n FROM inc GROUP BY 1),
+            pr AS (SELECT a.sk AS s1, b.sk AS s2, CAST(count(*) AS BIGINT) AS n12
+                   FROM inc a JOIN inc b ON a.pk = b.pk AND a.sk < b.sk
+                   GROUP BY 1, 2)
+         SELECT s1, s2, n12, d1.n AS n1, d2.n AS n2,
+                CAST((CAST(n12 AS HUGEINT) * n12 * 1000000)
+                     // (CAST(d1.n AS HUGEINT) * d2.n) AS BIGINT) AS cos2_ppm
+         FROM pr JOIN deg d1 ON pr.s1 = d1.sk
+                 JOIN deg d2 ON pr.s2 = d2.sk
+         ORDER BY cos2_ppm DESC, s1, s2 LIMIT 50""",
     // 4 unrolled farthest-point rounds over the identical integerized
     // vectors; each sr is the selected set after round r and pr the
     // round-r argmax with the same (dist desc, vec_id) tie-break
