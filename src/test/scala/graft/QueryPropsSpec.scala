@@ -265,4 +265,43 @@ class QueryPropsSpec extends SparkSuite {
     assert(loads.max <= 4 * math.max(1L, loads.min),
       s"ring badly imbalanced: ${loads.mkString(",")}")
   }
+
+  test("session-11 invariants: greedy curves, conformal floor, sketch error bound") {
+    // k-center: farthest-point separation is positive and monotone
+    // NON-INCREASING round over round (the 2-approximation's radius
+    // curve — if it ever rose, the argmax picked a non-farthest point)
+    val kc = SparkEntry.queries("q_sample_kcenter")(spark, dir)
+      .orderBy("round").collect()
+    assert(kc.length == 5)
+    val seps = kc.drop(1).map(r => r.getLong(r.fieldIndex("sep2")))
+    assert(seps.forall(_ > 0), s"degenerate picks: ${seps.mkString(",")}")
+    assert(seps.sliding(2).forall(p => p(0) >= p(1)),
+      s"radius curve rose: ${seps.mkString(",")}")
+    // max-coverage: marginal gains are positive and non-increasing
+    // (submodularity made observable), and the running sum closes
+    val mc = SparkEntry.queries("q_docs_maxcover")(spark, dir)
+      .orderBy("round").collect()
+    val gains = mc.map(r => r.getLong(r.fieldIndex("gain")))
+    assert(gains.forall(_ > 0) && gains.sliding(2).forall(p => p(0) >= p(1)),
+      s"gain curve not submodular: ${gains.mkString(",")}")
+    assert(mc.last.getLong(mc.last.fieldIndex("covered_cum")) == gains.sum)
+    // split conformal: the ≥90%-in-expectation guarantee, allowed a
+    // finite-sample draw-down to 80% on the tiny per-type test halves
+    for (r <- SparkEntry.queries("q_eval_conformal")(spark, dir).collect()) {
+      val cov = r.getLong(r.fieldIndex("coverage_ppm"))
+      assert(cov >= 800000L && cov <= 1000000L, s"conformal coverage $cov")
+    }
+    // join-size estimate: the key-sampling path actually fires
+    val je = SparkEntry.queries("q_join_size_estimate")(spark, dir).collect()(0)
+    assert(je.getLong(je.fieldIndex("n_sampled")) >= 1, "sampler never sampled")
+    assert(je.getLong(je.fieldIndex("est_pairs")) > 0, "estimate collapsed to 0")
+    // histogram-quantile sketch: the audit column must sit inside the
+    // provable envelope err ∈ [0, width) for BOTH quantiles
+    for (r <- SparkEntry.queries("q_agg_quantile_sketch")(spark, dir).collect();
+         c <- Seq("err_p50", "err_p90")) {
+      val w = r.getLong(r.fieldIndex("width"))
+      val e = r.getLong(r.fieldIndex(c))
+      assert(e >= 0 && e < w, s"$c=$e outside [0,$w)")
+    }
+  }
 }
