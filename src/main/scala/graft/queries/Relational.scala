@@ -9780,6 +9780,184 @@ object Relational {
         .unionAll(audit("by_user", expr("user_id % 32")))
         .orderBy(col("layout"))
     }),
+
+    // ---- session 12: spectral / long-memory / calibration ops -------
+
+    // Harmonic periodogram — seasonality power at candidate periods
+    // {7, 10, 15} days per event type, the spectral test a telemetry
+    // pipeline runs before fitting any seasonal model. The DFT weights
+    // cos/sin(2πr/P) are evaluated once per DISTINCT phase (32 angles
+    // total, a broadcast dimension) and pre-rounded to 1e-6 — a 1–2 ulp
+    // libm divergence between engines would need the true value within
+    // ~1e-10 of a rounding boundary to flip any of the 32, so the
+    // hash-compared integers are engine-stable (the repo's ln-parity
+    // rule applied to trig). Everything after is exact: daily counts
+    // are one hash agg, a/b accumulate as decimal(38,0) products (no
+    // wrap at any SF), and power_ppm is one double formula from two
+    // exact integers (mult/div are IEEE exact-rounded — deterministic,
+    // unlike libm). Scales: agg on (type, day), broadcast join on
+    // (period, phase), final agg on (type, period).
+    "q_events_periodogram" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("d"))
+        .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+      val weights = s.range(1).select(explode(expr("array(7L, 10L, 15L)")).as("p"))
+        .withColumn("r", explode(expr("sequence(0L, p - 1)")))
+        .select(col("p"), col("r"),
+          expr("cast(round(cos((2 * pi() * r) / p) * 1000000) as bigint)").as("cw"),
+          expr("cast(round(sin((2 * pi() * r) / p) * 1000000) as bigint)").as("sw"))
+      daily
+        .withColumn("p", explode(expr("array(7L, 10L, 15L)")))
+        .withColumn("r", expr("d % p"))
+        .join(broadcast(weights), Seq("p", "r"))
+        .groupBy(col("event_type"), col("p"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+          sum(expr("cast(c * cw as decimal(38,0))")).as("sa"),
+          sum(expr("cast(c * sw as decimal(38,0))")).as("sb"))
+        .select(col("event_type"), col("p").as("period"), col("n_days"),
+          col("total"), col("sa").cast("long").as("a"), col("sb").cast("long").as("b"))
+        .withColumn("power_ppm",
+          expr("round((cast(a as double) * cast(a as double)" +
+            " + cast(b as double) * cast(b as double))" +
+            " / (cast(total as double) * 1000000.0" +
+            " * cast(total as double) * 1000000.0) * 1000000, 6)"))
+        .orderBy(col("event_type"), col("period"))
+    }),
+
+    // Hurst exponent via rescaled-range (R/S) analysis — the
+    // long-memory test for a metric stream (H≈0.5 ⇒ no memory; the
+    // burstiness diagnostic behind capacity planning). Per event type
+    // the cents series (ordered by ts, event_id) is cut into complete
+    // windows of n ∈ {16, 32, 64}; within a window the cumulative
+    // deviation is kept EXACT by clearing the mean's denominator:
+    // n·D_j = n·P_j − j·Σx (all longs), so R·n = max−min of integers,
+    // and n²σ² = n·Σx² − (Σx)² is exact. R/S per window rounds ONCE
+    // through sqrt+division (both IEEE exact-rounded — deterministic)
+    // to an e6 integer; per-size means are integer floor-divs; the
+    // final H is the evenly-log-spaced 3-point OLS slope, which
+    // collapses to (ln rs64 − ln rs16)/(2 ln 2) — 1 ln per type on an
+    // e6-rounded output (flip margin ~1e-10). Scales: one sort per
+    // (type), window aggs per (type, n, w) shard by key, 100 TB-safe.
+    "q_events_hurst" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"), col("event_id"),
+        cents(col("value")).as("x"))
+      val wOrd = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val sized = e.withColumn("i", row_number().over(wOrd).cast("long") - 1)
+        .withColumn("n", explode(expr("array(16L, 32L, 64L)")))
+        .withColumn("w", expr("i div n")).withColumn("j", expr("i % n + 1"))
+      val part = Window.partitionBy(col("event_type"), col("n"), col("w"))
+      val wPre = part.orderBy(col("j"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = part.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val rs = sized
+        .withColumn("pj", sum(col("x")).over(wPre))
+        .withColumn("sx", sum(col("x")).over(wAll))
+        .withColumn("sxx", sum(col("x") * col("x")).over(wAll))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy(col("event_type"), col("n"), col("w"))
+        .agg(max(col("n") * col("pj") - col("j") * col("sx")).as("mxd"),
+          min(col("n") * col("pj") - col("j") * col("sx")).as("mnd"),
+          max(col("sx")).as("sx"), max(col("sxx")).as("sxx"),
+          max(col("cnt")).as("cnt"))
+        .filter(col("cnt") === col("n") &&
+          col("n") * col("sxx") - col("sx") * col("sx") > 0)
+        .select(col("event_type"), col("n"),
+          expr("cast(round((greatest(mxd, 0L) - least(mnd, 0L)) * 1000000" +
+            " / sqrt(n * sxx - sx * sx)) as bigint)").as("rs_e6"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(expr("sum(rs_e6) div count(1)").as("rs_mean"),
+          count(lit(1)).as("n_windows"))
+      rs.groupBy(col("event_type"))
+        .agg(sum(when(col("n") === 16, col("rs_mean"))).as("rs16_e6"),
+          sum(when(col("n") === 32, col("rs_mean"))).as("rs32_e6"),
+          sum(when(col("n") === 64, col("rs_mean"))).as("rs64_e6"),
+          sum(when(col("n") === 64, col("n_windows"))).as("n_win64"))
+        .select(col("event_type"), col("rs16_e6"), col("rs32_e6"),
+          col("rs64_e6"), col("n_win64"),
+          expr("round(ln(cast(rs64_e6 as double) / cast(rs16_e6 as double))" +
+            " / (2 * ln(2)), 6)").as("hurst"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Population Stability Index between the early and late half of
+    // each event type's value distribution — the drift score model
+    // monitoring actually alerts on (the companion to q_events_drift's
+    // L1-ppm form; PSI weights each bin's shift by its log odds).
+    // Counts, totals and the Laplace-smoothed ppm columns are exact
+    // integers; the one transcendental per bin, (p−q)·ln(p/q), is
+    // computed from identical exact-rounded doubles in both engines
+    // and rounded at 1e-6 — ≤100 distinct ln arguments regardless of
+    // SF (bins are the unit, never rows), so an ulp flip needs a
+    // ~1e-10 coincidence. The grid explode guarantees all 10 bins per
+    // type so the window totals equal the half totals exactly. Scales:
+    // two hash aggs + a 10-bins-per-type window — sketch-sized state.
+    "q_eval_psi" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"), cents(col("value")).as("c"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(expr("(min(ts_s) + max(ts_s)) div 2").as("mid"))
+      val counts = e.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("half",
+          when(col("ts_s") <= col("mid"), lit("early")).otherwise(lit("late")))
+        .withColumn("bin", expr("least(c div 5000, CAST(9 AS BIGINT))"))
+        .groupBy(col("event_type"), col("half"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      def side(h: String): DataFrame = counts.filter(col("half") === h)
+        .select(col("event_type"), col("bin"), col("n").as(s"n_$h"))
+      val grid = counts.select(col("event_type")).distinct()
+        .withColumn("bin", explode(sequence(lit(0L), lit(9L))))
+      val wT = Window.partitionBy(col("event_type"))
+      grid.join(side("early"), Seq("event_type", "bin"), "left")
+        .join(side("late"), Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("n_early", "n_late"))
+        .withColumn("te", sum(col("n_early")).over(wT))
+        .withColumn("tl", sum(col("n_late")).over(wT))
+        .withColumn("p", expr("cast(n_early + 1 as double) / cast(te + 10 as double)"))
+        .withColumn("q", expr("cast(n_late + 1 as double) / cast(tl + 10 as double)"))
+        .withColumn("term_e6",
+          expr("cast(round((p - q) * ln(p / q) * 1000000) as bigint)"))
+        .select(col("event_type"), col("bin"), col("n_early"), col("n_late"),
+          expr("(n_early + 1) * 1000000L div (te + 10)").as("p_ppm"),
+          expr("(n_late + 1) * 1000000L div (tl + 10)").as("q_ppm"),
+          col("term_e6"),
+          sum(col("term_e6")).over(wT).as("psi_e6"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // Binned cross-entropy (log loss) of the deterministic md5 scores
+    // against their own calibrated draws (the q_eval_brier
+    // construction) — the OTHER proper scoring rule, with the log term
+    // evaluated per probability BUCKET (998 mid-point buckets), never
+    // per row: the per-bucket (y, count) agg bounds the transcendental
+    // surface at any SF (the PSI rule), makes the whole query two hash
+    // aggs, and the e6-rounded −ln terms then accumulate as exact
+    // integers. Baseline = base-rate entropy (2 ln evaluations on
+    // aggregate totals). A calibrated scorer's loss lands at its own
+    // conditional entropy, strictly under the baseline — the gap is
+    // the score's information content.
+    "q_eval_logloss" -> ((s, dir) => {
+      val rows = t(s, dir, "embeddings")
+        .select(
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint) % 1000000").as("p_ppm"),
+          expr("cast(conv(substring(md5(concat('y', cast(vec_id as string))), 1, 6), 16, 10) as bigint) % 1000000").as("draw"))
+        .select(
+          expr("greatest(1L, least(998L, p_ppm div 1000))").as("p_mil"),
+          when(col("draw") < col("p_ppm"), 1L).otherwise(0L).as("y"))
+      rows.groupBy(col("p_mil"), col("y")).agg(count(lit(1)).as("n"))
+        .withColumn("pm", col("p_mil") * 1000 + 500)
+        .withColumn("term_e6", expr("cast(round(ln(1000000.0 /" +
+          " (case when y = 1 then pm else 1000000 - pm end)) * 1000000) as bigint)"))
+        .agg(sum(col("n")).as("n"), sum(col("y") * col("n")).as("npos"),
+          sum(col("n") * col("term_e6")).as("loss_sum"))
+        .select(col("n"), col("npos"),
+          expr("loss_sum div n").as("logloss_e6"),
+          expr("cast(round((cast(npos as double) * ln(cast(n as double) / npos)" +
+            " + cast(n - npos as double) * ln(cast(n as double) / (n - npos)))" +
+            " / n * 1000000) as bigint)").as("baseline_e6"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -16239,6 +16417,172 @@ object Relational {
                 CAST(sum(depth) * 1000000 // count(*) AS BIGINT)
          FROM du
          ORDER BY layout""",
+
+    // ---- session 12 oracles ------------------------------------------
+
+    // identical 1e-6-rounded DFT weights per (period, phase), exact
+    // decimal accumulation, one shared double power formula
+    "q_events_periodogram" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT p, unnest(range(p)) AS r
+           FROM (VALUES (CAST(7 AS BIGINT)), (CAST(10 AS BIGINT)),
+                        (CAST(15 AS BIGINT))) t(p)),
+         wt AS (
+           SELECT p, r,
+                  CAST(round(cos((2 * pi() * r) / p) * 1000000) AS BIGINT) AS cw,
+                  CAST(round(sin((2 * pi() * r) / p) * 1000000) AS BIGINT) AS sw
+           FROM w),
+         agg AS (
+           SELECT daily.event_type, wt.p AS period,
+                  CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(sum(daily.c) AS BIGINT) AS total,
+                  CAST(sum(CAST(daily.c AS HUGEINT) * wt.cw) AS BIGINT) AS a,
+                  CAST(sum(CAST(daily.c AS HUGEINT) * wt.sw) AS BIGINT) AS b
+           FROM daily
+           JOIN wt ON wt.p IN (7, 10, 15) AND daily.d % wt.p = wt.r
+           GROUP BY 1, 2)
+         SELECT event_type, period, n_days, total, a, b,
+                round((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+                       + CAST(b AS DOUBLE) * CAST(b AS DOUBLE))
+                      / (CAST(total AS DOUBLE) * 1000000.0
+                         * CAST(total AS DOUBLE) * 1000000.0) * 1000000,
+                      6) AS power_ppm
+         FROM agg ORDER BY event_type, period""",
+
+    // identical denominator-cleared cumulative deviations, exact window
+    // sums, one sqrt+division rounding per window, integer means, and
+    // the same 3-point log-spaced slope
+    "q_events_hurst" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                  event_id, CAST(round(value * 100) AS BIGINT) AS x
+           FROM events),
+         idx AS (
+           SELECT event_type, x,
+                  CAST(row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts_s, event_id) AS BIGINT) - 1 AS i
+           FROM e),
+         sized AS (
+           SELECT event_type, x, p.n, i // p.n AS w, i % p.n + 1 AS j
+           FROM idx, (VALUES (CAST(16 AS BIGINT)), (CAST(32 AS BIGINT)),
+                             (CAST(64 AS BIGINT))) p(n)),
+         win AS (
+           SELECT event_type, n, w, j,
+                  sum(x) OVER (PARTITION BY event_type, n, w ORDER BY j
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pj,
+                  sum(x) OVER (PARTITION BY event_type, n, w) AS sx,
+                  sum(x * x) OVER (PARTITION BY event_type, n, w) AS sxx,
+                  count(*) OVER (PARTITION BY event_type, n, w) AS cnt
+           FROM sized),
+         agg AS (
+           SELECT event_type, n, w,
+                  max(n * pj - j * sx) AS mxd, min(n * pj - j * sx) AS mnd,
+                  max(sx) AS sx, max(sxx) AS sxx, max(cnt) AS cnt
+           FROM win GROUP BY 1, 2, 3),
+         rs AS (
+           SELECT event_type, n,
+                  CAST(round((greatest(mxd, 0) - least(mnd, 0)) * 1000000
+                             / sqrt(n * sxx - sx * sx)) AS BIGINT) AS rs_e6
+           FROM agg WHERE cnt = n AND n * sxx - sx * sx > 0),
+         m AS (
+           SELECT event_type, n,
+                  CAST(sum(rs_e6) AS BIGINT) // count(*) AS rs_mean,
+                  CAST(count(*) AS BIGINT) AS n_windows
+           FROM rs GROUP BY 1, 2)
+         SELECT event_type,
+                CAST(sum(CASE WHEN n = 16 THEN rs_mean END) AS BIGINT) AS rs16_e6,
+                CAST(sum(CASE WHEN n = 32 THEN rs_mean END) AS BIGINT) AS rs32_e6,
+                CAST(sum(CASE WHEN n = 64 THEN rs_mean END) AS BIGINT) AS rs64_e6,
+                CAST(sum(CASE WHEN n = 64 THEN n_windows END) AS BIGINT) AS n_win64,
+                round(ln(CAST(sum(CASE WHEN n = 64 THEN rs_mean END) AS DOUBLE)
+                         / CAST(sum(CASE WHEN n = 16 THEN rs_mean END) AS DOUBLE))
+                      / (2 * ln(2)), 6) AS hurst
+         FROM m GROUP BY 1 ORDER BY 1""",
+
+    // identical mid split, bins, full-grid smoothing and per-bin
+    // (p−q)·ln(p/q) from the same exact-rounded doubles
+    "q_eval_psi" ->
+      """WITH e AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         bounds AS (SELECT event_type, (min(ts_s) + max(ts_s)) // 2 AS mid
+                    FROM e GROUP BY 1),
+         counts AS (
+           SELECT e.event_type,
+                  CASE WHEN e.ts_s <= b.mid THEN 'early' ELSE 'late' END AS half,
+                  least(e.c // 5000, 9) AS bin, CAST(count(*) AS BIGINT) AS n
+           FROM e JOIN bounds b ON e.event_type = b.event_type
+           GROUP BY 1, 2, 3),
+         grid AS (
+           SELECT event_type, unnest(range(10)) AS bin
+           FROM (SELECT DISTINCT event_type FROM counts)),
+         filled AS (
+           SELECT g.event_type, g.bin,
+                  CAST(coalesce(ea.n, 0) AS BIGINT) AS n_early,
+                  CAST(coalesce(la.n, 0) AS BIGINT) AS n_late
+           FROM grid g
+           LEFT JOIN counts ea ON ea.event_type = g.event_type
+                AND ea.bin = g.bin AND ea.half = 'early'
+           LEFT JOIN counts la ON la.event_type = g.event_type
+                AND la.bin = g.bin AND la.half = 'late'),
+         tot AS (
+           SELECT event_type, bin, n_early, n_late,
+                  sum(n_early) OVER (PARTITION BY event_type) AS te,
+                  sum(n_late) OVER (PARTITION BY event_type) AS tl
+           FROM filled),
+         terms AS (
+           SELECT event_type, bin, n_early, n_late,
+                  (n_early + 1) * 1000000 // (te + 10) AS p_ppm,
+                  (n_late + 1) * 1000000 // (tl + 10) AS q_ppm,
+                  CAST(round((CAST(n_early + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE)
+                              - CAST(n_late + 1 AS DOUBLE) / CAST(tl + 10 AS DOUBLE))
+                             * ln((CAST(n_early + 1 AS DOUBLE) / CAST(te + 10 AS DOUBLE))
+                                  / (CAST(n_late + 1 AS DOUBLE) / CAST(tl + 10 AS DOUBLE)))
+                             * 1000000) AS BIGINT) AS term_e6
+           FROM tot)
+         SELECT event_type, bin, n_early, n_late,
+                CAST(p_ppm AS BIGINT) AS p_ppm, CAST(q_ppm AS BIGINT) AS q_ppm,
+                term_e6,
+                CAST(sum(term_e6) OVER (PARTITION BY event_type) AS BIGINT) AS psi_e6
+         FROM terms ORDER BY event_type, bin""",
+
+    // identical md5 scores/draws, bucket midpoints, e6-rounded −ln
+    // terms accumulated as exact integers, same base-rate entropy
+    "q_eval_logloss" ->
+      """WITH rows_ AS (
+           SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT)
+                       % 1000000 AS p_ppm,
+                  CAST(('0x' || substr(md5('y' || CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT)
+                       % 1000000 AS draw
+           FROM embeddings),
+         lab AS (
+           SELECT greatest(1, least(998, p_ppm // 1000)) AS p_mil,
+                  CASE WHEN draw < p_ppm THEN 1 ELSE 0 END AS y
+           FROM rows_),
+         g AS (SELECT p_mil, y, CAST(count(*) AS BIGINT) AS n
+               FROM lab GROUP BY 1, 2),
+         tm AS (
+           SELECT n, y, p_mil * 1000 + 500 AS pm,
+                  CAST(round(ln(1000000.0 /
+                       (CASE WHEN y = 1 THEN p_mil * 1000 + 500
+                             ELSE 1000000 - (p_mil * 1000 + 500) END)) * 1000000)
+                       AS BIGINT) AS term_e6
+           FROM g)
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+                CAST(sum(y * n) AS BIGINT) AS npos,
+                CAST(sum(n * term_e6) AS BIGINT) // sum(n) AS logloss_e6,
+                CAST(round((CAST(sum(y * n) AS DOUBLE)
+                            * ln(CAST(sum(n) AS DOUBLE) / sum(y * n))
+                            + CAST(sum(n) - sum(y * n) AS DOUBLE)
+                            * ln(CAST(sum(n) AS DOUBLE) / (sum(n) - sum(y * n))))
+                           / sum(n) * 1000000) AS BIGINT) AS baseline_e6
+         FROM tm""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
