@@ -9958,6 +9958,168 @@ object Relational {
             " + cast(n - npos as double) * ln(cast(n as double) / (n - npos)))" +
             " / n * 1000000) as bigint)").as("baseline_e6"))
     }),
+
+    // Degree distribution + discrete power-law MLE over the near-dup
+    // graph — the shape test run before trusting any sampled-walk
+    // statistic (heavy tails break uniform node sampling). The
+    // histogram is two hash aggs; α̂ = 1 + n/Σln(d) (Clauset-style MLE
+    // at d_min = 1) is assembled ALL-INTEGER: ln(d) is pre-rounded to
+    // e6 once per DISTINCT degree (a bounded set regardless of corpus
+    // size — the ln-parity rule), the weighted sum is exact, and the
+    // final α lands by integer floor-div, so the hash-compared row is
+    // engine-stable with no trailing-bit exposure at all.
+    "q_graph_powerlaw" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+      val hist = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+        .withColumn("lnd_e6",
+          expr("cast(round(ln(cast(deg as double)) * 1000000) as bigint)"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("n_vertices", sum(col("cnt")).over(wAll))
+        .withColumn("sum_ln_e6", sum(col("cnt") * col("lnd_e6")).over(wAll))
+        .select(col("deg"), col("cnt"),
+          expr("cnt * 1000000L div n_vertices").as("share_ppm"),
+          col("n_vertices"),
+          expr("case when sum_ln_e6 > 0 then" +
+            " 1000000L + n_vertices * 1000000000000L div sum_ln_e6" +
+            " else null end").as("alpha_e6"))
+        .orderBy(col("deg"))
+    }),
+
+    // Adamic–Adar link prediction over the near-dup graph — the
+    // degree-discounted companion to q_graph_link_pred's raw Jaccard:
+    // a shared neighbor that bridges EVERYTHING carries almost no
+    // evidence, so each common neighbor z contributes 1/ln(deg z).
+    // The weight is materialized once per VERTEX from a per-distinct-
+    // degree e6-rounded ln (deg ≥ 2 always holds for a middle vertex,
+    // so the weight is finite), then the open-wedge score is an exact
+    // integer sum — same triangle-closing equi-join shape as
+    // link_pred, no cartesian anywhere, shards by vertex at 100 TB.
+    "q_graph_adamic_adar" -> ((s, dir) => {
+      val pr = simhashPairsShared(s, dir).select(col("ia"), col("ib"))
+      val edges = pr.select(col("ia").as("src"), col("ib").as("dst"))
+        .union(pr.select(col("ib").as("src"), col("ia").as("dst")))
+      val wz = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2)
+        .select(col("src").as("z"),
+          expr("cast(round(1000000.0 / ln(cast(deg as double))) as bigint)").as("w_e6"))
+      edges.as("e1").join(edges.as("e2"),
+          col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+        .select(col("e1.src").as("a"), col("e2.dst").as("c"), col("e1.dst").as("z"))
+        .join(pr, col("a") === col("ia") && col("c") === col("ib"), "left_anti")
+        .join(wz, Seq("z"))
+        .groupBy(col("a"), col("c"))
+        .agg(count(lit(1)).as("cn"), sum(col("w_e6")).as("aa_e6"))
+        .orderBy(col("aa_e6").desc, col("a"), col("c")).limit(20)
+    }),
+
+    // Pairwise Jensen–Shannon divergence between the per-source
+    // word-3-gram distributions — the symmetric, bounded corpus-mix
+    // distance a data-mixture planner reads (unlike KL it never blows
+    // up on disjoint support). Add-1 smoothing over each pair's UNION
+    // support keeps both distributions exactly normalized. The
+    // transcendental surface is bounded by construction: per-gram
+    // terms depend only on the (na, nb) count combo, so grams collapse
+    // to combos FIRST (Zipf makes this a ~100× reduction) and each
+    // distinct combo pays ONE e8-rounded two-sided term — p·ln scales
+    // the ulp noise DOWN by p, leaving ~1e-10 of margin. The union
+    // support is assembled from equi-joins only (left fill + anti),
+    // never a cartesian; everything shards by gram hash at 100 TB.
+    "q_text_jsd" -> ((s, dir) => {
+      val cnts = t(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          """case when size(split(text, ' ')) >= 3 then
+            |  transform(sequence(1, size(split(text, ' ')) - 2),
+            |            i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+            |else array() end""".stripMargin)).as("g"))
+        .select(col("source"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+        .groupBy(col("source"), col("h")).agg(count(lit(1)).as("cnt"))
+      val tots = cnts.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+      val srcs = tots.select(col("source"))
+      val pairs = srcs.select(col("source").as("sa"))
+        .crossJoin(broadcast(srcs.select(col("source").as("sb"))))
+        .filter(col("sa") < col("sb"))
+      val inA = pairs.join(cnts.select(col("source").as("sa"),
+          col("h"), col("cnt").as("na")), Seq("sa"))
+        .join(cnts.select(col("source").as("sb"), col("h"),
+          col("cnt").as("nb")), Seq("sb", "h"), "left")
+        .na.fill(0L, Seq("nb"))
+      val bOnly = pairs.join(cnts.select(col("source").as("sb"),
+          col("h"), col("cnt").as("nb")), Seq("sb"))
+        .join(cnts.select(col("source").as("sa"), col("h")),
+          Seq("sa", "h"), "left_anti")
+        .withColumn("na", lit(0L))
+        .select(col("sa"), col("sb"), col("h"), col("na"), col("nb"))
+      val combos = inA.select(col("sa"), col("sb"), col("h"), col("na"), col("nb"))
+        .unionByName(bOnly)
+        .groupBy(col("sa"), col("sb"), col("na"), col("nb"))
+        .agg(count(lit(1)).as("k"))
+      val wPair = Window.partitionBy(col("sa"), col("sb"))
+      combos
+        .withColumn("vp", sum(col("k")).over(wPair))
+        .join(broadcast(tots.select(col("source").as("sa"), col("tot").as("ta"))), Seq("sa"))
+        .join(broadcast(tots.select(col("source").as("sb"), col("tot").as("tb"))), Seq("sb"))
+        .withColumn("p", expr("cast(na + 1 as double) / cast(ta + vp as double)"))
+        .withColumn("q", expr("cast(nb + 1 as double) / cast(tb + vp as double)"))
+        .withColumn("term_e8", expr("cast(round((p * ln(2 * p / (p + q))" +
+          " + q * ln(2 * q / (p + q))) * 100000000) as bigint)"))
+        .groupBy(col("sa"), col("sb"), col("vp"), col("ta"), col("tb"))
+        .agg(count(lit(1)).as("n_combos"),
+          expr("sum(k * term_e8) div 2").as("jsd_e8"))
+        .select(col("sa"), col("sb"), col("vp"), col("ta"), col("tb"),
+          col("n_combos"), col("jsd_e8"))
+        .orderBy(col("sa"), col("sb"))
+    }),
+
+    // Heaps'-law vocabulary growth per source — V(N) checkpoints every
+    // 10 docs plus the fitted growth exponent b (V ∝ N^b), the
+    // curve a tokenizer-budget planner reads to extrapolate vocab size
+    // to the full corpus. New-word counts come from a first-occurrence
+    // agg (min doc_id per (source, word) — one hash agg, no rescan per
+    // checkpoint), cumulative N and V are exact window sums in doc_id
+    // order, and b is ONE ln-ratio per source between the first and
+    // last checkpoint (e6-rounded, bounded eval count). Scales: the
+    // curve's cost is the token explode + two keyed aggs; the window
+    // runs over docs within a source only.
+    "q_text_heaps" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("ntok"))
+      val firsts = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("source"), col("fd")).agg(count(lit(1)).as("nw"))
+      val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val curve = docs
+        .join(firsts.withColumnRenamed("fd", "doc_id"), Seq("source", "doc_id"), "left")
+        .na.fill(0L, Seq("nw"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))).cast("long"))
+        .withColumn("tokens_seen", sum(col("ntok")).over(wCum))
+        .withColumn("vocab", sum(col("nw")).over(wCum))
+        .filter(col("rank") % 10 === 0)
+      val wSrc = Window.partitionBy(col("source")).orderBy(col("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      curve
+        .withColumn("v0", first(col("vocab")).over(wSrc))
+        .withColumn("n0", first(col("tokens_seen")).over(wSrc))
+        .withColumn("v1", last(col("vocab")).over(wSrc))
+        .withColumn("n1", last(col("tokens_seen")).over(wSrc))
+        .select(col("source"), col("rank").as("docs_seen"),
+          col("tokens_seen"), col("vocab"),
+          // single-checkpoint sources (tiny SFs) have no growth window
+          expr("case when n1 > n0 then cast(round(ln(cast(v1 as double) / v0)" +
+            " / ln(cast(n1 as double) / n0) * 1000000) as bigint)" +
+            " else null end").as("heaps_b_e6"))
+        .orderBy(col("source"), col("docs_seen"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -16583,6 +16745,159 @@ object Relational {
                             * ln(CAST(sum(n) AS DOUBLE) / (sum(n) - sum(y * n))))
                            / sum(n) * 1000000) AS BIGINT) AS baseline_e6
          FROM tm""",
+
+    // identical per-distinct-degree e6 ln weights, exact integer MLE
+    "q_graph_powerlaw" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       hist AS (SELECT deg, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(round(ln(CAST(deg AS DOUBLE)) * 1000000) AS BIGINT) AS lnd_e6
+                FROM degs GROUP BY 1),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+                      CAST(sum(cnt * lnd_e6) AS BIGINT) AS s FROM hist)
+       SELECT h.deg, h.cnt, h.cnt * 1000000 // t.n AS share_ppm,
+              t.n AS n_vertices,
+              CASE WHEN t.s > 0 THEN 1000000 + t.n * 1000000000000 // t.s
+                   ELSE NULL END AS alpha_e6
+       FROM hist h, tot t ORDER BY h.deg"""),
+
+    // identical open-wedge equi-joins; the middle vertex's 1/ln(deg)
+    // weight pre-rounded per vertex, summed exactly
+    "q_graph_adamic_adar" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       edges AS (SELECT ia AS src, ib AS dst FROM pairs
+                 UNION ALL SELECT ib AS src, ia AS dst FROM pairs),
+       degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       wz AS (SELECT src AS z,
+                     CAST(round(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w_e6
+              FROM degs WHERE deg >= 2),
+       cand AS (SELECT e1.src AS a, e2.dst AS c, e1.dst AS z
+                FROM edges e1 JOIN edges e2
+                  ON e1.dst = e2.src AND e1.src < e2.dst),
+       openw AS (SELECT cand.* FROM cand
+                 WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                                   WHERE p.ia = cand.a AND p.ib = cand.c))
+       SELECT o.a, o.c, CAST(count(*) AS BIGINT) AS cn,
+              CAST(sum(w.w_e6) AS BIGINT) AS aa_e6
+       FROM openw o JOIN wz w ON w.z = o.z
+       GROUP BY 1, 2 ORDER BY aa_e6 DESC, a, c LIMIT 20"""),
+
+    // identical union-support smoothing, combo-collapsed e8 terms
+    "q_text_jsd" ->
+      """WITH words AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         grams AS (SELECT source,
+                          CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT AS BIGINT) AS h
+                   FROM (SELECT source,
+                                unnest(CASE WHEN len(w) >= 3 THEN
+                                  list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                                ELSE [] END) AS g
+                         FROM words)),
+         cnts AS (SELECT source, h, CAST(count(*) AS BIGINT) AS cnt
+                  FROM grams GROUP BY 1, 2),
+         tots AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS tot
+                  FROM cnts GROUP BY 1),
+         prs AS (SELECT a.source AS sa, b.source AS sb
+                 FROM tots a JOIN tots b ON a.source < b.source),
+         ina AS (SELECT p.sa, p.sb, ca.h, ca.cnt AS na,
+                        CAST(coalesce(cb.cnt, 0) AS BIGINT) AS nb
+                 FROM prs p
+                 JOIN cnts ca ON ca.source = p.sa
+                 LEFT JOIN cnts cb ON cb.source = p.sb AND cb.h = ca.h),
+         bonly AS (SELECT p.sa, p.sb, cb.h, CAST(0 AS BIGINT) AS na, cb.cnt AS nb
+                   FROM prs p
+                   JOIN cnts cb ON cb.source = p.sb
+                   WHERE NOT EXISTS (SELECT 1 FROM cnts ca
+                                     WHERE ca.source = p.sa AND ca.h = cb.h)),
+         support AS (SELECT * FROM ina UNION ALL SELECT * FROM bonly),
+         combos AS (SELECT sa, sb, na, nb, CAST(count(*) AS BIGINT) AS k
+                    FROM support GROUP BY 1, 2, 3, 4),
+         vps AS (SELECT sa, sb, na, nb, k,
+                        sum(k) OVER (PARTITION BY sa, sb) AS vp
+                 FROM combos),
+         terms AS (
+           SELECT v.sa, v.sb, v.k, CAST(v.vp AS BIGINT) AS vp, ta.tot AS ta, tb.tot AS tb,
+                  CAST(round((
+                    (CAST(v.na + 1 AS DOUBLE) / CAST(ta.tot + v.vp AS DOUBLE))
+                      * ln(2 * (CAST(v.na + 1 AS DOUBLE) / CAST(ta.tot + v.vp AS DOUBLE))
+                           / ((CAST(v.na + 1 AS DOUBLE) / CAST(ta.tot + v.vp AS DOUBLE))
+                              + (CAST(v.nb + 1 AS DOUBLE) / CAST(tb.tot + v.vp AS DOUBLE))))
+                    + (CAST(v.nb + 1 AS DOUBLE) / CAST(tb.tot + v.vp AS DOUBLE))
+                      * ln(2 * (CAST(v.nb + 1 AS DOUBLE) / CAST(tb.tot + v.vp AS DOUBLE))
+                           / ((CAST(v.na + 1 AS DOUBLE) / CAST(ta.tot + v.vp AS DOUBLE))
+                              + (CAST(v.nb + 1 AS DOUBLE) / CAST(tb.tot + v.vp AS DOUBLE)))))
+                    * 100000000) AS BIGINT) AS term_e8
+           FROM vps v
+           JOIN tots ta ON ta.source = v.sa
+           JOIN tots tb ON tb.source = v.sb)
+         SELECT sa, sb, vp, ta, tb, CAST(count(*) AS BIGINT) AS n_combos,
+                CAST(sum(k * term_e8) AS BIGINT) // 2 AS jsd_e8
+         FROM terms GROUP BY 1, 2, 3, 4, 5 ORDER BY sa, sb""",
+
+    // identical first-occurrence agg, cumulative checkpoints, one
+    // ln-ratio fit per source
+    "q_text_heaps" ->
+      """WITH docs AS (SELECT source, doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+                       FROM documents),
+         firsts AS (SELECT source, min(doc_id) AS fd
+                    FROM (SELECT source, doc_id,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY source, tok),
+         nw AS (SELECT source, fd AS doc_id, CAST(count(*) AS BIGINT) AS nw
+                FROM firsts GROUP BY 1, 2),
+         curve AS (
+           SELECT d.source, d.doc_id,
+                  CAST(row_number() OVER (PARTITION BY d.source
+                       ORDER BY d.doc_id) AS BIGINT) AS rank,
+                  sum(d.ntok) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tokens_seen,
+                  sum(coalesce(n.nw, 0)) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab
+           FROM docs d LEFT JOIN nw n
+             ON n.source = d.source AND n.doc_id = d.doc_id),
+         cp AS (SELECT source, rank AS docs_seen,
+                       CAST(tokens_seen AS BIGINT) AS tokens_seen,
+                       CAST(vocab AS BIGINT) AS vocab
+                FROM curve WHERE rank % 10 = 0),
+         fit AS (
+           SELECT source, docs_seen, tokens_seen, vocab,
+                  first_value(vocab) OVER (PARTITION BY source ORDER BY docs_seen
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v0,
+                  first_value(tokens_seen) OVER (PARTITION BY source ORDER BY docs_seen
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n0,
+                  last_value(vocab) OVER (PARTITION BY source ORDER BY docs_seen
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS v1,
+                  last_value(tokens_seen) OVER (PARTITION BY source ORDER BY docs_seen
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS n1
+           FROM cp)
+         SELECT source, docs_seen, tokens_seen, vocab,
+                CASE WHEN n1 > n0 THEN
+                  CAST(round(ln(CAST(v1 AS DOUBLE) / v0)
+                             / ln(CAST(n1 AS DOUBLE) / n0) * 1000000) AS BIGINT)
+                END AS heaps_b_e6
+         FROM fit ORDER BY source, docs_seen""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
