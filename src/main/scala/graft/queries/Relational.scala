@@ -10120,6 +10120,102 @@ object Relational {
             " else null end").as("heaps_b_e6"))
         .orderBy(col("source"), col("docs_seen"))
     }),
+
+    // t-closeness audit — the distribution-level privacy check k-anon
+    // and l-diversity miss: a class can be k-large and l-diverse yet
+    // still leak because its SENSITIVE distribution (source) sits far
+    // from the global one. t = ½·L1(p_class, p_global), kept EXACT by
+    // clearing both denominators (|c·N − g·n_c| accumulated as
+    // decimal(38,0), divided ONCE at the end by 2·n_c·N — integer
+    // floor both engines). The class×source grid is a broadcast
+    // nested-loop over two BOUNDED dimensions (classes × sources),
+    // then everything is equi-joins and hash aggs — at 100 TB the raw
+    // table is touched once for the two count aggs.
+    "q_privacy_tcloseness" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 100").as("len_bucket"), col("source"))
+      val cls = d.groupBy(col("lang"), col("len_bucket"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val classes = d.groupBy(col("lang"), col("len_bucket"))
+        .agg(count(lit(1)).as("n_c"))
+      val glob = d.groupBy(col("source")).agg(count(lit(1)).as("g"))
+      val ntot = d.count() // bounded driver scalar (the kmeans-k pattern)
+      classes.crossJoin(broadcast(glob))
+        .join(cls, Seq("lang", "len_bucket", "source"), "left")
+        .na.fill(0L, Seq("c"))
+        .groupBy(col("lang"), col("len_bucket"), col("n_c"))
+        .agg(sum(expr(s"cast(abs(c * ${ntot}L - g * n_c) as decimal(38,0))")).as("num"))
+        .select(col("lang"), col("len_bucket"), col("n_c"),
+          expr(s"cast(num * 1000000 div (2 * n_c * ${ntot}L) as bigint)").as("t_ppm"))
+        .withColumn("breach", when(col("t_ppm") > 250000, 1).otherwise(0))
+        .orderBy(col("lang"), col("len_bucket"))
+    }),
+
+    // Centroid-based (simplified) silhouette per label — the cluster-
+    // quality score that needs no pairwise pass: a = distance to own
+    // centroid, b = nearest other centroid, s = (b−a)/max(a,b). The
+    // distances are exact until the last step: mean denominators are
+    // cleared (n_c·x − S per dim, squared into decimal(38,0) so
+    // nothing wraps at any corpus size), and the only roundings are
+    // IEEE-exact sqrt/divisions from identical exact integers, e6-
+    // rounded per point. Per-label means are integer floor-divs.
+    // Scales: one posexplode + two hash aggs + a broadcast-sized
+    // centroid join (k centroids × 64 dims); never an all-pairs pass.
+    "q_ann_silhouette" -> ((s, dir) => {
+      val pts = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          posexplode(expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "v")
+      val cent = pts.groupBy(col("label").as("clabel"), col("d"))
+        .agg(sum(col("v")).as("sd"), count(lit(1)).as("nc"))
+      val dist = pts.join(broadcast(cent), Seq("d"))
+        .groupBy(col("vec_id"), col("label"), col("clabel"), col("nc"))
+        .agg(sum(expr("cast(nc * v - sd as decimal(19,0))" +
+          " * cast(nc * v - sd as decimal(19,0))")).as("q"))
+        .withColumn("dst", expr("sqrt(cast(q as double)) / nc"))
+      dist.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("clabel") === col("label"), col("dst"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("dst"))).as("b"))
+        .withColumn("s_e6", expr("case when greatest(a, b) > 0 then" +
+          " cast(round((b - a) / greatest(a, b) * 1000000) as bigint)" +
+          " else cast(0 as bigint) end"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(s_e6) div count(1)").as("sil_e6"),
+          min(col("s_e6")).as("min_s_e6"), max(col("s_e6")).as("max_s_e6"))
+        .orderBy(col("label"))
+    }),
+
+    // Ratio-to-moving-average seasonal indices — the classical
+    // decomposition's seasonal factor per day-of-week slot, the
+    // companion q_events_calendar (raw slot counts) and q_events_stl
+    // (additive trend split) don't give: "Mondays run at 1.08× trend".
+    // ALL-INTEGER: the centered 7-day window sum is exact, the ratio
+    // is kept in ppm with the ×7 numerator (c·7e6 div sum7 — floor
+    // identical in both engines on non-negative ints), incomplete
+    // edge windows are dropped by the window row COUNT (never by
+    // position arithmetic), and slot means are integer divs. The
+    // day-of-week slot is the engine-neutral (d+4)%7 so no calendar
+    // builtin's indexing convention is in the hash. Scales: one daily
+    // hash agg, one 7-row window per type, 7-row output per type.
+    "q_events_seasonal_index" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(col("event_type"), expr("unix_timestamp(ts) div 86400").as("d"))
+        .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("sum7", sum(col("c")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("r_ppm", expr("c * 7000000L div sum7"))
+        .groupBy(col("event_type"), expr("(d + 4) % 7").as("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          expr("sum(r_ppm) div count(1)").as("index_ppm"),
+          min(col("r_ppm")).as("min_ppm"), max(col("r_ppm")).as("max_ppm"))
+        .orderBy(col("event_type"), col("dow"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -16898,6 +16994,85 @@ object Relational {
                              / ln(CAST(n1 AS DOUBLE) / n0) * 1000000) AS BIGINT)
                 END AS heaps_b_e6
          FROM fit ORDER BY source, docs_seen""",
+
+    // identical cleared-denominator L1, exact HUGEINT accumulation,
+    // one floor division
+    "q_privacy_tcloseness" ->
+      """WITH d AS (SELECT lang, n_chars // 100 AS len_bucket, source
+                    FROM documents),
+         cls AS (SELECT lang, len_bucket, source, CAST(count(*) AS BIGINT) AS c
+                 FROM d GROUP BY 1, 2, 3),
+         classes AS (SELECT lang, len_bucket, CAST(count(*) AS BIGINT) AS n_c
+                     FROM d GROUP BY 1, 2),
+         gsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS g FROM d GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM d),
+         grid AS (SELECT cl.lang, cl.len_bucket, cl.n_c, gl.source, gl.g,
+                         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+                  FROM classes cl CROSS JOIN gsrc gl
+                  LEFT JOIN cls c ON c.lang = cl.lang
+                       AND c.len_bucket = cl.len_bucket AND c.source = gl.source)
+         SELECT g.lang, g.len_bucket, g.n_c,
+                CAST(sum(CAST(abs(g.c * n.ntot - g.g * g.n_c) AS HUGEINT))
+                     * 1000000 // (2 * g.n_c * n.ntot) AS BIGINT) AS t_ppm,
+                CASE WHEN CAST(sum(CAST(abs(g.c * n.ntot - g.g * g.n_c) AS HUGEINT))
+                          * 1000000 // (2 * g.n_c * n.ntot) AS BIGINT) > 250000
+                     THEN 1 ELSE 0 END AS breach
+         FROM grid g, n GROUP BY 1, 2, 3, n.ntot ORDER BY 1, 2""",
+
+    // identical cleared-denominator centroid distances, exact HUGEINT
+    // squares, IEEE sqrt/div, per-point e6 rounding, integer means
+    "q_ann_silhouette" ->
+      """WITH pts AS (
+           SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+                  i.i AS d, e.vv[i.i + 1] AS v
+           FROM (SELECT vec_id, label,
+                        list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+                 FROM embeddings) e, range(64) i(i)),
+         cent AS (SELECT label AS clabel, d, CAST(sum(v) AS BIGINT) AS sd,
+                         CAST(count(*) AS BIGINT) AS nc
+                  FROM pts GROUP BY 1, 2),
+         dist AS (SELECT p.vec_id, p.label, c.clabel, c.nc,
+                         sqrt(CAST(sum(CAST(c.nc * p.v - c.sd AS HUGEINT)
+                                       * (c.nc * p.v - c.sd)) AS DOUBLE)) / c.nc AS dst
+                  FROM pts p JOIN cent c ON c.d = p.d
+                  GROUP BY 1, 2, 3, 4),
+         ab AS (SELECT vec_id, label,
+                       max(CASE WHEN clabel = label THEN dst END) AS a,
+                       min(CASE WHEN clabel <> label THEN dst END) AS b
+                FROM dist GROUP BY 1, 2),
+         sc AS (SELECT label,
+                       CASE WHEN greatest(a, b) > 0 THEN
+                         CAST(round((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS s_e6
+                FROM ab)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(s_e6) AS BIGINT) // count(*) AS sil_e6,
+                min(s_e6) AS min_s_e6, max(s_e6) AS max_s_e6
+         FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // identical observed-day 7-row centered window, ppm ratios,
+    // integer slot means, engine-neutral (d+4)%7 slots
+    "q_events_seasonal_index" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, d, c,
+                  sum(c) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+                  count(*) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+           FROM daily),
+         r AS (SELECT event_type, (d + 4) % 7 AS dow,
+                      c * 7000000 // sum7 AS r_ppm
+               FROM w WHERE n7 = 7)
+         SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+                CAST(sum(r_ppm) AS BIGINT) // count(*) AS index_ppm,
+                CAST(min(r_ppm) AS BIGINT) AS min_ppm,
+                CAST(max(r_ppm) AS BIGINT) AS max_ppm
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
