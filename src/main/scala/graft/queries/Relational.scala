@@ -10216,6 +10216,63 @@ object Relational {
           min(col("r_ppm")).as("min_ppm"), max(col("r_ppm")).as("max_ppm"))
         .orderBy(col("event_type"), col("dow"))
     }),
+
+    // 4-truss peeling over the near-dup graph — the cohesion filter
+    // between q_graph_triangles (counts) and q_graph_kcore (degree
+    // peeling): every surviving edge must sit in ≥ 2 triangles, so
+    // bridges and stars that survive a k-core are stripped and only
+    // clique-like dup clusters remain (exactly the communities a
+    // dedup reviewer should audit first). Three peeling rounds, FIXED
+    // on both engines (converged rounds are no-ops, so the unrolled
+    // oracle is exact whether or not the graph converges earlier);
+    // each round is one wedge equi-join + one edge equi-join + a hash
+    // agg — all-integer, shards by vertex, localCheckpoint per round
+    // (the 446 s→3.5 s checkpoint-cadence rule for iterative plans).
+    "q_graph_ktruss" -> ((s, dir) => {
+      var e = simhashPairsShared(s, dir)
+        .select(col("ia").as("a"), col("ib").as("b")).localCheckpoint(true)
+      var last: DataFrame = null
+      for (_ <- 1 to 3) {
+        val und = e.select(col("a").as("x"), col("b").as("z"))
+          .union(e.select(col("b").as("x"), col("a").as("z")))
+        val sup = und.as("e1").join(und.as("e2"),
+            col("e1.z") === col("e2.z") && col("e1.x") < col("e2.x"))
+          .select(col("e1.x").as("a"), col("e2.x").as("b"))
+          .join(e, Seq("a", "b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+        last = sup.filter(col("support") >= 2).localCheckpoint(true)
+        e = last.select(col("a"), col("b"))
+      }
+      last.orderBy(col("a"), col("b"))
+    }),
+
+    // Horvitz–Thompson estimation audit — the unbiasedness check every
+    // deterministic-sampling pipeline owes its consumers: docs are
+    // Bernoulli-sampled per source at an md5-derived rate π (seeded,
+    // replayable), and the inverse-probability-weighted total
+    // Σ n_chars·1e6 div π̂_ppm is compared against the true per-source
+    // total. ALL-INTEGER: the per-row HT weight is a floor-div (both
+    // engines floor non-negative ints identically), sums are exact,
+    // and the relative error lands as a ppm floor-div. Scales: one
+    // scan, one hash agg — the estimator costs nothing beyond the
+    // sample itself, which is the point of publishing the audit.
+    "q_sample_horvitz" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          expr("100000 + cast(conv(substring(md5(source), 1, 6), 16, 10)" +
+            " as bigint) % 400001").as("rate_ppm"),
+          expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)" +
+            " as bigint) % 1000000").as("u_ppm"))
+        .groupBy(col("source"), col("rate_ppm"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("u_ppm") < col("rate_ppm"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(col("n_chars")).as("true_total"),
+          sum(when(col("u_ppm") < col("rate_ppm"),
+            expr("n_chars * 1000000L div rate_ppm")).otherwise(0L)).as("ht_total"))
+        .withColumn("err_ppm",
+          expr("abs(ht_total - true_total) * 1000000L div true_total"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -17073,6 +17130,43 @@ object Relational {
                 CAST(min(r_ppm) AS BIGINT) AS min_ppm,
                 CAST(max(r_ppm) AS BIGINT) AS max_ppm
          FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // identical 3 unrolled peeling rounds (generated so the oracle's
+    // round count provably matches the engine's loop bound)
+    "q_graph_ktruss" -> (simhashCte(" WHERE doc_id < 1000") + """,
+       bands AS (
+         SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+         FROM sims, (SELECT unnest(range(4)) AS band) b
+       ),
+       pairs AS (
+         SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS ia, CAST(b.doc_id AS BIGINT) AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       ),
+       e0 AS (SELECT ia AS a, ib AS b FROM pairs),
+""" + ktrussRoundsSql(3) + """
+       SELECT a, b, support FROM e3 ORDER BY a, b"""),
+
+    // identical md5 rates/draws, floor-div HT weights, exact sums
+    "q_sample_horvitz" ->
+      """WITH d AS (
+           SELECT source, n_chars,
+                  100000 + CAST(('0x' || substr(md5(source), 1, 6))::UBIGINT AS BIGINT)
+                           % 400001 AS rate_ppm,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT)
+                           % 1000000 AS u_ppm
+           FROM documents),
+         a AS (
+           SELECT source, rate_ppm, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                  CAST(sum(n_chars) AS BIGINT) AS true_total,
+                  CAST(sum(CASE WHEN u_ppm < rate_ppm
+                           THEN n_chars * 1000000 // rate_ppm ELSE 0 END) AS BIGINT) AS ht_total
+           FROM d GROUP BY 1, 2)
+         SELECT source, rate_ppm, n_docs, n_sampled, true_total, ht_total,
+                abs(ht_total - true_total) * 1000000 // true_total AS err_ppm
+         FROM a ORDER BY source""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built
@@ -17125,6 +17219,23 @@ object Relational {
            FROM edges e JOIN r${i - 1} r ON r.id = e.src
                 JOIN deg d ON d.src = e.src
            GROUP BY e.dst) s ON s.dst = n.id)"""
+    }.mkString(",\n")
+
+  /** The n unrolled truss-peeling rounds (s1,e1..sn,en from e0) —
+    * wedge join + edge membership join + support filter per round,
+    * generated so the oracle's round count provably matches the
+    * engine's loop bound. */
+  private def ktrussRoundsSql(n: Int): String =
+    (1 to n).map { i =>
+      s"""und$i AS (SELECT a AS x, b AS z FROM e${i - 1}
+                  UNION ALL SELECT b AS x, a AS z FROM e${i - 1}),
+       s$i AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS support
+               FROM (SELECT e1.x AS a, e2.x AS b
+                     FROM und$i e1 JOIN und$i e2
+                       ON e1.z = e2.z AND e1.x < e2.x) w
+               JOIN e${i - 1} e ON e.a = w.a AND e.b = w.b
+               GROUP BY 1, 2),
+       e$i AS (SELECT a, b, support FROM s$i WHERE support >= 2)"""
     }.mkString(",\n")
 
   private def pagerankRoundsSql(n: Int): String =
