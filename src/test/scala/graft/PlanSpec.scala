@@ -1303,4 +1303,43 @@ class PlanSpec extends SparkSuite {
     val mc = Relational.queries("q_docs_maxcover")(spark, dir)
     assert(mc.count() == 5, "maxcover must return 5 greedy rounds")
   }
+
+  test("session-12 additions: spectral/privacy/cluster-quality plan shapes") {
+    // periodogram: the 32-row DFT weight table broadcasts into the
+    // daily agg; the data stream is hash aggs only, no sort-merge
+    val pg = plan("q_events_periodogram")
+    assert(pg.contains("BroadcastHashJoin"), pg.take(2000))
+    assert(!pg.contains("SortMergeJoin") && !pg.contains("CartesianProduct"),
+      pg.take(2000))
+    // PSI: the per-type mid bounds broadcast into the binning scan
+    val ps = plan("q_eval_psi")
+    assert(ps.contains("BroadcastHashJoin"), ps.take(2000))
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+    // silhouette: the k×64 centroid relation broadcasts into the
+    // point-dim stream — never a shuffle keyed on the raw points, and
+    // never a cartesian (the join IS on the dim key)
+    val sl = plan("q_ann_silhouette")
+    assert(sl.contains("BroadcastHashJoin"), sl.take(2000))
+    assert(!sl.contains("CartesianProduct"), sl.take(2000))
+    // t-closeness: the bounded class×source grid is the sanctioned
+    // broadcast nested-loop; the class fill stays an equi left join
+    val tc = plan("q_privacy_tcloseness")
+    assert(tc.contains("BroadcastNestedLoopJoin"), tc.take(2000))
+    assert(!tc.contains("CartesianProduct"), tc.take(2000))
+    // k-truss final round: wedge + membership joins stay equi (hash or
+    // sort-merge on vertex keys), never a cartesian
+    val kt = plan("q_graph_ktruss")
+    assert(!kt.contains("CartesianProduct"), kt.take(2000))
+    // JSD: union-support assembly is equi left/anti joins plus the
+    // 10-row pair BNLJ; no cartesian anywhere
+    val js = plan("q_text_jsd")
+    assert(js.contains("LeftAnti"), js.take(2000))
+    assert(!js.contains("CartesianProduct"), js.take(2000))
+    // Hurst / Heaps / seasonal / horvitz / adamic-adar / powerlaw /
+    // logloss: no cartesian in any session-12 plan
+    for (q <- Seq("q_events_hurst", "q_text_heaps", "q_events_seasonal_index",
+        "q_sample_horvitz", "q_graph_adamic_adar", "q_graph_powerlaw",
+        "q_eval_logloss"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+  }
 }

@@ -304,4 +304,102 @@ class QueryPropsSpec extends SparkSuite {
       assert(e >= 0 && e < w, s"$c=$e outside [0,$w)")
     }
   }
+
+  test("session-12 invariants: divergence bounds, spectral/memory sanity, estimator audits") {
+    // PSI terms are pointwise non-negative ((p−q)·ln(p/q) ≥ 0 always)
+    // and the published total is exactly the per-type term sum
+    val psi = SparkEntry.queries("q_eval_psi")(spark, dir).collect()
+    assert(psi.forall(_.getLong(psi.head.fieldIndex("term_e6")) >= 0))
+    for ((et, rows) <- psi.groupBy(_.getString(0)))
+      assert(rows.map(_.getLong(rows.head.fieldIndex("term_e6"))).sum ==
+        rows.head.getLong(rows.head.fieldIndex("psi_e6")), s"psi sum broke for $et")
+    // JSD is bounded by ln 2 (smoothing keeps both dists normalized)
+    for (r <- SparkEntry.queries("q_text_jsd")(spark, dir).collect()) {
+      val j = r.getLong(r.fieldIndex("jsd_e8"))
+      assert(j >= 0 && j <= 69314719L, s"jsd $j outside [0, ln2]")
+    }
+    // periodogram: power is a squared relative amplitude — within
+    // [0, 1e6] ppm, and the DC-free component can't exceed the total
+    for (r <- SparkEntry.queries("q_events_periodogram")(spark, dir).collect()) {
+      val p = r.getDouble(r.fieldIndex("power_ppm"))
+      assert(p >= 0 && p <= 1000000.0, s"power $p")
+      val tot = r.getLong(r.fieldIndex("total")) * 1000000L
+      assert(math.abs(r.getLong(r.fieldIndex("a"))) <= tot &&
+        math.abs(r.getLong(r.fieldIndex("b"))) <= tot)
+    }
+    // Hurst: R/S grows with the window (H > 0) and the iid-ish synth
+    // series lands in the sane (0, 1.2) band
+    for (r <- SparkEntry.queries("q_events_hurst")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("rs16_e6")) <
+        r.getLong(r.fieldIndex("rs64_e6")), "R/S did not grow with n")
+      val h = r.getDouble(r.fieldIndex("hurst"))
+      assert(h > 0 && h < 1.2, s"hurst $h")
+    }
+    // logloss: the md5 scorer is calibrated by construction, so its
+    // cross-entropy must beat the base-rate entropy
+    val ll = SparkEntry.queries("q_eval_logloss")(spark, dir).collect()(0)
+    assert(ll.getLong(ll.fieldIndex("logloss_e6")) <
+      ll.getLong(ll.fieldIndex("baseline_e6")), "calibrated scorer lost to base rate")
+    // power law: MLE alpha > 1 by construction; the share column is a
+    // floored partition of unity
+    val pl = SparkEntry.queries("q_graph_powerlaw")(spark, dir).collect()
+    assert(pl.forall(r => r.isNullAt(r.fieldIndex("alpha_e6")) ||
+      r.getLong(r.fieldIndex("alpha_e6")) > 1000000L))
+    val shares = pl.map(r => r.getLong(r.fieldIndex("share_ppm"))).sum
+    assert(shares <= 1000000L && shares >= 1000000L - pl.length)
+    // t-closeness: t = ½·L1 ∈ [0, 1] (a singleton class concentrated
+    // on one of k sources reaches (k−1)/k, so the cap is 1, not ½)
+    for (r <- SparkEntry.queries("q_privacy_tcloseness")(spark, dir).collect()) {
+      val tp = r.getLong(r.fieldIndex("t_ppm"))
+      assert(tp >= 0 && tp <= 1000000L, s"t $tp outside [0, 1e6]")
+    }
+    // silhouette: scores live in [−1, 1] and the mean sits inside the
+    // published min/max envelope
+    for (r <- SparkEntry.queries("q_ann_silhouette")(spark, dir).collect()) {
+      val (mn, s, mx) = (r.getLong(r.fieldIndex("min_s_e6")),
+        r.getLong(r.fieldIndex("sil_e6")), r.getLong(r.fieldIndex("max_s_e6")))
+      assert(-1000000L <= mn && mn <= s && s <= mx && mx <= 1000000L,
+        s"silhouette envelope broke: $mn $s $mx")
+    }
+    // seasonal index: each slot mean sits inside its own min/max and
+    // is a positive ratio-to-trend
+    for (r <- SparkEntry.queries("q_events_seasonal_index")(spark, dir).collect()) {
+      val (mn, ix, mx) = (r.getLong(r.fieldIndex("min_ppm")),
+        r.getLong(r.fieldIndex("index_ppm")), r.getLong(r.fieldIndex("max_ppm")))
+      assert(ix > 0 && mn <= ix && ix <= mx, s"seasonal envelope broke: $mn $ix $mx")
+    }
+    // k-truss: every surviving edge carries ≥ 2 triangles and the
+    // truss is a subgraph of the raw pair set
+    val kt = SparkEntry.queries("q_graph_ktruss")(spark, dir).collect()
+    assert(kt.forall(_.getLong(2) >= 2L), "sub-truss edge survived")
+    assert(kt.length.toLong <=
+      SparkEntry.queries("q_dedup_simhash_pairs")(spark, dir).count())
+    // Horvitz–Thompson: the sample never exceeds the frame and a
+    // non-empty sample yields a positive estimate
+    for (r <- SparkEntry.queries("q_sample_horvitz")(spark, dir).collect()) {
+      val (nd, ns) = (r.getLong(r.fieldIndex("n_docs")), r.getLong(r.fieldIndex("n_sampled")))
+      assert(ns <= nd)
+      if (ns > 0) assert(r.getLong(r.fieldIndex("ht_total")) > 0)
+    }
+    // Heaps: vocab is cumulative-monotone per source and never exceeds
+    // tokens seen; the fitted exponent (when present) is in (0, 1]
+    val hp = SparkEntry.queries("q_text_heaps")(spark, dir).collect()
+    for ((src, rows0) <- hp.groupBy(_.getString(0))) {
+      val rows = rows0.sortBy(_.getLong(1))
+      val vocabs = rows.map(_.getLong(rows.head.fieldIndex("vocab")))
+      assert(vocabs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"vocab curve fell for $src")
+      for (r <- rows) {
+        assert(r.getLong(r.fieldIndex("vocab")) <=
+          r.getLong(r.fieldIndex("tokens_seen")))
+        if (!r.isNullAt(r.fieldIndex("heaps_b_e6"))) {
+          // b = 0 is legal: the ~31-word synth vocab saturates between
+          // checkpoints at tiny SFs (the session-9 degenerate-data
+          // lesson — sublinearity, not growth, is the invariant)
+          val b = r.getLong(r.fieldIndex("heaps_b_e6"))
+          assert(b >= 0 && b <= 1000000L, s"heaps b $b for $src")
+        }
+      }
+    }
+  }
 }
