@@ -133,6 +133,35 @@ object Media {
       .toDF()
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** Shot-boundary segmentation over the sampled frames — the standard
+    * video-curation pass (cut detection → per-shot stats → keep one
+    * keyframe per shot). A cut is a large jump between consecutive
+    * frame SIGNATURES; with the stub codec the signature is the first
+    * 24 bits of the frame fingerprint (swap for a perceptual hash on a
+    * real cluster — the plumbing is identical). All-integer: lag +
+    * running-sum windows per media, exact hash-derived signatures,
+    * threshold at half the signature range. Scales: windows partition
+    * by media_id; shot state never leaves the executor. */
+  def mediaShotsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = sampleFrames(synthMedia(spark, dir)).toDF()
+      .select(col("media_id"), col("kind"), col("frame_idx"),
+        expr("cast(conv(substring(frame_md5, 1, 6), 16, 10) as bigint)").as("sig"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val cuts = fr
+      .withColumn("prev", lag(col("sig"), 1).over(w))
+      .withColumn("cut", when(col("prev").isNotNull &&
+        abs(col("sig") - col("prev")) > 8388608L, 1L).otherwise(0L))
+      .withColumn("shot", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts.groupBy(col("media_id"), col("kind"), col("shot"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("media_id"), col("kind"))
+      .agg(sum(col("len")).as("n_frames"), count(lit(1)).as("n_shots"),
+        max(col("len")).as("max_shot_len"))
+      .orderBy(col("media_id"))
+  }
+
   /** Oracled query surface: the per-kind aggregates that derive
     * deterministically from the documents table (kind = doc_id % 3,
     * n_bytes = UTF-8 byte length, frames from the duration formula) —

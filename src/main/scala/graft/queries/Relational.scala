@@ -10256,6 +10256,29 @@ object Relational {
     // and the relative error lands as a ppm floor-div. Scales: one
     // scan, one hash agg — the estimator costs nothing beyond the
     // sample itself, which is the point of publishing the audit.
+    // Recursive CTE — Spark 4.1's WITH RECURSIVE driven end-to-end
+    // against DuckDB's: every doc walks its ternary reply-tree
+    // (parent = id div 3, the deterministic thread shape) to the root,
+    // and the walk is aggregated per depth. ALL-INTEGER, acyclic by
+    // construction (anc strictly decreases), depth ≤ log₃(max id) so
+    // the recursion is ~12 levels even at 10^12 docs. This is the
+    // capability probe for hierarchy-shaped transcript queries (reply
+    // chains, agent call trees) staying in pure SQL on both engines.
+    "q_sql_recursive" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents_rec_v")
+      s.sql(
+        """WITH RECURSIVE walk(doc_id, anc, depth) AS (
+          |  SELECT doc_id, doc_id AS anc, CAST(0 AS BIGINT) AS depth
+          |  FROM documents_rec_v
+          |  UNION ALL
+          |  SELECT doc_id, anc div 3 AS anc, depth + 1 FROM walk WHERE anc > 0
+          |)
+          |SELECT depth, count(*) AS n_nodes,
+          |       count(DISTINCT doc_id) AS n_docs,
+          |       CAST(sum(anc) AS BIGINT) AS anc_sum
+          |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
     "q_sample_horvitz" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("source"), col("n_chars"),
@@ -17147,6 +17170,20 @@ object Relational {
        e0 AS (SELECT ia AS a, ib AS b FROM pairs),
 """ + ktrussRoundsSql(3) + """
        SELECT a, b, support FROM e3 ORDER BY a, b"""),
+
+    // the identical recursive walk (// is DuckDB's floor-div spelling
+    // of Spark's div — same floor on non-negative ints)
+    "q_sql_recursive" ->
+      """WITH RECURSIVE walk(doc_id, anc, depth) AS (
+           SELECT doc_id, doc_id AS anc, CAST(0 AS BIGINT) AS depth
+           FROM documents
+           UNION ALL
+           SELECT doc_id, anc // 3 AS anc, depth + 1 FROM walk WHERE anc > 0
+         )
+         SELECT depth, CAST(count(*) AS BIGINT) AS n_nodes,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                CAST(sum(anc) AS BIGINT) AS anc_sum
+         FROM walk GROUP BY depth ORDER BY depth""",
 
     // identical md5 rates/draws, floor-div HT weights, exact sums
     "q_sample_horvitz" ->

@@ -628,6 +628,12 @@ object TrainingData {
     // sample timestamp + frame-payload fingerprint (Media.sampleFrames)
     "q_media_frames" -> ((s, dir) => graft.multimodal.Media.mediaFramesQuery(s, dir)),
 
+    // Shot-boundary segmentation over the sampled frames (cut
+    // detection on consecutive frame signatures → per-shot stats) —
+    // see Media.mediaShotsQuery; oracle replays the deterministic
+    // frame fingerprints and the identical lag/running-sum windows.
+    "q_media_shots" -> ((s, dir) => graft.multimodal.Media.mediaShotsQuery(s, dir)),
+
     // Stream-stream event-time interval join (impressions⋈clicks shape)
     // as a REAL streaming query, oracled: DuckDB recomputes the same
     // interval join over the input sidecar. Inner join → with all files
@@ -2019,6 +2025,49 @@ object TrainingData {
                 md5(substr(text, CAST((i * len) // nf AS INTEGER) + 1,
                            CAST(((i + 1) * len) // nf - (i * len) // nf AS INTEGER))) AS frame_md5
          FROM fr ORDER BY media_id, frame_idx""",
+
+    // identical frame reconstruction, 24-bit signatures, lag + running
+    // cut windows, two hash aggs
+    "q_media_shots" ->
+      """WITH m AS (
+           SELECT doc_id, text, length(text) AS len,
+                  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                  CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN n_chars * 10 ELSE n_chars * 40 END AS dur
+           FROM documents),
+         k AS (
+           SELECT *, CASE kind WHEN 'video' THEN greatest(1, dur // 10000)
+                               WHEN 'audio' THEN greatest(1, dur // 30000)
+                               ELSE 1 END AS nf
+           FROM m),
+         fr AS (SELECT doc_id, kind, len, text, nf, f.i
+                FROM k, unnest(range(nf)) f(i)),
+         sigs AS (
+           SELECT CAST(doc_id AS BIGINT) AS media_id, kind,
+                  CAST(i AS BIGINT) AS frame_idx,
+                  CAST(('0x' || substr(md5(substr(text, CAST((i * len) // nf AS INTEGER) + 1,
+                       CAST(((i + 1) * len) // nf - (i * len) // nf AS INTEGER))), 1, 6))::UBIGINT
+                       AS BIGINT) AS sig
+           FROM fr),
+         cuts AS (
+           SELECT media_id, kind, frame_idx, sig,
+                  lag(sig) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+           FROM sigs),
+         flag AS (
+           SELECT media_id, kind, frame_idx,
+                  CASE WHEN prev IS NOT NULL AND abs(sig - prev) > 8388608
+                       THEN 1 ELSE 0 END AS cut
+           FROM cuts),
+         shots AS (
+           SELECT media_id, kind,
+                  sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+           FROM flag),
+         lens AS (SELECT media_id, kind, shot, CAST(count(*) AS BIGINT) AS len
+                  FROM shots GROUP BY 1, 2, 3)
+         SELECT media_id, kind, CAST(sum(len) AS BIGINT) AS n_frames,
+                CAST(count(*) AS BIGINT) AS n_shots,
+                CAST(max(len) AS BIGINT) AS max_shot_len
+         FROM lens GROUP BY 1, 2 ORDER BY media_id""",
     "q_media_features" ->
       """WITH m AS (
            SELECT doc_id,
