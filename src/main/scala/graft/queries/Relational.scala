@@ -10256,6 +10256,80 @@ object Relational {
     // and the relative error lands as a ppm floor-div. Scales: one
     // scan, one hash agg — the estimator costs nothing beyond the
     // sample itself, which is the point of publishing the audit.
+    // ColBERT-style late-interaction retrieval (MaxSim): each query
+    // vector and each candidate are split into 8 sub-vectors of 8 dims
+    // (the token-level grain of a late-interaction index), and the
+    // score is Σ_qsub max_dsub ⟨qsub, dsub⟩ — the reranker that beats
+    // single-vector cosine whenever relevance is carried by a PART of
+    // the representation. ALL-INTEGER: e3-quantized components, exact
+    // dot products (|dot| ≤ 8e6), exact max/sum cascades, deterministic
+    // tie-break. Scales: the 5×8×8-row query grain broadcasts into the
+    // candidate stream (the standard rerank-after-ANN shape — at
+    // 100 TB the candidate set is the IVF output, not the corpus), one
+    // partial+final agg per cascade level, top-10 via a per-query
+    // window over bounded score sets.
+    "q_ann_maxsim" -> ((s, dir) => {
+      val tok = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))")))
+        .withColumnRenamed("pos", "d").withColumnRenamed("col", "v")
+        .select(col("vec_id"), expr("d div 8").as("sub"),
+          expr("d % 8").as("t"), col("v"))
+      val qs = tok.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+          col("t"), col("v").as("qv"))
+      val scores = tok.filter(col("vec_id") >= 5)
+        .join(broadcast(qs), Seq("t"))
+        .groupBy(col("qid"), col("vec_id"), col("qsub"), col("sub"))
+        .agg(sum(col("v") * col("qv")).as("dot"))
+        .groupBy(col("qid"), col("vec_id"), col("qsub"))
+        .agg(max(col("dot")).as("best"))
+        .groupBy(col("qid"), col("vec_id"))
+        .agg(sum(col("best")).as("maxsim"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("maxsim").desc, col("vec_id"))
+      scores.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank"), col("vec_id"), col("maxsim"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // Per-source systematic probability-proportional-to-size sampling
+    // — the survey design a storage-budgeted curation pass uses to
+    // pick ~1/20 of each source with inclusion ∝ n_chars: one fixed
+    // stride through the source's cumulative-size line from the
+    // midpoint offset, so a doc larger than the stride is drawn with
+    // multiplicity (PPS with replacement, kept honest in `mult`).
+    // ALL-INTEGER: cumulative sums are exact window sums in doc_id
+    // order, the hit count is a floor-div difference (both numerators
+    // biased by +step so they stay non-negative — Spark's `div`
+    // truncates where DuckDB's `//` floors, and they agree only on
+    // non-negatives), and the Hansen–Hurwitz doc-count estimate
+    // Σ mult·T div (20·n_chars) rides along as the weights-invert-the-
+    // design audit. Scales: windows partition by source (systematic
+    // designs are per-shard at 100 TB by construction), one pass.
+    "q_sample_pps" -> ((s, dir) => {
+      val wCum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("source")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val hits = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(wCum))
+        .withColumn("tot", sum(col("n_chars")).over(wAll))
+        .withColumn("step", expr("tot div 20"))
+        .withColumn("off", expr("step div 2"))
+        .withColumn("mult", expr("(cum - off + step) div step" +
+          " - (cum - n_chars - off + step) div step"))
+        .filter(col("mult") > 0)
+      hits
+        .withColumn("n_selected", sum(col("mult")).over(wAll))
+        .withColumn("hh_est", sum(expr("mult * tot div (20 * n_chars)")).over(wAll))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("mult"),
+          col("n_selected"), col("hh_est"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Recursive CTE — Spark 4.1's WITH RECURSIVE driven end-to-end
     // against DuckDB's: every doc walks its ternary reply-tree
     // (parent = id div 3, the deterministic thread shape) to the root,
@@ -17170,6 +17244,59 @@ object Relational {
        e0 AS (SELECT ia AS a, ib AS b FROM pairs),
 """ + ktrussRoundsSql(3) + """
        SELECT a, b, support FROM e3 ORDER BY a, b"""),
+
+    // identical sub-vector split, exact dot/max/sum cascade, same
+    // deterministic top-10
+    "q_ann_maxsim" ->
+      """WITH e AS (SELECT vec_id,
+                           list_transform(embedding,
+                             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vv
+                    FROM embeddings),
+         tok AS (SELECT vec_id, i.i // 8 AS sub, i.i % 8 AS t, vv[i.i + 1] AS v
+                 FROM e, range(64) i(i)),
+         qs AS (SELECT vec_id AS qid, sub AS qsub, t, v AS qv
+                FROM tok WHERE vec_id < 5),
+         dots AS (SELECT q.qid, c.vec_id, q.qsub, c.sub,
+                         CAST(sum(c.v * q.qv) AS BIGINT) AS dot
+                  FROM tok c JOIN qs q ON q.t = c.t
+                  WHERE c.vec_id >= 5 GROUP BY 1, 2, 3, 4),
+         best AS (SELECT qid, vec_id, qsub, max(dot) AS best
+                  FROM dots GROUP BY 1, 2, 3),
+         scores AS (SELECT qid, vec_id, CAST(sum(best) AS BIGINT) AS maxsim
+                    FROM best GROUP BY 1, 2),
+         ranked AS (SELECT qid, vec_id, maxsim,
+                           CAST(row_number() OVER (PARTITION BY qid
+                                ORDER BY maxsim DESC, vec_id) AS BIGINT) AS rank
+                    FROM scores)
+         SELECT qid, rank, vec_id, maxsim FROM ranked
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
+    // identical per-source stride walk with the same +step bias (both
+    // floor-div numerators non-negative on both engines)
+    "q_sample_pps" ->
+      """WITH c AS (
+           SELECT source, doc_id, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                  sum(n_chars) OVER (PARTITION BY source) AS tot
+           FROM documents),
+         h AS (
+           SELECT source, doc_id, n_chars,
+                  CAST(tot AS BIGINT) AS tot,
+                  CAST(tot AS BIGINT) // 20 AS step,
+                  CAST(tot AS BIGINT) // 20 // 2 AS off,
+                  CAST(cum AS BIGINT) AS cum
+           FROM c),
+         m AS (
+           SELECT source, doc_id, n_chars, tot,
+                  (cum - off + step) // step
+                    - (cum - n_chars - off + step) // step AS mult
+           FROM h)
+         SELECT source, doc_id, n_chars, CAST(mult AS BIGINT) AS mult,
+                CAST(sum(mult) OVER (PARTITION BY source) AS BIGINT) AS n_selected,
+                CAST(sum(mult * tot // (20 * n_chars))
+                     OVER (PARTITION BY source) AS BIGINT) AS hh_est
+         FROM m WHERE mult > 0 ORDER BY source, doc_id""",
 
     // the identical recursive walk (// is DuckDB's floor-div spelling
     // of Spark's div — same floor on non-negative ints)

@@ -1335,11 +1335,19 @@ class PlanSpec extends SparkSuite {
     val js = plan("q_text_jsd")
     assert(js.contains("LeftAnti"), js.take(2000))
     assert(!js.contains("CartesianProduct"), js.take(2000))
+    // MaxSim: the 5×8×8 query grain broadcasts into the candidate
+    // stream (the rerank-after-ANN shape); no cartesian
+    val mx = plan("q_ann_maxsim")
+    assert(mx.contains("BroadcastHashJoin"), mx.take(2000))
+    assert(!mx.contains("CartesianProduct"), mx.take(2000))
     // Hurst / Heaps / seasonal / horvitz / adamic-adar / powerlaw /
-    // logloss: no cartesian in any session-12 plan
+    // logloss / pps / recursive / shots: no cartesian in any
+    // session-12 plan
     for (q <- Seq("q_events_hurst", "q_text_heaps", "q_events_seasonal_index",
         "q_sample_horvitz", "q_graph_adamic_adar", "q_graph_powerlaw",
-        "q_eval_logloss"))
+        "q_eval_logloss", "q_sample_pps", "q_sql_recursive"))
       assert(!plan(q).contains("CartesianProduct"), q)
+    assert(!SparkEntry.queries("q_media_shots")(spark, dir)
+      .queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 }

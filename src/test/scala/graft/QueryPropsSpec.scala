@@ -381,6 +381,41 @@ class QueryPropsSpec extends SparkSuite {
       assert(ns <= nd)
       if (ns > 0) assert(r.getLong(r.fieldIndex("ht_total")) > 0)
     }
+    // MaxSim: ranks are a clean 1..k prefix per query and scores are
+    // non-increasing down each ranking
+    val mx = SparkEntry.queries("q_ann_maxsim")(spark, dir).collect()
+    for ((q, rows0) <- mx.groupBy(_.getLong(0))) {
+      val rows = rows0.sortBy(_.getLong(1))
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq, s"ranks broke for $q")
+      val ms = rows.map(r => r.getLong(r.fieldIndex("maxsim")))
+      assert(ms.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        s"maxsim not sorted for $q")
+    }
+    // systematic PPS: each source draws its ~20 design hits (stride
+    // arithmetic guarantees 19..21), multiplicities are positive, and
+    // the Hansen–Hurwitz doc-count estimate is positive
+    val pps = SparkEntry.queries("q_sample_pps")(spark, dir).collect()
+    assert(pps.forall(_.getLong(pps.head.fieldIndex("mult")) >= 1))
+    for ((src, rows) <- pps.groupBy(_.getString(0))) {
+      val nSel = rows.head.getLong(rows.head.fieldIndex("n_selected"))
+      assert(nSel >= 19 && nSel <= 21, s"pps drew $nSel for $src")
+      assert(rows.head.getLong(rows.head.fieldIndex("hh_est")) > 0)
+    }
+    // shot segmentation: shots partition the frames (1 ≤ n_shots ≤
+    // n_frames, max shot ≤ n_frames)
+    for (r <- SparkEntry.queries("q_media_shots")(spark, dir).collect()) {
+      val (nf, ns, mxl) = (r.getLong(r.fieldIndex("n_frames")),
+        r.getLong(r.fieldIndex("n_shots")), r.getLong(r.fieldIndex("max_shot_len")))
+      assert(ns >= 1 && ns <= nf && mxl >= 1 && mxl <= nf, s"shots broke: $nf $ns $mxl")
+    }
+    // recursive walk: depth-0 has one row per doc and the deepest
+    // level is log₃-bounded
+    val rec = SparkEntry.queries("q_sql_recursive")(spark, dir)
+      .orderBy("depth").collect()
+    assert(rec.head.getLong(0) == 0L)
+    assert(rec.head.getLong(rec.head.fieldIndex("n_nodes")) ==
+      rec.head.getLong(rec.head.fieldIndex("n_docs")))
+    assert(rec.length <= 14, s"walk too deep: ${rec.length}")
     // Heaps: vocab is cumulative-monotone per source and never exceeds
     // tokens seen; the fitted exponent (when present) is in (0, 1]
     val hp = SparkEntry.queries("q_text_heaps")(spark, dir).collect()
