@@ -9812,8 +9812,10 @@ object Relational {
         .join(broadcast(weights), Seq("p", "r"))
         .groupBy(col("event_type"), col("p"))
         .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
-          sum(expr("cast(c * cw as decimal(38,0))")).as("sa"),
-          sum(expr("cast(c * sw as decimal(38,0))")).as("sb"))
+          // cast BEFORE the multiply (the oracle's HUGEINT placement):
+          // c·cw in long would wrap first at ~9e6 events/day/type
+          sum(expr("cast(c as decimal(38,0)) * cw")).as("sa"),
+          sum(expr("cast(c as decimal(38,0)) * sw")).as("sb"))
         .select(col("event_type"), col("p").as("period"), col("n_days"),
           col("total"), col("sa").cast("long").as("a"), col("sb").cast("long").as("b"))
         .withColumn("power_ppm",
