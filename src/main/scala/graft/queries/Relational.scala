@@ -10226,21 +10226,24 @@ object Relational {
     // clique-like dup clusters remain (exactly the communities a
     // dedup reviewer should audit first). Three peeling rounds, FIXED
     // on both engines (converged rounds are no-ops, so the unrolled
-    // oracle is exact whether or not the graph converges earlier);
-    // each round is one wedge equi-join + one edge equi-join + a hash
-    // agg — all-integer, shards by vertex, localCheckpoint per round
-    // (the 446 s→3.5 s checkpoint-cadence rule for iterative plans).
+    // oracle is exact whether or not the graph converges earlier).
+    // Each round enumerates triangles ORIENTED (a<b<c, each triangle
+    // materialized once) instead of joining the doubled undirected
+    // wedge list — 3× fewer intermediate rows on the clique-heavy
+    // dup graph — then fans each triangle to its 3 edges for the
+    // support agg. All-integer, shards by vertex, localCheckpoint per
+    // round (the 446 s→3.5 s checkpoint-cadence rule).
     "q_graph_ktruss" -> ((s, dir) => {
       var e = simhashPairsShared(s, dir)
         .select(col("ia").as("a"), col("ib").as("b")).localCheckpoint(true)
       var last: DataFrame = null
       for (_ <- 1 to 3) {
-        val und = e.select(col("a").as("x"), col("b").as("z"))
-          .union(e.select(col("b").as("x"), col("a").as("z")))
-        val sup = und.as("e1").join(und.as("e2"),
-            col("e1.z") === col("e2.z") && col("e1.x") < col("e2.x"))
-          .select(col("e1.x").as("a"), col("e2.x").as("b"))
-          .join(e, Seq("a", "b"))
+        val tri = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+          .join(e.select(col("a").as("ta"), col("b").as("tc")), Seq("ta", "tc"))
+        val sup = tri.select(col("ta").as("a"), col("tb").as("b"))
+          .union(tri.select(col("tb").as("a"), col("tc").as("b")))
+          .union(tri.select(col("ta").as("a"), col("tc").as("b")))
           .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
         last = sup.filter(col("support") >= 2).localCheckpoint(true)
         e = last.select(col("a"), col("b"))
@@ -17243,7 +17246,7 @@ object Relational {
            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        ),
-       e0 AS (SELECT ia AS a, ib AS b FROM pairs),
+       e0 AS MATERIALIZED (SELECT ia AS a, ib AS b FROM pairs),
 """ + ktrussRoundsSql(3) + """
        SELECT a, b, support FROM e3 ORDER BY a, b"""),
 
@@ -17387,21 +17390,25 @@ object Relational {
            GROUP BY e.dst) s ON s.dst = n.id)"""
     }.mkString(",\n")
 
-  /** The n unrolled truss-peeling rounds (s1,e1..sn,en from e0) —
-    * wedge join + edge membership join + support filter per round,
-    * generated so the oracle's round count provably matches the
-    * engine's loop bound. */
+  /** The n unrolled truss-peeling rounds (tri1,s1,e1.. from e0) —
+    * oriented triangle enumeration (a<b<c, one row per triangle) +
+    * 3-way edge fan-out + support filter per round, generated so the
+    * oracle's round count provably matches the engine's loop bound. */
   private def ktrussRoundsSql(n: Int): String =
+    // Each round CTE is referenced 3× by the next; DuckDB 1.0 inlines
+    // CTEs by default, so without MATERIALIZED the base simhash-pair
+    // derivation would be re-evaluated ~3^(2n) times (measured: hang
+    // at sf0.001 vs 0.6 s materialized).
     (1 to n).map { i =>
-      s"""und$i AS (SELECT a AS x, b AS z FROM e${i - 1}
-                  UNION ALL SELECT b AS x, a AS z FROM e${i - 1}),
-       s$i AS (SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS support
-               FROM (SELECT e1.x AS a, e2.x AS b
-                     FROM und$i e1 JOIN und$i e2
-                       ON e1.z = e2.z AND e1.x < e2.x) w
-               JOIN e${i - 1} e ON e.a = w.a AND e.b = w.b
+      s"""tri$i AS MATERIALIZED (SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+                  FROM e${i - 1} e1 JOIN e${i - 1} e2 ON e1.b = e2.a
+                  JOIN e${i - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+       s$i AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support
+               FROM (SELECT ta AS a, tb AS b FROM tri$i
+                     UNION ALL SELECT tb AS a, tc AS b FROM tri$i
+                     UNION ALL SELECT ta AS a, tc AS b FROM tri$i)
                GROUP BY 1, 2),
-       e$i AS (SELECT a, b, support FROM s$i WHERE support >= 2)"""
+       e$i AS MATERIALIZED (SELECT a, b, support FROM s$i WHERE support >= 2)"""
     }.mkString(",\n")
 
   private def pagerankRoundsSql(n: Int): String =
