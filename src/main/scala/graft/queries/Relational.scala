@@ -10375,6 +10375,162 @@ object Relational {
           expr("abs(ht_total - true_total) * 1000000L div true_total"))
         .orderBy(col("source"))
     }),
+
+    // Isotonic (PAV) calibration over the q_eval_ece score stream —
+    // the monotone-nondecreasing recalibration map every production
+    // scorer ships with. EXACT via the min-max identity
+    // iso[i] = max_{j<=i} min_{k>=i} rate(j..k): bins are bounded
+    // (10), so intervals (<=55) and the argmin/argmax cascade are
+    // driver-free bounded broadcast joins; interval rates are ONE
+    // double division of exact integer sums (IEEE-identical on both
+    // engines), ties broken by (k asc)/(j asc) row_number. The fitted
+    // value is re-emitted as an integer ppm from the CHOSEN interval's
+    // exact sums — no double→int boundary in the hash. At 100 TB only
+    // the first aggregate touches the corpus; everything after is on
+    // the 10-row bin table.
+    "q_eval_isotonic" -> ((s, dir) => {
+      val bins = t(s, dir, "embeddings")
+        .select(
+          expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 6), 16, 10) as bigint) % 1000000").as("p_ppm"),
+          expr("cast(conv(substring(md5(concat('y', cast(vec_id as string))), 1, 6), 16, 10) as bigint) % 1000000").as("draw"))
+        .select(col("p_ppm"), when(col("draw") < col("p_ppm"), 1L).otherwise(0L).as("y"))
+        .groupBy(expr("p_ppm div 100000").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val iv = bins.select(col("bin").as("jb"))
+        .join(broadcast(bins.select(col("bin").as("kb"))), col("jb") <= col("kb"))
+        .join(broadcast(bins), col("bin") >= col("jb") && col("bin") <= col("kb"))
+        .groupBy(col("jb"), col("kb"))
+        .agg(sum(col("n")).as("ivn"), sum(col("pos")).as("ivpos"))
+        .withColumn("rate", col("ivpos").cast("double") / col("ivn").cast("double"))
+      val wMin = Window.partitionBy(col("i"), col("jb"))
+        .orderBy(col("rate"), col("kb"))
+      val wMax = Window.partitionBy(col("i")).orderBy(col("rate").desc, col("jb"))
+      bins.select(col("bin").as("i"), col("n"), col("pos"))
+        .join(broadcast(iv), col("jb") <= col("i") && col("i") <= col("kb"))
+        .withColumn("rn_min", row_number().over(wMin))
+        .filter(col("rn_min") === 1)
+        .withColumn("rn_max", row_number().over(wMax))
+        .filter(col("rn_max") === 1)
+        .select(col("i").as("bin"), col("n"), col("pos"),
+          expr("pos * 1000000L div n").as("raw_ppm"),
+          col("jb"), col("kb"),
+          expr("ivpos * 1000000L div ivn").as("iso_ppm"))
+        .orderBy(col("bin"))
+    }),
+
+    // Kendall tau-b between the daily activity series of every event-
+    // type pair — the rank-correlation a drift monitor prefers over
+    // Pearson (outlier-robust) and over Spearman (principled tie
+    // handling). Concordant/discordant/tie counts are ALL-INTEGER over
+    // the day-grain table (bounded: ~30 days/type, so the pair fan-out
+    // is ~4k rows regardless of corpus size); tau_b is ONE
+    // sqrt-of-integer-product division, bit-identical on both engines.
+    "q_events_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val xy = daily.as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") && col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.day").as("day"), col("a.cnt").as("x"), col("b.cnt").as("y"))
+      xy.as("p")
+        .join(xy.as("q"),
+          col("p.type_a") === col("q.type_a") && col("p.type_b") === col("q.type_b") &&
+            col("p.day") < col("q.day"))
+        .select(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"),
+          (col("p.x") - col("q.x")).as("dx"), (col("p.y") - col("q.y")).as("dy"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("nc"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("dx") === 0 && col("dy") =!= 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("dy") === 0 && col("dx") =!= 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("type_a"), col("type_b"), col("n_pairs"), col("nc"), col("nd"),
+          col("tx"), col("ty"),
+          (round((col("nc") - col("nd")).cast("double") /
+            sqrt(((col("nc") + col("nd") + col("tx")) *
+                  (col("nc") + col("nd") + col("ty"))).cast("double")), 6)
+            + lit(0.0)).as("tau_b"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Regression discontinuity at the mid-corpus cutoff (day 15 of the
+    // Jan-2024 window) — the quasi-experimental "did the launch shift
+    // daily volume?" estimator: an OLS line fitted on each side of the
+    // cutoff from the exact five-sum machinery (decimal(38,0)
+    // accumulation, ONE double cast), both lines evaluated AT the
+    // cutoff with the unrounded slope, effect = right(c) − left(c).
+    // Day-grain outcome keeps the regression bounded; the corpus is
+    // touched by one hash agg.
+    "q_events_rdd" -> ((s, dir) => {
+      val dec = "decimal(38,0)"
+      val cut = 15L
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) div 86400 - 19723").as("x"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("side", when(col("x") < cut, lit("left")).otherwise(lit("right")))
+        .groupBy(col("event_type"), col("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        .select(col("event_type"), col("side"), col("n"),
+          col("n").cast("double").as("nd"),
+          col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"),
+          col("sxy").cast("double").as("dsxy"), col("sxx").cast("double").as("dsxx"))
+        .withColumn("slope",
+          (col("dsxy") * col("nd") - col("dsx") * col("dsy")) /
+          (col("dsxx") * col("nd") - col("dsx") * col("dsx")))
+        .withColumn("yhat",
+          (col("dsy") - col("slope") * col("dsx")) / col("nd") +
+            col("slope") * lit(cut.toDouble))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("side") === "left", col("n")).otherwise(0L)).as("n_left"),
+          sum(when(col("side") === "right", col("n")).otherwise(0L)).as("n_right"),
+          max(when(col("side") === "left", col("yhat"))).as("yl"),
+          max(when(col("side") === "right", col("yhat"))).as("yr"))
+        .select(col("event_type"), col("n_left"), col("n_right"),
+          (round(col("yl"), 6) + lit(0.0)).as("yhat_left"),
+          (round(col("yr"), 6) + lit(0.0)).as("yhat_right"),
+          (round(col("yr") - col("yl"), 6) + lit(0.0)).as("effect"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Nelson–Aalen cumulative hazard — the additive companion to the
+    // q_events_kaplan_meier product-limit curve (same lifetimes, same
+    // right-censoring at the final 7 days, same descending risk-set
+    // window): H(t) = Σ_{u<=t} d_u/n_u, accumulated through an
+    // ascending collect-fold so both engines ADD the same exact-ratio
+    // doubles in the same order (windowed double SUMs use engine-
+    // specific trees; the explicit fold does not). Day-grain rows are
+    // bounded by the corpus span.
+    "q_events_nelson_aalen" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("birth"), max(col("day")).as("death"))
+      val horizon = users.agg(max(col("death")).as("d_max"))
+      val lives = users.join(broadcast(horizon))
+        .select((col("death") - col("birth")).as("t"),
+          when(col("death") > col("d_max") - 7, 1L).otherwise(0L).as("cens"))
+      val byT = lives.groupBy(col("t"))
+        .agg(sum(lit(1L) - col("cens")).as("d"), sum(col("cens")).as("c"))
+      val wDesc = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.withColumn("n_risk", sum(col("d") + col("c")).over(wDesc))
+        .withColumn("hz", col("d").cast("double") / col("n_risk").cast("double"))
+        .withColumn("cumhaz",
+          round(aggregate(collect_list(col("hz")).over(wAsc),
+            lit(0.0d), (a, x) => a + x), 6))
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          round(col("hz"), 6).as("hazard"), col("cumhaz"))
+        .orderBy(col("t"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -17336,6 +17492,140 @@ object Relational {
          SELECT source, rate_ppm, n_docs, n_sampled, true_total, ht_total,
                 abs(ht_total - true_total) * 1000000 // true_total AS err_ppm
          FROM a ORDER BY source""",
+
+    // identical bin stream, min-max interval cascade with the same
+    // (rate, k)/(rate desc, j) row_number tie-breaks, ppm from the
+    // chosen interval's exact integer sums
+    "q_eval_isotonic" ->
+      """WITH base AS (
+           SELECT CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT)
+                    % 1000000 AS p_ppm,
+                  CAST(('0x' || substr(md5('y' || CAST(vec_id AS VARCHAR)), 1, 6))::UBIGINT AS BIGINT)
+                    % 1000000 AS draw
+           FROM embeddings),
+         bins AS MATERIALIZED (
+           SELECT p_ppm // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN draw < p_ppm THEN 1 ELSE 0 END) AS BIGINT) AS pos
+           FROM base GROUP BY 1),
+         iv AS MATERIALIZED (
+           SELECT l.bin AS jb, u.bin AS kb,
+                  CAST(sum(m.n) AS BIGINT) AS ivn, CAST(sum(m.pos) AS BIGINT) AS ivpos,
+                  CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS rate
+           FROM bins l JOIN bins u ON l.bin <= u.bin
+           JOIN bins m ON m.bin BETWEEN l.bin AND u.bin
+           GROUP BY 1, 2),
+         fit AS (
+           SELECT b.bin AS i, b.n, b.pos, iv.jb, iv.kb, iv.ivn, iv.ivpos, iv.rate,
+                  row_number() OVER (PARTITION BY b.bin, iv.jb
+                                     ORDER BY iv.rate, iv.kb) AS rn_min
+           FROM bins b JOIN iv ON iv.jb <= b.bin AND b.bin <= iv.kb),
+         mx AS (
+           SELECT *, row_number() OVER (PARTITION BY i
+                                        ORDER BY rate DESC, jb) AS rn_max
+           FROM fit WHERE rn_min = 1)
+         SELECT i AS bin, n, pos, pos * 1000000 // n AS raw_ppm,
+                jb, kb, ivpos * 1000000 // ivn AS iso_ppm
+         FROM mx WHERE rn_max = 1 ORDER BY bin""",
+
+    // identical day-grain series, all-integer concordance counts,
+    // ONE sqrt-of-integer-product division for tau_b
+    "q_events_kendall" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         xy AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.day AS day, a.cnt AS x, b.cnt AS y
+           FROM daily a JOIN daily b
+             ON a.day = b.day AND a.event_type < b.event_type),
+         pr AS (
+           SELECT p.type_a, p.type_b, p.x - q.x AS dx, p.y - q.y AS dy
+           FROM xy p JOIN xy q
+             ON p.type_a = q.type_a AND p.type_b = q.type_b AND p.day < q.day),
+         ag AS (
+           SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                  CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                  CAST(sum(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                  CAST(sum(CASE WHEN dy = 0 AND dx <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+           FROM pr GROUP BY 1, 2)
+         SELECT type_a, type_b, n_pairs, nc, nd, tx, ty,
+                round(CAST(nc - nd AS DOUBLE) /
+                      sqrt(CAST((nc + nd + tx) * (nc + nd + ty) AS DOUBLE)), 6)
+                  + 0.0 AS tau_b
+         FROM ag ORDER BY type_a, type_b""",
+
+    // identical day-grain outcome, five-sum OLS per side with the
+    // unrounded slope evaluated at the cutoff, nullif-free (both
+    // sides have 15 x-points by construction)
+    "q_events_rdd" ->
+      """WITH d AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 - 19723 AS x,
+                  CAST(count(*) AS BIGINT) AS y
+           FROM events GROUP BY 1, 2),
+         sd AS (
+           SELECT event_type, CASE WHEN x < 15 THEN 'left' ELSE 'right' END AS side,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS DOUBLE) AS dsx, CAST(sum(y) AS DOUBLE) AS dsy,
+                  CAST(sum(x * y) AS DOUBLE) AS dsxy,
+                  CAST(sum(x * x) AS DOUBLE) AS dsxx,
+                  CAST(count(*) AS DOUBLE) AS nd
+           FROM d GROUP BY 1, 2),
+         sl AS (
+           SELECT event_type, side, n,
+                  (dsxy * nd - dsx * dsy) / (dsxx * nd - dsx * dsx) AS slope,
+                  dsx, dsy, nd
+           FROM sd),
+         yh AS (
+           SELECT event_type, side, n,
+                  (dsy - slope * dsx) / nd + slope * 15.0 AS yhat
+           FROM sl),
+         ag AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN side = 'left' THEN n ELSE 0 END) AS BIGINT) AS n_left,
+                  CAST(sum(CASE WHEN side = 'right' THEN n ELSE 0 END) AS BIGINT) AS n_right,
+                  max(CASE WHEN side = 'left' THEN yhat END) AS yl,
+                  max(CASE WHEN side = 'right' THEN yhat END) AS yr
+           FROM yh GROUP BY 1)
+         SELECT event_type, n_left, n_right,
+                round(yl, 6) + 0.0 AS yhat_left,
+                round(yr, 6) + 0.0 AS yhat_right,
+                round(yr - yl, 6) + 0.0 AS effect
+         FROM ag ORDER BY event_type""",
+
+    // identical lifetimes/censoring/risk-set machinery as the KM
+    // oracle; the cumulative hazard folds the same exact-ratio doubles
+    // in the same ascending order via list_reduce
+    "q_events_nelson_aalen" ->
+      """WITH u AS (SELECT user_id,
+                           min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS birth,
+                           max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS death
+                    FROM events GROUP BY 1),
+            h AS (SELECT max(death) AS d_max FROM u),
+            lv AS (SELECT (death - birth) AS t,
+                          CASE WHEN death > d_max - 7 THEN 1 ELSE 0 END AS cens
+                   FROM u, h),
+            bt AS (SELECT t, CAST(sum(1 - cens) AS BIGINT) AS d,
+                          CAST(sum(cens) AS BIGINT) AS c
+                   FROM lv GROUP BY 1),
+            nr AS (SELECT t, d, c,
+                          CAST(sum(d + c) OVER (ORDER BY t DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS n_risk
+                   FROM bt),
+            f AS (SELECT t, n_risk, d, c,
+                         CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hz
+                  FROM nr),
+            sv AS (SELECT t, n_risk, d, c, hz,
+                          list(hz) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS hs
+                   FROM f)
+         SELECT t, n_risk, d, c, round(hz, 6) AS hazard,
+                round(list_reduce(hs, (a, b) -> a + b), 6) AS cumhaz
+         FROM sv ORDER BY t""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

@@ -1350,4 +1350,28 @@ class PlanSpec extends SparkSuite {
     assert(!SparkEntry.queries("q_media_shots")(spark, dir)
       .queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("session-13 additions: isotonic/kendall/RDD/hazard plan shapes") {
+    // isotonic: everything after the first corpus aggregate runs on
+    // the 10-row bin table — the interval cascade is the sanctioned
+    // bounded BroadcastNestedLoopJoin, never a CartesianProduct
+    val is = plan("q_eval_isotonic")
+    assert(is.contains("BroadcastNestedLoopJoin"), is.take(2000))
+    assert(!is.contains("CartesianProduct"), is.take(2000))
+    // kendall: both self-joins carry equi keys (day; then the type
+    // pair) — hash/sort-merge joins on the bounded day-grain table
+    val kd = plan("q_events_kendall")
+    assert(!kd.contains("CartesianProduct") &&
+      !kd.contains("BroadcastNestedLoopJoin"), kd.take(2000))
+    // RDD: one corpus hash agg, then per-side five-sum aggs — no join
+    // at all in the plan
+    val rd = plan("q_events_rdd")
+    assert(!rd.contains("Join"), rd.take(2000))
+    // Nelson–Aalen: same shape class as KM — the horizon scalar is a
+    // broadcast, the day-grain windows are bounded
+    val na = plan("q_events_nelson_aalen")
+    assert(na.contains("BroadcastNestedLoopJoin") || na.contains("BroadcastHashJoin"),
+      na.take(2000))
+    assert(!na.contains("CartesianProduct"), na.take(2000))
+  }
 }

@@ -437,4 +437,57 @@ class QueryPropsSpec extends SparkSuite {
       }
     }
   }
+
+  test("session-13 invariants: isotonic monotonicity, tau bounds, RDD sides, hazard accumulation") {
+    // isotonic: the PAV fit is nondecreasing across bins (the entire
+    // point of the operator), each fitted value comes from an interval
+    // that covers its bin, and rates live in [0, 1e6] ppm
+    val iso = SparkEntry.queries("q_eval_isotonic")(spark, dir)
+      .orderBy("bin").collect()
+    val isoV = iso.map(_.getLong(iso.head.fieldIndex("iso_ppm")))
+    assert(isoV.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"isotonic fit not monotone: ${isoV.mkString(",")}")
+    for (r <- iso) {
+      val (bin, jb, kb) = (r.getLong(r.fieldIndex("bin")),
+        r.getLong(r.fieldIndex("jb")), r.getLong(r.fieldIndex("kb")))
+      assert(jb <= bin && bin <= kb, s"interval [$jb,$kb] misses bin $bin")
+      assert(r.getLong(r.fieldIndex("raw_ppm")) >= 0 &&
+        r.getLong(r.fieldIndex("raw_ppm")) <= 1000000L)
+      assert(r.getLong(r.fieldIndex("iso_ppm")) >= 0 &&
+        r.getLong(r.fieldIndex("iso_ppm")) <= 1000000L)
+    }
+    // kendall: tau_b ∈ [−1, 1] and the concordance partition never
+    // exceeds the pair count
+    for (r <- SparkEntry.queries("q_events_kendall")(spark, dir).collect()) {
+      val tau = r.getDouble(r.fieldIndex("tau_b"))
+      assert(tau >= -1.0 && tau <= 1.0, s"tau $tau")
+      val parts = Seq("nc", "nd", "tx", "ty").map(c => r.getLong(r.fieldIndex(c))).sum
+      assert(parts <= r.getLong(r.fieldIndex("n_pairs")), "concordance partition overflow")
+    }
+    // RDD: both sides populated (the 30-day window splits 15/15 by
+    // construction) and the effect is exactly right − left
+    for (r <- SparkEntry.queries("q_events_rdd")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("n_left")) > 0 &&
+        r.getLong(r.fieldIndex("n_right")) > 0, "an RDD side is empty")
+      val (yl, yr, eff) = (r.getDouble(r.fieldIndex("yhat_left")),
+        r.getDouble(r.fieldIndex("yhat_right")), r.getDouble(r.fieldIndex("effect")))
+      assert(math.abs((yr - yl) - eff) < 1e-4, s"effect $eff != $yr - $yl")
+    }
+    // Nelson–Aalen: risk set shrinks as t grows, hazards live in
+    // [0, 1], and the cumulative hazard is nondecreasing and at least
+    // the final step's own hazard
+    val na = SparkEntry.queries("q_events_nelson_aalen")(spark, dir)
+      .orderBy("t").collect()
+    val risks = na.map(_.getLong(na.head.fieldIndex("n_risk")))
+    assert(risks.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "risk set grew with t")
+    val cums = na.map(_.getDouble(na.head.fieldIndex("cumhaz")))
+    assert(cums.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9),
+      "cumulative hazard fell")
+    for (r <- na) {
+      val hz = r.getDouble(r.fieldIndex("hazard"))
+      assert(hz >= 0.0 && hz <= 1.0, s"hazard $hz")
+      assert(r.getDouble(r.fieldIndex("cumhaz")) >= hz - 1e-9)
+    }
+  }
 }
