@@ -10531,6 +10531,99 @@ object Relational {
           round(col("hz"), 6).as("hazard"), col("cumhaz"))
         .orderBy(col("t"))
     }),
+
+    // Dynamic time warping between the day-of-week activity profiles
+    // of every event-type pair — "do these two signals have the same
+    // weekly shape, allowing phase shift?", the alignment-tolerant
+    // companion to q_events_crosscorr. Profiles are integer ppm shares
+    // (7 slots), the 7×7 DP runs as ONE higher-order fold over the
+    // row-major cost cells (ALL-INTEGER: |Δppm| costs, min-of-three
+    // recurrence, 1e15 sentinel borders) — no UDF, no driver loop, and
+    // the whole DP is a scalar expression over a 10-row pair table.
+    // l1 (the warp-free cost) rides along as the audit upper bound.
+    "q_events_dtw" -> ((s, dir) => {
+      val prof = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(unix_timestamp(ts) div 86400) % 7").as("dow"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("total", sum(col("cnt")).over(
+          Window.partitionBy(col("event_type"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .groupBy(col("event_type"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("dow"),
+            expr("cnt * 1000000L div total").as("share")))),
+          e => e.getField("share")).as("xs"))
+        .filter(size(col("xs")) === 7)
+      prof.as("a")
+        .join(broadcast(prof.as("b")),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+          col("a.xs").as("xs"), col("b.xs").as("ys"))
+        .withColumn("l1",
+          expr("aggregate(sequence(1, 7), 0L, (acc, i) -> acc + abs(element_at(xs, i) - element_at(ys, i)))"))
+        // Flat-list DP state [prev(8) ++ cur(1..8)] instead of a
+        // struct accumulator: DuckDB 1.0's list_reduce mis-evaluates
+        // struct accumulators (later fields read partially-updated
+        // state — measured), while list accumulators fold exactly;
+        // the Spark side mirrors the identical layout.
+        .withColumn("dtw", expr(
+          """element_at(aggregate(
+            |  transform(sequence(0, 48), k -> array(
+            |    bigint(k % 7 + 1),
+            |    abs(element_at(xs, cast(k div 7 as int) + 1) - element_at(ys, k % 7 + 1)))),
+            |  concat(array(0L), transform(sequence(1, 7), z -> 1000000000000000L),
+            |         array(1000000000000000L)),
+            |  (a, e) -> if(element_at(e, 1) = 7L,
+            |    concat(slice(a, 9, 7),
+            |      array(element_at(e, 2) + least(
+            |        element_at(a, cast(element_at(e, 1) as int) + 1),
+            |        element_at(a, cast(element_at(e, 1) as int)),
+            |        element_at(a, cast(element_at(e, 1) as int) + 8))),
+            |      array(1000000000000000L)),
+            |    concat(a,
+            |      array(element_at(e, 2) + least(
+            |        element_at(a, cast(element_at(e, 1) as int) + 1),
+            |        element_at(a, cast(element_at(e, 1) as int)),
+            |        element_at(a, cast(element_at(e, 1) as int) + 8)))))), 8)""".stripMargin))
+        .select(col("type_a"), col("type_b"), col("l1"), col("dtw"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
+    // Holt double-exponential smoothing (α = β = ½) over each type's
+    // daily series, plus the 7-day-ahead linear forecast — the
+    // level+trend one-liner every ops dashboard runs. The recurrence
+    // folds ONE ordered collect per type; halving is EXACT in binary
+    // floating point and both engines fold the identical doubles in
+    // the identical order, so the result is bit-stable (the KM-fold
+    // determinism argument). Day-grain rows bound the fold at ~30
+    // elements regardless of corpus size.
+    "q_events_holt" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          transform(
+            sort_array(collect_list(struct(col("day"), col("cnt")))),
+            e => e.getField("cnt").cast("double")).as("ys"))
+        // [l, b] rides as a 2-element array accumulator (not a struct)
+        // for the same DuckDB-1.0 list_reduce reason as q_events_dtw
+        .withColumn("fit", expr(
+          """aggregate(
+            |  slice(ys, 2, size(ys) - 1),
+            |  array(element_at(ys, 1), cast(0.0 as double)),
+            |  (a, y) -> array(
+            |    0.5d * y + 0.5d * (element_at(a, 1) + element_at(a, 2)),
+            |    0.5d * ((0.5d * y + 0.5d * (element_at(a, 1) + element_at(a, 2)))
+            |            - element_at(a, 1)) + 0.5d * element_at(a, 2)))""".stripMargin))
+        .select(col("event_type"), col("n_days"),
+          (round(element_at(col("fit"), 1), 6) + lit(0.0)).as("level"),
+          (round(element_at(col("fit"), 2), 6) + lit(0.0)).as("trend"),
+          (round(element_at(col("fit"), 1) + lit(7.0) * element_at(col("fit"), 2), 6)
+            + lit(0.0)).as("forecast7"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -17626,6 +17719,75 @@ object Relational {
          SELECT t, n_risk, d, c, round(hz, 6) AS hazard,
                 round(list_reduce(hs, (a, b) -> a + b), 6) AS cumhaz
          FROM sv ORDER BY t""",
+
+    // identical ppm profiles and the identical flat-list row-major DP
+    // fold; DuckDB 1.0's list_reduce has no init argument (the init
+    // state rides as a prepended element) and mis-evaluates STRUCT
+    // accumulators, so the DP state is the same [prev ++ cur] BIGINT
+    // list on both engines
+    "q_events_dtw" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, dow, cnt,
+                  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+           FROM daily),
+         prof AS (
+           SELECT event_type, list(cnt * 1000000 // total ORDER BY dow) AS xs
+           FROM tot GROUP BY 1 HAVING count(*) = 7),
+         pr AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  a.xs AS xs, b.xs AS ys
+           FROM prof a JOIN prof b ON a.event_type < b.event_type),
+         dp AS (
+           SELECT type_a, type_b,
+                  list_reduce(list_transform(range(1, 8), i -> abs(xs[i] - ys[i])),
+                              (a, b) -> a + b) AS l1,
+                  (list_reduce(
+                    list_prepend(
+                      list_append(list_prepend(0::BIGINT,
+                        list_transform(range(1, 8), z -> 1000000000000000::BIGINT)),
+                        1000000000000000::BIGINT),
+                      list_transform(range(0, 49), k ->
+                        [(k % 7 + 1)::BIGINT, abs(xs[k // 7 + 1] - ys[k % 7 + 1])])),
+                    (a, e) -> CASE WHEN e[1] = 7
+                      THEN list_append(list_append(a[9:],
+                             e[2] + least(a[e[1] + 1], a[e[1]], a[8 + e[1]])),
+                             1000000000000000::BIGINT)
+                      ELSE list_append(a,
+                             e[2] + least(a[e[1] + 1], a[e[1]], a[8 + e[1]])) END
+                  ))[8] AS dtw
+           FROM pr)
+         SELECT type_a, type_b, l1, dtw FROM dp ORDER BY type_a, type_b""",
+
+    // identical ordered daily series; the same α=β=½ recurrence folded
+    // through the same prepended-init trick — halving is IEEE-exact so
+    // both engines walk identical doubles
+    "q_events_holt" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+         ser AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                  list(CAST(cnt AS DOUBLE) ORDER BY day) AS ys
+           FROM daily GROUP BY 1),
+         fit AS (
+           SELECT event_type, n_days,
+                  list_reduce(
+                    list_prepend([ys[1], 0.0::DOUBLE],
+                      list_transform(ys[2:], yy -> [yy, 0.0::DOUBLE])),
+                    (a, e) -> [0.5 * e[1] + 0.5 * (a[1] + a[2]),
+                               0.5 * ((0.5 * e[1] + 0.5 * (a[1] + a[2])) - a[1])
+                                    + 0.5 * a[2]]) AS f
+           FROM ser)
+         SELECT event_type, n_days,
+                round(f[1], 6) + 0.0 AS level, round(f[2], 6) + 0.0 AS trend,
+                round(f[1] + 7.0 * f[2], 6) + 0.0 AS forecast7
+         FROM fit ORDER BY event_type""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

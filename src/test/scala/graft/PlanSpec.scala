@@ -1373,5 +1373,15 @@ class PlanSpec extends SparkSuite {
     assert(na.contains("BroadcastNestedLoopJoin") || na.contains("BroadcastHashJoin"),
       na.take(2000))
     assert(!na.contains("CartesianProduct"), na.take(2000))
+    // DTW: the corpus is touched by ONE hash agg; the 5-row profile
+    // pair fan-out is the sanctioned bounded BNLJ and the whole DP is
+    // a scalar expression (no per-cell join anywhere)
+    val dt = plan("q_events_dtw")
+    assert(dt.contains("BroadcastNestedLoopJoin"), dt.take(2000))
+    assert(!dt.contains("CartesianProduct"), dt.take(2000))
+    // Holt: one corpus hash agg + one bounded ordered collect — no
+    // join in the plan at all
+    val ho = plan("q_events_holt")
+    assert(!ho.contains("Join"), ho.take(2000))
   }
 }

@@ -489,5 +489,24 @@ class QueryPropsSpec extends SparkSuite {
       assert(hz >= 0.0 && hz <= 1.0, s"hazard $hz")
       assert(r.getDouble(r.fieldIndex("cumhaz")) >= hz - 1e-9)
     }
+    // DTW: warping can only reduce cost, so 0 ≤ dtw ≤ l1 (the
+    // identity alignment is one admissible path), and the profile
+    // shares bound any cell cost by 1e6
+    for (r <- SparkEntry.queries("q_events_dtw")(spark, dir).collect()) {
+      val (l1, dtw) = (r.getLong(r.fieldIndex("l1")), r.getLong(r.fieldIndex("dtw")))
+      assert(dtw >= 0 && dtw <= l1, s"dtw $dtw outside [0, l1=$l1]")
+      assert(l1 <= 7L * 1000000L, s"l1 $l1 exceeds the share bound")
+    }
+    // Holt: the published forecast is exactly level + 7·trend (modulo
+    // the 1e-6 rounding of each term) and the level sits inside the
+    // observed daily-count range (a convex-combination smoother
+    // cannot escape the data's hull when trend contributions stay
+    // bounded — allow a loose envelope)
+    for (r <- SparkEntry.queries("q_events_holt")(spark, dir).collect()) {
+      val (l, b, f) = (r.getDouble(r.fieldIndex("level")),
+        r.getDouble(r.fieldIndex("trend")), r.getDouble(r.fieldIndex("forecast7")))
+      assert(math.abs((l + 7 * b) - f) < 1e-4, s"forecast $f != $l + 7*$b")
+      assert(r.getLong(r.fieldIndex("n_days")) >= 2, "degenerate series")
+    }
   }
 }
