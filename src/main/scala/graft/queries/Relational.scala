@@ -10624,6 +10624,78 @@ object Relational {
             + lit(0.0)).as("forecast7"))
         .orderBy(col("event_type"))
     }),
+
+    // Hilbert-curve layout audit — the locality-preserving companion
+    // to q_zorder_layout: the same 2-D (partkey, suppkey) domain laid
+    // out by Hilbert index, bucketed by the top 6 bits, each bucket's
+    // coordinate envelope reported. Hilbert buckets are CONNECTED
+    // regions (consecutive indices are grid-adjacent), so a box
+    // predicate touches strictly tighter envelopes than Morton's
+    // diagonal-jumping quadrants — the layout a 100 TB table wants
+    // under two correlated range predicates. The unrolled 8-step walk
+    // is one projection per bit level (scan + map, no shuffle until
+    // the final 64-bucket agg), and the IDENTICAL generated SQL text
+    // drives both engines (graft.functions.Hilbert).
+    "q_layout_hilbert" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .selectExpr("l_partkey % 256 AS x", "l_suppkey % 256 AS y",
+          "l_partkey % 256 AS x0", "l_suppkey % 256 AS y0",
+          "CAST(0 AS BIGINT) AS d0")
+      graft.functions.Hilbert.withHilbert(base, 8, Seq("x", "y"))
+        .withColumn("hbucket", expr("h div 1024"))
+        .groupBy(col("hbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+        .orderBy(col("hbucket"))
+    }),
+
+    // Fellegi–Sunter probabilistic record linkage over the part
+    // catalog — the principled upgrade to the threshold fuzzy joins:
+    // block on the name's first word, compare (brand, size, container)
+    // per candidate pair, and weight each agreement pattern by
+    // ln(m/u) / ln((1−m)/(1−u)) with m = 0.9 and u estimated EXACTLY
+    // from the data (u = Σ n_v(n_v−1) / N(N−1), all-integer sums).
+    // The transcendental surface is 6 ln evaluations (one per
+    // field×agree/disagree), each e6-rounded then summed as exact
+    // integers (the PSI rule); patterns ≤ 8 rows regardless of SF.
+    // link/possible/non-link decisions fall out of integer thresholds.
+    "q_join_fellegi" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_partkey") < 2000)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_type"),
+          split(col("p_name"), " ").getItem(0).as("blk"))
+      def uNum(field: String): DataFrame =
+        p.groupBy(col(field)).agg(count(lit(1)).as("nv"))
+          .agg(sum(expr("nv * (nv - 1)")).cast("long").as(s"u_$field"))
+      val stats = p.agg(count(lit(1)).as("n_tot"))
+        .crossJoin(uNum("p_brand")).crossJoin(uNum("p_size"))
+        .crossJoin(uNum("p_type"))
+      def w(g: String, u: String): String =
+        s"""cast(round(ln(CASE WHEN $g = 1
+           |  THEN (0.9D * cast(n_tot * (n_tot - 1L) as double)) / cast($u as double)
+           |  ELSE 0.1D / (1.0D - cast($u as double) / cast(n_tot * (n_tot - 1L) as double))
+           |  END) * 1000000) as bigint)""".stripMargin
+      p.as("a").join(p.as("b"),
+          col("a.blk") === col("b.blk") && col("a.p_partkey") < col("b.p_partkey"))
+        .select(
+          when(col("a.p_brand") === col("b.p_brand"), 1L).otherwise(0L).as("g_brand"),
+          when(col("a.p_size") === col("b.p_size"), 1L).otherwise(0L).as("g_size"),
+          when(col("a.p_type") === col("b.p_type"), 1L).otherwise(0L)
+            .as("g_type"))
+        .groupBy(col("g_brand"), col("g_size"), col("g_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .join(broadcast(stats))
+        .withColumn("weight_e6",
+          expr(w("g_brand", "u_p_brand")) + expr(w("g_size", "u_p_size")) +
+            expr(w("g_type", "u_p_type")))
+        .select(col("g_brand"), col("g_size"), col("g_type"), col("n_pairs"),
+          col("weight_e6"),
+          when(col("weight_e6") >= 4000000L, lit("link"))
+            .when(col("weight_e6") >= 0L, lit("possible"))
+            .otherwise(lit("non_link")).as("decision"))
+        .orderBy(col("g_brand"), col("g_size"), col("g_type"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -17788,6 +17860,66 @@ object Relational {
                 round(f[1], 6) + 0.0 AS level, round(f[2], 6) + 0.0 AS trend,
                 round(f[1] + 7.0 * f[2], 6) + 0.0 AS forecast7
          FROM fit ORDER BY event_type""",
+
+    // the IDENTICAL generated step chain (graft.functions.Hilbert) —
+    // engine-neutral CASE/&/arithmetic only, so the curve is
+    // bit-identical by construction
+    "q_layout_hilbert" ->
+      s"""WITH b0 AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y,
+                            l_partkey % 256 AS x0, l_suppkey % 256 AS y0,
+                            CAST(0 AS BIGINT) AS d0 FROM lineitem),
+            ${graft.functions.Hilbert.ctesSql(8, Seq("x", "y"))}
+         SELECT d8 // 1024 AS hbucket, CAST(count(*) AS BIGINT) AS n,
+                min(x) AS x_min, max(x) AS x_max,
+                min(y) AS y_min, max(y) AS y_max,
+                min(d8) AS h_min, max(d8) AS h_max
+         FROM b8 GROUP BY 1 ORDER BY 1""",
+
+    // identical blocking, exact-integer u statistics, the identical 6
+    // e6-rounded ln evaluations and integer thresholds
+    "q_join_fellegi" ->
+      """WITH p AS (
+           SELECT p_partkey, p_brand, p_size, p_type,
+                  string_split(p_name, ' ')[1] AS blk
+           FROM part WHERE p_partkey < 2000),
+         st AS (
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_tot,
+                  (SELECT CAST(sum(nv * (nv - 1)) AS BIGINT) FROM
+                    (SELECT count(*) AS nv FROM p GROUP BY p_brand)) AS u_p_brand,
+                  (SELECT CAST(sum(nv * (nv - 1)) AS BIGINT) FROM
+                    (SELECT count(*) AS nv FROM p GROUP BY p_size)) AS u_p_size,
+                  (SELECT CAST(sum(nv * (nv - 1)) AS BIGINT) FROM
+                    (SELECT count(*) AS nv FROM p GROUP BY p_type)) AS u_p_type),
+         pat AS (
+           SELECT CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS g_brand,
+                  CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g_size,
+                  CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g_type
+           FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey),
+         ag AS (
+           SELECT CAST(g_brand AS BIGINT) AS g_brand, CAST(g_size AS BIGINT) AS g_size,
+                  CAST(g_type AS BIGINT) AS g_type,
+                  CAST(count(*) AS BIGINT) AS n_pairs
+           FROM pat GROUP BY 1, 2, 3),
+         wt AS (
+           SELECT g_brand, g_size, g_type, n_pairs,
+             CAST(round(ln(CASE WHEN g_brand = 1
+               THEN (0.9::DOUBLE * CAST(n_tot * (n_tot - 1) AS DOUBLE)) / CAST(u_p_brand AS DOUBLE)
+               ELSE 0.1::DOUBLE / (1.0::DOUBLE - CAST(u_p_brand AS DOUBLE) / CAST(n_tot * (n_tot - 1) AS DOUBLE))
+               END) * 1000000) AS BIGINT) +
+             CAST(round(ln(CASE WHEN g_size = 1
+               THEN (0.9::DOUBLE * CAST(n_tot * (n_tot - 1) AS DOUBLE)) / CAST(u_p_size AS DOUBLE)
+               ELSE 0.1::DOUBLE / (1.0::DOUBLE - CAST(u_p_size AS DOUBLE) / CAST(n_tot * (n_tot - 1) AS DOUBLE))
+               END) * 1000000) AS BIGINT) +
+             CAST(round(ln(CASE WHEN g_type = 1
+               THEN (0.9::DOUBLE * CAST(n_tot * (n_tot - 1) AS DOUBLE)) / CAST(u_p_type AS DOUBLE)
+               ELSE 0.1::DOUBLE / (1.0::DOUBLE - CAST(u_p_type AS DOUBLE) / CAST(n_tot * (n_tot - 1) AS DOUBLE))
+               END) * 1000000) AS BIGINT) AS weight_e6
+           FROM ag, st)
+         SELECT g_brand, g_size, g_type, n_pairs, weight_e6,
+                CASE WHEN weight_e6 >= 4000000 THEN 'link'
+                     WHEN weight_e6 >= 0 THEN 'possible'
+                     ELSE 'non_link' END AS decision
+         FROM wt ORDER BY g_brand, g_size, g_type""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

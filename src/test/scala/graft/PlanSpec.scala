@@ -1383,5 +1383,14 @@ class PlanSpec extends SparkSuite {
     // join in the plan at all
     val ho = plan("q_events_holt")
     assert(!ho.contains("Join"), ho.take(2000))
+    // Hilbert: the 8-step walk is scan + projections only — no join
+    // anywhere; the sole shuffle is the final 64-bucket agg
+    val hi = plan("q_layout_hilbert")
+    assert(!hi.contains("Join"), hi.take(2000))
+    // Fellegi–Sunter: the blocked self-join stays equi and the 1-row
+    // stats relation broadcasts; never a cartesian
+    val fs = plan("q_join_fellegi")
+    assert(fs.contains("Broadcast"), fs.take(2000))
+    assert(!fs.contains("CartesianProduct"), fs.take(2000))
   }
 }

@@ -508,5 +508,37 @@ class QueryPropsSpec extends SparkSuite {
       assert(math.abs((l + 7 * b) - f) < 1e-4, s"forecast $f != $l + 7*$b")
       assert(r.getLong(r.fieldIndex("n_days")) >= 2, "degenerate series")
     }
+    // Hilbert layout: every bucket's h-range sits inside its own 1024
+    // slot, coordinates stay on the 256-grid, and the bucket counts
+    // sum to the table
+    val hl = SparkEntry.queries("q_layout_hilbert")(spark, dir).collect()
+    var hn = 0L
+    for (r <- hl) {
+      val b = r.getLong(r.fieldIndex("hbucket"))
+      assert(r.getLong(r.fieldIndex("h_min")) >= b * 1024 &&
+        r.getLong(r.fieldIndex("h_max")) < (b + 1) * 1024, s"h escaped bucket $b")
+      for (c <- Seq("x_min", "x_max", "y_min", "y_max")) {
+        val v = r.getLong(r.fieldIndex(c))
+        assert(v >= 0 && v <= 255, s"$c=$v off-grid")
+      }
+      hn += r.getLong(r.fieldIndex("n"))
+    }
+    assert(hn == SparkEntry.queries("q_scan_filter")(spark, dir).sparkSession
+      .read.parquet(s"$dir/lineitem.parquet").count(), "bucket counts lost rows")
+    // Fellegi–Sunter: decisions respect the integer thresholds and the
+    // all-agree pattern outweighs the all-disagree pattern
+    val fsr = SparkEntry.queries("q_join_fellegi")(spark, dir).collect()
+    for (r <- fsr) {
+      val w = r.getLong(r.fieldIndex("weight_e6"))
+      val d = r.getString(r.fieldIndex("decision"))
+      val expect = if (w >= 4000000L) "link" else if (w >= 0L) "possible" else "non_link"
+      assert(d == expect, s"decision $d for weight $w")
+      assert(r.getLong(r.fieldIndex("n_pairs")) > 0)
+    }
+    def wOf(b: Long, s2: Long, t2: Long): Option[Long] = fsr.find(r =>
+      r.getLong(0) == b && r.getLong(1) == s2 && r.getLong(2) == t2)
+      .map(_.getLong(fsr.head.fieldIndex("weight_e6")))
+    for (hi2 <- wOf(1, 1, 1); lo <- wOf(0, 0, 0))
+      assert(hi2 > lo, s"agree pattern $hi2 not above disagree $lo")
   }
 }
