@@ -10710,6 +10710,86 @@ object Relational {
             .otherwise(lit("non_link")).as("decision"))
         .orderBy(col("g_brand"), col("g_size"), col("g_type"))
     }),
+
+    // Content-defined chunking dedup — the rsync/restic/LLM-corpus
+    // trick q_text_chunks (fixed stride) cannot do: chunk boundaries
+    // fall where a token's hash lands in a class (md5 % 8 = 0), so an
+    // INSERTION only reshuffles the chunks it touches and every other
+    // chunk keeps its fingerprint — dedup that survives edits. All
+    // array work is per-row (boundary positions → start/end zips →
+    // chunk fingerprints), then ONE hash agg per (source, fp) and one
+    // per source for the storage-savings report. ALL-INTEGER.
+    "q_dedup_cdc" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("tk"))
+        .withColumn("n", size(col("tk")).cast("long"))
+        .filter(col("n") >= 1)
+        .withColumn("bpos", expr(
+          """filter(sequence(1L, n), i ->
+            |  cast(conv(substring(md5(element_at(tk, cast(i as int))), 1, 6), 16, 10)
+            |       as bigint) % 8 = 0)""".stripMargin))
+        .withColumn("ch", explode(expr(
+          """filter(
+            |  zip_with(concat(array(1L), transform(bpos, p -> p + 1L)),
+            |           concat(bpos, array(n)),
+            |           (st, en) -> if(en >= st,
+            |             named_struct(
+            |               'txt', array_join(slice(tk, cast(st as int),
+            |                                 cast(en - st + 1 as int)), ' '),
+            |               'clen', en - st + 1),
+            |             null)),
+            |  c -> c is not null)""".stripMargin)))
+        .select(col("source"),
+          substring(md5(col("ch.txt")), 1, 16).as("fp"),
+          col("ch.clen").as("clen"))
+      chunks.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("n_copies"), max(col("clen")).as("clen"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_copies")).as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("clen") * col("n_copies")).as("total_tokens"),
+          sum(col("clen")).as("distinct_tokens"))
+        .select(col("source"), col("n_chunks"), col("n_distinct_chunks"),
+          col("total_tokens"), col("distinct_tokens"),
+          expr("(total_tokens - distinct_tokens) * 1000000L div total_tokens")
+            .as("savings_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Shannon–Fano code-length audit per source — information theory
+    // on the vocabulary with the code lengths INTEGER-EXACT (no log2
+    // call: l_v = #{ l : n_v·2^l < N } = ⌈log2(N/n_v)⌉ via a bounded
+    // shift scan), the Kraft sum as an exact 2^-40-denominator integer
+    // (≤ 1 ⇔ kraft_num ≤ 2^40: the code is decodable), the average
+    // length an integer ppm, and the entropy the ONLY transcendental —
+    // one e6-rounded log2 term per vocab row (~31 distinct (n_v, N)
+    // args per source, the bounded-surface rule). The Shannon bound
+    // H ≤ avg < H+1 is asserted in QueryPropsSpec.
+    "q_text_shannon_code" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("nv"))
+        .withColumn("nn", sum(col("nv")).over(w))
+        // nv·2^ll < nn ⇔ nv ≤ (nn−1) >> ll — the right-shift form
+        // never overflows, unlike shifting nv left at big-N scales
+        .withColumn("l",
+          expr("size(filter(sequence(0, 39), ll -> nv <= shiftright(nn - 1L, ll)))").cast("long"))
+        .withColumn("term_e6", expr(
+          "cast(round(cast(nv as double) / cast(nn as double) * log2(cast(nn as double) / cast(nv as double)) * 1000000) as bigint)"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab_size"), max(col("nn")).as("n_tokens"),
+          sum(expr("shiftleft(1L, cast(40 - l as int))")).as("kraft_num"),
+          sum(col("nv") * col("l")).as("len_sum"),
+          sum(col("term_e6")).as("entropy_e6"))
+        .select(col("source"), col("vocab_size"), col("n_tokens"), col("kraft_num"),
+          expr("len_sum * 1000000L div n_tokens").as("avg_len_ppm"),
+          col("entropy_e6"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -17934,6 +18014,81 @@ object Relational {
                      WHEN weight_e6 >= 0 THEN 'possible'
                      ELSE 'non_link' END AS decision
          FROM wt ORDER BY g_brand, g_size, g_type""",
+
+    // identical md5 boundary classes, start/end zips, and chunk
+    // fingerprints; identical integer savings arithmetic
+    "q_dedup_cdc" ->
+      """WITH d AS (
+           SELECT source, string_split(text, ' ') AS tk,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+           FROM documents),
+         g AS (SELECT source, tk, n FROM d WHERE n >= 1),
+         b AS (
+           SELECT source, tk, n,
+                  list_filter(range(1, n + 1), i ->
+                    CAST(('0x' || substr(md5(tk[i]), 1, 6))::UBIGINT AS BIGINT)
+                      % 8 = 0) AS bpos
+           FROM g),
+         se AS (
+           SELECT source, tk,
+                  list_prepend(1::BIGINT, list_transform(bpos, p -> p + 1)) AS starts,
+                  list_append(bpos, n) AS ends
+           FROM b),
+         ch AS (
+           SELECT source,
+                  unnest(list_filter(
+                    list_transform(range(1, len(starts) + 1), i ->
+                      CASE WHEN ends[i] >= starts[i] THEN
+                        {'txt': array_to_string(
+                                  list_slice(tk, starts[i], ends[i]), ' '),
+                         'clen': ends[i] - starts[i] + 1} END),
+                    x -> x IS NOT NULL)) AS c
+           FROM se),
+         fp AS (
+           SELECT source, substr(md5(c.txt), 1, 16) AS fp,
+                  CAST(count(*) AS BIGINT) AS n_copies,
+                  CAST(max(c.clen) AS BIGINT) AS clen
+           FROM ch GROUP BY 1, 2),
+         ag AS (
+           SELECT source, CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+                  CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+                  CAST(sum(clen * n_copies) AS BIGINT) AS total_tokens,
+                  CAST(sum(clen) AS BIGINT) AS distinct_tokens
+           FROM fp GROUP BY 1)
+         SELECT source, n_chunks, n_distinct_chunks, total_tokens,
+                distinct_tokens,
+                (total_tokens - distinct_tokens) * 1000000 // total_tokens
+                  AS savings_ppm
+         FROM ag ORDER BY source""",
+
+    // identical integer code-length scan ((nn−1) >> ll form), exact
+    // 2^-40 Kraft numerators, and the identical e6-rounded log2 terms
+    "q_text_shannon_code" ->
+      """WITH w AS (
+           SELECT source, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+         v AS (
+           SELECT source, word, CAST(count(*) AS BIGINT) AS nv
+           FROM w WHERE length(word) > 0 GROUP BY 1, 2),
+         t2 AS (
+           SELECT source, nv,
+                  CAST(sum(nv) OVER (PARTITION BY source) AS BIGINT) AS nn
+           FROM v),
+         l AS (
+           SELECT source, nv, nn,
+                  CAST(len(list_filter(range(0, 40), ll ->
+                    nv <= ((nn - 1) >> ll))) AS BIGINT) AS l,
+                  CAST(round(CAST(nv AS DOUBLE) / CAST(nn AS DOUBLE) *
+                    log2(CAST(nn AS DOUBLE) / CAST(nv AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS term_e6
+           FROM t2)
+         SELECT source, CAST(count(*) AS BIGINT) AS vocab_size,
+                CAST(max(nn) AS BIGINT) AS n_tokens,
+                CAST(sum(1::BIGINT << CAST(40 - l AS INTEGER)) AS BIGINT) AS kraft_num,
+                CAST(sum(nv * l) AS BIGINT) * 1000000 // CAST(max(nn) AS BIGINT)
+                  AS avg_len_ppm,
+                CAST(sum(term_e6) AS BIGINT) AS entropy_e6
+         FROM l GROUP BY source ORDER BY source""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

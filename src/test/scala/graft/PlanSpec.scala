@@ -1392,5 +1392,9 @@ class PlanSpec extends SparkSuite {
     val fs = plan("q_join_fellegi")
     assert(fs.contains("Broadcast"), fs.take(2000))
     assert(!fs.contains("CartesianProduct"), fs.take(2000))
+    // CDC + Shannon: per-row array work then hash aggs (plus the
+    // bounded per-source window for Shannon) — no join anywhere
+    for (q <- Seq("q_dedup_cdc", "q_text_shannon_code"))
+      assert(!plan(q).contains("Join"), q)
   }
 }

@@ -540,5 +540,62 @@ class QueryPropsSpec extends SparkSuite {
       .map(_.getLong(fsr.head.fieldIndex("weight_e6")))
     for (hi2 <- wOf(1, 1, 1); lo <- wOf(0, 0, 0))
       assert(hi2 > lo, s"agree pattern $hi2 not above disagree $lo")
+    // CDC: accounting identities hold, savings live in [0, 1e6), and
+    // the near-dup corpus actually shares chunks somewhere
+    val cdc = SparkEntry.queries("q_dedup_cdc")(spark, dir).collect()
+    for (r <- cdc) {
+      assert(r.getLong(r.fieldIndex("n_distinct_chunks")) <=
+        r.getLong(r.fieldIndex("n_chunks")))
+      assert(r.getLong(r.fieldIndex("distinct_tokens")) <=
+        r.getLong(r.fieldIndex("total_tokens")))
+      val sv = r.getLong(r.fieldIndex("savings_ppm"))
+      assert(sv >= 0 && sv < 1000000L, s"savings $sv")
+    }
+    assert(cdc.exists(_.getLong(cdc.head.fieldIndex("savings_ppm")) > 0),
+      "no source deduped at all on the near-dup corpus")
+    // Shannon–Fano: the code is decodable (Kraft ≤ 1, i.e. the exact
+    // 2^-40 numerator ≤ 2^40) and the Shannon bound holds:
+    // H ≤ avg_len < H + 1 (both in the same e6 scale, rounding slop)
+    for (r <- SparkEntry.queries("q_text_shannon_code")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("kraft_num")) <= (1L << 40),
+        "Kraft inequality violated — code not decodable")
+      val (h, a) = (r.getLong(r.fieldIndex("entropy_e6")),
+        r.getLong(r.fieldIndex("avg_len_ppm")))
+      assert(h <= a + 100 && a < h + 1000000L + 100,
+        s"Shannon bound broke: H=$h avg=$a")
+    }
+  }
+
+  test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
+    import spark.implicits._
+    // the same boundary/chunk expressions as q_dedup_cdc, applied to a
+    // doc and its one-token-inserted twin — content-defined boundaries
+    // must keep every chunk fingerprint except the (≤2) around the edit
+    val text = (1 to 400).map(i => s"w${i % 97}tok$i").mkString(" ")
+    val toks = text.split(" ")
+    val edited = (toks.take(200) ++ Array("INSERTED") ++ toks.drop(200)).mkString(" ")
+    val df = Seq(("orig", text), ("edit", edited)).toDF("which", "text")
+      .select(col("which"), split(col("text"), " ").as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+      .withColumn("bpos", expr(
+        """filter(sequence(1L, n), i ->
+          |  cast(conv(substring(md5(element_at(tk, cast(i as int))), 1, 6), 16, 10)
+          |       as bigint) % 8 = 0)""".stripMargin))
+      .withColumn("fp", expr(
+        """transform(filter(
+          |  zip_with(concat(array(1L), transform(bpos, p -> p + 1L)),
+          |           concat(bpos, array(n)),
+          |           (st, en) -> if(en >= st,
+          |             array_join(slice(tk, cast(st as int),
+          |                        cast(en - st + 1 as int)), ' '), null)),
+          |  c -> c is not null), c -> substring(md5(c), 1, 16))""".stripMargin))
+    val fps = df.select(col("which"), col("fp")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    val (orig, edit) = (fps("orig"), fps("edit"))
+    val lost = orig.toSet -- edit.toSet
+    val gained = edit.toSet -- orig.toSet
+    assert(lost.size <= 2 && gained.size <= 2,
+      s"edit disturbed ${lost.size}+${gained.size} chunks — not content-defined")
+    assert(orig.toSet.intersect(edit.toSet).size >= orig.size - 2)
   }
 }
