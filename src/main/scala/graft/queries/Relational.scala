@@ -10790,6 +10790,94 @@ object Relational {
           col("entropy_e6"))
         .orderBy(col("source"))
     }),
+
+    // LZ78 phrase complexity per source — the compressibility proxy a
+    // corpus-quality pipeline uses to catch low-entropy/boilerplate
+    // text (repetitive docs parse into FEW phrases). The greedy LZ78
+    // parse is ONE per-row fold: the accumulator list carries
+    // [n_phrases, cur_phrase_hash, dict...]; each token either extends
+    // the current phrase (hash chain cur·3+h mod 2^61−1, overflow-safe
+    // and engine-identical) or closes it into the dictionary. Hash-
+    // dictionary collisions are astronomically unlikely (61-bit) and
+    // deterministic on BOTH engines, so the oracle stays exact. ALL-
+    // INTEGER; the corpus is touched once, no shuffle before the
+    // per-source agg.
+    "q_text_lz78" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 1)
+        .withColumn("lz", expr(
+          """aggregate(
+            |  transform(tk, w -> cast(conv(substring(md5(w), 1, 6), 16, 10) as bigint)),
+            |  array(0L, 0L),
+            |  (a, th) -> if(
+            |    array_contains(slice(a, 3, size(a) - 2),
+            |      pmod(element_at(a, 2) * 3L + th, 2305843009213693951L)),
+            |    concat(
+            |      array(element_at(a, 1),
+            |            pmod(element_at(a, 2) * 3L + th, 2305843009213693951L)),
+            |      slice(a, 3, size(a) - 2)),
+            |    concat(array(element_at(a, 1) + 1L, 0L), slice(a, 3, size(a) - 2),
+            |      array(pmod(element_at(a, 2) * 3L + th, 2305843009213693951L)))),
+            |  a -> element_at(a, 1) + if(element_at(a, 2) != 0L, 1L, 0L))""".stripMargin))
+        .withColumn("ntok", size(col("tk")).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          sum(col("lz")).as("lz_phrases"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("lz_phrases"),
+          expr("lz_phrases * 1000000L div n_tokens").as("lz_ratio_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Needleman–Wunsch global alignment between user event-type
+    // journeys (match +2 / mismatch −1 / gap −1) — "did these two
+    // users walk the same funnel, allowing skips?", the sequence
+    // companion to q_events_dtw's numeric warping. Variable-length
+    // sequences (≤10 events each, 28 user pairs): the DP is the same
+    // flat-list [prev ++ cur] fold with DYNAMIC offsets (len(ys)
+    // referenced inside the lambda) and gap-penalty borders; the roll
+    // seeds each new row's dp[i][0] from the previous row's first
+    // element − 1. ALL-INTEGER, scalar expression over a bounded pair
+    // table.
+    "q_events_nw_align" -> ((s, dir) => {
+      val seqs = t(s, dir, "events")
+        .filter(col("user_id") < 8)
+        .groupBy(col("user_id"))
+        .agg(slice(transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            expr("cast(conv(substring(md5(event_type), 1, 6), 16, 10) as bigint) % 97")
+              .as("sym")))),
+          e => e.getField("sym")), 1, 10).as("xs"))
+      seqs.as("a")
+        .join(broadcast(seqs.as("b")), col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("user_a"), col("b.user_id").as("user_b"),
+          col("a.xs").as("xs"), col("b.xs").as("ys"))
+        .select(col("user_a"), col("user_b"),
+          size(col("xs")).cast("long").as("len_a"),
+          size(col("ys")).cast("long").as("len_b"),
+          expr(
+            """element_at(aggregate(
+              |  transform(sequence(0, size(xs) * size(ys) - 1), k -> array(
+              |    bigint(k % size(ys) + 1),
+              |    if(element_at(xs, cast(k div size(ys) as int) + 1)
+              |         = element_at(ys, k % size(ys) + 1), 2L, -1L))),
+              |  concat(transform(sequence(0, size(ys)), i -> bigint(-i)),
+              |         array(-1L)),
+              |  (a, e) -> if(element_at(e, 1) = bigint(size(ys)),
+              |    concat(
+              |      slice(a, size(ys) + 2, size(ys)),
+              |      array(greatest(
+              |        element_at(a, cast(element_at(e, 1) as int)) + element_at(e, 2),
+              |        element_at(a, cast(element_at(e, 1) as int) + 1) - 1L,
+              |        element_at(a, size(ys) + 1 + cast(element_at(e, 1) as int)) - 1L)),
+              |      array(element_at(a, size(ys) + 2) - 1L)),
+              |    concat(a, array(greatest(
+              |        element_at(a, cast(element_at(e, 1) as int)) + element_at(e, 2),
+              |        element_at(a, cast(element_at(e, 1) as int) + 1) - 1L,
+              |        element_at(a, size(ys) + 1 + cast(element_at(e, 1) as int)) - 1L))))),
+              |  size(ys) + 1)""".stripMargin).as("nw_score"))
+        .orderBy(col("user_a"), col("user_b"))
+    }),
   )
 
   /** Deterministic seeded k-means (k=8, 3 Lloyd iterations, md5-ordered
@@ -18089,6 +18177,79 @@ object Relational {
                   AS avg_len_ppm,
                 CAST(sum(term_e6) AS BIGINT) AS entropy_e6
          FROM l GROUP BY source ORDER BY source""",
+
+    // identical md5 token hashes, identical cur·3+h mod 2^61−1 phrase
+    // chain, identical greedy parse via the same list-accumulator fold
+    "q_text_lz78" ->
+      """WITH d AS (
+           SELECT source, string_split(text, ' ') AS tk
+           FROM documents WHERE len(string_split(text, ' ')) >= 1),
+         p AS (
+           SELECT source, CAST(len(tk) AS BIGINT) AS ntok,
+                  list_reduce(
+                    list_prepend([0::BIGINT, 0::BIGINT],
+                      list_transform(tk, w ->
+                        [CAST(('0x' || substr(md5(w), 1, 6))::UBIGINT AS BIGINT)])),
+                    (a, e) -> CASE WHEN list_contains(a[3:],
+                        (a[2] * 3 + e[1]) % 2305843009213693951)
+                      THEN list_concat(
+                        [a[1], (a[2] * 3 + e[1]) % 2305843009213693951], a[3:])
+                      ELSE list_concat([a[1] + 1, 0::BIGINT],
+                        list_append(a[3:],
+                          (a[2] * 3 + e[1]) % 2305843009213693951)) END) AS st
+           FROM d),
+         z AS (
+           SELECT source, ntok,
+                  st[1] + CASE WHEN st[2] <> 0 THEN 1 ELSE 0 END AS lz
+           FROM p)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                CAST(sum(lz) AS BIGINT) AS lz_phrases,
+                CAST(sum(lz) AS BIGINT) * 1000000 // CAST(sum(ntok) AS BIGINT)
+                  AS lz_ratio_ppm
+         FROM z GROUP BY source ORDER BY source""",
+
+    // identical journeys (ts, event_id order), identical flat-list NW
+    // fold with dynamic len(ys) offsets and gap borders
+    "q_events_nw_align" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  CAST(('0x' || substr(md5(event_type), 1, 6))::UBIGINT AS BIGINT)
+                    % 97 AS sym
+           FROM events WHERE user_id < 8),
+         s AS (
+           SELECT user_id,
+                  list_slice(list(sym ORDER BY ts, event_id), 1, 10) AS xs
+           FROM e GROUP BY 1),
+         pr AS (
+           SELECT a.user_id AS user_a, b.user_id AS user_b,
+                  a.xs AS xs, b.xs AS ys
+           FROM s a JOIN s b ON a.user_id < b.user_id),
+         dp AS (
+           SELECT user_a, user_b,
+                  CAST(len(xs) AS BIGINT) AS len_a,
+                  CAST(len(ys) AS BIGINT) AS len_b,
+                  (list_reduce(
+                    list_prepend(
+                      list_append(list_transform(range(0, len(ys) + 1),
+                        i -> (-i)::BIGINT), (-1)::BIGINT),
+                      list_transform(range(0, len(xs) * len(ys)), k ->
+                        [(k % len(ys) + 1)::BIGINT,
+                         (CASE WHEN xs[k // len(ys) + 1] = ys[k % len(ys) + 1]
+                          THEN 2 ELSE -1 END)::BIGINT])),
+                    (a, e) -> CASE WHEN e[1] = len(ys)
+                      THEN list_append(list_append(
+                             list_slice(a, len(ys) + 2, 2 * len(ys) + 1),
+                             greatest(a[e[1]] + e[2], a[e[1] + 1] - 1,
+                                      a[len(ys) + 1 + e[1]] - 1)),
+                             a[len(ys) + 2] - 1)
+                      ELSE list_append(a,
+                             greatest(a[e[1]] + e[2], a[e[1] + 1] - 1,
+                                      a[len(ys) + 1 + e[1]] - 1)) END
+                  ))[len(ys) + 1] AS nw_score
+           FROM pr)
+         SELECT user_a, user_b, len_a, len_b, nw_score
+         FROM dp ORDER BY user_a, user_b""",
   )
 
   /** The 8 bit_or'd 32-bit bloom words (w0..w7) for the oracle — built

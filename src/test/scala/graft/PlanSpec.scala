@@ -1392,9 +1392,14 @@ class PlanSpec extends SparkSuite {
     val fs = plan("q_join_fellegi")
     assert(fs.contains("Broadcast"), fs.take(2000))
     assert(!fs.contains("CartesianProduct"), fs.take(2000))
-    // CDC + Shannon: per-row array work then hash aggs (plus the
-    // bounded per-source window for Shannon) — no join anywhere
-    for (q <- Seq("q_dedup_cdc", "q_text_shannon_code"))
+    // CDC + Shannon + LZ78: per-row array work then hash aggs (plus
+    // the bounded per-source window for Shannon) — no join anywhere
+    for (q <- Seq("q_dedup_cdc", "q_text_shannon_code", "q_text_lz78"))
       assert(!plan(q).contains("Join"), q)
+    // NW alignment: ONE corpus hash agg, then the 8-row journey table
+    // fans to 28 pairs through the sanctioned bounded BNLJ
+    val nw = plan("q_events_nw_align")
+    assert(nw.contains("BroadcastNestedLoopJoin"), nw.take(2000))
+    assert(!nw.contains("CartesianProduct"), nw.take(2000))
   }
 }

@@ -564,6 +564,24 @@ class QueryPropsSpec extends SparkSuite {
       assert(h <= a + 100 && a < h + 1000000L + 100,
         s"Shannon bound broke: H=$h avg=$a")
     }
+    // LZ78: phrase count is positive and never exceeds the token count
+    // (each phrase consumes ≥1 token); the repetitive synth corpus
+    // must compress (ratio strictly < 1)
+    for (r <- SparkEntry.queries("q_text_lz78")(spark, dir).collect()) {
+      val (p2, tks) = (r.getLong(r.fieldIndex("lz_phrases")),
+        r.getLong(r.fieldIndex("n_tokens")))
+      assert(p2 > 0 && p2 <= tks, s"lz $p2 outside (0, $tks]")
+      assert(r.getLong(r.fieldIndex("lz_ratio_ppm")) < 1000000L,
+        "corpus did not compress at all")
+    }
+    // NW: global alignment score is bounded by 2·min(len) above
+    // (all-match) and −(len_a+len_b) below (all-gap)
+    for (r <- SparkEntry.queries("q_events_nw_align")(spark, dir).collect()) {
+      val (la, lb, sc) = (r.getLong(r.fieldIndex("len_a")),
+        r.getLong(r.fieldIndex("len_b")), r.getLong(r.fieldIndex("nw_score")))
+      assert(sc <= 2 * math.min(la, lb) && sc >= -(la + lb),
+        s"nw score $sc outside [-(${la + lb}), ${2 * math.min(la, lb)}]")
+    }
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
