@@ -1401,5 +1401,12 @@ class PlanSpec extends SparkSuite {
     val nw = plan("q_events_nw_align")
     assert(nw.contains("BroadcastNestedLoopJoin"), nw.take(2000))
     assert(!nw.contains("CartesianProduct"), nw.take(2000))
+    // Page–Hinkley: agg + fold, joinless
+    assert(!plan("q_events_page_hinkley").contains("Join"))
+    // bandit replay: the 30-row policy broadcasts back into the day
+    // grain; no cartesian
+    val br = plan("q_events_bandit_replay")
+    assert(br.contains("BroadcastHashJoin"), br.take(2000))
+    assert(!br.contains("CartesianProduct"), br.take(2000))
   }
 }

@@ -582,6 +582,27 @@ class QueryPropsSpec extends SparkSuite {
       assert(sc <= 2 * math.min(la, lb) && sc >= -(la + lb),
         s"nw score $sc outside [-(${la + lb}), ${2 * math.min(la, lb)}]")
     }
+    // Page–Hinkley: the alarm statistic m − min(m) is non-negative by
+    // construction, the running minimum never exceeds 0 (it starts
+    // there), and the alarm bit matches the threshold
+    for (r <- SparkEntry.queries("q_events_page_hinkley")(spark, dir).collect()) {
+      val (ph, mm) = (r.getDouble(r.fieldIndex("ph_stat")),
+        r.getDouble(r.fieldIndex("m_min")))
+      assert(ph >= -1e-9, s"ph $ph negative")
+      assert(mm <= 1e-9, s"m_min $mm positive")
+      assert((r.getLong(r.fieldIndex("alarm")) == 1L) == (ph > 50.0 + 1e-9) ||
+        math.abs(ph - 50.0) < 1e-3, s"alarm inconsistent at ph=$ph")
+    }
+    // bandit replay: every day picks exactly one arm (chosen-day
+    // counts sum to the corpus day span) and kept rewards are positive
+    val br = SparkEntry.queries("q_events_bandit_replay")(spark, dir).collect()
+    val daySpan = br.map(_.getLong(br.head.fieldIndex("days_chosen"))).sum
+    assert(daySpan >= 28 && daySpan <= 31, s"policy covered $daySpan days")
+    for (r <- br) {
+      assert(r.getLong(r.fieldIndex("n_kept")) >=
+        r.getLong(r.fieldIndex("days_chosen")))
+      assert(r.getLong(r.fieldIndex("avg_reward_ppm")) > 0)
+    }
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
