@@ -1408,5 +1408,18 @@ class PlanSpec extends SparkSuite {
     val br = plan("q_events_bandit_replay")
     assert(br.contains("BroadcastHashJoin"), br.take(2000))
     assert(!br.contains("CartesianProduct"), br.take(2000))
+    // Burrows: the 20-word panel broadcasts; source-pair fan-out stays
+    // equi on word; no cartesian
+    val bd = plan("q_text_burrows_delta")
+    assert(bd.contains("Broadcast"), bd.take(2000))
+    assert(!bd.contains("CartesianProduct"), bd.take(2000))
+    // JL: the consecutive-id pair join is equi (vec_id + 1 key) — no
+    // BNLJ, no cartesian, projection folds are scalar expressions
+    val jl = plan("q_embed_jl_distortion")
+    assert(!jl.contains("BroadcastNestedLoopJoin") &&
+      !jl.contains("CartesianProduct"), jl.take(2000))
+    // matrix profile: per-type equi self-join over the bounded window
+    // table; no cartesian
+    assert(!plan("q_events_motif").contains("CartesianProduct"))
   }
 }

@@ -603,6 +603,33 @@ class QueryPropsSpec extends SparkSuite {
         r.getLong(r.fieldIndex("days_chosen")))
       assert(r.getLong(r.fieldIndex("avg_reward_ppm")) > 0)
     }
+    // Burrows' Delta: a mean of |z| differences is non-negative and
+    // every pair scores over the full 20-word panel
+    for (r <- SparkEntry.queries("q_text_burrows_delta")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("n_words")) == 20L)
+      assert(r.getDouble(r.fieldIndex("delta")) >= 0.0)
+    }
+    // JL: the ±1 projection is unbiased (E[ratio] = 1e6), so the bulk
+    // of the 200 pairs must land within ±40% of 1 (sd of a single
+    // 16-dim ratio is ~0.35)
+    val jl = SparkEntry.queries("q_embed_jl_distortion")(spark, dir).collect()
+    val jlTotal = jl.map(_.getLong(jl.head.fieldIndex("n_pairs"))).sum
+    val jlBulk = jl.filter { r =>
+      val b = r.getLong(r.fieldIndex("bucket")); b >= 3 && b <= 6 }
+      .map(_.getLong(jl.head.fieldIndex("n_pairs"))).sum
+    assert(jlTotal > 100, s"only $jlTotal JL pairs")
+    assert(jlBulk * 2 >= jlTotal, s"JL concentration broke: $jlBulk/$jlTotal in ±40%")
+    for (r <- jl) assert(r.getLong(r.fieldIndex("min_ratio_ppm")) > 0)
+    // matrix profile: exclusion zone respected, distances non-negative,
+    // and each type yields n_days − 4 windows
+    val mp = SparkEntry.queries("q_events_motif")(spark, dir).collect()
+    for (r <- mp) {
+      assert(math.abs(r.getLong(r.fieldIndex("i")) -
+        r.getLong(r.fieldIndex("nn_j"))) >= 5, "exclusion zone violated")
+      assert(r.getLong(r.fieldIndex("dist2")) >= 0)
+    }
+    for ((_, rows) <- mp.groupBy(_.getString(0)))
+      assert(rows.length >= 20, s"only ${rows.length} windows")
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
