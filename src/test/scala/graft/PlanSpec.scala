@@ -1421,5 +1421,7 @@ class PlanSpec extends SparkSuite {
     // matrix profile: per-type equi self-join over the bounded window
     // table; no cartesian
     assert(!plan("q_events_motif").contains("CartesianProduct"))
+    // l-diversity: one hash agg + bounded class windows, joinless
+    assert(!plan("q_privacy_ldiversity").contains("Join"))
   }
 }

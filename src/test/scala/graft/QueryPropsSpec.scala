@@ -630,6 +630,18 @@ class QueryPropsSpec extends SparkSuite {
     }
     for ((_, rows) <- mp.groupBy(_.getString(0)))
       assert(rows.length >= 20, s"only ${rows.length} windows")
+    // l-diversity: entropy is bounded by ln(l_distinct) (max-entropy),
+    // the flags are consistent with their definitions, and recursive
+    // diversity implies at least 2 sensitive values
+    for (r <- SparkEntry.queries("q_privacy_ldiversity")(spark, dir).collect()) {
+      val (l, h) = (r.getLong(r.fieldIndex("l_distinct")),
+        r.getLong(r.fieldIndex("entropy_e6")))
+      assert(h >= 0 && h <= math.round(math.log(l.toDouble) * 1e6) + l,
+        s"entropy $h above ln($l)")
+      assert((r.getLong(r.fieldIndex("entropy_l2_ok")) == 1L) == (h >= 693147L))
+      if (r.getLong(r.fieldIndex("recursive_c2l2_ok")) == 1L)
+        assert(l >= 2, "recursive diversity with a single sensitive value")
+    }
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
