@@ -1423,5 +1423,9 @@ class PlanSpec extends SparkSuite {
     assert(!plan("q_events_motif").contains("CartesianProduct"))
     // l-diversity: one hash agg + bounded class windows, joinless
     assert(!plan("q_privacy_ldiversity").contains("Join"))
+    // IPS: the policy broadcasts into the day grain, no cartesian
+    val ip = plan("q_events_ips")
+    assert(ip.contains("BroadcastHashJoin"), ip.take(2000))
+    assert(!ip.contains("CartesianProduct"), ip.take(2000))
   }
 }

@@ -642,6 +642,17 @@ class QueryPropsSpec extends SparkSuite {
       if (r.getLong(r.fieldIndex("recursive_c2l2_ok")) == 1L)
         assert(l >= 2, "recursive diversity with a single sensitive value")
     }
+    // IPS: the correction direction is fixed — the policy picks arms
+    // it favors, so the IPS per-decision value can't exceed the
+    // kept-rows replay average (weights n_day/n >= 1 but the
+    // denominator grows from kept rows to ALL decisions); both are
+    // positive and the decision count dominates the kept count
+    for (r <- SparkEntry.queries("q_events_ips")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("n_decisions")) >=
+        r.getLong(r.fieldIndex("n_kept")))
+      assert(r.getLong(r.fieldIndex("ips_value_ppm")) > 0)
+      assert(r.getLong(r.fieldIndex("replay_value_ppm")) > 0)
+    }
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
