@@ -1427,5 +1427,9 @@ class PlanSpec extends SparkSuite {
     val ip = plan("q_events_ips")
     assert(ip.contains("BroadcastHashJoin"), ip.take(2000))
     assert(!ip.contains("CartesianProduct"), ip.take(2000))
+    // Smith–Waterman: same bounded BNLJ pair shape as NW
+    val sw = plan("q_events_sw_align")
+    assert(sw.contains("BroadcastNestedLoopJoin") &&
+      !sw.contains("CartesianProduct"), sw.take(2000))
   }
 }

@@ -653,6 +653,19 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("ips_value_ppm")) > 0)
       assert(r.getLong(r.fieldIndex("replay_value_ppm")) > 0)
     }
+    // Smith–Waterman: a local score is never negative, never exceeds
+    // 2·min(len), and DOMINATES the same pair's global NW score (local
+    // alignment can always discard NW's penalized flanks)
+    val nwByPair = SparkEntry.queries("q_events_nw_align")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(r.fieldIndex("nw_score")))
+      .toMap
+    for (r <- SparkEntry.queries("q_events_sw_align")(spark, dir).collect()) {
+      val (la, lb, sc) = (r.getLong(r.fieldIndex("len_a")),
+        r.getLong(r.fieldIndex("len_b")), r.getLong(r.fieldIndex("sw_score")))
+      assert(sc >= 0 && sc <= 2 * math.min(la, lb), s"sw $sc out of range")
+      val nw = nwByPair((r.getLong(0), r.getLong(1)))
+      assert(sc >= nw, s"local $sc below global $nw")
+    }
   }
 
   test("CDC chunking is insertion-robust: one inserted token disturbs at most 2 chunks") {
