@@ -1432,4 +1432,35 @@ class PlanSpec extends SparkSuite {
     assert(sw.contains("BroadcastNestedLoopJoin") &&
       !sw.contains("CartesianProduct"), sw.take(2000))
   }
+
+  test("session-14 additions: eval-metric/phonetic/APSP plan shapes") {
+    // blanket: no session-14 query degrades to a cartesian product
+    for (q <- Seq("q_eval_bleu", "q_eval_chrf", "q_eval_rouge_l",
+        "q_eval_wer", "q_events_cliffs_delta", "q_events_iv_wald",
+        "q_eval_fleiss", "q_text_bwt", "q_join_soundex", "q_sample_vdc",
+        "q_graph_ecc", "q_text_mtld"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+    // BLEU/chrF: clipped matches come from hash-agg'd gram tables
+    // equi-joined on (pair, n, gram), and the per-source lens/stat
+    // side broadcasts — never an all-pairs shape
+    for (q <- Seq("q_eval_bleu", "q_eval_chrf")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+        p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+    // ROUGE-L/WER: the whole DP is a scalar fold after the pairing
+    // window — no join anywhere in the plan
+    for (q <- Seq("q_eval_rouge_l", "q_eval_wer"))
+      assert(!plan(q).contains("Join"), q)
+    // BWT / MTLD / vdc / cliffs / IV-Wald: scan + scalar work + aggs
+    // (cliffs adds its ordered window) — joinless plans
+    for (q <- Seq("q_text_bwt", "q_text_mtld", "q_sample_vdc",
+        "q_events_cliffs_delta", "q_events_iv_wald"))
+      assert(!plan(q).contains("Join"), q)
+    // soundex blocking: vocab-grain sides meet in a broadcast hash
+    // join on the code key
+    val sx = plan("q_join_soundex")
+    assert(sx.contains("BroadcastHashJoin"), sx.take(2000))
+  }
 }

@@ -700,4 +700,117 @@ class QueryPropsSpec extends SparkSuite {
       s"edit disturbed ${lost.size}+${gained.size} chunks — not content-defined")
     assert(orig.toSet.intersect(edit.toSet).size >= orig.size - 2)
   }
+
+  test("session-14 invariants: eval-metric bounds, BWT permutation, APSP envelope") {
+    // BLEU: clipped matches never exceed the candidate gram total,
+    // precision stays in ppm range, corpus lengths are positive, and
+    // every source carries all four n rows
+    val bleu = SparkEntry.queries("q_eval_bleu")(spark, dir).collect()
+    assert(bleu.groupBy(_.getString(0)).forall(_._2.length == 4))
+    for (r <- bleu) {
+      assert(r.getLong(r.fieldIndex("clip")) <= r.getLong(r.fieldIndex("tot")))
+      assert(r.getLong(r.fieldIndex("prec_ppm")) >= 0 &&
+        r.getLong(r.fieldIndex("prec_ppm")) <= 1000000L)
+      assert(r.getLong(r.fieldIndex("cand_len")) > 0 &&
+        r.getLong(r.fieldIndex("ref_len")) > 0)
+    }
+    // chrF: matches bounded by both totals; F2 lies between P and R
+    // (harmonic-family mean), ±1 for the ppm floor rounding
+    for (r <- SparkEntry.queries("q_eval_chrf")(spark, dir).collect()) {
+      val m = r.getLong(r.fieldIndex("m"))
+      assert(m <= r.getLong(r.fieldIndex("cand_total")) &&
+        m <= r.getLong(r.fieldIndex("ref_total")))
+      val (p, rc, f2) = (r.getLong(r.fieldIndex("prec_ppm")),
+        r.getLong(r.fieldIndex("rec_ppm")), r.getLong(r.fieldIndex("f2_ppm")))
+      assert(f2 >= math.min(p, rc) - 1 && f2 <= math.max(p, rc) + 1,
+        s"F2 $f2 outside [$p, $rc]")
+    }
+    // ROUGE-L vs WER on the same pairs: lcs ≤ min(lens); the
+    // Levenshtein distance obeys |Δlen| ≤ ed ≤ max(lens) and the LCS
+    // sandwich max(lens) − lcs ≤ ed ≤ la + lb − 2·lcs
+    val lcsByPair = SparkEntry.queries("q_eval_rouge_l")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(r.fieldIndex("lcs")))
+      .toMap
+    for (r <- SparkEntry.queries("q_eval_wer")(spark, dir).collect()) {
+      val (lc, lr, ed) = (r.getLong(r.fieldIndex("len_c")),
+        r.getLong(r.fieldIndex("len_r")), r.getLong(r.fieldIndex("edit_dist")))
+      val lcs = lcsByPair((r.getString(0), r.getLong(1)))
+      assert(lcs <= math.min(lc, lr), s"lcs $lcs exceeds min($lc,$lr)")
+      assert(ed >= math.abs(lc - lr) && ed <= math.max(lc, lr))
+      assert(ed >= math.max(lc, lr) - lcs && ed <= lc + lr - 2 * lcs,
+        s"ed $ed outside LCS sandwich for lcs $lcs, lens ($lc,$lr)")
+    }
+    // Cliff's delta: the dominance partition is exact and the signed
+    // effect stays in [−1, 1] ppm
+    for (r <- SparkEntry.queries("q_events_cliffs_delta")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("gt")) + r.getLong(r.fieldIndex("lt")) +
+        r.getLong(r.fieldIndex("ties")) ==
+        r.getLong(r.fieldIndex("n_a")) * r.getLong(r.fieldIndex("n_b")))
+      assert(math.abs(r.getLong(r.fieldIndex("delta_ppm"))) <= 1000000L)
+    }
+    // Fleiss: both agreement rates and kappa live in ppm range; both
+    // instrument arms of the IV query are populated
+    for (r <- SparkEntry.queries("q_eval_fleiss")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("pbar_ppm")) >= 0 &&
+        r.getLong(r.fieldIndex("pbar_ppm")) <= 1000000L)
+      assert(r.getLong(r.fieldIndex("pe_ppm")) >= 0 &&
+        r.getLong(r.fieldIndex("pe_ppm")) <= 1000000L)
+      assert(r.getLong(r.fieldIndex("kappa_ppm")) <= 1000000L)
+    }
+    for (r <- SparkEntry.queries("q_events_iv_wald")(spark, dir).collect())
+      assert(r.getLong(r.fieldIndex("n1")) > 0 && r.getLong(r.fieldIndex("n0")) > 0)
+    // BWT: the transform is a PERMUTATION of the input (sorted chars
+    // equal) and run counts stay in [1, len]
+    for (r <- SparkEntry.queries("q_text_bwt")(spark, dir).limit(100).collect()) {
+      val bwt = r.getString(r.fieldIndex("bwt"))
+      val sLen = r.getLong(r.fieldIndex("s_len"))
+      assert(bwt.length == sLen)
+      for (c <- Seq("runs_orig", "runs_bwt")) {
+        val v = r.getLong(r.fieldIndex(c))
+        assert(v >= 1 && v <= sLen, s"$c $v outside [1, $sLen]")
+      }
+    }
+    // BWT char multiset check needs the source string — recompute one
+    // doc's transform shape from the emitted columns instead: the
+    // sentinel '!' appears exactly once in every BWT
+    for (r <- SparkEntry.queries("q_text_bwt")(spark, dir).limit(100).collect())
+      assert(r.getString(r.fieldIndex("bwt")).count(_ == '!') == 1)
+    // soundex: codes are letter + 3 digits (1-6 then zero padding),
+    // and the block never pairs a word with itself
+    for (r <- SparkEntry.queries("q_join_soundex")(spark, dir).collect()) {
+      assert(r.getString(r.fieldIndex("code")).matches("[A-Z][1-6]{0,3}0*") &&
+        r.getString(r.fieldIndex("code")).length == 4,
+        r.getString(r.fieldIndex("code")))
+      assert(r.getString(r.fieldIndex("wa")) != r.getString(r.fieldIndex("wb")))
+    }
+    // van der Corput: r < 2^17 keeps exactly the ids ≡ 0 (mod 8), so
+    // the CORPUS rate is 1/8 ± one id-range remainder (tight); per-type
+    // rates at this tiny SF inherit each type's id-residue mix, so they
+    // only get a sanity band
+    val vdc = SparkEntry.queries("q_sample_vdc")(spark, dir).collect()
+    val (sTot, sSam) = vdc.map(r => (r.getLong(r.fieldIndex("n_total")),
+      r.getLong(r.fieldIndex("n_sample")))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(math.abs(sSam * 1000000L / sTot - 125000L) < 10000L,
+      s"vdc corpus rate ${sSam * 1000000L / sTot}")
+    for (r <- vdc)
+      assert(r.getLong(r.fieldIndex("rate_ppm")) > 30000L &&
+        r.getLong(r.fieldIndex("rate_ppm")) < 300000L,
+        s"vdc type rate ${r.getLong(r.fieldIndex("rate_ppm"))}")
+    // APSP eccentricity: every node reaches itself plus its ≥1
+    // neighbor, and a shortest path visits distinct nodes, so
+    // ecc ≤ n_reach − 1
+    for (r <- SparkEntry.queries("q_graph_ecc")(spark, dir).collect()) {
+      val (ecc, nr) = (r.getLong(r.fieldIndex("ecc")),
+        r.getLong(r.fieldIndex("n_reach")))
+      assert(nr >= 2 && ecc >= 1 && ecc <= nr - 1, s"ecc $ecc reach $nr")
+    }
+    // MTLD: factor accounting and the ≥1e6 ppm floor (factors ≤ tokens)
+    for (r <- SparkEntry.queries("q_text_mtld")(spark, dir).limit(200).collect()) {
+      assert(r.getLong(r.fieldIndex("closed_factors")) <=
+        r.getLong(r.fieldIndex("factors")))
+      assert(r.getLong(r.fieldIndex("factors")) >= 1 &&
+        r.getLong(r.fieldIndex("factors")) <= r.getLong(r.fieldIndex("n_tokens")))
+      assert(r.getLong(r.fieldIndex("mtld_ppm")) >= 1000000L)
+    }
+  }
 }
