@@ -1438,7 +1438,7 @@ class PlanSpec extends SparkSuite {
     for (q <- Seq("q_eval_bleu", "q_eval_chrf", "q_eval_rouge_l",
         "q_eval_wer", "q_events_cliffs_delta", "q_events_iv_wald",
         "q_eval_fleiss", "q_text_bwt", "q_join_soundex", "q_sample_vdc",
-        "q_graph_ecc", "q_text_mtld"))
+        "q_graph_ecc", "q_text_mtld", "q_graph_betweenness"))
       assert(!plan(q).contains("CartesianProduct"), q)
     // BLEU/chrF: clipped matches come from hash-agg'd gram tables
     // equi-joined on (pair, n, gram), and the per-source lens/stat

@@ -804,6 +804,23 @@ class QueryPropsSpec extends SparkSuite {
         r.getLong(r.fieldIndex("n_reach")))
       assert(nr >= 2 && ecc >= 1 && ecc <= nr - 1, s"ecc $ecc reach $nr")
     }
+    // betweenness: each (s,t,v) contribution is σ_sv·σ_vt/σ_st ≤ 1
+    // (paths through v are a subset of all shortest paths), so
+    // bc_ppm ≤ n_pairs·1e6; an interior node separates a distance-≥2
+    // pair, so its COMPONENT has diameter ≥ 2 — every broker must
+    // appear in the APSP table with some node ≥ 2 hops from an
+    // endpoint it serves (weak form: the node exists there and its
+    // reach covers ≥ 3 nodes: both endpoints plus itself)
+    val reachById = SparkEntry.queries("q_graph_ecc")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("n_reach"))).toMap
+    val bc = SparkEntry.queries("q_graph_betweenness")(spark, dir).collect()
+    assert(bc.nonEmpty)
+    for (r <- bc) {
+      val (id, np, b) = (r.getLong(0), r.getLong(r.fieldIndex("n_pairs")),
+        r.getLong(r.fieldIndex("bc_ppm")))
+      assert(np >= 1 && b >= 0 && b <= np * 1000000L, s"bc $b pairs $np")
+      assert(reachById(id) >= 3, s"interior node $id reaches ${reachById(id)} < 3")
+    }
     // MTLD: factor accounting and the ≥1e6 ppm floor (factors ≤ tokens)
     for (r <- SparkEntry.queries("q_text_mtld")(spark, dir).limit(200).collect()) {
       assert(r.getLong(r.fieldIndex("closed_factors")) <=
