@@ -1462,5 +1462,14 @@ class PlanSpec extends SparkSuite {
     // join on the code key
     val sx = plan("q_join_soundex")
     assert(sx.contains("BroadcastHashJoin"), sx.take(2000))
+    // phash: the hamming candidates come from the (band, key)
+    // equi-join, never a cross product or nested loop
+    val ph = plan("q_media_phash")
+    assert(!ph.contains("CartesianProduct") &&
+      !ph.contains("BroadcastNestedLoopJoin"), ph.take(2000))
+    // granger: day-grain equi join only
+    val gr = plan("q_events_granger")
+    assert(!gr.contains("CartesianProduct") &&
+      !gr.contains("BroadcastNestedLoopJoin"), gr.take(2000))
   }
 }

@@ -821,6 +821,21 @@ class QueryPropsSpec extends SparkSuite {
       assert(np >= 1 && b >= 0 && b <= np * 1000000L, s"bc $b pairs $np")
       assert(reachById(id) >= 3, s"interior node $id reaches ${reachById(id)} < 3")
     }
+    // phash: pairs are canonical (ia < ib) and inside the hamming
+    // radius the 7×9-bit pigeonhole promises
+    for (r <- SparkEntry.queries("q_media_phash")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("ia")) < r.getLong(r.fieldIndex("ib")))
+      assert(r.getLong(r.fieldIndex("dist")) <= 6)
+    }
+    // granger: adding a regressor can never raise the SSE (restricted
+    // model is nested in the full one), and SSEs are nonnegative up to
+    // the 6dp rounding
+    for (r <- SparkEntry.queries("q_events_granger")(spark, dir).collect()) {
+      val (sr, sf) = (r.getDouble(r.fieldIndex("sse_restricted")),
+        r.getDouble(r.fieldIndex("sse_full")))
+      assert(sf <= sr + 1e-6, s"full SSE $sf above restricted $sr")
+      assert(sf >= -1e-6 && sr >= -1e-6)
+    }
     // MTLD: factor accounting and the ≥1e6 ppm floor (factors ≤ tokens)
     for (r <- SparkEntry.queries("q_text_mtld")(spark, dir).limit(200).collect()) {
       assert(r.getLong(r.fieldIndex("closed_factors")) <=
