@@ -1472,4 +1472,36 @@ class PlanSpec extends SparkSuite {
     assert(!gr.contains("CartesianProduct") &&
       !gr.contains("BroadcastNestedLoopJoin"), gr.take(2000))
   }
+
+  test("session-15 additions: regression-diagnostic/sketch/fold plan shapes") {
+    // blanket: no session-15 query degrades to a cartesian product
+    for (q <- Seq("q_agg_chow", "q_agg_breusch_pagan", "q_agg_cooks",
+        "q_eval_rbo", "q_sketch_ddsketch", "q_events_kalman"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+    // Chow: two stacked hash aggs over the (type, seg) grain — joinless
+    assert(!plan("q_agg_chow").contains("Join"), plan("q_agg_chow").take(2000))
+    // BP / Cook's: the 5-row coefficient (and SSE) sides broadcast back
+    // onto the fact — never a shuffle join against the scan
+    for (q <- Seq("q_agg_breusch_pagan", "q_agg_cooks")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+    // RBO: the only non-equi shape is the bounded 20x20 depth expansion
+    // (broadcast NL by construction); the prefix overlap itself is an
+    // equi join of two TakeOrdered-bounded 20-row lists
+    val rb = plan("q_eval_rbo")
+    assert(rb.contains("TakeOrderedAndProject"), rb.take(2000))
+    // DDSketch: bucket and rank-target sides meet in broadcast hash
+    // joins; the cumulative walks are per-type bounded windows
+    val dd = plan("q_sketch_ddsketch")
+    assert(dd.contains("BroadcastHashJoin") && dd.contains("Window"),
+      dd.take(2000))
+    assert(!dd.contains("BroadcastNestedLoopJoin"), dd.take(2000))
+    // Kalman: day-grain agg + per-type ordered collect + scalar fold —
+    // joinless end to end
+    assert(!plan("q_events_kalman").contains("Join"),
+      plan("q_events_kalman").take(2000))
+  }
 }

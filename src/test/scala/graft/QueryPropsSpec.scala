@@ -845,4 +845,55 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("mtld_ppm")) >= 1000000L)
     }
   }
+
+  test("session-15 invariants: regression diagnostics, RBO, DDSketch, Kalman") {
+    // Chow: segment counts partition the pool, and the pooled SSR can
+    // never beat the two free per-segment fits (nested-model bound,
+    // up to the integer rounding grain)
+    for (r <- SparkEntry.queries("q_agg_chow")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("n1")) + r.getLong(r.fieldIndex("n2")) ==
+        r.getLong(r.fieldIndex("n")))
+      assert(r.getLong(r.fieldIndex("ssr_pooled")) + 1L >=
+        r.getLong(r.fieldIndex("ssr_split")))
+      assert(r.getDouble(r.fieldIndex("chow_f")) >= -1e-6)
+    }
+    // Breusch–Pagan: LM = n·R² of the auxiliary regression, so
+    // 0 ≤ LM ≤ n
+    for (r <- SparkEntry.queries("q_agg_breusch_pagan")(spark, dir).collect()) {
+      val lm = r.getDouble(r.fieldIndex("bp_lm"))
+      assert(lm >= -1e-6 && lm <= r.getLong(r.fieldIndex("n")).toDouble + 1e-6,
+        s"bp_lm $lm")
+    }
+    // Cook's: the influence count is a subset of the rows, D ≥ 0
+    for (r <- SparkEntry.queries("q_agg_cooks")(spark, dir).collect()) {
+      assert(r.getLong(r.fieldIndex("n_influential")) <=
+        r.getLong(r.fieldIndex("n")))
+      assert(r.getDouble(r.fieldIndex("max_cooks")) >= 0.0)
+    }
+    // RBO: prefix overlap is monotone in depth and bounded by depth;
+    // with p = 1/2 the term sum is below Σ 2^-(d-1) = 2
+    var prevX = 0L; var prevC = 0L
+    for (r <- SparkEntry.queries("q_eval_rbo")(spark, dir).collect()) {
+      val (d, x, c) = (r.getLong(r.fieldIndex("d")),
+        r.getLong(r.fieldIndex("x_d")), r.getLong(r.fieldIndex("rbo_cum_e12")))
+      assert(x >= prevX && x <= d, s"x_d $x at depth $d (prev $prevX)")
+      assert(c >= prevC && c <= 2000000000000L, s"rbo_cum $c")
+      prevX = x; prevC = c
+    }
+    // DDSketch: leading-3-digit buckets promise ≤ 0.5% midpoint error
+    // against the exact same-rank order statistic (5000 ppm)
+    for (r <- SparkEntry.queries("q_sketch_ddsketch")(spark, dir).collect();
+         q <- Seq("50", "90", "99")) {
+      val e = r.getLong(r.fieldIndex(s"err_ppm_$q"))
+      assert(e >= 0L && e <= 5000L, s"err_ppm_$q $e")
+    }
+    // Kalman: posterior variance lives in (0, r]; the steady-state
+    // update (1-K)(P+q) = r(P+q)/(P+q+r) < r = 16; innovation RMSE ≥ 0
+    for (r <- SparkEntry.queries("q_events_kalman")(spark, dir).collect()) {
+      val pv = r.getDouble(r.fieldIndex("p_var"))
+      assert(pv > 0.0 && pv <= 16.0, s"p_var $pv")
+      assert(r.getDouble(r.fieldIndex("innov_rmse")) >= 0.0)
+      assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
+    }
+  }
 }
