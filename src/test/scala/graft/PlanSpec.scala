@@ -1503,5 +1503,13 @@ class PlanSpec extends SparkSuite {
     // joinless end to end
     assert(!plan("q_events_kalman").contains("Join"),
       plan("q_events_kalman").take(2000))
+    // OLS2 / randomized response / Holt–Winters: scan + scalar
+    // projection + partial+final hash agg (+ the bounded fold) —
+    // joinless, map-side-combined plans
+    for (q <- Seq("q_agg_ols2", "q_privacy_rr", "q_window_holt_winters")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: ${p.take(2000)}")
+    }
   }
 }

@@ -895,5 +895,48 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getDouble(r.fieldIndex("innov_rmse")) >= 0.0)
       assert(r.getLong(r.fieldIndex("n_days")) >= 1L)
     }
+    // OLS2: R² of the least-squares fit lives in [0, 1], VIF ≥ 1 by
+    // Cauchy–Schwarz (r₁₂² ≤ 1)
+    for (r <- SparkEntry.queries("q_agg_ols2")(spark, dir).collect()) {
+      val r2 = r.getDouble(r.fieldIndex("r2"))
+      assert(r2 >= -1e-6 && r2 <= 1.0 + 1e-6, s"r2 $r2")
+      assert(r.getDouble(r.fieldIndex("vif")) >= 1.0 - 1e-6)
+    }
+    // randomized response: the estimator identity est_x2 = 4·obs − n
+    // holds row-by-row, counts nest, and the audit error at this SF
+    // stays under 60% of a day's rows (measured 28.3% worst day)
+    for (r <- SparkEntry.queries("q_privacy_rr")(spark, dir).collect()) {
+      val (n, t, o, e, err) = (r.getLong(r.fieldIndex("n")),
+        r.getLong(r.fieldIndex("true_cnt")), r.getLong(r.fieldIndex("obs_cnt")),
+        r.getLong(r.fieldIndex("est_x2")), r.getLong(r.fieldIndex("err_pm")))
+      assert(t <= n && o <= n && e == 4L * o - n)
+      assert(err >= 0L && err <= 600L, s"err_pm $err")
+    }
+    // Holt–Winters: independent Scala refold of the identical daily
+    // series must reproduce every reported column to the 6dp grain
+    val daily = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .count().collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) =>
+        k -> rs.sortBy(_.getLong(1)).map(_.getLong(2).toDouble).toArray }
+    for (r <- SparkEntry.queries("q_window_holt_winters")(spark, dir).collect()) {
+      val ys = daily(r.getString(0))
+      assert(ys.length >= 8 && ys.length == r.getLong(r.fieldIndex("n_days")))
+      val l0 = (ys(0) + ys(1) + ys(2) + ys(3) + ys(4) + ys(5) + ys(6)) / 7.0d
+      var l = l0; var b = 0.0d
+      var ss = Array.tabulate(7)(i => ys(i) - l0)
+      for (y <- ys.drop(7)) {
+        val nl = 0.5d * (y - ss(0)) + 0.5d * (l + b)
+        val nb = 0.5d * (nl - l) + 0.5d * b
+        val nsHead = 0.5d * (y - nl) + 0.5d * ss(0)
+        ss = ss.drop(1) :+ nsHead; l = nl; b = nb
+      }
+      def rd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rd(l) - r.getDouble(r.fieldIndex("level"))) < 1e-9)
+      assert(math.abs(rd(b) - r.getDouble(r.fieldIndex("trend"))) < 1e-9)
+      assert(math.abs(rd(l + b + ss(0)) - r.getDouble(r.fieldIndex("forecast1"))) < 1e-9)
+      assert(math.abs(rd(l + 7.0d * b + ss(6)) - r.getDouble(r.fieldIndex("forecast7"))) < 1e-9)
+    }
   }
 }
