@@ -1512,4 +1512,41 @@ class PlanSpec extends SparkSuite {
       assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: ${p.take(2000)}")
     }
   }
+
+  test("session-16 additions: median-test/PRF/pseudonym/reconciliation plan shapes") {
+    // blanket: no session-16 query degrades to a cartesian product
+    for (q <- Seq("q_events_mood", "q_eval_prf", "q_privacy_pseudonym",
+        "q_events_hier_forecast", "q_sample_rolling_origin"))
+      assert(!plan(q).contains("CartesianProduct"), q)
+    // mood: the 1-row grand median and margin totals ride broadcast NL
+    // joins onto the bounded type table — never a shuffle join
+    val md = plan("q_events_mood")
+    assert(md.contains("BroadcastNestedLoopJoin"), md.take(2000))
+    assert(!md.contains("SortMergeJoin") && !md.contains("ShuffledHashJoin"),
+      md.take(2000))
+    // PRF: the classifier keeps the rocchio broadcast-hash shape (the
+    // k×64 centroid side broadcasts); only the ≤k-class tp/fp/fn
+    // reconciliation is allowed a shuffle join
+    val pr = plan("q_eval_prf")
+    assert(pr.contains("BroadcastHashJoin"), pr.take(2000))
+    assert(!pr.contains("BroadcastNestedLoopJoin"), pr.take(2000))
+    // pseudonym: release and bridge meet in an EQUI join on the
+    // pseudonym key — any nested-loop shape would be O(users²)
+    val ps = plan("q_privacy_pseudonym")
+    assert(ps.contains("Join") && !ps.contains("BroadcastNestedLoopJoin"),
+      ps.take(2000))
+    // reconciliation: forecast sides broadcast back onto the dense
+    // test grid (hash joins) — the only NL shapes are the 1-row grand
+    // broadcasts
+    val hfp = plan("q_events_hier_forecast")
+    assert(hfp.contains("BroadcastHashJoin"), hfp.take(2000))
+    assert(!hfp.contains("SortMergeJoin"), hfp.take(2000))
+    // rolling origins: ONE corpus scan, the 4-row fold axis arrives by
+    // broadcast, and every fold membership is a conditional sum inside
+    // one partial+final hash agg — never four passes
+    val ro = plan("q_sample_rolling_origin")
+    assert(ro.contains("BroadcastNestedLoopJoin"), ro.take(2000))
+    assert("HashAggregate".r.findAllIn(ro).size >= 2, ro.take(2000))
+    assert("FileScan".r.findAllIn(ro).size <= 1, ro.take(2000))
+  }
 }

@@ -939,4 +939,73 @@ class QueryPropsSpec extends SparkSuite {
       assert(math.abs(rd(l + 7.0d * b + ss(6)) - r.getDouble(r.fieldIndex("forecast7"))) < 1e-9)
     }
   }
+
+  test("session-16 invariants: median split, PRF identities, pseudonym mass, reconciliation") {
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    // Mood's: the grand median splits the corpus — neither side can
+    // exceed N/2, ties at the median are dropped, and every χ²
+    // contribution is non-negative with a positive expectation
+    val mood = SparkEntry.queries("q_events_mood")(spark, dir).collect()
+    val (ta, tb) = (mood.map(_.getLong(1)).sum, mood.map(_.getLong(2)).sum)
+    assert(ta <= nEvents / 2 && tb <= nEvents / 2, s"split $ta/$tb of $nEvents")
+    assert(ta + tb <= nEvents)
+    for (r <- mood) {
+      assert(r.getDouble(r.fieldIndex("e_above")) > 0)
+      assert(r.getDouble(r.fieldIndex("chi2_contrib")) >= 0)
+    }
+    // PRF: micro identities — Σtp+Σfp and Σtp+Σfn both equal the test
+    // prediction count; every metric in ppm range; F1 inside the
+    // [min(P,R), max(P,R)] harmonic-mean sandwich (±1 for floor)
+    val prf = SparkEntry.queries("q_eval_prf")(spark, dir).collect()
+    val (stp, sfp, sfn) = (prf.map(_.getLong(1)).sum,
+      prf.map(_.getLong(2)).sum, prf.map(_.getLong(3)).sum)
+    assert(stp + sfp == stp + sfn, s"pred mass $sfp vs truth mass $sfn")
+    for (r <- prf; c <- Seq("precision_ppm", "recall_ppm", "f1_ppm")
+        if !r.isNullAt(r.fieldIndex(c))) {
+      val v = r.getLong(r.fieldIndex(c))
+      assert(v >= 0 && v <= 1000000L, s"$c $v")
+    }
+    for (r <- prf if !r.isNullAt(r.fieldIndex("precision_ppm")) &&
+        !r.isNullAt(r.fieldIndex("recall_ppm"))) {
+      val (p, rc, f1) = (r.getLong(r.fieldIndex("precision_ppm")),
+        r.getLong(r.fieldIndex("recall_ppm")), r.getLong(r.fieldIndex("f1_ppm")))
+      assert(f1 >= math.min(p, rc) - 1 && f1 <= math.max(p, rc) + 1,
+        s"F1 $f1 outside [$p, $rc]")
+    }
+    // pseudonymization: rotation loses no mass (Σ n_events = N), the
+    // re-keyed release stays user-grain (distinct new pseudonyms), and
+    // no pseudonym survives the salt rotation unchanged
+    val pseu = SparkEntry.queries("q_privacy_pseudonym")(spark, dir).collect()
+    assert(pseu.map(_.getLong(2)).sum == nEvents)
+    assert(pseu.map(_.getString(1)).distinct.length == pseu.length)
+    for (r <- pseu) assert(r.getString(0) != r.getString(1))
+    // top-down reconciliation: shares are a floored partition of unity
+    // and the top-down forecasts sum to at most the total-mean model
+    val hf = SparkEntry.queries("q_events_hier_forecast")(spark, dir).collect()
+    val shareSum = hf.map(_.getLong(1)).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 3L * hf.length,
+      s"share sum $shareSum")
+    assert(hf.map(_.getLong(hf.head.fieldIndex("n_test_days"))).distinct.length == 1)
+    for (r <- hf) {
+      assert(r.getLong(r.fieldIndex("sae_naive")) >= 0 &&
+        r.getLong(r.fieldIndex("sae_topdown")) >= 0)
+    }
+    // rolling origins: later folds never train on less data, and no
+    // fold's train+test exceeds the type's corpus
+    val ro = SparkEntry.queries("q_sample_rolling_origin")(spark, dir).collect()
+      .groupBy(_.getString(0))
+    val typeTotals = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((ty, rs) <- ro) {
+      assert(rs.length == 4, s"$ty has ${rs.length} folds")
+      val sorted = rs.sortBy(_.getLong(rs.head.fieldIndex("fold")))
+      val trains = sorted.map(_.getLong(rs.head.fieldIndex("n_train")))
+      assert(trains.zip(trains.tail).forall { case (a, b) => a <= b },
+        s"$ty train sizes not monotone: ${trains.mkString(",")}")
+      for (r <- sorted)
+        assert(r.getLong(r.fieldIndex("n_train")) + r.getLong(r.fieldIndex("n_test"))
+          <= typeTotals(ty))
+    }
+  }
 }
