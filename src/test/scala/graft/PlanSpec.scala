@@ -1548,5 +1548,27 @@ class PlanSpec extends SparkSuite {
     assert(ro.contains("BroadcastNestedLoopJoin"), ro.take(2000))
     assert("HashAggregate".r.findAllIn(ro).size >= 2, ro.take(2000))
     assert("FileScan".r.findAllIn(ro).size <= 1, ro.take(2000))
+    // uplift / Cohen's d: scan + user-or-type-grain partial+final hash
+    // aggs — joinless, map-side-combined plans
+    for (q <- Seq("q_events_uplift", "q_eval_cohens_d")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: ${p.take(2000)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$q: ${p.take(2000)}")
+    }
+    // DP top-k: the noise is scalar per vocabulary row and the ranking
+    // window runs over the thresholded candidate set — joinless
+    val dt = plan("q_privacy_dp_topk")
+    assert(!dt.contains("Join") && dt.contains("Window"), dt.take(2000))
+    // IRR: the only join is the 1-row exposure broadcast
+    val ir = plan("q_events_irr")
+    assert(ir.contains("BroadcastNestedLoopJoin"), ir.take(2000))
+    assert(!ir.contains("SortMergeJoin") && !ir.contains("CartesianProduct"),
+      ir.take(2000))
+    // mixture budget: the 1-row budget broadcasts onto the source
+    // table; the allocation is one capped running-sum window
+    val mb = plan("q_docs_mixture_budget")
+    assert(mb.contains("BroadcastNestedLoopJoin") && mb.contains("Window"),
+      mb.take(2000))
+    assert(!mb.contains("CartesianProduct"), mb.take(2000))
   }
 }

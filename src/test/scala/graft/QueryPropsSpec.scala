@@ -1008,4 +1008,64 @@ class QueryPropsSpec extends SparkSuite {
           <= typeTotals(ty))
     }
   }
+
+  test("session-16 invariants II: uplift identity, DP release shape, IRR signs, budget fill") {
+    // uplift: arms partition each segment's users, rates live in ppm
+    // range, and the uplift column IS the exact rate difference
+    val up = SparkEntry.queries("q_events_uplift")(spark, dir).collect()
+    val nUsers = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id")).distinct().count()
+    assert(up.map(r => r.getLong(r.fieldIndex("n_t")) +
+      r.getLong(r.fieldIndex("n_c"))).sum <= nUsers)
+    for (r <- up) {
+      val (rt, rc, u) = (r.getLong(r.fieldIndex("rate_t_ppm")),
+        r.getLong(r.fieldIndex("rate_c_ppm")), r.getLong(r.fieldIndex("uplift_ppm")))
+      assert(rt >= 0 && rt <= 1000000L && rc >= 0 && rc <= 1000000L)
+      assert(u == rt - rc)
+      assert(r.getLong(r.fieldIndex("conv_t")) <= r.getLong(r.fieldIndex("n_t")))
+      assert(r.getLong(r.fieldIndex("conv_c")) <= r.getLong(r.fieldIndex("n_c")))
+    }
+    // DP top-k: contiguous ranks, nonincreasing noised counts, every
+    // release clears the stability threshold, and neither the raw
+    // count nor the noise appears in the schema
+    val dt = SparkEntry.queries("q_privacy_dp_topk")(spark, dir).collect()
+    assert(dt.map(_.getLong(0)).sorted.sameElements(1L to dt.length map (_.toLong)))
+    val byRank = dt.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    assert(byRank.forall(_ >= 50L))
+    assert(!dt.head.schema.fieldNames.exists(Set("n", "noise")))
+    // IRR: the ratio is positive and ln/z agree with it in sign
+    for (r <- SparkEntry.queries("q_events_irr")(spark, dir).collect()) {
+      val irr = r.getLong(r.fieldIndex("irr_ppm"))
+      val (li, se, z) = (r.getDouble(r.fieldIndex("ln_irr")),
+        r.getDouble(r.fieldIndex("se")), r.getDouble(r.fieldIndex("z")))
+      assert(irr > 0 && se > 0)
+      assert(math.signum(li) == math.signum(irr.toDouble - 1000000.0) || li == 0.0)
+      assert(math.signum(z) == math.signum(li) || z == 0.0)
+    }
+    // Cohen's d agrees in SIGN with Welch's t on the same arm split —
+    // both are the mean difference over a positive scale
+    val tByType = SparkEntry.queries("q_events_ttest")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("t_welch"))).toMap
+    for (r <- SparkEntry.queries("q_eval_cohens_d")(spark, dir).collect()) {
+      val d = r.getDouble(r.fieldIndex("cohens_d"))
+      val t = tByType(r.getString(0))
+      assert(math.signum(d) == math.signum(t) || d == 0.0 || t == 0.0,
+        s"${r.getString(0)}: d=$d t=$t")
+    }
+    // mixture budget: greedy fills EXACTLY to floor(total/2) (the cap
+    // always binds), quality ranks are nonincreasing, and every
+    // non-marginal source is taken whole
+    val mbr = SparkEntry.queries("q_docs_mixture_budget")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val totalToks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("t"))
+      .agg(sum(col("t"))).collect()(0).getLong(0)
+    assert(mbr.map(_.getLong(4)).sum == totalToks / 2)
+    val quals = mbr.map(_.getLong(2))
+    assert(quals.zip(quals.tail).forall { case (a, b) => a >= b })
+    for (r <- mbr.dropRight(1))
+      assert(r.getLong(r.fieldIndex("take_tokens")) ==
+        r.getLong(r.fieldIndex("src_tokens")))
+  }
 }
