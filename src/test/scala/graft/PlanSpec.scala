@@ -1570,5 +1570,19 @@ class PlanSpec extends SparkSuite {
     assert(mb.contains("BroadcastNestedLoopJoin") && mb.contains("Window"),
       mb.take(2000))
     assert(!mb.contains("CartesianProduct"), mb.take(2000))
+    // session rollup: the sessionizer's ONE per-user ordered window
+    // carries the running session ids — joinless, two stacked aggs
+    val ss = plan("q_events_session_stats")
+    assert(!ss.contains("Join") && ss.contains("Window"), ss.take(2000))
+    // partial correlation: the day-grain pair table is an EQUI join
+    // and triple assembly joins the checkpointed k²-row table — no
+    // cartesian, no nested loop anywhere
+    val pc = plan("q_events_partial_corr")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"), pc.take(2000))
+    // competing risks: per-user milestone window + day-grain fold
+    // windows — joinless end to end
+    val cr = plan("q_events_competing_risks")
+    assert(!cr.contains("Join") && cr.contains("Window"), cr.take(2000))
   }
 }

@@ -1068,4 +1068,46 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("take_tokens")) ==
         r.getLong(r.fieldIndex("src_tokens")))
   }
+
+  test("session-16 invariants III: session mass, partial-corr bounds, AJ identity") {
+    // session rollup: sessions partition the event stream exactly and
+    // the rates are consistent with their numerators
+    val ssr = SparkEntry.queries("q_events_session_stats")(spark, dir).collect()(0)
+    val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(ssr.getLong(ssr.fieldIndex("n_events")) == nEv)
+    assert(ssr.getLong(ssr.fieldIndex("n_bounce")) <=
+      ssr.getLong(ssr.fieldIndex("n_sessions")))
+    assert(ssr.getLong(ssr.fieldIndex("n_sessions")) >=
+      ssr.getLong(ssr.fieldIndex("n_users")))
+    assert(ssr.getLong(ssr.fieldIndex("events_per_session_ppm")) >= 1000000L)
+    // partial correlation: every r in [-1, 1] (±1e-6 for the 6dp
+    // round), and the row grid is exactly pairs × controls
+    val pcr = SparkEntry.queries("q_events_partial_corr")(spark, dir).collect()
+    val k = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_type")).distinct().count().toInt
+    assert(pcr.length == k * (k - 1) / 2 * (k - 2), s"rows ${pcr.length} for k=$k")
+    for (r <- pcr; c <- Seq("r_xy", "r_partial")) {
+      val v = r.getDouble(r.fieldIndex(c))
+      assert(v >= -1.000001 && v <= 1.000001, s"$c $v")
+    }
+    // Aalen–Johansen: S decreases, CIFs accumulate, and
+    // S + CIF₁ + CIF₂ = 1 at EVERY step (the AJ identity; 3e-6 for
+    // the per-column rounding)
+    val aj = SparkEntry.queries("q_events_competing_risks")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(aj.nonEmpty && aj.exists(r => r.getLong(r.fieldIndex("d1")) > 0) &&
+      aj.exists(r => r.getLong(r.fieldIndex("d2")) > 0),
+      "both causes must fire — the estimator must estimate")
+    val (svs, c1s, c2s) = (aj.map(_.getDouble(aj.head.fieldIndex("surv"))),
+      aj.map(_.getDouble(aj.head.fieldIndex("cif_1"))),
+      aj.map(_.getDouble(aj.head.fieldIndex("cif_2"))))
+    assert(svs.zip(svs.tail).forall { case (a, b) => a >= b - 1e-9 })
+    assert(c1s.zip(c1s.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(c2s.zip(c2s.tail).forall { case (a, b) => a <= b + 1e-9 })
+    for (i <- aj.indices)
+      assert(math.abs(svs(i) + c1s(i) + c2s(i) - 1.0) < 3e-6,
+        s"AJ identity broken at row $i: ${svs(i)} + ${c1s(i)} + ${c2s(i)}")
+    val nr = aj.map(_.getLong(aj.head.fieldIndex("n_risk")))
+    assert(nr.zip(nr.tail).forall { case (a, b) => a >= b })
+  }
 }
