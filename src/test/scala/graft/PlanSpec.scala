@@ -1584,5 +1584,12 @@ class PlanSpec extends SparkSuite {
     // windows — joinless end to end
     val cr = plan("q_events_competing_risks")
     assert(!cr.contains("Join") && cr.contains("Window"), cr.take(2000))
+    // Theil: the segment table and 1-row totals broadcast back onto
+    // the user grain — never a shuffle join against the user table
+    val th = plan("q_agg_theil")
+    assert(th.contains("BroadcastHashJoin") || th.contains("BroadcastNestedLoopJoin"),
+      th.take(2000))
+    assert(!th.contains("SortMergeJoin") && !th.contains("CartesianProduct"),
+      th.take(2000))
   }
 }

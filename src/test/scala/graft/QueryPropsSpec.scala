@@ -1109,5 +1109,14 @@ class QueryPropsSpec extends SparkSuite {
         s"AJ identity broken at row $i: ${svs(i)} + ${c1s(i)} + ${c2s(i)}")
     val nr = aj.map(_.getLong(aj.head.fieldIndex("n_risk")))
     assert(nr.zip(nr.tail).forall { case (a, b) => a >= b })
+    // Theil: non-negative components and the decomposition identity
+    // T = B + W (3e-6 tolerance for the three independent roundings)
+    val th = SparkEntry.queries("q_agg_theil")(spark, dir).collect()(0)
+    val (tt, tb, tw) = (th.getDouble(th.fieldIndex("theil_total")),
+      th.getDouble(th.fieldIndex("theil_between")),
+      th.getDouble(th.fieldIndex("theil_within")))
+    assert(tt >= 0 && tb >= -1e-9 && tw >= -1e-9)
+    assert(math.abs(tt - tb - tw) < 3e-6, s"Theil identity: $tt != $tb + $tw")
+    assert(tb <= tt + 1e-9 && tw <= tt + 1e-9)
   }
 }
