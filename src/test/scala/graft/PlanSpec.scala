@@ -1591,5 +1591,13 @@ class PlanSpec extends SparkSuite {
       th.take(2000))
     assert(!th.contains("SortMergeJoin") && !th.contains("CartesianProduct"),
       th.take(2000))
+    // Atkinson / Kish: scan + user-grain agg + 1-row reduce — joinless
+    for (q <- Seq("q_agg_atkinson", "q_sample_kish"))
+      assert(!plan(q).contains("Join"), q)
+    // MH hazard ratio: the log-rank strata machinery — grid broadcast,
+    // equi-join fill, never a shuffle join or cartesian
+    val hz = plan("q_events_hazard_ratio")
+    assert(!hz.contains("CartesianProduct") && !hz.contains("SortMergeJoin"),
+      hz.take(2000))
   }
 }

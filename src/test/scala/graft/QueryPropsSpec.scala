@@ -1118,5 +1118,27 @@ class QueryPropsSpec extends SparkSuite {
     assert(tt >= 0 && tb >= -1e-9 && tw >= -1e-9)
     assert(math.abs(tt - tb - tw) < 3e-6, s"Theil identity: $tt != $tb + $tw")
     assert(tb <= tt + 1e-9 && tw <= tt + 1e-9)
+    // Atkinson(1): a share of welfare lost — strictly inside [0, 1)
+    val at = SparkEntry.queries("q_agg_atkinson")(spark, dir).collect()(0)
+    val a1 = at.getDouble(at.fieldIndex("atkinson_e1"))
+    assert(a1 >= 0 && a1 < 1, s"Atkinson $a1")
+    // Kish: n_eff ≤ n (Cauchy–Schwarz — an EXACT inequality) and the
+    // design effect is its reciprocal statement
+    val ks = SparkEntry.queries("q_sample_kish")(spark, dir).collect()(0)
+    val (nS, nEff, deff) = (ks.getLong(ks.fieldIndex("n_sampled")),
+      ks.getDouble(ks.fieldIndex("n_eff")),
+      ks.getDouble(ks.fieldIndex("design_effect")))
+    assert(nEff <= nS + 1e-6 && nEff > 0, s"n_eff $nEff vs n $nS")
+    assert(deff >= 1.0 - 1e-6, s"design effect $deff")
+    // MH hazard ratio: positive, ln agrees in sign, observed events
+    // match the log-rank query's margins on the same lifetimes
+    val hr = SparkEntry.queries("q_events_hazard_ratio")(spark, dir).collect()(0)
+    assert(hr.getDouble(hr.fieldIndex("hr_mh")) > 0)
+    assert(math.signum(hr.getDouble(hr.fieldIndex("ln_hr"))) ==
+      math.signum(hr.getDouble(hr.fieldIndex("hr_mh")) - 1.0) ||
+      hr.getDouble(hr.fieldIndex("ln_hr")) == 0.0)
+    val lr = SparkEntry.queries("q_events_logrank")(spark, dir).collect()(0)
+    assert(hr.getLong(hr.fieldIndex("o1")) == lr.getLong(lr.fieldIndex("o1")))
+    assert(hr.getLong(hr.fieldIndex("o0")) == lr.getLong(lr.fieldIndex("o2")))
   }
 }
