@@ -1599,5 +1599,13 @@ class PlanSpec extends SparkSuite {
     val hz = plan("q_events_hazard_ratio")
     assert(!hz.contains("CartesianProduct") && !hz.contains("SortMergeJoin"),
       hz.take(2000))
+    // isotropy probe and rich-club sweep: 100-row / 3-row sides arrive
+    // by broadcast; no cartesian anywhere
+    for (q <- Seq("q_embed_isotropy", "q_graph_richclub")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q: ${p.take(2000)}")
+    }
   }
 }

@@ -1140,5 +1140,28 @@ class QueryPropsSpec extends SparkSuite {
     val lr = SparkEntry.queries("q_events_logrank")(spark, dir).collect()(0)
     assert(hr.getLong(hr.fieldIndex("o1")) == lr.getLong(lr.fieldIndex("o1")))
     assert(hr.getLong(hr.fieldIndex("o0")) == lr.getLong(lr.fieldIndex("o2")))
+    // isotropy: the probe pair count is exactly C(probe, 2) and the
+    // mean squared cosine sits in a sane band around the 1/d reference
+    val iso = SparkEntry.queries("q_embed_isotropy")(spark, dir).collect()(0)
+    val np = iso.getLong(iso.fieldIndex("n_pairs"))
+    val probe = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 100).count()
+    assert(np == probe * (probe - 1) / 2)
+    val (mc, ip) = (iso.getLong(iso.fieldIndex("mean_cos2_ppm")),
+      iso.getLong(iso.fieldIndex("isotropic_ppm")))
+    assert(mc > 0 && mc < 1000000L)
+    assert(mc >= ip / 2 && mc <= ip * 10, s"mean cos2 $mc vs isotropic $ip")
+    // rich club: clubs shrink monotonically with k, realized edges
+    // can only drop with the stricter filter, density stays in ppm
+    val rc = SparkEntry.queries("q_graph_richclub")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    val (ns, es) = (rc.map(_.getLong(rc.head.fieldIndex("n_rich"))),
+      rc.map(_.getLong(rc.head.fieldIndex("e_rich"))))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(es.zip(es.tail).forall { case (a, b) => a >= b })
+    for (r <- rc) {
+      val d = r.getLong(r.fieldIndex("density_ppm"))
+      assert(d >= 0 && d <= 1000000L, s"density $d")
+    }
   }
 }
