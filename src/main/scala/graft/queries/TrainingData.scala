@@ -78,6 +78,7 @@ object TrainingData {
   val convBigramsPath     = s"$oracleRoot/conv_bigrams_turns"
   val convToolRunsPath    = s"$oracleRoot/conv_toolruns_turns"
   val convBudgetPath      = s"$oracleRoot/conv_budget"
+  val convScriptPath      = s"$oracleRoot/conv_script_turns"
   val bpeExpectedPath     = s"$oracleRoot/bpe_expected"
   val streamJoinPath      = s"$oracleRoot/stream_join_turns"
   val streamDedupPath     = s"$oracleRoot/stream_dedup_turns"
@@ -1140,6 +1141,45 @@ object TrainingData {
         .orderBy(col("dialect"))
     }),
 
+    // script-mix profile by dialect — the writing-system audit a
+    // multilingual transcript corpus gets before any langid threshold
+    // is trusted (these pages mix Cyrillic field text with Latin
+    // markup): per dialect, the Cyrillic / Latin / digit character
+    // mass of the RAW payloads in exact ppm. The sidecar carries the
+    // raw text and BOTH engines run their own regex stack over it
+    // (Java vs RE2 — the q_regex cross-engine discipline), so the
+    // oracle independently re-derives every count. Character counting
+    // is length − length(strip(class)) — one scan, one hash agg on
+    // the 3-dialect vocabulary.
+    "q_conv_script_mix" -> ((s, dir) => {
+      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("tool").as("dialect"),
+          col("text"))
+        .coalesce(1) // oracle plumbing only — see genWithSidecar note
+        .write.mode("overwrite").parquet(convScriptPath)
+      s.read.parquet(convScriptPath)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("dialect"), length(col("text")).cast("long").as("total"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[а-яА-ЯёЁ]", "")))
+            .cast("long").as("cyr"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Za-z]", "")))
+            .cast("long").as("lat"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("long").as("dig"))
+        .groupBy(col("dialect"))
+        .agg(count(lit(1)).as("n_turns"), sum(col("total")).as("sum_chars"),
+          sum(col("cyr")).as("sum_cyr"), sum(col("lat")).as("sum_lat"),
+          sum(col("dig")).as("sum_dig"))
+        .select(col("dialect"), col("n_turns"), col("sum_chars"),
+          expr("sum_cyr * 1000000L div sum_chars").as("cyr_ppm"),
+          expr("sum_lat * 1000000L div sum_chars").as("latin_ppm"),
+          expr("sum_dig * 1000000L div sum_chars").as("digit_ppm"))
+        .orderBy(col("dialect"))
+    }),
+
     // per-role turn-length distribution — exact lower-pick quantiles
     // (p25/p50/p75/p95) of token counts conditioned on speaker role:
     // the context-budget planning table (how much window do assistant
@@ -1721,6 +1761,20 @@ object TrainingData {
                  CAST((sum(extracted_len) * 1000000) // sum(payload_len) AS BIGINT) AS keep_ppm
           FROM read_parquet('$convStripPath/*.parquet')
           GROUP BY dialect ORDER BY dialect""",
+    // independent RE2 regex pass over the raw sidecar text
+    "q_conv_script_mix" ->
+      s"""WITH c AS (SELECT dialect,
+                            CAST(length(text) AS BIGINT) AS total,
+                            CAST(length(text) - length(regexp_replace(text, '[а-яА-ЯёЁ]', '', 'g')) AS BIGINT) AS cyr,
+                            CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS lat,
+                            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS dig
+                     FROM read_parquet('$convScriptPath/*.parquet'))
+          SELECT dialect, count(*) AS n_turns,
+                 CAST(sum(total) AS BIGINT) AS sum_chars,
+                 CAST(sum(cyr) * 1000000 // sum(total) AS BIGINT) AS cyr_ppm,
+                 CAST(sum(lat) * 1000000 // sum(total) AS BIGINT) AS latin_ppm,
+                 CAST(sum(dig) * 1000000 // sum(total) AS BIGINT) AS digit_ppm
+          FROM c GROUP BY dialect ORDER BY dialect""",
     "q_conv_length_quantiles" ->
       s"""WITH r AS (SELECT role, n_toks,
                             row_number() OVER (PARTITION BY role
