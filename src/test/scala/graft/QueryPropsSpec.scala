@@ -1163,5 +1163,21 @@ class QueryPropsSpec extends SparkSuite {
       val d = r.getLong(r.fieldIndex("density_ppm"))
       assert(d >= 0 && d <= 1000000L, s"density $d")
     }
+    // char classes: the four floored shares partition every character
+    // (sum within 4 ppm of unity from the four independent floors)
+    for (r <- SparkEntry.queries("q_text_charclasses")(spark, dir).collect()) {
+      val s4 = Seq("letter_ppm", "digit_ppm", "space_ppm", "other_ppm")
+        .map(c => r.getLong(r.fieldIndex(c)))
+      assert(s4.forall(v => v >= 0 && v <= 1000000L))
+      assert(s4.sum >= 1000000L - 4 && s4.sum <= 1000000L, s"classes ${s4.sum}")
+    }
+    // script mix: all three dialects report, and the three class
+    // masses never exceed the total
+    val sm = SparkEntry.queries("q_conv_script_mix")(spark, dir).collect()
+    assert(sm.map(_.getString(0)).sorted.sameElements(Array("html", "pdf", "plain")))
+    for (r <- sm)
+      assert(r.getLong(r.fieldIndex("cyr_ppm")) +
+        r.getLong(r.fieldIndex("latin_ppm")) +
+        r.getLong(r.fieldIndex("digit_ppm")) <= 1000000L)
   }
 }
