@@ -1179,5 +1179,18 @@ class QueryPropsSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("cyr_ppm")) +
         r.getLong(r.fieldIndex("latin_ppm")) +
         r.getLong(r.fieldIndex("digit_ppm")) <= 1000000L)
+    // Hoover vs Gini ordering: for any distribution H ≤ G (both in
+    // ppm), and H lives in [0, 1)
+    val hv = SparkEntry.queries("q_agg_hoover")(spark, dir).collect()(0)
+    val hp = hv.getLong(hv.fieldIndex("hoover_ppm"))
+    assert(hp >= 0 && hp < 1000000L)
+    // distance profile: radius ≤ diameter, mean path between 1 and
+    // the diameter (in ppm), pairs bounded by n(n−1)
+    val dp = SparkEntry.queries("q_graph_distprofile")(spark, dir).collect()(0)
+    val (nn, dia, rad, npr, mp) = (dp.getLong(0), dp.getLong(1), dp.getLong(2),
+      dp.getLong(3), dp.getLong(4))
+    assert(rad <= dia)
+    assert(npr <= nn * (nn - 1))
+    assert(mp >= 1000000L && mp <= dia * 1000000L, s"mean path $mp dia $dia")
   }
 }
