@@ -1429,9 +1429,11 @@ object TrainingData {
           sum(when(col("participant_code").isNotNull, 1L).otherwise(0L))
             .as("n_coded"))
         .select(col("subject"), col("n_turns"), col("sum_score"),
-          expr("(n_warned * 1000000L) div n_turns").as("warn_ppm"),
-          expr("(n_errored * 1000000L) div n_turns").as("err_ppm"),
-          expr("(n_coded * 1000000L) div n_turns").as("code_ppm"))
+          // decimal(38,0) finals: match the oracle's HUGEINT arrow type
+          // (driver's value hash is type-sensitive, r5 verdict wrong #1)
+          expr("cast((n_warned * 1000000L) div n_turns as decimal(38,0))").as("warn_ppm"),
+          expr("cast((n_errored * 1000000L) div n_turns as decimal(38,0))").as("err_ppm"),
+          expr("cast((n_coded * 1000000L) div n_turns as decimal(38,0))").as("code_ppm"))
         .orderBy(col("subject"))
     }),
   )
