@@ -159,13 +159,47 @@ object TrainingData {
         size() > 2
     }
 
+  /** Memoized deterministic synthetic corpus per (session, size,
+    * parallelism): a dozen conversation-analytics queries each need
+    * the SAME generated turn table (they project different columns
+    * into their own oracle sidecars), and an un-memoized
+    * Pipeline.synthTurns re-renders every transcript on every action.
+    * localCheckpoint'd so each query's sidecar write + compute reads
+    * materialized rows; generation is deterministic, so results are
+    * byte-identical either way (same discipline as genMemo). */
+  private val synthMemo =
+    new java.util.LinkedHashMap[(SparkSession, Long, Int), Dataset[graft.core.TurnInput]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, Long, Int), Dataset[graft.core.TurnInput]]): Boolean = {
+        val evict = size() > 4
+        if (evict) scala.util.Try(e.getValue.unpersist(false))
+        evict
+      }
+    }
+
+  private def synthShared(s: SparkSession, n: Long, parts: Int): Dataset[graft.core.TurnInput] =
+    synthMemo.synchronized {
+      val key = (s, n, parts)
+      val hit = synthMemo.get(key)
+      if (hit != null) hit
+      else {
+        val d = graft.pipeline.Pipeline.synthTurns(s, n, parts).localCheckpoint(true)
+        synthMemo.put(key, d)
+        d
+      }
+    }
+
   private def genWithSidecar(s: SparkSession): Dataset[graft.core.TurnInput] =
     genMemo.synchronized {
       val cached = genMemo.get(s)
       if (cached != null) cached
       else {
         import s.implicits._
+        // checkpoint: the generator otherwise re-renders the corpus on
+        // every downstream action (two sidecar writes here + every
+        // extraction consumer)
         val gen = graft.pipeline.Pipeline.synthWithExpected(s, nConvs, 8)
+          .localCheckpoint(true)
         val expected = gen.select(col("_2.*"))
         flat(expected).coalesce(1)
           .write.mode("overwrite").parquet(expectedTurnsPath)
@@ -213,8 +247,11 @@ object TrainingData {
       else {
         import s.implicits._
         import graft.io.TableIO
+        // checkpoint: the two wave writes + merge below each action
+        // this Dataset; un-cut, every one re-runs the full extraction
         val extracted = graft.pipeline.Pipeline
           .extractTurnsSalted(genWithSidecar(s), 32)
+          .localCheckpoint(true)
         deleteRec(java.nio.file.Paths.get(tablePath))
         TableIO.writeExtracted(extracted, tablePath, buckets = 8, waves = 2,
           stopAfterWaves = 1)
@@ -343,7 +380,7 @@ object TrainingData {
       else {
         import s.implicits._
         import graft.streaming.StreamExtract
-        val corpus = graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+        val corpus = synthShared(s, 200L, 4)
         corpus.coalesce(1).write.mode("overwrite").parquet(streamJoinPath)
         // the dedup flavor reads its OWN sidecar: the same corpus PLUS
         // an exact-duplicate slice (hash class 0 convs) present in the
@@ -729,7 +766,7 @@ object TrainingData {
     // routing key stands in for a real conv→tenant mapping. Oracle:
     // the identical join+agg in DuckDB over the input sidecar.
     "q_stream_enrich" -> ((s, dir) => {
-      graft.pipeline.Pipeline.synthTurns(s, 150L, 4)
+      synthShared(s, 150L, 4)
         .coalesce(1).write.mode("overwrite").parquet(streamEnrichPath)
       val dim = s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey"), col("n_name"))
@@ -767,7 +804,7 @@ object TrainingData {
     // classic gap fold (lag + cumulative break sum) over the SAME input
     // parquet — an independent derivation of the session semantics.
     "q_stream_sessions" -> ((s, dir) => {
-      graft.pipeline.Pipeline.synthTurns(s, 200L, 4)
+      synthShared(s, 200L, 4)
         .coalesce(1).write.mode("overwrite").parquet(streamTurnsPath)
       val streamed = graft.streaming.StreamExtract.runOnce(
         graft.streaming.StreamExtract.sessionWindows(
@@ -954,7 +991,7 @@ object TrainingData {
     "q_join_difflib" -> ((s, dir) => {
       import s.implicits._
       val keys = graft.synth.Synth.knownKeys
-      val turns = graft.pipeline.Pipeline.synthTurns(s, 300L, 8)
+      val turns = synthShared(s, 300L, 8)
       val observed = graft.pipeline.Pipeline.extractTurns(turns)
         .filter(e => e.subject.isDefined && e.grade.isDefined)
         .map(e => s"${e.subject.get} ${e.grade.get}")
@@ -1023,7 +1060,7 @@ object TrainingData {
     // so a heavy-tail conv cannot straggle the shuffle (PlanSpec pins
     // the partial/final split).
     "q_dedup_conv_minhash" -> ((s, dir) => {
-      val turns = graft.pipeline.Pipeline.synthTurns(s, 300L, 8).toDF()
+      val turns = synthShared(s, 300L, 8).toDF()
       val dups = turns
         .filter(substring(col("conv_id"), -1, 1) === "0" && col("turn_idx") < 4)
         .withColumn("conv_id", concat(col("conv_id"), lit("~dup")))
@@ -1069,7 +1106,7 @@ object TrainingData {
     // shuffle at any corpus size.
     "q_conv_tail_budget" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
@@ -1096,7 +1133,7 @@ object TrainingData {
     // the bounded role vocabulary; at 10^12 turns this is the
     // map-side-combined scan every corpus report starts from.
     "q_conv_turn_stats" -> ((s, dir) => {
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
           length(col("text")).cast("long").as("n_chars"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -1152,7 +1189,7 @@ object TrainingData {
     // is length − length(strip(class)) — one scan, one hash agg on
     // the 3-dialect vocabulary.
     "q_conv_script_mix" -> ((s, dir) => {
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("tool").as("dialect"),
           col("text"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
@@ -1187,7 +1224,7 @@ object TrainingData {
     // the bounded 3-role vocabulary; picks are exact integers.
     "q_conv_length_quantiles" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("role"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
@@ -1215,7 +1252,7 @@ object TrainingData {
     // conversations stay one task each.
     "q_conv_role_bigrams" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("role"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
         .write.mode("overwrite").parquet(convBigramsPath)
@@ -1240,7 +1277,7 @@ object TrainingData {
     // per-conv window is the extraction pipeline's own partition bound.
     "q_conv_latency" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("role"), col("ts"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
         .write.mode("overwrite").parquet(convLatencyPath)
@@ -1272,7 +1309,7 @@ object TrainingData {
     // key for determinism.
     "q_conv_tool_chains" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("tool"))
         .coalesce(1) // oracle plumbing only
         .write.mode("overwrite").parquet(convToolChainPath)
@@ -1302,7 +1339,7 @@ object TrainingData {
     // rides; the final agg is over the bounded tool-key space.
     "q_conv_tool_runs" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("tool"))
         .coalesce(1) // oracle plumbing only — see genWithSidecar note
         .write.mode("overwrite").parquet(convToolRunsPath)
@@ -1331,7 +1368,7 @@ object TrainingData {
     // Everything is hash aggs on (conv, token) then (conv); the
     // histogram key space is 11 bins.
     "q_conv_topic_drift" -> ((s, dir) => {
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("text"))
         .coalesce(1) // oracle plumbing only
         .write.mode("overwrite").parquet(convDriftPath)
@@ -1362,7 +1399,7 @@ object TrainingData {
     // by the conversation, so the heavy tail stays one task.
     "q_conv_burst" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      graft.pipeline.Pipeline.synthTurns(s, 400L, 8).toDF()
+      synthShared(s, 400L, 8).toDF()
         .select(col("conv_id"), col("turn_idx"), col("ts"))
         .coalesce(1) // oracle plumbing only
         .write.mode("overwrite").parquet(convBurstPath)

@@ -94,7 +94,7 @@ class QueryPropsSpec extends SparkSuite {
     val rows = SparkEntry.queries("q_ann_ivf_recall")(spark, dir)
       .orderBy("nprobe").collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
-    val recalls = rows.map(r => r.getLong(r.fieldIndex("recall_ppm")))
+    val recalls = rows.map(r => r.getDecimal(r.fieldIndex("recall_ppm")).longValueExact())
     assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
       s"recall not monotone: ${recalls.mkString(",")}")
     for (r <- rows)
@@ -338,7 +338,7 @@ class QueryPropsSpec extends SparkSuite {
     // logloss: the md5 scorer is calibrated by construction, so its
     // cross-entropy must beat the base-rate entropy
     val ll = SparkEntry.queries("q_eval_logloss")(spark, dir).collect()(0)
-    assert(ll.getLong(ll.fieldIndex("logloss_e6")) <
+    assert(ll.getDecimal(ll.fieldIndex("logloss_e6")).longValueExact() <
       ll.getLong(ll.fieldIndex("baseline_e6")), "calibrated scorer lost to base rate")
     // power law: MLE alpha > 1 by construction; the share column is a
     // floored partition of unity
