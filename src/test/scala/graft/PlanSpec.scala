@@ -1330,10 +1330,12 @@ class PlanSpec extends SparkSuite {
     // sort-merge on vertex keys), never a cartesian
     val kt = plan("q_graph_ktruss")
     assert(!kt.contains("CartesianProduct"), kt.take(2000))
-    // JSD: union-support assembly is equi left/anti joins plus the
-    // 10-row pair BNLJ; no cartesian anywhere
+    // JSD: combo assembly is the gram-hash equi SELF-join plus the
+    // bounded histogram/subtraction joins and the 10-row pair BNLJ —
+    // the shared-gram join must stay an equi hash/SMJ on h, and no
+    // cartesian anywhere
     val js = plan("q_text_jsd")
-    assert(js.contains("LeftAnti"), js.take(2000))
+    assert(js.contains("Join") && js.contains("LeftOuter"), js.take(2000))
     assert(!js.contains("CartesianProduct"), js.take(2000))
     // MaxSim: the 5×8×8 query grain broadcasts into the candidate
     // stream (the rerank-after-ANN shape); no cartesian
