@@ -934,11 +934,13 @@ class PlanSpec extends SparkSuite {
     // BFS distance: the returned relation reads the converged
     // checkpoint; no round leaves a cartesian behind
     assert(!plan("q_graph_sssp").contains("CartesianProduct"))
-    // winnowing: one generator + one bounded ROWS frame — fingerprint
-    // selection never self-joins the gram stream
+    // winnowing is fully row-local now (the w=4 sliding min and the
+    // survivor distinct fold inside each document's own row): the plan
+    // must be scan + projects with NO explode, NO window shuffle and
+    // NO join of any kind above the scan
     val wn = plan("q_text_minimizers")
-    assert(wn.contains("Generate") && wn.contains("Window"), wn.take(2000))
-    assert(!wn.contains("CartesianProduct"), wn.take(2000))
+    assert(!wn.contains("Generate") && !wn.contains("Window"), wn.take(2000))
+    assert(!wn.contains("Join") && !wn.contains("CartesianProduct"), wn.take(2000))
     // Kneser-Ney: type-table aggs join back hash-side; the 1-row type
     // total broadcasts; nothing degrades to a cartesian
     val kn = plan("q_text_kneser_ney")
