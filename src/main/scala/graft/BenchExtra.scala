@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchExtra {
   def main(args: Array[String]): Unit = {
-    val names = args.headOption.map(_.split(",").toSeq)
-      .getOrElse(sys.error("usage: BenchExtra q_a,q_b [reps] [plansDir]"))
+    val names = args.headOption.map {
+      case "ALL" => SparkEntry.queries.keys.toSeq.sorted // Bench phase-1 replay
+      case a     => a.split(",").toSeq
+    }.getOrElse(sys.error("usage: BenchExtra q_a,q_b|ALL [reps] [plansDir]"))
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val plansDir = args.lift(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

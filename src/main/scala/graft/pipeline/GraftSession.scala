@@ -32,6 +32,17 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE's coalescing floor (default 1 MB) folds KB-scale shuffle
+      // outputs to ONE partition, serializing every compute-heavy
+      // fan-out that sits above a small exchange (char/word gram
+      // explosion, pair enumeration): measured 3.7 s -> ~1 s on
+      // q_eval_chrf at sf0.1 just by letting the 1.5 MB pair table
+      // spread over the cores. 64 KB keeps the floor >> task overhead;
+      // at production shuffle sizes partitions sit far above either
+      // floor, so this only changes the small-input regime (guide §2.2
+      // — partition count stays scale-adaptive, never a constant).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       // constraintPropagation stays ON (default): an A/B over an
       // 8-query probe showed only ~3% planning-latency win from
       // disabling it, and it would cost the inferred IsNotNull parquet
