@@ -41,12 +41,12 @@ class ResolveSpec extends SparkSuite {
     while (rounds < cap && !converged) {
       val prev = labels
       labels = Relational.resolveRound(labels, sym).localCheckpoint(true)
-      converged = labels.as("n").join(prev.as("p"), col("n.id") === col("p.id"))
-        .filter(col("n.lbl") =!= col("p.lbl")).isEmpty
+      // same probe as production: the round carries olbl
+      converged = labels.filter(col("lbl") =!= col("olbl")).isEmpty
       prev.unpersist()
       rounds += 1
     }
-    (labels.as[(Long, Long)].collect().toMap, rounds)
+    (labels.select(col("id"), col("lbl")).as[(Long, Long)].collect().toMap, rounds)
   }
 
   test("path-100 (worst-case diameter), star, rings, and dust all resolve inside the cap") {
