@@ -240,9 +240,6 @@ object TrainingData {
       finally s.close()
     }
 
-  private def mark(tag: String): Unit =
-    System.err.println(f"[tdtime] $tag ${System.nanoTime() / 1e9}%.3f")
-
   private def buildMergeTable(s: SparkSession): TableBuild =
     tableMemo.synchronized {
       val cached = tableMemo.get(s)
@@ -252,33 +249,27 @@ object TrainingData {
         import graft.io.TableIO
         // checkpoint: the two wave writes + merge below each action
         // this Dataset; un-cut, every one re-runs the full extraction
-        mark("extract-start")
         val extracted = graft.pipeline.Pipeline
           .extractTurnsSalted(genWithSidecar(s), 32)
           .localCheckpoint(true)
-        mark("extract-done")
         deleteRec(java.nio.file.Paths.get(tablePath))
         TableIO.writeExtracted(extracted, tablePath, buckets = 8, waves = 2,
           stopAfterWaves = 1)
         val (snapWave1, _) = TableIO.committed(tablePath)
-        mark("wave1-done")
         TableIO.writeExtracted(extracted, tablePath, buckets = 8, waves = 2)
         val (snapPre, _) = TableIO.committed(tablePath)
         // pre-merge sidecars (oracle inputs) — dumped before the merge
-        mark("wave2-done")
         flat(TableIO.readExtracted(s, tablePath).toDF).coalesce(1)
           .write.mode("overwrite").parquet(tableInitialPath)
         flat(TableIO.readExtracted(s, tablePath, snapWave1).toDF).coalesce(1)
           .write.mode("overwrite").parquet(tableWave1Path)
         // the corrected subset: every conv whose hash lands in class 0
         // (deterministic, ~1/4 of convs), score corrected +1000
-        mark("sidecars-done")
         val updates = TableIO.readExtracted(s, tablePath)
           .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 0)
           .map(t => t.copy(total_score = t.total_score + 1000))
         flat(updates.toDF).coalesce(1)
           .write.mode("overwrite").parquet(tableUpdatesPath)
-        mark("updates-dumped")
         TableIO.mergeExtracted(updates, tablePath, buckets = 8)
         val (snapPost, _) = TableIO.committed(tablePath)
         // named refs on the same build: tag the pre-merge snapshot
@@ -286,10 +277,8 @@ object TrainingData {
         // a branch-only corrected subset (hash class 1 — disjoint from
         // the merge's class 0), dumped BEFORE the branch merge so the
         // oracle composes the branch state independently
-        mark("merge-done")
         TableIO.tagSnapshot(tablePath, "pre-merge", snapPre)
         TableIO.createBranch(tablePath, "exp", snapPost)
-        mark("tag-branch-done")
         val branchUpdates = TableIO.readExtracted(s, tablePath)
           .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 1)
           .map(t => t.copy(total_score = t.total_score + 5000))
@@ -301,7 +290,6 @@ object TrainingData {
         // already projects the added column — and the as-of read
         // exercises the evolved-schema time-travel path THROUGH the
         // later WAP publish
-        mark("branchmerge-done")
         TableIO.evolveSchema(tablePath, "quality_tier", "STRING", "'unscored'")
         // row-level DELETE on main (right-to-be-forgotten shape): every
         // conv in hash class 2 — disjoint from the merge's class 0 and
@@ -310,13 +298,11 @@ object TrainingData {
         // q_table_merge then reads as-of snapPost (time travel THROUGH
         // the delete via archived bucket versions) and q_table_delete
         // reads the live head.
-        mark("evolve-done")
         val delKeys = TableIO.readExtracted(s, tablePath)
           .filter(pmod(xxhash64(col("conv_id")), lit(4)) === 2)
           .map(_.conv_id).distinct()
         delKeys.toDF("conv_id").coalesce(1)
           .write.mode("overwrite").parquet(tableDeleteKeysPath)
-        mark("delkeys-dumped")
         TableIO.deleteConvs(delKeys, tablePath, buckets = 8)
         // WRITE-AUDIT-PUBLISH last: branch at the post-delete head,
         // stage a class-3 correction (+7000 — disjoint from the
@@ -325,7 +311,6 @@ object TrainingData {
         // earlier q_table_* read now pins its snapshot explicitly, so
         // they all exercise time travel THROUGH the publish;
         // q_table_wap reads the published live head.
-        mark("delete-done")
         val (snapDel, _) = TableIO.committed(tablePath)
         TableIO.createBranch(tablePath, "wap", snapDel)
         val wapUpdates = TableIO.readExtracted(s, tablePath)
@@ -346,13 +331,11 @@ object TrainingData {
         // the now-archived versions) and q_table_mor_rewrite (live
         // read of the folded bytes) must both hash-equal the SAME
         // oracle, proving logical-apply ≡ materialized.
-        mark("wap-done")
         val morKeys = TableIO.readExtracted(s, tablePath).toDF
           .filter(pmod(xxhash64(
             concat_ws("#", col("conv_id"), col("turn_idx"))), lit(5)) === 2)
           .select(col("conv_id"), col("turn_idx"))
         morKeys.coalesce(1).write.mode("overwrite").parquet(tableMorKeysPath)
-        mark("morkeys-dumped")
         val snapMor = TableIO.deleteTurnsMoR(morKeys, tablePath, buckets = 8)
         TableIO.rewriteDeletes(s, tablePath, buckets = 8)
         val (snapRw, _) = TableIO.committed(tablePath)
@@ -362,9 +345,7 @@ object TrainingData {
         // (8-bucket archive + delete records) — three engine paths,
         // one truth. Every pinned read above now time-travels through
         // the rebucket via the archived old-spec versions.
-        mark("mor-done")
         TableIO.rebucket(s, tablePath, 16)
-        mark("rebucket-done")
         val b = TableBuild(tablePath, snapWave1, snapPre, snapPost, snapDel,
           snapPub, snapMor, snapRw)
         tableMemo.put(s, b)
