@@ -32,17 +32,19 @@ object GraftSession {
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // AQE's coalescing floor (default 1 MB) folds KB-scale shuffle
-      // outputs to ONE partition, serializing every compute-heavy
-      // fan-out that sits above a small exchange (char/word gram
-      // explosion, pair enumeration): measured 3.7 s -> ~1 s on
-      // q_eval_chrf at sf0.1 just by letting the 1.5 MB pair table
-      // spread over the cores. 64 KB keeps the floor >> task overhead;
-      // at production shuffle sizes partitions sit far above either
-      // floor, so this only changes the small-input regime (guide §2.2
-      // — partition count stays scale-adaptive, never a constant).
+      // AQE's coalescing floor stays at its 1 MB DEFAULT: a global 64 KB
+      // floor was A/B-probed this round — it fixed the two queries whose
+      // heavy compute sits above a KB-scale exchange (q_eval_chrf 5.4 →
+      // 2.6 s, q_dedup_prefix_filter 4.9 → 1.1 s) but TAXED every
+      // multi-round / multi-arm query with ~32 near-empty tasks per tiny
+      // shuffle (q_text_jsd 4.0 → 7.4 s, q_docs_maxcover 2.3 → 4.3 s,
+      // same interleaved window). The fan-out serialization is fixed at
+      // the operators themselves instead (explicit spread of the
+      // checkpointed gram/pair tables feeding heavy per-row compute —
+      // guide §1.2 order: algorithm before configuration). The env knob
+      // remains for experiments only.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       // constraintPropagation stays ON (default): an A/B over an
       // 8-query probe showed only ~3% planning-latency win from
       // disabling it, and it would cost the inferred IsNotNull parquet
