@@ -959,7 +959,14 @@ class QueryPropsSpec extends SparkSuite {
     val prf = SparkEntry.queries("q_eval_prf")(spark, dir).collect()
     val (stp, sfp, sfn) = (prf.map(_.getLong(1)).sum,
       prf.map(_.getLong(2)).sum, prf.map(_.getLong(3)).sum)
-    assert(stp + sfp == stp + sfn, s"pred mass $sfp vs truth mass $sfn")
+    // both masses must equal the INDEPENDENTLY computed test-set size
+    // (every vec_id % 10 == 0 embedding gets exactly one prediction) —
+    // the former stp+sfp == stp+sfn identity was tautological: both
+    // sides equal totalPredictions − Σtp for ANY confusion matrix
+    val nTest = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(stp + sfp == nTest, s"pred mass ${stp + sfp} vs test set $nTest")
+    assert(stp + sfn == nTest, s"truth mass ${stp + sfn} vs test set $nTest")
     for (r <- prf; c <- Seq("precision_ppm", "recall_ppm", "f1_ppm")
         if !r.isNullAt(r.fieldIndex(c))) {
       val v = r.getLong(r.fieldIndex(c))
