@@ -998,11 +998,16 @@ class PlanSpec extends SparkSuite {
     val sb = plan("q_sample_balanced")
     assert(sb.contains("TopKPerKey") || sb.contains("topk"), sb.take(2000))
     assert(!sb.contains("Window"), sb.take(2000))
-    // weighted median: cumsum windows run over the value grain (after
-    // the hash agg), no join anywhere
+    // weighted median: ONE cumsum window over the value grain (after
+    // the hash agg); the per-flag total rides a bounded broadcast join
+    // instead of a second unbounded-frame window pass (r6: the
+    // whole-partition window buffer is the term that hurts at scale)
     val wm = plan("q_agg_weighted_median")
     assert(wm.contains("Window") && wm.contains("HashAggregate") &&
-      !wm.contains("Join"), wm.take(2000))
+      wm.contains("BroadcastHashJoin"), wm.take(2000))
+    assert(!wm.contains("SortMergeJoin") && !wm.contains("CartesianProduct"),
+      wm.take(2000))
+    assert("Window".r.findAllIn(wm).length <= 2, wm.take(2000))
     // higher moments: one partial+final hash agg, no window, no join
     val mo = plan("q_agg_moments")
     assert(mo.contains("HashAggregate") && !mo.contains("Window") &&
